@@ -1,0 +1,147 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Designed for 100 TB corpora:
+- exact dedup is one hash-shuffle on the fingerprint
+- MinHash signatures are computed in a single explode→groupBy pass
+  (one shuffle), banded, and candidate pairs come from a bucket
+  self-join — never an all-pairs cross join
+- survivor selection is deterministic (min id), so results are stable
+  under any partitioning
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import tokens
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Deterministic exact dedup: keep the min-``order_col`` row per key
+    group (reference semantics: dropDuplicates at etl/silver_job.py:205,
+    made deterministic per SURVEY.md §7.4)."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per document (one row per (id, shingle)).
+
+    Pure JVM expressions: tokenize, slide a window of k with
+    transform(sequence(...)), explode. No Python in the hot path.
+    """
+    toks = tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature per id: ``num_hashes`` seeded xxhash64 mins,
+    computed in ONE groupBy pass (single shuffle)."""
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("signature"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 8) -> DataFrame:
+    """Band the signature and self-join on (band_idx, band_hash) buckets.
+
+    Returns candidate pairs (id_a < id_b), deduplicated across bands.
+    Bucket join is an equi-join — shuffles on the band hash, never
+    all-pairs.
+    """
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast(
+                            "array<string>"
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None, threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (or all co-shingled pairs
+    when ``pairs`` is None — still bounded by shared-shingle co-occurrence,
+    not a cross join)."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash signature: per-token xxhash64, bitwise ±1 vote, sign → bit.
+
+    One explode + one groupBy (single shuffle); the 64 votes are computed
+    as 64 conditional sums in the same aggregate."""
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    hashed = tok.select("id", F.xxhash64("token").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return agg.select("id", sig.alias("simhash"))

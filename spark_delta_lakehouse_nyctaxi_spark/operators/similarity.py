@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the (small) query
+set against the full corpus, all vector math in JVM expressions
+(zip_with + aggregate), no Python in the hot path.
+
+Scale path: LSH-bucketed ANN — random-hyperplane signatures bucket the
+corpus; queries probe only their bucket. At 100 TB the bucket join
+replaces the query-corpus cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product: accumulate in DOUBLE, left-to-right."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus, window top-k.
+
+    Returns (query_id, neighbor_id, sim_rank). Tie-break on neighbor id
+    keeps ranks deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "neighbor_id", "sim_rank")
+    )
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of <v, plane_i>."""
+    bits = [F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, 2**i).otherwise(0) for i, p in enumerate(planes)]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via hyperplane-LSH bucketing: join on bucket id, then exact
+    cosine within buckets. Recall < 1.0 by design; rows-only verified."""
+    sig = lambda v: hyperplane_signature(v, planes)  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+    ).withColumn("bucket", sig(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    ).withColumn("bucket", sig(F.col("c_vec")))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "neighbor_id", "sim_rank")
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold), id_a < id_b.
+
+    Brute force at test SF; at scale, route through lsh_topk buckets."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,96 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All JVM-side column expressions (no Python UDFs) — token counting,
+quality scoring, fingerprinting, and n-gram language ID run inside
+whole-stage codegen and scale linearly with input partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\s+"
+
+# Tiny per-language stopword inventories for the heuristic language ID.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in"],
+    "es": ["el", "la", "los", "de", "que", "y"],
+    "fr": ["le", "la", "les", "de", "et", "un"],
+    "de": ["der", "die", "das", "und", "ein", "zu"],
+}
+
+
+def tokens(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_PATTERN)
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count; trim first so leading/trailing blanks don't
+    produce empty tokens (matches len(string_split_regex(trim(x),'\\s+')))."""
+    return F.size(tokens(col))
+
+
+def char_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def vowel_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, "[aeiou]", ""))
+
+
+def space_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, " ", ""))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint (md5 hex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("binary"))
+
+
+def stopword_hits(col: str | Column, words: list[str]) -> Column:
+    """Count of stopword occurrences (word-boundary matches)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+
+
+def language_scores(col: str | Column) -> dict[str, Column]:
+    return {lang: stopword_hits(col, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def language_id(col: str | Column) -> Column:
+    """Argmax over per-language stopword-hit rates; 'und' when no evidence.
+
+    Deterministic tie-break: languages compared in fixed dict order, strict
+    greater-than, so earlier languages win ties.
+    """
+    scores = language_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring feature frame: one pass, all codegen expressions."""
+    t = F.col(text_col)
+    n_chars = char_count(t)
+    n_tokens = token_count(t)
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        vowel_count(t).alias("n_vowels"),
+        space_count(t).alias("n_spaces"),
+        (vowel_count(t).cast("double") / n_chars).alias("vowel_ratio"),
+        ((n_chars - space_count(t)).cast("double") / n_tokens).alias("avg_token_len"),
+    )

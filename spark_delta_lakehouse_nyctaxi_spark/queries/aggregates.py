@@ -1,0 +1,178 @@
+"""Aggregations (SURVEY.md §2.5: A1-A9 + planned rollup/approx-distinct).
+
+Scale notes: every groupBy here is a hash aggregate with map-side partial
+aggregation (one shuffle on the group keys). Decimal-cast sums keep
+results bit-stable under any partitioning (see queries/__init__ docstring)
+— at 1000 executors the merge order of partials is arbitrary, and these
+plans are invariant to it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+
+from ..sources.readers import load_table
+from . import register
+
+
+def dsum(col: str | Column, scale: int = 2, precision: int = 22) -> Column:
+    """Order-insensitive exact sum of a double column: per-row cast to
+    DECIMAL (tie-free), exact decimal sum, cast back to DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 2, precision: int = 22) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+@register(
+    "q_agg_daily",
+    f"""
+    SELECT CAST(o_orderdate AS DATE) AS order_date,
+           COUNT(*) AS daily_order_count,
+           {dsum_sql('o_totalprice')} AS daily_total_revenue,
+           {dsum_sql('o_totalprice')} / COUNT(*) AS avg_order_value
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+    """,
+    doc="Daily KPIs — the reference's flagship gold aggregate "
+        "(A1; etl/gold_job.py:40-97) transposed to the orders table.",
+)
+def q_agg_daily(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    return (
+        df.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.count("*").alias("daily_order_count"),
+            dsum("o_totalprice").alias("daily_total_revenue"),
+            (dsum("o_totalprice") / F.count("*")).alias("avg_order_value"),
+        )
+    )
+
+
+@register(
+    "q_agg_2key",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {dsum_sql('l_quantity')} / COUNT(*) AS avg_qty,
+           {dsum_sql('l_extendedprice')} / COUNT(*) AS avg_price,
+           {dsum_sql('l_discount', 4)} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Two-key hash aggregate, TPC-H Q1 shape (A2; reference "
+        "etl/gold_job.py:100-152). disc_price is a per-row IEEE double "
+        "product (identical in both engines) cast to decimal before summing.",
+)
+def q_agg_2key(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum("l_discount", 4) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_max",
+    """
+    SELECT MAX(ts) AS max_ts, MIN(ts) AS min_ts,
+           MAX(value) AS max_value, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+    doc="Global max/min — watermark computation (A3; reference utils/incremental.py:40).",
+)
+def q_agg_max(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return df.agg(
+        F.max("ts").alias("max_ts"),
+        F.min("ts").alias("min_ts"),
+        F.max("value").alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q_agg_sum",
+    f"""
+    SELECT {dsum_sql('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+    doc="Global sum (A4; reference tests/integration/test_pipeline.py:126).",
+)
+def q_agg_sum(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows"))
+
+
+@register(
+    "q_null_profile",
+    """
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_value,
+           SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS nulls_event_type_derived
+    FROM events
+    """,
+    doc="Single-pass null profile (A8) — replaces the reference's "
+        "per-column job loop (utils/data_quality.py:279-296) with one "
+        "aggregate; at 100 TB this is 1 scan instead of N.",
+)
+def q_null_profile(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("nulls_user_id"),
+        F.sum(F.col("value").isNull().cast("long")).alias("nulls_value"),
+        F.sum(F.nullif(F.col("event_type"), F.lit("error")).isNull().cast("long")).alias(
+            "nulls_event_type_derived"
+        ),
+    )
+
+
+@register(
+    "q_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical rollup (planned §2.5 extension).",
+)
+def q_rollup(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "q_approx_distinct",
+    None,  # approximate result — rows-only check by design
+    doc="approx_count_distinct / HLL sketch (planned §2.5 extension). "
+        "Approximate ⇒ no value oracle; the pytest suite asserts the "
+        "estimate is within 5% of exact.",
+)
+def q_approx_distinct(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    return df.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
+        F.approx_count_distinct("o_orderkey").alias("approx_orderkeys"),
+    )

@@ -1,0 +1,97 @@
+"""Deduplication queries (north-star extensions): exact, MinHash-LSH,
+SimHash, n-gram Jaccard — all over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators.text import fingerprint
+from ..sources.readers import load_table
+from . import register
+
+# DuckDB shingle expression mirroring operators.dedup.shingles (k=3):
+# i ∈ 1..max(len-2,1), shingle = tokens[i..i+2] joined by space.
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id AS id, sh AS shingle
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')
+               )) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    )
+    WHERE sh <> ''
+"""
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="Exact content dedup via fingerprint hash-groupBy; deterministic "
+        "min-id survivor (north-star exact dedup).",
+)
+def q_dedup_exact(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").withColumn("__fp", fingerprint("text"))
+    out = D.exact_dedup(df, ["__fp"], "doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "q_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """,
+    doc="Exact n-gram (3-token shingle) Jaccard near-dup pairs ≥ 0.1 "
+        "(north-star n-gram dedup). Co-shingle join, never cross join.",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(df, "doc_id", "text", k=3)
+    return D.jaccard_pairs(sh, threshold=0.1)
+
+
+@register(
+    "q_minhash_lsh",
+    None,  # xxhash64 signatures have no DuckDB equivalent → rows-only
+    doc="MinHash(32 hashes) + LSH(8 bands) candidate pairs, then exact "
+        "Jaccard filter ≥ 0.1 (north-star near-dup dedup at scale). "
+        "Verified rows-only + pytest asserts candidates ⊇ high-jaccard pairs.",
+)
+def q_minhash_lsh(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(df, "doc_id", "text", k=3)
+    sig = D.minhash_signatures(sh, num_hashes=32)
+    cand = D.lsh_candidate_pairs(sig, bands=8)
+    return D.jaccard_pairs(sh, pairs=cand, threshold=0.1)
+
+
+@register(
+    "q_simhash",
+    None,  # xxhash64-based — rows-only
+    doc="64-bit SimHash signatures per document (north-star near-dup "
+        "fingerprint). Single explode+groupBy pass.",
+)
+def q_simhash(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return D.simhash(df, "doc_id", "text")

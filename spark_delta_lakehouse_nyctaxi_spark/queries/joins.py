@@ -1,0 +1,129 @@
+"""Joins (SURVEY.md §2.4: J1 MERGE-join covered in sources/table.py; J2-J6
+planned star-schema joins here).
+
+Scale notes:
+- region/nation are broadcast explicitly — at any SF they are tiny dims,
+  and broadcasting removes a shuffle of the fact table.
+- larger joins (orders⋈customer, lineitem⋈orders) are left to AQE, which
+  picks broadcast vs shuffled-hash vs sort-merge from runtime stats and
+  handles skew (skewJoin enabled in session.py).
+- the range join applies the equi-key first (normal shuffle join) with
+  the range predicate as a post-join filter — no O(n²) blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .aggregates import dsum, dsum_sql
+from . import register
+
+
+@register(
+    "q_join_inner",
+    """
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="Inner equi-join (J2). AQE chooses broadcast for the dim side at "
+        "small SF and shuffled-hash/SMJ at scale.",
+)
+def q_join_inner(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_multi",
+    f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_lineitems,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY r_name, n_name
+    """,
+    doc="5-table star join + aggregate, TPC-H Q5 shape (J3). nation/region "
+        "broadcast; the date filter pushes down to the orders scan.",
+)
+def q_join_multi(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_lineitems"), dsum(disc_price, 4).alias("revenue"))
+    )
+
+
+@register(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_totalprice > 250000)
+    """,
+    doc="Left-semi join (J4) — customers with at least one big order.",
+)
+def q_join_semi(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join (J5) — customers with no orders.",
+)
+def q_join_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_range",
+    """
+    SELECT o_orderkey,
+           COUNT(*) AS n_late_lines
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderkey
+    """,
+    doc="Equi + range predicate join (J6): lineitems shipped >60 days after "
+        "order date. Planned as an equi-join on the key with the range "
+        "predicate evaluated inside the join — no cartesian expansion.",
+)
+def q_join_range(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return o.join(l, cond, "inner").groupBy("o_orderkey").agg(F.count("*").alias("n_late_lines"))

@@ -1,0 +1,73 @@
+"""Similarity-search queries over the embeddings table (north-star
+extensions): brute-force cosine top-k and LSH-bucketed ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..sources.readers import load_table
+from . import register
+
+# Double-precision cosine in DuckDB (list_cosine_similarity is float32 —
+# not engine-parity; this formulation matches Spark's double accumulation
+# bit-for-bit, verified empirically).
+_COS_SQL = """
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@register(
+    "q_ann_bruteforce",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, sim_rank
+    FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS sim_rank
+        FROM scored
+    ) WHERE sim_rank <= 5
+    """,
+    doc="Brute-force cosine top-5 for 10 query vectors (north-star ANN "
+        "baseline). Broadcast queries × corpus; JVM array math.",
+)
+def q_ann_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "q_embedding_near_dup",
+    None,  # threshold sits on float noise for near-tie pairs → rows-only
+    doc="Embedding near-duplicate pairs (cosine ≥ 0.99). Rows-only check; "
+        "pytest asserts symmetry/threshold invariants.",
+)
+def q_embedding_near_dup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dups(emb, threshold=0.99)
+
+
+@register(
+    "q_ann_lsh",
+    None,  # approximate recall by design → rows-only
+    doc="LSH-bucketed ANN (8 random hyperplanes): the 100 TB scale path — "
+        "bucket equi-join replaces the cartesian product.",
+)
+def q_ann_lsh(spark, sf_dir):
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, planes, k=5)

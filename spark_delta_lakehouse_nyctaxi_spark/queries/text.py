@@ -1,0 +1,99 @@
+"""Text-analysis queries over the documents table (north-star extensions:
+token counting, quality scoring, fingerprinting, language ID)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ..sources.readers import load_table
+from . import register
+
+
+@register(
+    "q_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    doc="Whitespace+regex token counting (north-star text op).",
+)
+def q_token_count(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", T.token_count("text").cast("long").alias("n_tokens"))
+
+
+@register(
+    "q_text_quality",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+             / LENGTH(text) AS vowel_ratio,
+           CAST(LENGTH(text) - (LENGTH(text) - LENGTH(replace(text, ' ', ''))) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len
+    FROM documents
+    """,
+    doc="Single-pass quality features: length / vowel / token-shape ratios "
+        "(north-star quality scoring).",
+)
+def q_text_quality(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = T.char_count(t).cast("long")
+    n_tokens = T.token_count(t).cast("long")
+    n_vowels = T.vowel_count(t).cast("long")
+    n_spaces = T.space_count(t).cast("long")
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_vowels.alias("n_vowels"),
+        (n_vowels.cast("double") / n_chars).alias("vowel_ratio"),
+        ((n_chars - n_spaces).cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    "SELECT doc_id, md5(text) AS fp FROM documents",
+    doc="Deterministic md5 document fingerprint (north-star fingerprinting).",
+)
+def q_fingerprint(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(text, '{pat}'))"
+
+
+@register(
+    "q_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_lang_score_sql(T.LANG_STOPWORDS['en'])} AS s_en,
+               {_lang_score_sql(T.LANG_STOPWORDS['es'])} AS s_es,
+               {_lang_score_sql(T.LANG_STOPWORDS['fr'])} AS s_fr,
+               {_lang_score_sql(T.LANG_STOPWORDS['de'])} AS s_de
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM scored
+    """,
+    doc="Heuristic n-gram/stopword language ID (north-star text op). "
+        "Earliest-language-wins tie-break mirrored in the CASE cascade.",
+)
+def q_lang_id(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", T.language_id("text").alias("pred_lang"))

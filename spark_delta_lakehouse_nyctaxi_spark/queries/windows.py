@@ -1,0 +1,100 @@
+"""Window functions (SURVEY.md §2.9 — absent in the reference, planned as
+first-class coverage: ranking, analytic lag/lead, running frames).
+
+Scale notes: window partitions are (customer, user) keyed — high
+cardinality, so the single shuffle per window spec distributes evenly.
+Every orderBy carries a unique tiebreaker for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from . import register
+
+
+@register(
+    "q_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER w AS rn,
+               RANK()       OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+    doc="Ranking windows: top-3 orders per customer (§2.9 q_window_rank).",
+)
+def q_window_rank(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_window_lag",
+    """
+    SELECT event_id, user_id, value,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           value - COALESCE(LAG(value) OVER w, value) AS delta_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Analytic lag/lead over a per-user event timeline (§2.9 q_window_lag).",
+)
+def q_window_lag(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagv = F.lag("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        lagv.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.coalesce(lagv, F.col("value"))).alias("delta_value"),
+    )
+
+
+@register(
+    "q_window_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER w AS order_seq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) OVER w AS DOUBLE) AS running_revenue
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Running frame: cumulative revenue per customer (§2.9 q_window_frame). "
+        "Decimal accumulation keeps the running sum engine-invariant.",
+)
+def q_window_frame(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(22,2)")).over(w).cast("double").alias("running_revenue"),
+    )

@@ -1,0 +1,67 @@
+"""Dataset readers.
+
+Reference parity: CSV scan with header+inferSchema
+(``etl/bronze_job.py:17-38``) and table scans (``etl/bronze_job.py:94-110``).
+The testdata star schema is parquet; at 100 TB the same code path reads a
+partitioned parquet/Delta layout — Catalyst pushes filters and prunes
+columns into the scan automatically because everything downstream is
+declarative.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any scale factor.
+BROADCAST_DIMS = {"region", "nation"}
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True, infer_schema: bool = True) -> DataFrame:
+    """CSV scan mirroring ``etl/bronze_job.py:17-38`` (header + inferSchema)."""
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("inferSchema", str(infer_schema).lower())
+        .csv(path)
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a star-schema table.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; read nanos as long (runtime-settable legacy conf)
+    and rebuild a microsecond timestamp — lossless for this data, and
+    works under any externally provided SparkSession.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
