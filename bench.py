@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full computation, no output I/O),
+so timings measure scan + shuffle + compute — the parts that matter at
+100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+from spark_delta_lakehouse_nyctaxi_spark.session import get_spark
+
+HEADLINE = [
+    "q_agg_daily",
+    "q_agg_2key",
+    "q_join_inner",
+    "q_join_multi",
+    "q_join_range",
+    "q_window_rank",
+    "q_window_frame",
+    "q_topk",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_text_quality",
+    "q_ann_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM, parquet footers, and OS page cache for every input
+    # table so timings reflect steady-state compute, not first-touch IO.
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
