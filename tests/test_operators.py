@@ -1,0 +1,106 @@
+"""Operator invariants (reference test strategy, SURVEY.md §5):
+counts only shrink through filters/dedup; injected duplicates are
+removed; LSH candidates cover high-jaccard pairs; approximate sketches
+stay near exact answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from spark_delta_lakehouse_nyctaxi_spark.operators import dedup as D
+from spark_delta_lakehouse_nyctaxi_spark.operators import similarity as S
+from spark_delta_lakehouse_nyctaxi_spark.operators import text as T
+from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_exact_dedup_removes_injected_duplicate(spark):
+    # Reference's sharpest semantic test (tests/test_silver.py:42-64):
+    # union a duplicate row, dedup returns to original count.
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    n = docs.count()
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = D.exact_dedup(docs.unionByName(dup), ["text"], "doc_id")
+    assert out.count() == n
+    # survivor is the min doc_id, not the injected one
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_candidates_cover_high_jaccard_pairs(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    sh = D.shingles(docs, "doc_id", "text", 3).persist()
+    exact = D.jaccard_pairs(sh, threshold=0.3)
+    sig = D.minhash_signatures(sh, 32)
+    cand = D.lsh_candidate_pairs(sig, bands=16)  # 2-row bands: high recall
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    cand_pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    missed = exact_pairs - cand_pairs
+    assert len(missed) <= max(1, len(exact_pairs) // 10), f"LSH missed {missed}"
+
+
+def test_simhash_close_for_near_identical_docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again and again"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog again and again today"),
+        Row(doc_id=3, text="completely different words about spark shuffle partitions and joins"),
+    ]
+    df = spark.createDataFrame(rows)
+    sigs = {r.id: r.simhash for r in D.simhash(df, "doc_id", "text").collect()}
+    ham = lambda a, b: bin((a % 2**64) ^ (b % 2**64)).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+
+
+def test_language_id_heuristic(spark):
+    rows = [
+        Row(doc_id=1, text="the cat and the dog sat in a house of cards"),
+        Row(doc_id=2, text="el perro y el gato en la casa de los suenos que ves"),
+        Row(doc_id=3, text="zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r.lang for r in df.select("doc_id", T.language_id("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_token_and_char_counts(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="  a bb  ccc ")])
+    r = df.select(
+        T.token_count("text").alias("nt"), T.char_count("text").alias("nc")
+    ).first()
+    assert r.nt == 3
+    assert r.nc == 12
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = S.brute_force_topk(emb, q, k=4).collect()
+    assert len(out) == 12
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.sim_rank)
+    assert all(sorted(v) == [1, 2, 3, 4] for v in by_q.values())
+
+
+def test_lsh_topk_subset_of_bruteforce_domain(spark):
+    import random
+
+    rng = random.Random(0)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = S.lsh_topk(emb, q, planes, k=3).collect()
+    # ANN returns at most k per query, never the query itself
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert all(len(v) <= 3 for v in by_q.values())
+
+
+def test_approx_distinct_within_5pct(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    exact = orders.select("o_custkey").distinct().count()
+    approx = orders.agg(F.approx_count_distinct("o_custkey").alias("a")).first().a
+    assert abs(approx - exact) / exact < 0.05

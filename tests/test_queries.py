@@ -1,0 +1,29 @@
+"""Every registered query runs at sf0.001 and returns a stable schema;
+row-count expectations where meaningful (empty-by-design queries are
+allowed to be empty)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+MAY_BE_EMPTY = {"q_join_anti", "q_except", "q_embedding_near_dup", "q_ngram_jaccard", "q_minhash_lsh"}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs(spark, name):
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    n = df.count()
+    assert df.schema.fields, f"{name}: empty schema"
+    if name not in MAY_BE_EMPTY:
+        assert n > 0, f"{name}: expected rows at sf0.001"
+
+
+def test_oracle_keys_subset_of_queries():
+    from spark_delta_lakehouse_nyctaxi_spark.queries import oracle_sql, queries
+
+    assert set(oracle_sql()) <= set(queries())
+    # every oracle is non-trivial SQL
+    assert all(len(s.strip()) > 20 for s in oracle_sql().values())

@@ -1,0 +1,97 @@
+"""VersionedTable: the Delta capability surface (write modes, time
+travel, history, restore, vacuum, compaction, MERGE incl. partition
+pruning). Mirrors reference test shapes (tests/test_bronze.py:39-53
+round-trip; dedup/merge invariants)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row, functions as F
+
+from spark_delta_lakehouse_nyctaxi_spark.sources.table import VersionedTable
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+def test_write_read_roundtrip(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    df = _mk(spark, [{"id": i, "v": float(i)} for i in range(10)])
+    t.write(df, mode="overwrite")
+    assert t.read().count() == 10
+    assert t.latest_version() == 0
+
+
+def test_append_and_time_travel(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1}]), mode="overwrite")
+    t.write(_mk(spark, [{"id": 2}, {"id": 3}]), mode="append")
+    assert t.read().count() == 3
+    assert t.read(version=0).count() == 1
+    hist = t.history()
+    assert [h["version"] for h in hist] == [1, 0]
+    ts0 = hist[-1]["timestamp"]
+    assert t.read(timestamp=ts0).count() == 1
+
+
+def test_restore_and_vacuum(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1}]), mode="overwrite")
+    t.write(_mk(spark, [{"id": 9}, {"id": 10}]), mode="overwrite")
+    t.restore(0)
+    assert t.read().count() == 1
+    assert t.history(1)[0]["operation"] == "RESTORE"
+    # v1's dir is unreferenced by the last 2 versions (v2 restore + v1? no:
+    # last2 = v1,v2; retain 1 → only v2 (== v0 dirs) stays.
+    removed = t.vacuum(retain_last=1)
+    assert len(removed) == 1
+    assert t.read().count() == 1  # current snapshot untouched
+
+
+def test_compact(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    df = _mk(spark, [{"id": i} for i in range(100)]).repartition(8)
+    t.write(df, mode="overwrite")
+    assert t.detail()["num_files"] >= 8
+    t.compact(target_files=1)
+    assert t.detail()["num_files"] == 1
+    assert t.read().count() == 100
+    assert t.history(1)[0]["operation"] == "OPTIMIZE"
+
+
+def test_merge_upsert_unpartitioned(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1, "v": 10.0}, {"id": 2, "v": 20.0}]), mode="overwrite")
+    t.merge(_mk(spark, [{"id": 2, "v": 99.0}, {"id": 3, "v": 30.0}]), keys=["id"])
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}
+    assert t.history(1)[0]["operation"] == "MERGE"
+
+
+def test_merge_partition_pruned(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    base = _mk(
+        spark,
+        [{"id": i, "day": f"d{i % 3}", "v": float(i)} for i in range(30)],
+    )
+    t.write(base, mode="overwrite", partition_by=["day"])
+    before = t._resolve()
+    # source touches only day=d1
+    src = _mk(spark, [{"id": 1, "day": "d1", "v": -1.0}, {"id": 100, "day": "d1", "v": -2.0}])
+    t.merge(src, keys=["id"])
+    after = t._resolve()
+    assert after.extra["pruned"] is True
+    # d0/d2 units carried over by reference (identical paths)
+    carried = set(before.units) & set(after.units)
+    assert {u.split("/", 1)[1] for u in carried} == {"day=d0", "day=d2"}
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[1] == -1.0 and got[100] == -2.0 and got[2] == 2.0
+    assert t.read().count() == 31
+
+
+def test_merge_into_empty_table(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.merge(_mk(spark, [{"id": 1, "v": 1.0}]), keys=["id"])
+    assert t.read().count() == 1
