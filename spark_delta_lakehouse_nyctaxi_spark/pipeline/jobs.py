@@ -1,0 +1,276 @@
+"""Medallion (bronze → silver → gold) ETL jobs over the star schema.
+
+Reference parity — same step contracts and metadata-dict returns:
+- bronze (etl/bronze_job.py:113-265): scan → add ingestion metadata →
+  optional partition-column derivation → schema validation (extra
+  columns allowed) → DQ gate → versioned write → read-back verification
+- silver (etl/silver_job.py:249-381): casts → filters → dedup →
+  strict schema → DQ gate → write
+- gold (etl/gold_job.py:191-330): one silver scan fans out to two
+  aggregate tables (daily KPIs + segment demand); the silver frame is
+  persisted so it is scanned ONCE (fixes the reference's double scan,
+  SURVEY.md §4)
+
+Scale notes: counts for metadata come from ONE aggregate per layer
+instead of the reference's repeated df.count() recomputations; writes
+partition by the configured column so downstream date filters prune.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..audit import AuditLog, DQMetricsStore, PipelineMetrics, generate_run_id
+from ..quality import DataQualityFramework, default_framework_from_config
+from ..schemas import enforce_schema, orders_silver_schema, validate_schema
+from ..sources.table import VersionedTable
+
+
+def add_metadata_columns(df: DataFrame, source_file: str | None = None) -> DataFrame:
+    """P1 (etl/bronze_job.py:41-57): ingestion_ts + source_file."""
+    src = F.input_file_name() if source_file is None else F.lit(source_file)
+    return df.withColumn("ingestion_ts", F.current_timestamp()).withColumn("source_file", src)
+
+
+def _dq_gate(
+    fw: DataQualityFramework,
+    df: DataFrame,
+    run_id: str,
+    layer: str,
+    dq_store: DQMetricsStore | None,
+    fail_on_errors: bool,
+) -> None:
+    results = fw.run_all_checks(df)
+    if dq_store is not None:
+        dq_store.record(run_id, layer, results)
+    if fail_on_errors and DataQualityFramework.has_blocking_failures(results):
+        failed = [r.check_name for r in results if not r.passed]
+        raise RuntimeError(f"{layer}: blocking DQ failures: {failed}")
+
+
+def run_bronze_job(
+    spark: SparkSession,
+    config: dict,
+    run_id: str | None = None,
+    dq_store: DQMetricsStore | None = None,
+    audit: AuditLog | None = None,
+) -> dict:
+    run_id = run_id or generate_run_id()
+    start = time.time()
+    src = config["source"]
+    df = (
+        spark.read.parquet(src["path"])
+        if src.get("format", "parquet") == "parquet"
+        else spark.read.option("header", "true").option("inferSchema", "true").csv(src["path"])
+    )
+    initial = df.count()
+    df = add_metadata_columns(df, source_file=src["path"])
+
+    part = config.get("partitioning", {})
+    partition_by = None
+    if part.get("enabled"):
+        col = part.get("column", "order_date")
+        if col not in df.columns:
+            df = df.withColumn(col, F.to_date("o_orderdate"))
+        partition_by = [col]
+
+    fw = default_framework_from_config(config.get("data_quality", {}).get("bronze", {}))
+    _dq_gate(fw, df, run_id, "bronze", dq_store, config.get("fail_on_dq_errors", True))
+
+    table = VersionedTable(spark, config["paths"]["bronze"])
+    table.write(df, mode="overwrite", partition_by=partition_by, operation="BRONZE_WRITE")
+    final = table.read().count()  # read-back verification (etl/bronze_job.py:247-250)
+
+    meta = {
+        "job": "bronze",
+        "run_id": run_id,
+        "status": "completed",
+        "initial_row_count": initial,
+        "final_row_count": final,
+    }
+    if audit:
+        audit.log_run(
+            run_id, "bronze_job", "bronze", "completed", start, time.time(),
+            initial_row_count=initial, final_row_count=final,
+        )
+    return meta
+
+
+def run_silver_job(
+    spark: SparkSession,
+    config: dict,
+    run_id: str | None = None,
+    dq_store: DQMetricsStore | None = None,
+    audit: AuditLog | None = None,
+) -> dict:
+    run_id = run_id or generate_run_id()
+    start = time.time()
+    bronze = VersionedTable(spark, config["paths"]["bronze"]).read()
+    initial = bronze.count()
+
+    # Casts + canonical lowercase names + derived date (silver_job.py:38-110)
+    df = bronze.withColumn("order_date", F.to_date("o_orderdate"))
+    df = df.withColumn("o_orderstatus", F.lower(F.trim("o_orderstatus")))
+
+    # Conjunctive DQ filters (silver_job.py:113-168)
+    flt = config.get("filters", {})
+    cond = (
+        F.col("o_orderkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & (F.col("o_totalprice") >= flt.get("min_total_price", 0.0))
+    )
+    df = df.filter(cond)
+    after_filter = None  # computed with dedup below in one pass
+
+    # Deterministic dedup (silver_job.py:171-212 + SURVEY.md §7.4)
+    dd = config.get("deduplication", {})
+    if dd.get("enabled", True):
+        keys = dd.get("columns", ["o_orderkey"])
+        tie = dd.get("tiebreaker", "o_orderdate")
+        w = Window.partitionBy(*keys).orderBy(tie)
+        df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+    df, warnings = enforce_schema(df, orders_silver_schema())
+    ok, errors = validate_schema(df.schema, orders_silver_schema(), allow_extra_columns=False)
+    if not ok:
+        raise RuntimeError(f"silver schema invalid: {errors}")
+
+    fw = default_framework_from_config(config.get("data_quality", {}).get("silver", {}))
+    _dq_gate(fw, df, run_id, "silver", dq_store, config.get("fail_on_dq_errors", True))
+
+    table = VersionedTable(spark, config["paths"]["silver"])
+    part = config.get("partitioning", {})
+    partition_by = [part.get("column", "order_date")] if part.get("enabled") else None
+    table.write(df, mode="overwrite", partition_by=partition_by, operation="SILVER_WRITE")
+    final = table.read().count()
+
+    meta = {
+        "job": "silver",
+        "run_id": run_id,
+        "status": "completed",
+        "initial_row_count": initial,
+        "final_row_count": final,
+        "rows_removed": initial - final,
+        "schema_warnings": warnings,
+    }
+    if audit:
+        audit.log_run(
+            run_id, "silver_job", "silver", "completed", start, time.time(),
+            initial_row_count=initial, final_row_count=final,
+            rows_filtered=initial - final,
+        )
+    return meta
+
+
+def run_gold_job(
+    spark: SparkSession,
+    config: dict,
+    run_id: str | None = None,
+    dq_store: DQMetricsStore | None = None,
+    audit: AuditLog | None = None,
+) -> dict:
+    run_id = run_id or generate_run_id()
+    start = time.time()
+    silver = VersionedTable(spark, config["paths"]["silver"]).read().persist()
+    try:
+        n_silver = silver.count()
+
+        dsum = lambda c: F.sum(F.col(c).cast("decimal(22,2)")).cast("double")  # noqa: E731
+        daily = (
+            silver.groupBy("order_date")
+            .agg(
+                F.count("*").alias("daily_order_count"),
+                F.round(dsum("o_totalprice"), 2).alias("daily_total_revenue"),
+                F.round(dsum("o_totalprice") / F.count("*"), 2).alias("avg_order_value"),
+            )
+            .orderBy("order_date")
+        )
+        segment = (
+            silver.groupBy("order_date", "o_orderpriority")
+            .agg(
+                F.count("*").alias("order_count"),
+                F.round(dsum("o_totalprice"), 2).alias("total_revenue"),
+            )
+            .orderBy("order_date", "o_orderpriority")
+        )
+
+        t_daily = VersionedTable(spark, config["paths"]["gold_daily_kpis"])
+        t_daily.write(daily, mode="overwrite", operation="GOLD_WRITE")
+        t_seg = VersionedTable(spark, config["paths"]["gold_segment_demand"])
+        t_seg.write(segment, mode="overwrite", operation="GOLD_WRITE")
+
+        if config.get("optimize_after_write"):
+            t_daily.compact()
+            t_seg.compact()
+
+        n_daily = t_daily.read().count()
+        n_seg = t_seg.read().count()
+    finally:
+        silver.unpersist()
+
+    meta = {
+        "job": "gold",
+        "run_id": run_id,
+        "status": "completed",
+        "silver_row_count": n_silver,
+        "daily_kpis_rows": n_daily,
+        "segment_demand_rows": n_seg,
+    }
+    if audit:
+        audit.log_run(
+            run_id, "gold_job", "gold", "completed", start, time.time(),
+            initial_row_count=n_silver, final_row_count=n_daily + n_seg,
+        )
+    return meta
+
+
+def run_pipeline(
+    spark: SparkSession, config: dict, use_dag: bool = False, run_id: str | None = None
+) -> dict:
+    """bronze → silver → gold, sequential (main.py:113-132) or via the
+    DAG runner with retries (main.py:104-110)."""
+    run_id = run_id or generate_run_id()
+    dq_store = DQMetricsStore(spark, config["paths"]["dq_metrics"])
+    audit = AuditLog(spark, config["paths"]["pipeline_runs"])
+    metrics = PipelineMetrics(spark, config["paths"].get("pipeline_metrics"))
+    metrics.start_run(run_id)
+
+    def bronze():
+        m = run_bronze_job(spark, config, run_id, dq_store, audit)
+        metrics.record_layer_metrics("bronze", **{k: v for k, v in m.items() if k != "job"})
+        return m
+
+    def silver():
+        m = run_silver_job(spark, config, run_id, dq_store, audit)
+        metrics.record_layer_metrics(
+            "silver", **{k: v for k, v in m.items() if k not in ("job", "schema_warnings")}
+        )
+        return m
+
+    def gold():
+        m = run_gold_job(spark, config, run_id, dq_store, audit)
+        metrics.record_layer_metrics("gold", **{k: v for k, v in m.items() if k != "job"})
+        return m
+
+    if use_dag:
+        from ..orchestration import DAG, Task
+
+        dag = DAG("star_pipeline")
+        dag.add_task(Task("bronze", bronze, retries=1))
+        dag.add_task(Task("silver", silver, depends_on=["bronze"], retries=1))
+        dag.add_task(Task("gold", gold, depends_on=["silver"], retries=1))
+        summary = dag.execute()
+    else:
+        bronze()
+        silver()
+        gold()
+        summary = {"success": True, "tasks": {"bronze": "success", "silver": "success", "gold": "success"}}
+
+    metrics.save_metrics()
+    summary["run_id"] = run_id
+    summary["metrics"] = metrics.get_summary()
+    return summary

@@ -1,0 +1,61 @@
+"""Physical-plan inspection helpers.
+
+The 100 TB discipline is enforced here: tests assert that filters reach
+the parquet scan (PushedFilters), projections prune columns
+(ReadSchema), dimension joins broadcast, top-k avoids global sorts, and
+nothing in the dedup/similarity paths degenerates into a cartesian
+product. `.explain` is a debugging aid; these make it a regression
+gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """Concatenated PushedFilters sections of all scans."""
+    plan = explain_str(df)
+    return "\n".join(line for line in plan.splitlines() if "PushedFilters" in line)
+
+
+def read_schemas(df: DataFrame) -> str:
+    plan = explain_str(df)
+    return "\n".join(line for line in plan.splitlines() if "ReadSchema" in line)
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df)
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    plan = explain_str(df)
+    return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (formatted mode
+    prints each operator once as a `(N) Exchange` detail header)."""
+    import re
+
+    plan = explain_str(df)
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+
+
+def uses_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in explain_str(df)
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen stages: `*(N)` markers in simple
+    mode (formatted mode hides them under AQE wrappers)."""
+    import re
+
+    plan = explain_str(df, "simple")
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

@@ -1,0 +1,179 @@
+"""Integration tests mirroring the reference's
+tests/integration/test_pipeline.py: full bronze→silver→gold run with
+per-layer assertions, DQ metrics persisted, lineage invariant, plus
+incremental CDC and DAG semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from spark_delta_lakehouse_nyctaxi_spark.audit import AuditLog, DQMetricsStore, generate_run_id
+from spark_delta_lakehouse_nyctaxi_spark.incremental import (
+    get_watermark,
+    incremental_append,
+    incremental_merge,
+)
+from spark_delta_lakehouse_nyctaxi_spark.orchestration import DAG, Task, TaskStatus
+from spark_delta_lakehouse_nyctaxi_spark.pipeline import default_config, run_pipeline
+from spark_delta_lakehouse_nyctaxi_spark.quality import (
+    DataQualityFramework,
+    FrameCheck,
+    PredicateCheck,
+)
+from spark_delta_lakehouse_nyctaxi_spark.schemas import (
+    enforce_schema,
+    orders_silver_schema,
+    validate_schema,
+)
+from spark_delta_lakehouse_nyctaxi_spark.sources.table import VersionedTable
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("lake"))
+    cfg = default_config(base, f"{SF_SMALL}/orders.parquet")
+    summary = run_pipeline(spark, cfg, use_dag=True)
+    return spark, cfg, summary
+
+
+def test_pipeline_succeeds_all_layers(pipeline_result):
+    _, _, summary = pipeline_result
+    assert summary["success"] is True
+    assert summary["tasks"] == {"bronze": "success", "silver": "success", "gold": "success"}
+
+
+def test_layer_counts_only_shrink(pipeline_result):
+    spark, cfg, _ = pipeline_result
+    bronze = VersionedTable(spark, cfg["paths"]["bronze"]).read().count()
+    silver = VersionedTable(spark, cfg["paths"]["silver"]).read().count()
+    assert 0 < silver <= bronze
+
+
+def test_lineage_invariant_gold_vs_silver(pipeline_result):
+    # sum(gold.daily_order_count) == silver.count()
+    # (reference test_pipeline.py:97-127 uses <=; equality holds here)
+    spark, cfg, _ = pipeline_result
+    silver = VersionedTable(spark, cfg["paths"]["silver"]).read().count()
+    daily = VersionedTable(spark, cfg["paths"]["gold_daily_kpis"]).read()
+    total = daily.agg(F.sum("daily_order_count").alias("s")).first().s
+    assert total == silver
+
+
+def test_dq_metrics_persisted(pipeline_result):
+    spark, cfg, summary = pipeline_result
+    store = DQMetricsStore(spark, cfg["paths"]["dq_metrics"])
+    df = store.for_run(summary["run_id"])
+    layers = {r.layer for r in df.select("layer").distinct().collect()}
+    assert layers == {"bronze", "silver"}
+    assert df.filter(~F.col("passed")).count() == 0
+    assert store.latest_run() == summary["run_id"]
+
+
+def test_audit_lineage(pipeline_result):
+    spark, cfg, summary = pipeline_result
+    audit = AuditLog(spark, cfg["paths"]["pipeline_runs"])
+    lineage = audit.lineage(summary["run_id"])
+    assert [x["layer"] for x in lineage] == ["bronze", "silver", "gold"]
+    assert all(x["status"] == "completed" for x in lineage)
+
+
+def test_dq_gate_blocks_bad_data(spark, tmp_path):
+    cfg = default_config(str(tmp_path), f"{SF_SMALL}/orders.parquet")
+    cfg["data_quality"]["bronze"]["range_checks"] = [
+        {"column": "o_totalprice", "min": 1e8, "max": 1e9, "severity": "ERROR"}
+    ]
+    from spark_delta_lakehouse_nyctaxi_spark.pipeline import run_bronze_job
+
+    with pytest.raises(RuntimeError, match="blocking DQ failures"):
+        run_bronze_job(spark, cfg)
+
+
+def test_quality_framework_single_pass_and_frame_checks(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b=None), Row(a=-5, b=2.0), Row(a=3, b=float("nan"))]
+    )
+    fw = DataQualityFramework()
+    fw.add_range_check("a", 0, 100)
+    fw.add_null_check("b", max_null_fraction=0.0, check_nan=True)
+    fw.add_row_count_check(2)
+    fw.add_check(
+        FrameCheck("custom", "a==3 rows", lambda d: d.filter(F.col("a") == 3))
+    )
+    results = {r.check_name: r for r in fw.run_all_checks(df)}
+    assert results["range_a"].violation_count == 1
+    assert results["null_b"].violation_count == 2  # 1 null + 1 nan
+    assert results["row_count"].passed
+    assert results["custom"].violation_count == 1
+    assert DataQualityFramework.has_blocking_failures(list(results.values()))
+
+
+def test_schema_validate_and_enforce(spark):
+    df = spark.createDataFrame(
+        [Row(O_ORDERKEY=1, o_custkey=2, o_orderstatus="O", o_totalprice="10.5",
+             o_orderdate="2024-01-02 00:00:00", o_orderpriority="1-URGENT", extra="x")]
+    )
+    ok, errors = validate_schema(df.schema, orders_silver_schema())
+    assert not ok  # extra column + type mismatches
+    out, warnings = enforce_schema(df, orders_silver_schema())
+    assert [f.name for f in out.schema.fields] == [f.name for f in orders_silver_schema().fields]
+    row = out.first()
+    assert row.o_totalprice == 10.5
+    assert str(row.order_date) in ("None",)  # derived col absent in source → null
+    assert any("renamed O_ORDERKEY" in w for w in warnings)
+    assert any("dropped extra column extra" in w for w in warnings)
+
+
+def test_incremental_append_and_merge(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    base = spark.createDataFrame([Row(id=1, ts=10, v="a"), Row(id=2, ts=20, v="b")])
+    incremental_append(t, base, "ts")
+    assert get_watermark(t, "ts") == 20
+    # second batch: one old row (ignored), one new
+    nxt = spark.createDataFrame([Row(id=2, ts=20, v="stale"), Row(id=3, ts=30, v="c")])
+    meta = incremental_append(t, nxt, "ts")
+    assert meta == {"watermark": 20, "rows_appended": 1}
+    assert t.read().count() == 3
+    # merge path: late update to existing key with newer ts
+    upd = spark.createDataFrame([Row(id=2, ts=40, v="b2")])
+    meta = incremental_merge(t, upd, "ts", merge_keys=["id"])
+    assert meta["rows_merged"] == 1
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_dag_retry_and_skip():
+    calls = {"flaky": 0}
+
+    def flaky():
+        calls["flaky"] += 1
+        if calls["flaky"] < 2:
+            raise RuntimeError("transient")
+        return {"ok": True}
+
+    def boom():
+        raise RuntimeError("permanent")
+
+    dag = DAG("t")
+    dag.add_task(Task("a", flaky, retries=1))
+    dag.add_task(Task("b", boom, depends_on=["a"]))
+    dag.add_task(Task("c", lambda: {}, depends_on=["b"]))
+    summary = dag.execute()
+    assert summary["success"] is False
+    assert dag.tasks["a"].status == TaskStatus.SUCCESS and dag.tasks["a"].attempts == 2
+    assert dag.tasks["b"].status == TaskStatus.FAILED
+    assert dag.tasks["c"].status == TaskStatus.SKIPPED
+
+
+def test_dag_cycle_detection():
+    dag = DAG("cyc")
+    dag.add_task(Task("a", lambda: {}, depends_on=["b"]))
+    dag.add_task(Task("b", lambda: {}, depends_on=["a"]))
+    with pytest.raises(ValueError, match="cycle"):
+        dag.topological_order()
+
+
+def test_run_id_format():
+    rid = generate_run_id(1700000000.0)
+    assert rid.startswith("run_") and len(rid) == len("run_YYYYmmdd_HHMMSS")
