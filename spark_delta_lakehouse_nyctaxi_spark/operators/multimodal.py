@@ -1,0 +1,185 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+North-star extension: treat media as opaque ``binary`` payload columns
+with typed metadata structs, processed by Arrow-batched ``mapInPandas``
+pipelines. The Spark-side plumbing — schema, partitioning, UDF
+signatures, batch shapes — is real and tested; the actual codec calls
+are STUBBED behind deterministic fakes (PIL/librosa/ffmpeg are not in
+this container). Each stub raises ``NotImplementedError`` when
+``real=True`` is requested, and otherwise derives deterministic
+pseudo-features from the payload bytes so the distributed pipeline is
+exercisable end-to-end.
+
+Scale notes: mapInPandas streams Arrow record batches — constant
+memory per task regardless of table size; payloads never pass through
+the driver; feature extraction parallelism == input partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("sample_rate", IntegerType(), True),
+                    StructField("duration_s", DoubleType(), True),
+                    StructField("format", StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),
+        StructField("feature", StringType(), False),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def synth_media_table(spark: SparkSession, n: int = 64, partitions: int = 4) -> DataFrame:
+    """Deterministic fake media corpus (payload = seeded bytes)."""
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 8  # 256 bytes
+        meta = {
+            "width": 64 + (i % 8) * 16 if kind != "audio" else None,
+            "height": 64 + (i % 5) * 16 if kind != "audio" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+            "duration_s": float(i % 30 + 1) if kind != "image" else None,
+            "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
+        }
+        rows.append((i, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions)
+
+
+def _fake_decode(payload: bytes, out_elems: int) -> np.ndarray:
+    """STUB decoder: deterministic pseudo-pixels/samples from payload
+    bytes. Replace with PIL/librosa/ffmpeg in a full environment."""
+    raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    reps = int(np.ceil(out_elems / raw.size))
+    return np.tile(raw, reps)[:out_elems]
+
+
+def extract_features(
+    df: DataFrame, batch_hint: int = 1024, real: bool = False
+) -> DataFrame:
+    """Per-media feature rows (long format) via Arrow-batched
+    mapInPandas. ``real=True`` would dispatch to actual codecs."""
+    if real:
+        raise NotImplementedError(
+            "real codecs (PIL/librosa/ffmpeg) are not available in this "
+            "container; the Spark plumbing is identical — swap _fake_decode."
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                signal = _fake_decode(bytes(row["payload"]), 1024)
+                feats = {
+                    "mean": float(signal.mean()),
+                    "std": float(signal.std()),
+                    "min": float(signal.min()),
+                    "max": float(signal.max()),
+                    "p25": float(np.percentile(signal, 25)),
+                    "p50": float(np.percentile(signal, 50)),
+                    "p75": float(np.percentile(signal, 75)),
+                    "energy": float((signal**2).mean()),
+                }
+                for k, v in feats.items():
+                    out.append((row["media_id"], row["kind"], k, v))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "feature", "value"])
+
+    return df.mapInPandas(gen, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int, real: bool = False) -> DataFrame:
+    """Resize pipeline (images only): mapInPandas, payload → payload.
+    STUB: fake-decodes then re-packs bytes at the target pixel count."""
+    if real:
+        raise NotImplementedError("real resize needs PIL; stubbed deterministically")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                pixels = _fake_decode(bytes(row["payload"]), width * height)
+                rows.append(
+                    (row["media_id"], pixels.astype(np.uint8).tobytes(), width, height)
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
+
+    return df.filter(F.col("kind") == "image").mapInPandas(gen, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_s: float = 1.0, real: bool = False) -> DataFrame:
+    """Frame sampling (videos only): one output row per sampled frame —
+    a mapInPandas flat-map (rows out > rows in)."""
+    if real:
+        raise NotImplementedError("real frame sampling needs ffmpeg; stubbed")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                dur = row["meta"]["duration_s"] or 1.0
+                n_frames = max(1, int(dur / every_s))
+                for idx in range(n_frames):
+                    frame = _fake_decode(bytes(row["payload"]) + bytes([idx % 256]), 64)
+                    rows.append((row["media_id"], idx, frame.astype(np.uint8).tobytes()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return df.filter(F.col("kind") == "video").mapInPandas(gen, FRAMES_SCHEMA)

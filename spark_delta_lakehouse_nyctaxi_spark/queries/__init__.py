@@ -51,6 +51,8 @@ from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import merge  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

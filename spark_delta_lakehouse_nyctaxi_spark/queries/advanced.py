@@ -1,0 +1,136 @@
+"""Advanced analytics queries: as-of join, sessionization, cube, pivot.
+
+These cover the "operators Spark lacks / time-series" tier of the
+north-star: point-in-time lookup, gap-based batch sessionization (the
+batch analog of streaming session windows), and OLAP cube/pivot."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.joins import asof_join
+from ..sources.readers import load_table
+from .aggregates import dsum, dsum_sql
+from . import register
+
+
+@register(
+    "q_join_asof",
+    """
+    WITH errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           c.value AS click_value,
+           c.ts AS ts_right
+    FROM errors e
+    ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc="As-of join (point-in-time lookup): for each error event, the "
+        "most recent prior click of the same user. Union+carry-forward "
+        "implementation — one shuffle, no range explosion "
+        "(operators/joins.py).",
+)
+def q_join_asof(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(
+        errors, clicks, by=["user_id"], left_ts="ts", right_ts="ts", right_value_cols=["value"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value"), "ts_right"
+    )
+
+
+@register(
+    "q_sessionize",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization: 30-min-gap sessions via lag + running sum "
+        "(the batch analog of streaming session_window; §2.9 extension).",
+)
+def q_sessionize(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = events.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wrun)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "q_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="OLAP cube over two dimensions (§2.5 planned extension).",
+)
+def q_cube(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "q_pivot",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pivot (wide conditional aggregation) — order counts by status "
+        "per priority.",
+)
+def q_pivot(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    out = (
+        df.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )

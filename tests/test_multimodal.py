@@ -1,0 +1,73 @@
+"""Multimodal plumbing: schemas, Arrow batch shapes, flat-map frame
+sampling, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+from spark_delta_lakehouse_nyctaxi_spark.operators.joins import asof_join
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return M.synth_media_table(spark, n=48).persist()
+
+
+def test_media_table_schema(media):
+    assert media.schema == M.MEDIA_SCHEMA
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_feature_extraction_shape_and_determinism(media):
+    feats = M.extract_features(media)
+    assert feats.schema == M.FEATURES_SCHEMA
+    n = media.count()
+    assert feats.count() == n * M.FEATURE_DIM
+    # deterministic: same input → same values across runs
+    a = {(r.media_id, r.feature): r.value for r in feats.collect()}
+    b = {(r.media_id, r.feature): r.value for r in M.extract_features(media).collect()}
+    assert a == b
+
+
+def test_resize_only_images_fixed_payload_size(media):
+    out = M.resize_images(media, 32, 32).collect()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(out) == n_images
+    assert all(len(bytes(r.payload)) == 32 * 32 for r in out)
+    assert all((r.width, r.height) == (32, 32) for r in out)
+
+
+def test_frame_sampling_flatmap(media):
+    frames = M.sample_frames(media, every_s=2.0)
+    per_media = frames.groupBy("media_id").count().collect()
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert len(per_media) == n_videos
+    assert all(r["count"] >= 1 for r in per_media)
+
+
+def test_real_codecs_gated(media):
+    with pytest.raises(NotImplementedError):
+        M.extract_features(media, real=True)
+    with pytest.raises(NotImplementedError):
+        M.resize_images(media, 8, 8, real=True)
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(media, real=True)
+
+
+def test_asof_join_semantics(spark):
+    from pyspark.sql import Row
+
+    left = spark.createDataFrame(
+        [Row(k="a", lts=10, lid=1), Row(k="a", lts=20, lid=2), Row(k="b", lts=5, lid=3)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rts=10, v="x"), Row(k="a", rts=15, v="y"), Row(k="b", rts=9, v="z")]
+    )
+    out = asof_join(left, right, by=["k"], left_ts="lts", right_ts="rts", right_value_cols=["v"])
+    got = {r.lid: (r.v, r.rts_right) for r in out.collect()}
+    # lid=1: ties at equal ts match (inclusive); lid=2: latest prior;
+    # lid=3: no prior right row → nulls
+    assert got == {1: ("x", 10), 2: ("y", 15), 3: (None, None)}
