@@ -17,16 +17,23 @@ from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
-    """JVM-side dot product: accumulate in DOUBLE, left-to-right."""
+    """JVM-side dot product. Elements upcast to DOUBLE *before* the
+    multiply (float32*float32 would round each product to float32),
+    then accumulate in DOUBLE left-to-right — bit-identical to numpy
+    float64 and to the DuckDB double-precision oracle."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -100,6 +100,34 @@ def run_bronze_job(
     return meta
 
 
+def silver_transform(bronze: DataFrame, config: dict) -> DataFrame:
+    """The pure silver transform: casts + canonical lowercase names +
+    derived date (silver_job.py:38-110), conjunctive filters
+    (silver_job.py:113-168), deterministic dedup (silver_job.py:171-212
+    per SURVEY.md §7.4), schema enforcement. Shared by the silver job
+    and the q_silver_pipeline oracle query."""
+    df = bronze.withColumn("order_date", F.to_date("o_orderdate"))
+    df = df.withColumn("o_orderstatus", F.lower(F.trim("o_orderstatus")))
+
+    flt = config.get("filters", {})
+    cond = (
+        F.col("o_orderkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & (F.col("o_totalprice") >= flt.get("min_total_price", 0.0))
+    )
+    df = df.filter(cond)
+
+    dd = config.get("deduplication", {})
+    if dd.get("enabled", True):
+        keys = dd.get("columns", ["o_orderkey"])
+        tie = dd.get("tiebreaker", "o_orderdate")
+        w = Window.partitionBy(*keys).orderBy(tie)
+        df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+    out, _warnings = enforce_schema(df, orders_silver_schema())
+    return out
+
+
 def run_silver_job(
     spark: SparkSession,
     config: dict,
@@ -112,29 +140,8 @@ def run_silver_job(
     bronze = VersionedTable(spark, config["paths"]["bronze"]).read()
     initial = bronze.count()
 
-    # Casts + canonical lowercase names + derived date (silver_job.py:38-110)
-    df = bronze.withColumn("order_date", F.to_date("o_orderdate"))
-    df = df.withColumn("o_orderstatus", F.lower(F.trim("o_orderstatus")))
-
-    # Conjunctive DQ filters (silver_job.py:113-168)
-    flt = config.get("filters", {})
-    cond = (
-        F.col("o_orderkey").isNotNull()
-        & F.col("o_orderdate").isNotNull()
-        & (F.col("o_totalprice") >= flt.get("min_total_price", 0.0))
-    )
-    df = df.filter(cond)
-    after_filter = None  # computed with dedup below in one pass
-
-    # Deterministic dedup (silver_job.py:171-212 + SURVEY.md §7.4)
-    dd = config.get("deduplication", {})
-    if dd.get("enabled", True):
-        keys = dd.get("columns", ["o_orderkey"])
-        tie = dd.get("tiebreaker", "o_orderdate")
-        w = Window.partitionBy(*keys).orderBy(tie)
-        df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-
-    df, warnings = enforce_schema(df, orders_silver_schema())
+    df = silver_transform(bronze, config)
+    warnings: list[str] = []
     ok, errors = validate_schema(df.schema, orders_silver_schema(), allow_extra_columns=False)
     if not ok:
         raise RuntimeError(f"silver schema invalid: {errors}")

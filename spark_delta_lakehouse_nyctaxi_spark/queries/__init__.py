@@ -53,6 +53,8 @@ from . import similarity  # noqa: E402,F401
 from . import merge  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import functions  # noqa: E402,F401
+from . import storage  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,213 @@
+"""Scalar-function coverage queries (SURVEY.md §2.8 + planned
+string/array/datetime/conditional extensions). All JVM expressions; the
+oracle maps each Spark function to its DuckDB equivalent (noted where
+semantics need alignment, e.g. dayofweek origins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .aggregates import dsum, dsum_sql
+from . import register
+
+
+@register(
+    "q_string_funcs",
+    """
+    SELECT c_custkey,
+           CONCAT(c_name, ':', c_mktsegment) AS name_seg,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_replaced,
+           LENGTH(c_name) AS name_len,
+           STRPOS(c_name, '#') AS hash_pos,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           REVERSE(c_mktsegment) AS seg_rev
+    FROM customer
+    """,
+    doc="String scalar functions: concat/substring/replace/length/"
+        "position/lpad/regexp_extract/reverse (§2.8 extension).",
+)
+def q_string_funcs(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_replaced"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+    )
+
+
+@register(
+    "q_datetime_funcs",
+    """
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS y,
+           MONTH(o_orderdate) AS m,
+           DAY(o_orderdate) AS d,
+           QUARTER(o_orderdate) AS q,
+           dayofweek(o_orderdate) + 1 AS dow,      -- DuckDB 0=Sun, Spark 1=Sun
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_2000,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+    doc="Datetime scalar functions: year/month/day/quarter/dayofweek/"
+        "date_add/datediff/trunc/last_day (§2.8 extension; dayofweek "
+        "origin aligned between engines).",
+)
+def q_datetime_funcs(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("long").alias("days_to_2000"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+@register(
+    "q_conditional",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount >= 0.05 THEN 'high'
+                WHEN l_discount >= 0.02 THEN 'mid'
+                ELSE 'low' END AS discount_band,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS return_state,
+           GREATEST(l_tax, l_discount) AS max_rate,
+           LEAST(l_tax, l_discount) AS min_rate,
+           IF(l_quantity > 25, 1, 0) AS bulk_flag
+    FROM lineitem
+    """,
+    doc="Conditional scalar functions: case/coalesce/nullif/greatest/"
+        "least/if (§2.8; when-otherwise is F2's labeling generalized).",
+)
+def q_conditional(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") >= 0.05, "high")
+        .when(F.col("l_discount") >= 0.02, "mid")
+        .otherwise("low")
+        .alias("discount_band"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("return_state"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.when(F.col("l_quantity") > 25, 1).otherwise(0).alias("bulk_flag"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           CAST(list_contains(toks, 'spark') AS BOOLEAN) AS has_spark,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           array_to_string(list_sort(list_slice(toks, 1, 5)), ',') AS first5_sorted,
+           len(list_distinct(toks)) AS n_unique_toks
+    FROM t
+    """,
+    doc="Array scalar functions over tokenized text: size/contains/"
+        "element_at/slice/sort/distinct (§2.8 planned array ops). "
+        "Array-valued outputs are reduced to scalars for engine-neutral "
+        "comparison.",
+)
+def q_array_funcs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.concat_ws(",", F.sort_array(F.slice(toks, 1, 5))).alias("first5_sorted"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_toks"),
+    )
+
+
+@register(
+    "q_corr_manual",
+    f"""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               {dsum_sql('l_quantity')} AS sx,
+               {dsum_sql('l_extendedprice')} AS sy,
+               {dsum_sql('l_quantity * l_quantity', 4)} AS sxx,
+               {dsum_sql('l_extendedprice * l_extendedprice', 4)} AS syy,
+               {dsum_sql('l_quantity * l_extendedprice', 4)} AS sxy
+        FROM lineitem
+    )
+    SELECT n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+    doc="Pearson correlation from exact decimal moment sums — the "
+        "scale-safe way to get bit-stable statistical aggregates "
+        "(built-in corr() is fp-order-dependent under shuffles).",
+)
+def q_corr_manual(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    s = l.agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum("l_extendedprice").alias("sy"),
+        dsum(qty * qty, 4).alias("sxx"),
+        dsum(price * price, 4).alias("syy"),
+        dsum(qty * price, 4).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select("n", corr.alias("corr_qty_price"))
+
+
+@register(
+    "q_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="GROUPING SETS via the SQL front end (spark.sql over a temp "
+        "view) — demonstrates the engine's SQL surface alongside the "
+        "DataFrame API.",
+)
+def q_grouping_sets(spark, sf_dir):
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

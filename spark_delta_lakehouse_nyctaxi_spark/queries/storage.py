@@ -1,0 +1,109 @@
+"""Storage-path queries: CSV scan/sink round-trip, time travel,
+incremental CDC, and the full silver transform — each driving the REAL
+storage layer (VersionedTable / CSV files), verified against SQL
+oracles expressing the intended end state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..incremental import incremental_append
+from ..sources.readers import load_table, read_csv
+from ..sources.table import VersionedTable
+from .merge import scratch_dir
+from . import register
+
+
+@register(
+    "q_scan_csv",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+    doc="CSV sink + scan round-trip (S1/S7): write orders as CSV with "
+        "header (coalesced, tests the single-file sink path), read back "
+        "with header+inferSchema (etl/bronze_job.py:17-38 semantics). "
+        "Doubles round-trip via shortest-repr; the oracle is the "
+        "original table.",
+)
+def q_scan_csv(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = scratch_dir("csv")
+    orders.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
+    return read_csv(spark, path).select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double"),
+    )
+
+
+@register(
+    "q_time_travel",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    doc="Time-travel scan (S3; utils/delta_ops.py:132-164): write v0, "
+        "append v1, read back version 0 — the oracle is v0's contents.",
+)
+def q_time_travel(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    t = VersionedTable(spark, scratch_dir("ttravel"))
+    t.write(orders.filter(F.col("o_orderkey") % 3 == 0), mode="overwrite")
+    t.write(orders.filter(F.col("o_orderkey") % 3 == 1), mode="append")
+    return t.read(version=0)
+
+
+@register(
+    "q_incremental",
+    """
+    SELECT event_id, ts, user_id, value FROM events
+    """,
+    doc="Incremental CDC (F5+S5; utils/incremental.py): seed the target "
+        "with pre-cutoff events, run watermark→filter→append over the "
+        "full source; end state must equal the source exactly (each row "
+        "ingested once).",
+)
+def q_incremental(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    t = VersionedTable(spark, scratch_dir("incr"))
+    t.write(events.filter(F.col("ts") <= cutoff), mode="overwrite")
+    incremental_append(t, events, "ts")
+    return t.read()
+
+
+@register(
+    "q_silver_pipeline",
+    """
+    WITH f AS (
+        SELECT o_orderkey, o_custkey,
+               LOWER(TRIM(o_orderstatus)) AS o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority,
+               CAST(o_orderdate AS DATE) AS order_date
+        FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice >= 0.0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, order_date
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY o_orderdate) AS rn
+        FROM f
+    ) WHERE rn = 1
+    """,
+    doc="The complete silver transform (casts + normalize + conjunctive "
+        "filters + deterministic dedup + schema enforcement) as one "
+        "verifiable query — the pipeline's semantics under the oracle.",
+)
+def q_silver_pipeline(spark, sf_dir):
+    from ..pipeline.jobs import silver_transform
+
+    bronze = load_table(spark, sf_dir, "orders")
+    return silver_transform(bronze, {"filters": {"min_total_price": 0.0}})

@@ -1,0 +1,48 @@
+"""Salted-join equivalence and pandas-UDF vs JVM-expression parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_delta_lakehouse_nyctaxi_spark.functions import cosine_pandas_udf
+from spark_delta_lakehouse_nyctaxi_spark.operators.similarity import cosine
+from spark_delta_lakehouse_nyctaxi_spark.operators.skew import salted_join
+from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    customer = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_name")
+    plain = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_name")
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "k"),
+        customer.withColumnRenamed("c_custkey", "k"),
+        on="k",
+        salt_factor=4,
+    ).select("o_orderkey", "c_name")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_pandas_udf_cosine_matches_jvm_expression(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("va")
+    )
+    b = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("vb")
+    )
+    pairs = a.crossJoin(b)
+    both = pairs.select(
+        "ida",
+        "idb",
+        cosine(F.col("va"), F.col("vb")).alias("jvm"),
+        cosine_pandas_udf(F.col("va"), F.col("vb")).alias("py"),
+    ).collect()
+    assert len(both) == 400
+    for r in both:
+        assert abs(r.jvm - r.py) < 1e-12, (r.ida, r.idb)
