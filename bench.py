@@ -51,6 +51,8 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    # One real aggregate to JIT the codegen/shuffle paths before timing.
+    REGISTRY["q_agg_daily"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

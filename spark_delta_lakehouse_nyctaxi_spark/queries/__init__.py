@@ -55,6 +55,7 @@ from . import advanced  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import functions  # noqa: E402,F401
 from . import storage  # noqa: E402,F401
+from . import governance  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -67,7 +67,7 @@ def q_dedup_exact(spark, sf_dir):
 )
 def q_ngram_jaccard(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(df, "doc_id", "text", k=3)
+    sh = D.shingles(df, "doc_id", "text", k=3, hashed=True)
     return D.jaccard_pairs(sh, threshold=0.1)
 
 
@@ -83,7 +83,7 @@ def q_minhash_lsh(spark, sf_dir):
     # The shingle frame feeds signatures AND the exact-jaccard confirm
     # pass — persist it so the explode+distinct shuffle runs once.
     # (At 100 TB this would be a checkpoint to cluster storage.)
-    sh = D.shingles(df, "doc_id", "text", k=3).persist()
+    sh = D.shingles(df, "doc_id", "text", k=3, hashed=True).persist()
     sig = D.minhash_signatures(sh, num_hashes=32)
     cand = D.lsh_candidate_pairs(sig, bands=8)
     return D.jaccard_pairs(sh, pairs=cand, threshold=0.1)

@@ -44,6 +44,13 @@ def test_single_shuffle_for_single_agg(spark):
     assert P.exchange_count(q("q_agg_daily", spark)) == 1
 
 
+def test_partition_pruning_reaches_scan(spark):
+    df = q("q_partition_pruning", spark)
+    plan = P.explain_str(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "order_year" in pf[0]
+
+
 def test_codegen_covers_agg(spark):
     # AQE wraps the plan (isFinalPlan=false) and hides codegen spans
     # until execution — inspect with AQE off; execution configs are
