@@ -164,6 +164,22 @@ def q_rollup(spark, sf_dir):
 
 
 @register(
+    "q_approx_quantiles",
+    None,  # sketch-based → rows-only; pytest bounds the error vs exact
+    doc="approx_percentile sketch over order totals (planned §2.5 "
+        "extension) — the scale path for quantiles (exact percentile "
+        "needs a full sort).",
+)
+def q_approx_quantiles(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    return df.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
+    )
+
+
+@register(
     "q_approx_distinct",
     None,  # approximate result — rows-only check by design
     doc="approx_count_distinct / HLL sketch (planned §2.5 extension). "

@@ -99,6 +99,17 @@ def test_lsh_topk_subset_of_bruteforce_domain(spark):
     assert all(len(v) <= 3 for v in by_q.values())
 
 
+def test_approx_quantiles_ordered_and_bounded(spark):
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    r = REGISTRY["q_approx_quantiles"].fn(spark, SF_SMALL).first()
+    orders = load_table(spark, SF_SMALL, "orders")
+    mn, mx = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    assert mn <= r.p50 <= r.p95 <= r.p99 <= mx
+    exact_p50 = orders.agg(F.expr("percentile(o_totalprice, 0.5)")).first()[0]
+    assert abs(r.p50 - exact_p50) / exact_p50 < 0.02
+
+
 def test_approx_distinct_within_5pct(spark):
     orders = load_table(spark, SF_SMALL, "orders")
     exact = orders.select("o_custkey").distinct().count()
