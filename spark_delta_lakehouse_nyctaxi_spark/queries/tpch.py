@@ -1,0 +1,113 @@
+"""TPC-H-shaped analytical queries over the star schema — realistic
+multi-operator compositions (the testdata is TPC-H-ish, so Q3/Q6/Q10
+shapes transfer directly; columns not present are dropped from the
+predicates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .aggregates import dsum, dsum_sql
+from . import register
+
+
+@register(
+    "q_tpch_q3",
+    f"""
+    SELECT l_orderkey,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    """,
+    doc="TPC-H Q3 shape (shipping-priority): selective dim filter, "
+        "two-fact join, grouped revenue. Filters push to all three "
+        "scans.",
+)
+def q_tpch_q3(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(dsum(rev, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date")
+    )
+
+
+@register(
+    "q_tpch_q6",
+    f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount', 4)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue): pure scan+filter+aggregate — "
+        "the pushdown benchmark; every predicate reaches the parquet "
+        "reader.",
+)
+def q_tpch_q6(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    out = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return out.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_tpch_q10",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): 4-table join with "
+        "broadcast nation dim, grouped revenue per customer.",
+)
+def q_tpch_q10(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev, 4).alias("revenue"))
+    )
