@@ -37,11 +37,26 @@ def filter_incremental(
     initial_load_start=None,
 ) -> DataFrame:
     """Rows strictly newer than the watermark; on first run optionally
-    bounded below by initial_load_start."""
+    bounded below by initial_load_start.
+
+    Datetime watermarks are passed as ISO strings and cast to the
+    column's own type — a Python datetime literal goes through a
+    timezone-dependent LTZ conversion that silently shifts the cut line
+    against TIMESTAMP_NTZ columns under non-UTC sessions; string→NTZ
+    casts are timezone-free."""
+    import datetime as _dt
+
+    col_type = source.schema[watermark_col].dataType
+
+    def typed_lit(v):
+        if isinstance(v, _dt.datetime):
+            return F.lit(v.isoformat(sep=" ")).cast(col_type)
+        return F.lit(v).cast(col_type)
+
     if watermark is not None:
-        return source.filter(F.col(watermark_col) > F.lit(watermark))
+        return source.filter(F.col(watermark_col) > typed_lit(watermark))
     if initial_load_start is not None:
-        return source.filter(F.col(watermark_col) >= F.lit(initial_load_start))
+        return source.filter(F.col(watermark_col) >= typed_lit(initial_load_start))
     return source
 
 

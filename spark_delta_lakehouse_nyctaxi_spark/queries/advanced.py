@@ -75,10 +75,10 @@ def q_join_asof(spark, sf_dir):
 def q_sessionize(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    new_session = F.when(
-        F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
-    ).otherwise(0)
+    prev_ts = F.lag("ts").over(w)
+    # timestampdiff works on TIMESTAMP_NTZ (unix_micros does not)
+    gap_us = F.expr(f"timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)")
+    new_session = F.when(prev_ts.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = events.withColumn("new_session", new_session).withColumn(
         "session_id", F.sum("new_session").over(wrun)

@@ -55,7 +55,9 @@ def q_cast_timestamp(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
     return df.select(
         "event_id",
-        F.to_timestamp(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss").alias("ts_sec"),
+        F.to_timestamp_ntz(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit("yyyy-MM-dd HH:mm:ss")
+        ).alias("ts_sec"),
         F.to_date("ts").alias("event_date"),
     )
 
@@ -214,7 +216,7 @@ def q_filter_eq(spark, sf_dir):
 def q_filter_watermark(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
         .select("event_id", "ts", "user_id")
     )
 

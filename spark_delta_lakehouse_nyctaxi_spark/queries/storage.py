@@ -71,7 +71,7 @@ def q_time_travel(spark, sf_dir):
 )
 def q_incremental(spark, sf_dir):
     events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
     t = VersionedTable(spark, scratch_dir("incr"))
     t.write(events.filter(F.col("ts") <= cutoff), mode="overwrite")
     incremental_append(t, events, "ts")

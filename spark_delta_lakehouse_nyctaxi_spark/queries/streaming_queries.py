@@ -12,6 +12,10 @@ from ..streaming import read_parquet_stream, run_available_now, stream_dedup
 from .merge import scratch_dir
 from . import register
 
+# Streaming watermarks require TIMESTAMP (LTZ) event time — NTZ is
+# rejected by withWatermark. The staged parquet's NTZ micros are read
+# under the declared LTZ schema; with the session pinned to UTC the
+# wall-clock values are identical to the batch/oracle view.
 _SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
 

@@ -33,10 +33,10 @@ from . import register
 def q_tpch_q3(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
     )
     l = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -66,8 +66,8 @@ def q_tpch_q3(spark, sf_dir):
 def q_tpch_q6(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     out = l.filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
         & (F.col("l_discount") >= 0.03)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -98,8 +98,8 @@ def q_tpch_q6(spark, sf_dir):
 def q_tpch_q10(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
     )
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))

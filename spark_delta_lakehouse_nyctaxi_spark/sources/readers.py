@@ -58,7 +58,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # ns → µs → TIMESTAMP_NTZ built ARITHMETICALLY from the epoch
+            # (timestampadd on an NTZ base) — no LTZ intermediate, so the
+            # wall-clock values are identical under ANY session timezone,
+            # matching the other tables' parquet NTZ and the DuckDB oracle.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
         return df
     return spark.read.parquet(path)
 
