@@ -65,13 +65,17 @@ def shingles(
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     """MinHash signature per id: ``num_hashes`` seeded xxhash64 mins,
-    computed in ONE groupBy pass (single shuffle)."""
+    computed in ONE groupBy pass (single shuffle). The shingle-set size
+    ``n_sh`` rides along in the same aggregate — downstream exact-Jaccard
+    reuses it instead of re-shuffling the shingle frame."""
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
         for seed in range(num_hashes)
     ]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("signature"))
+    agg = sh.groupBy("id").agg(*mins, F.count("*").alias("n_sh"))
+    return agg.select(
+        "id", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("signature"), "n_sh"
+    )
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 8) -> DataFrame:
@@ -112,15 +116,23 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 8) -> DataFrame:
     )
 
 
-def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None, threshold: float = 0.0) -> DataFrame:
+def jaccard_pairs(
+    sh: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.0,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard.
 
     With ``pairs`` (the LSH path): intersections are computed BY JOINING
     THROUGH THE CANDIDATE PAIRS — cost is O(|pairs| × shingles/doc),
     immune to hot-shingle skew. Without ``pairs``: co-shingle self-join
     (exact, but skew-prone on common shingles — small inputs only).
+    ``sizes`` (id, n_sh) skips the size-shuffle when the caller already
+    has it (minhash_signatures provides it for free).
     """
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if pairs is not None:
         sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
         sh_b = sh.select(F.col("id").alias("id_b"), "shingle")

@@ -84,9 +84,11 @@ def q_minhash_lsh(spark, sf_dir):
     # pass — persist it so the explode+distinct shuffle runs once.
     # (At 100 TB this would be a checkpoint to cluster storage.)
     sh = D.shingles(df, "doc_id", "text", k=3, hashed=True).persist()
-    sig = D.minhash_signatures(sh, num_hashes=32)
+    sig = D.minhash_signatures(sh, num_hashes=32).persist()
     cand = D.lsh_candidate_pairs(sig, bands=8)
-    return D.jaccard_pairs(sh, pairs=cand, threshold=0.1)
+    return D.jaccard_pairs(
+        sh, pairs=cand, threshold=0.1, sizes=sig.select("id", "n_sh")
+    )
 
 
 @register(

@@ -111,6 +111,42 @@ def q_join_anti(spark, sf_dir):
 
 
 @register(
+    "q_join_left",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) o
+      ON c_custkey = o_custkey
+    """,
+    doc="Left outer join — unmatched customers carry nulls.",
+)
+def q_join_left(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_full",
+    """
+    SELECT n_nationkey, n_name, r.r_regionkey, r_name
+    FROM (SELECT * FROM nation WHERE n_regionkey < 3) n
+    FULL JOIN (SELECT * FROM region WHERE r_regionkey > 1) r
+      ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="Full outer join — null-extended on both sides.",
+)
+def q_join_full(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 3)
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_regionkey") > 1)
+    return n.join(r, n.n_regionkey == r.r_regionkey, "full_outer").select(
+        "n_nationkey", "n_name", "r_regionkey", "r_name"
+    )
+
+
+@register(
     "q_join_range",
     """
     SELECT o_orderkey,
