@@ -17,6 +17,13 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
+# Serialize this module by value so the UDFs work under drivers whose
+# cwd / PYTHONPATH does not include this repo.
+import sys as _sys
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
 
 @pandas_udf(DoubleType())
 def cosine_pandas_udf(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -25,6 +25,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# mapInPandas closures below reference module globals (_fake_decode);
+# serialize this module by value so they work under drivers whose
+# cwd / PYTHONPATH does not include this repo.
+import sys as _sys
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,

@@ -173,12 +173,47 @@ class DataQualityFramework:
                     severity,
                 )
             )
-        for fc in self.frame_checks:
+        results.extend(self._run_frame_checks(df))
+        return results
+
+    def _run_frame_checks(self, df: DataFrame) -> list[CheckResult]:
+        """All frame-check violation counts in ONE action: each check's
+        frame collapses to a partial-aggregated count, unioned and
+        collected together (vs one job per check in the reference,
+        utils/data_quality.py:50-51). Falls back to per-check jobs only
+        if the fused action fails, to attribute the error."""
+        from functools import reduce
+
+        results: list[CheckResult] = []
+        buildable: list[tuple[int, FrameCheck, DataFrame]] = []
+        for i, fc in enumerate(self.frame_checks):
             try:
-                v = fc.fn(df).count()
-                results.append(CheckResult(fc.name, fc.description, v, v == 0, fc.severity))
+                buildable.append((i, fc, fc.fn(df)))
             except Exception as e:  # reference records errors, not raises
                 results.append(CheckResult(fc.name, fc.description, -1, False, fc.severity, str(e)))
+        if not buildable:
+            return results
+        try:
+            counts = reduce(
+                DataFrame.unionAll,
+                [
+                    vdf.agg(F.count(F.lit(1)).cast("long").alias("v")).select(
+                        F.lit(str(i)).alias("k"), "v"
+                    )
+                    for i, _, vdf in buildable
+                ],
+            )
+            got = {r["k"]: int(r["v"]) for r in counts.collect()}
+            for i, fc, _ in buildable:
+                v = got[str(i)]
+                results.append(CheckResult(fc.name, fc.description, v, v == 0, fc.severity))
+        except Exception:
+            for _, fc, vdf in buildable:
+                try:
+                    v = vdf.count()
+                    results.append(CheckResult(fc.name, fc.description, v, v == 0, fc.severity))
+                except Exception as e:
+                    results.append(CheckResult(fc.name, fc.description, -1, False, fc.severity, str(e)))
         return results
 
     @staticmethod

@@ -59,6 +59,111 @@ def q_stream_window(spark, sf_dir):
 
 
 @register(
+    "q_stream_sessionize_state",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events,
+             MAX(sid) OVER (PARTITION BY user_id) AS last_sid
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess
+    WHERE sid < last_sid
+       OR session_end + INTERVAL 30 MINUTE <
+          (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+    doc="applyInPandasWithState custom stateful sessionization (30-min "
+        "inactivity gap, event-time timeout). Under an availableNow drain "
+        "the closed-session set is deterministic: a session closes iff a "
+        "later session exists for the same user (gap) or its end+gap fell "
+        "strictly below the final watermark max(ts)-delay (timeout).",
+)
+def q_stream_sessionize_state(spark, sf_dir):
+    from ..streaming.stateful import sessionize_with_state
+
+    path = _staged_events(spark, sf_dir)
+    sdf = read_parquet_stream(spark, path, _SCHEMA).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sessions = sessionize_with_state(sdf)
+    run_available_now(
+        sessions, scratch_dir("ckpt_sess"), memory_table="q_stream_sessionize_state_out"
+    )
+    return spark.table("q_stream_sessionize_state_out").select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+@register(
+    "q_stream_dedup_det",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+      SELECT e.*,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events e
+    ) t
+    WHERE rn = 1
+    """,
+    doc="Deterministic streaming dedup (NOTES.md round-2 item): "
+        "per-microbatch min-(ts, event_id) partial reduction, then a "
+        "foreachBatch MERGE whose matched-update condition keeps the "
+        "globally earliest event per user. Survivor is independent of "
+        "microbatch arrival order — fully value-oracle-checked, unlike "
+        "dropDuplicatesWithinWatermark's arrival-order survivor.",
+)
+def q_stream_dedup_det(spark, sf_dir):
+    from ..sources.table import VersionedTable
+
+    path = _staged_events(spark, sf_dir)
+    sdf = read_parquet_stream(spark, path, _SCHEMA)
+    tbl = VersionedTable(spark, scratch_dir("dedup_det_tbl"))
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        # Map-side combinable reduction: struct min orders by
+        # (ts, event_id, ...) lexicographically; event_id is unique so
+        # the survivor is total-ordered.
+        best = (
+            batch_df.groupBy("user_id")
+            .agg(F.min(F.struct("ts", "event_id", "event_type", "value")).alias("m"))
+            .select(
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.ts").alias("ts"),
+                "user_id",
+                F.col("m.event_type").alias("event_type"),
+                F.col("m.value").alias("value"),
+            )
+        )
+        tbl.merge(
+            best,
+            keys=["user_id"],
+            update_condition="s.ts < t.ts OR (s.ts = t.ts AND s.event_id < t.event_id)",
+        )
+
+    run_available_now(sdf, scratch_dir("ckpt_dd_det"), foreach_batch=sink)
+    return tbl.read().select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
     "q_stream_dedup",
     None,  # survivor choice depends on microbatch arrival order → rows-only
     doc="Streaming dropDuplicatesWithinWatermark on user_id over the "

@@ -333,10 +333,15 @@ class VersionedTable:
         keys: list[str],
         update_columns: list[str] | None = None,
         insert_unmatched: bool = True,
+        update_condition: str | None = None,
     ) -> VersionInfo:
         """Delta MERGE analog (utils/incremental.py:89-156):
         whenMatchedUpdate(set=update_columns or all non-key columns) +
         whenNotMatchedInsertAll, as a join-based rewrite.
+
+        ``update_condition``: optional SQL boolean over aliases ``t``
+        (target) and ``s`` (source); matched rows update only when it
+        holds (Delta's ``whenMatchedUpdate(condition=...)``).
 
         Partition pruning: when the table is partitioned and the source
         carries the partition columns, only partitions present in the
@@ -378,6 +383,8 @@ class VersionedTable:
         s_present = F.col(f"s.{keys[0]}").isNotNull()
         t_present = F.col(f"t.{keys[0]}").isNotNull()
         matched = s_present & t_present
+        if update_condition is not None:
+            matched = matched & F.expr(update_condition)
         s_only = ~t_present
         merged_cols = []
         for c in cols:

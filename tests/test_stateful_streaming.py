@@ -1,0 +1,66 @@
+"""applyInPandasWithState sessionization: closed sessions match the
+batch gap-sessionization for the drained prefix."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+from spark_delta_lakehouse_nyctaxi_spark.streaming import read_parquet_stream, run_available_now
+from spark_delta_lakehouse_nyctaxi_spark.streaming.stateful import sessionize_with_state
+from tests.conftest import SF_SMALL
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    src = str(tmp_path / "events")
+    load_table(spark, SF_SMALL, "events").drop("props").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    sdf = read_parquet_stream(spark, src, SCHEMA).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sessions = sessionize_with_state(sdf)
+    run_available_now(sessions, str(tmp_path / "ckpt"), memory_table="state_sessions")
+    got = spark.table("state_sessions").collect()
+    assert len(got) > 0
+    # sessions are disjoint per user, ordered, with n_events >= 1
+    by_user = {}
+    for r in got:
+        assert r.n_events >= 1
+        assert r.session_start <= r.session_end
+        assert r.closed_by in ("gap", "logout", "timeout")
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2  # disjoint, 30-min gap between sessions
+
+    # closed-by-gap sessions must agree with batch sessionization counts
+    batch = load_table(spark, SF_SMALL, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    flag = F.when(F.lag("ts").over(w).isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        batch.withColumn("f", flag)
+        .withColumn("sid", F.sum("f").over(wrun))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("s"))
+    )
+    # there are no 'logout' events in the corpus, so every non-final
+    # session closes by gap; compare the multiset of (user, n_events)
+    # for sessions that the stream closed by gap
+    batch_counts = {}
+    for r in sess.collect():
+        batch_counts.setdefault(r.user_id, []).append(r.n)
+    for r in got:
+        if r.closed_by == "gap":
+            assert r.n_events in batch_counts.get(r.user_id, []), r

@@ -83,3 +83,22 @@ def test_foreach_batch_merge_upserts(spark, events_dir, tmp_path):
     out = t.read()
     assert out.count() == out.select("user_id").distinct().count()
     assert t.history(1)[0]["operation"] in ("MERGE", "WRITE")
+
+
+def test_stream_dedup_det_matches_batch(spark, tmp_path):
+    """Deterministic streaming dedup (min-(ts,event_id) survivor via
+    conditional foreachBatch MERGE) equals the batch window answer."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.streaming_queries import (
+        q_stream_dedup_det,
+    )
+    from pyspark.sql.window import Window
+
+    got = {tuple(r) for r in q_stream_dedup_det(spark, SF_SMALL).collect()}
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    assert got == {tuple(r) for r in batch.collect()}

@@ -95,3 +95,15 @@ def test_merge_into_empty_table(spark, tmp_table_path):
     t = VersionedTable(spark, tmp_table_path)
     t.merge(_mk(spark, [{"id": 1, "v": 1.0}]), keys=["id"])
     assert t.read().count() == 1
+
+
+def test_merge_update_condition(spark, tmp_table_path):
+    """Conditional matched-update (Delta whenMatchedUpdate(condition)):
+    matched rows update only when the condition holds."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1, "v": 5.0}, {"id": 2, "v": 1.0}]), mode="overwrite")
+    src = _mk(spark, [{"id": 1, "v": 3.0}, {"id": 2, "v": 9.0}, {"id": 3, "v": 7.0}])
+    t.merge(src, keys=["id"], update_condition="s.v < t.v")
+    got = {r.id: r.v for r in t.read().collect()}
+    # id=1 updates (3 < 5), id=2 keeps 1.0 (9 > 1), id=3 inserts
+    assert got == {1: 3.0, 2: 1.0, 3: 7.0}
