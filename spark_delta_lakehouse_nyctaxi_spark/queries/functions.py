@@ -211,3 +211,60 @@ def q_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@register(
+    "q_map_struct",
+    """
+    SELECT event_id,
+           CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                           WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                           WHEN 'error' THEN 5 END AS type_code,
+           EXTRACT(YEAR FROM ts) AS y,
+           EXTRACT(MONTH FROM ts) AS m,
+           EXTRACT(YEAR FROM ts) * 100 + EXTRACT(MONTH FROM ts) AS ym
+    FROM events
+    """,
+    doc="Map and struct column ops (§2.8 planned): a map-literal decode "
+        "table indexed by a column (element_at on MapType), and a packed "
+        "struct with field extraction. Outputs reduce to scalars so the "
+        "oracle sees plain CASE/EXTRACT.",
+)
+def q_map_struct(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    codes = F.create_map(
+        F.lit("click"), F.lit(1), F.lit("view"), F.lit(2),
+        F.lit("purchase"), F.lit(3), F.lit("signup"), F.lit(4),
+        F.lit("error"), F.lit(5),
+    )
+    packed = F.struct(
+        F.year("ts").alias("y"), F.month("ts").alias("m")
+    )
+    return e.select(
+        "event_id",
+        F.element_at(codes, F.col("event_type")).alias("type_code"),
+        packed.getField("y").cast("long").alias("y"),
+        packed.getField("m").cast("long").alias("m"),
+        (packed.getField("y").cast("long") * 100 + packed.getField("m")).alias("ym"),
+    )
+
+
+@register(
+    "q_array_agg",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Aggregation into a collection: collect_set per user, sorted "
+        "then joined to a string so the comparison is order- and "
+        "engine-neutral (raw collect_set order is partition-dependent).",
+)
+def q_array_agg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_seen"),
+    )

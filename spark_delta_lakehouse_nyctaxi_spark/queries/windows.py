@@ -73,6 +73,33 @@ def q_window_lag(spark, sf_dir):
 
 
 @register(
+    "q_window_pct",
+    """
+    SELECT o_custkey, o_orderkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume,
+           NTILE(4)       OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution windows: percent_rank / cume_dist / ntile per "
+        "customer. Exact rational values ((rank-1)/(n-1), rank/n) — "
+        "identical doubles in any engine since the full orderBy carries "
+        "a unique tiebreaker.",
+)
+def q_window_pct(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
     "q_window_frame",
     """
     SELECT o_custkey, o_orderkey,
