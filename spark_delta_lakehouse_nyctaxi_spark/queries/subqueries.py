@@ -143,3 +143,28 @@ def q_scalar_subquery(spark, sf_dir):
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "q_in_subquery",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
+    GROUP BY l_returnflag
+    """,
+    doc="Uncorrelated IN subquery — planned as a left-semi join against "
+        "the filtered part keys (broadcast: the dim side is tiny).",
+)
+def q_in_subquery(spark, sf_dir):
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS sum_price
+        FROM lineitem_v
+        WHERE l_partkey IN (SELECT p_partkey FROM part_v WHERE p_brand = 'Brand#4')
+        GROUP BY l_returnflag
+        """
+    )

@@ -111,3 +111,78 @@ def q_tpch_q10(spark, sf_dir):
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(rev, 4).alias("revenue"))
     )
+
+
+@register(
+    "q_tpch_q5",
+    f"""
+    SELECT n_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape (local-supplier volume): 6-table star join with "
+        "the region/nation dims broadcast and the customer-supplier "
+        "same-nation constraint closing the snowflake loop.",
+)
+def q_tpch_q5(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(rev, 4).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q14",
+    f"""
+    SELECT CAST(100.0 AS DOUBLE)
+             * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+             / {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    doc="TPC-H Q14 shape (promotion effect): fact-dim join + conditional "
+        "aggregate ratio. Both sums are exact decimals, so the final "
+        "double division is bit-identical across engines.",
+)
+def q_tpch_q14(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo, 4) / dsum(rev, 4)).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )

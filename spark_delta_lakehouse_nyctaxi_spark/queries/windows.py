@@ -125,3 +125,34 @@ def q_window_frame(spark, sf_dir):
         F.count("*").over(w).alias("order_seq"),
         F.sum(F.col("o_totalprice").cast("decimal(22,2)")).over(w).cast("double").alias("running_revenue"),
     )
+
+
+@register(
+    "q_window_firstlast",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Navigation windows: first/last/nth order value per customer "
+        "over the full-partition frame (default frames would make "
+        "last_value = current row — the classic trap, pinned explicitly).",
+)
+def q_window_firstlast(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
