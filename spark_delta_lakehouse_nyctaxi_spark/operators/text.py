@@ -94,3 +94,30 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         (vowel_count(t).cast("double") / n_chars).alias("vowel_ratio"),
         ((n_chars - space_count(t)).cast("double") / n_tokens).alias("avg_token_len"),
     )
+
+
+def chunk_documents_udtf(chunk_size: int = 20):
+    """Python UDTF (PySpark 4 table function) splitting a document into
+    fixed-size token chunks — the context-chunking step of a training
+    data pipeline, as a lateral join (one input row → N chunk rows).
+
+    A UDTF is the sanctioned escape hatch when one row must become a
+    variable number of rows with per-row Python logic; for this simple
+    chunker a JVM expression (slice+transform+posexplode) would also
+    work — the UDTF exists to cover the capability class, and the
+    registry oracle-checks it against DuckDB list slicing.
+
+    Defined as a closure so cloudpickle ships it by value (drivers whose
+    cwd is not this repo can't import the module on workers).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_tokens int")
+    class ChunkDocuments:
+        def eval(self, text: str):
+            toks = (text or "").split()
+            for i in range(0, len(toks), chunk_size):
+                part = toks[i : i + chunk_size]
+                yield i // chunk_size + 1, " ".join(part), len(part)
+
+    return ChunkDocuments

@@ -97,3 +97,39 @@ def _lang_score_sql(words: list[str]) -> str:
 def q_lang_id(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", T.language_id("text").alias("pred_lang"))
+
+
+@register(
+    "q_udtf_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    i AS (
+      SELECT doc_id, toks,
+             CAST(unnest(generate_series(1,
+                  CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS INT) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(toks[(chunk_idx-1)*20+1 : chunk_idx*20], ' ') AS chunk,
+           CAST(least(20, len(toks) - (chunk_idx-1)*20) AS INT) AS n_tokens
+    FROM i
+    """,
+    doc="Python UDTF (table function) chunking each document into "
+        "20-token windows via LATERAL join — the training-data context "
+        "chunking op; one input row fans out to N chunk rows on the "
+        "worker, no driver involvement.",
+)
+def q_udtf_chunks(spark, sf_dir):
+    from ..operators.text import chunk_documents_udtf
+
+    spark.udtf.register("chunk_documents", chunk_documents_udtf(20))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf_v")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM documents_udtf_v, LATERAL chunk_documents(text) c
+        """
+    )

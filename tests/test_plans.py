@@ -60,3 +60,62 @@ def test_codegen_covers_agg(spark):
         assert P.wholestage_codegen_spans(q("q_agg_2key", spark)) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_exists_decorrelates_to_semi_join(spark):
+    plan = P.explain_str(q("q_exists_subquery", spark))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_not_exists_decorrelates_to_anti_join(spark):
+    plan = P.explain_str(q("q_not_exists_subquery", spark))
+    assert "LeftAnti" in plan
+
+
+def test_in_subquery_plans_semi_join(spark):
+    plan = P.explain_str(q("q_in_subquery", spark))
+    assert "LeftSemi" in plan
+    # the part-key filter reaches the dim scan
+    assert "p_brand" in P.pushed_filters(q("q_in_subquery", spark))
+
+
+def test_window_single_shuffle(spark):
+    # all three distribution functions share one window spec → one
+    # exchange on the partition key
+    assert P.exchange_count(q("q_window_pct", spark)) == 1
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    plan = P.explain_str(q("q_tpch_q5", spark))
+    assert "BroadcastHashJoin" in plan
+    assert not P.has_cartesian(q("q_tpch_q5", spark))
+
+
+def test_shingles_no_global_distinct_shuffle(spark):
+    """Per-doc array_distinct replaces the global distinct(): the
+    shingle frame must contain exactly one exchange (the id
+    repartition), not two."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.dedup import shingles
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    # k=2 avoids sibling tests' persisted k=3 frame (cache hits change
+    # the visible plan shape)
+    sh = shingles(load_table(spark, SF_SMALL, "documents"), "doc_id", "text", k=2, hashed=True)
+    assert P.exchange_count(sh) == 1
+
+
+def test_signature_agg_reuses_shingle_partitioning(spark):
+    """groupBy(id) after the id-repartitioned shingle frame must not
+    add a second exchange."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    # k=2 so this plan can never hit a sibling test's persisted k=3
+    # frame: a cached relation under AQE does not propagate its output
+    # partitioning, which would (legitimately) add an exchange here.
+    sh = shingles(load_table(spark, SF_SMALL, "documents"), "doc_id", "text", k=2, hashed=True)
+    sig = minhash_signatures(sh)
+    assert P.exchange_count(sig) == 1
