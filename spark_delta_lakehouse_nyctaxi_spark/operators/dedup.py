@@ -11,7 +11,7 @@ Designed for 100 TB corpora:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -26,7 +26,7 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def shingles(
+def doc_shingle_arrays(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -34,25 +34,32 @@ def shingles(
     hashed: bool = False,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """Distinct k-token shingles per document (one row per (id, shingle)).
+    """Distinct k-token shingles per document as ONE ROW PER DOC
+    (``id``, ``sh_arr``) — the compact form the minhash pipeline runs
+    on: signatures, band hashes, set sizes, and exact intersections are
+    all per-row array expressions over this frame, so nothing past the
+    initial repartition needs a per-shingle shuffle.
 
     Pure JVM expressions: tokenize, slide a window of k with zipped
-    shifted slices, explode. No Python in the hot path.
+    shifted slices. No Python in the hot path.
 
     Scale/shuffle design:
     - The input is hash-repartitioned on the id FIRST: document corpora
       often arrive as a few large files (at sf0.1, one parquet = one
       task), and everything below would otherwise run at file
       parallelism. Partitioning by id also pre-positions the frame for
-      the ``groupBy(id)`` signature aggregate — no further exchange.
+      id-keyed joins downstream — no further exchange.
     - (id, shingle) distinctness is per-document, so it's computed with
-      ``array_distinct`` on the per-doc shingle array BEFORE the
-      explode — the global distinct() shuffle is gone entirely.
+      ``array_distinct`` on the per-doc shingle array — no global
+      distinct() shuffle anywhere.
 
-    ``hashed=True`` replaces the shingle string with its xxhash64 —
+    ``hashed=True`` replaces each shingle string with its xxhash64 —
     Jaccard/MinHash are invariant under an injective map, and 8-byte
-    keys cut the downstream join shuffle volume ~3× at scale
-    (collision probability ~2^-64 per pair, immaterial).
+    keys cut downstream shuffle volume ~3× at scale (collision
+    probability ~2^-64 per pair, immaterial).
+
+    Documents with no shingles (empty/whitespace text) are dropped,
+    matching the exploded form where they simply produce no rows.
     """
     nparts = parallelism or df.sparkSession.sparkContext.defaultParallelism
     # Linear-time shingling: zip the token array with its k-1 shifted
@@ -69,13 +76,25 @@ def shingles(
     sh = F.when(n >= k, F.slice(zipped, 1, n - k + 1)).otherwise(F.slice(zipped, 1, 1))
     fields = [f"w{i}" for i in range(k)]
     joined = F.transform(sh, lambda z: F.concat_ws(" ", *[z.getField(f) for f in fields]))
-    out = (
-        with_toks.select("id", F.explode(F.array_distinct(joined)).alias("shingle"))
-        .filter(F.col("shingle") != "")
-    )
+    arr = F.filter(F.array_distinct(joined), lambda s: s != "")
     if hashed:
-        out = out.select("id", F.xxhash64("shingle").alias("shingle"))
-    return out
+        arr = F.transform(arr, lambda s: F.xxhash64(s))
+    return with_toks.select("id", arr.alias("sh_arr")).filter(F.size("sh_arr") > 0)
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    hashed: bool = False,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Exploded shingle frame (one row per (id, shingle)) — the form the
+    co-shingle Jaccard join consumes. See :func:`doc_shingle_arrays`
+    for the per-doc array form (and the shuffle design notes)."""
+    arrs = doc_shingle_arrays(df, id_col, text_col, k, hashed, parallelism)
+    return arrs.select("id", F.explode("sh_arr").alias("shingle"))
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
@@ -93,6 +112,115 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     )
 
 
+def minhash_signatures_from_arrays(arrs: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature as a pure projection over the per-doc shingle
+    array (:func:`doc_shingle_arrays`): each of the ``num_hashes``
+    seeded mins is ``array_min(transform(sh_arr, xxhash64(·, seed)))``
+    — identical values to :func:`minhash_signatures`, ZERO shuffles
+    (the aggregate form needs one groupBy pass over exploded shingles).
+    ``sh_arr`` is kept so downstream exact-Jaccard can intersect in
+    place; ``n_sh`` is its size, free."""
+    sig = F.array(
+        *[
+            F.array_min(F.transform("sh_arr", lambda s: F.xxhash64(s, F.lit(seed))))
+            for seed in range(num_hashes)
+        ]
+    )
+    return arrs.select("id", sig.alias("signature"), F.size("sh_arr").alias("n_sh"), "sh_arr")
+
+
+def _band_hashes(bands: int) -> Column:
+    """Array of ``bands`` band-hashes over the ``signature`` column:
+    xxhash64 of the comma-joined band slice."""
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast(
+                    "array<string>"
+                ),
+            )
+        ),
+    )
+
+
+def lsh_candidate_pairs_grouped(
+    sig: DataFrame, bands: int = 8, max_bucket_size: int | None = None
+) -> DataFrame:
+    """LSH candidate pairs WITHOUT a self-join: group ids per
+    (band_idx, band_hash) bucket, expand each bucket's sorted id list
+    to its in-bucket pairs with array expressions, then distinct across
+    bands.
+
+    vs. the self-join form (:func:`lsh_candidate_pairs`): one hash
+    aggregate instead of a join (half the shuffled rows — ids only, one
+    side), no join machinery, same output. Pair expansion is O(bucket²)
+    either way; ``max_bucket_size`` drops degenerate hot buckets (a
+    bucket of 100k near-identical boilerplate docs would emit 5e9
+    pairs) — the standard LSH skew guard at corpus scale; None keeps
+    exact parity with the self-join.
+    """
+    banded = sig.select(
+        "id", F.posexplode(_band_hashes(bands)).alias("band_idx", "band_hash")
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    n = F.size("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs_from_arrays(
+    arrs: DataFrame, pairs: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via per-doc array intersection.
+
+    Joins the (small) pair list to the per-doc shingle-array frame twice
+    — one row per doc per side — and computes
+    ``size(array_intersect(arr_a, arr_b))`` in place. vs. joining
+    through the exploded shingle frame (:func:`jaccard_pairs` with
+    ``pairs``): shuffles |pairs| array-payload rows instead of
+    |pairs|×shingles/doc rows, and skips the per-pair count aggregate
+    and both size joins entirely. ``arrs`` is id-partitioned by
+    construction, so each join only exchanges the pair side.
+    """
+    a = arrs.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("arr_a"))
+    b = arrs.select(F.col("id").alias("id_b"), F.col("sh_arr").alias("arr_b"))
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
+    out = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                n_common.cast("double")
+                / (F.size("arr_a") + F.size("arr_b") - n_common)
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 8) -> DataFrame:
     """Band the signature and self-join on (band_idx, band_hash) buckets.
 
@@ -100,22 +228,8 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 8) -> DataFrame:
     Bucket join is an equi-join — shuffles on the band hash, never
     all-pairs.
     """
-    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
     banded = sig.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast(
-                            "array<string>"
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
+        "id", F.posexplode(_band_hashes(bands)).alias("band_idx", "band_hash")
     )
     a = banded.alias("a")
     b = banded.alias("b")

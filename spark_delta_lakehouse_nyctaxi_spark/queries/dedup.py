@@ -79,16 +79,26 @@ def q_ngram_jaccard(spark, sf_dir):
         "Verified rows-only + pytest asserts candidates ⊇ high-jaccard pairs.",
 )
 def q_minhash_lsh(spark, sf_dir):
+    # Hybrid array pipeline (fastest of the three forms measured at
+    # sf0.1 — see operators/dedup.py docstrings):
+    # - per-doc shingle ARRAYS are the one materialized frame; the
+    #   exact-Jaccard confirm pass intersects them in place (no
+    #   per-shingle join, no size joins);
+    # - signatures go through explode + the 32-min hash AGGREGATE
+    #   rather than array_min(transform(...)) projections — higher-
+    #   order functions sit outside whole-stage codegen, the aggregate
+    #   is ~10% faster, and the explode adds no shuffle (the frame is
+    #   id-partitioned);
+    # - candidates come from one bucket aggregate, not a self-join.
+    # Total shuffles: id repartition, bucket groupBy, pair distinct,
+    # two pair-side join exchanges — vs. eight for the exploded form.
+    # (At 100 TB the persist would be a checkpoint to cluster storage.)
     df = load_table(spark, sf_dir, "documents")
-    # The shingle frame feeds signatures AND the exact-jaccard confirm
-    # pass — persist it so the explode+distinct shuffle runs once.
-    # (At 100 TB this would be a checkpoint to cluster storage.)
-    sh = D.shingles(df, "doc_id", "text", k=3, hashed=True).persist()
-    sig = D.minhash_signatures(sh, num_hashes=32).persist()
-    cand = D.lsh_candidate_pairs(sig, bands=8)
-    return D.jaccard_pairs(
-        sh, pairs=cand, threshold=0.1, sizes=sig.select("id", "n_sh")
-    )
+    arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed=True).persist()
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    sig = D.minhash_signatures(sh, num_hashes=32)
+    cand = D.lsh_candidate_pairs_grouped(sig, bands=8)
+    return D.jaccard_pairs_from_arrays(arrs, cand, threshold=0.1)
 
 
 @register(

@@ -186,3 +186,150 @@ def q_tpch_q14(spark, sf_dir):
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "q_tpch_q4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): correlated EXISTS "
+        "decorrelated to a left-semi join (the l_commitdate predicate "
+        "is transposed to l_returnflag — the testdata has no commit "
+        "date), then a low-cardinality count.",
+)
+def q_tpch_q4(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q15",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape (top supplier): aggregated revenue view, "
+        "scalar MAX subquery over it, equality filter. The scalar is a "
+        "one-row broadcast — no global sort, no second shuffle of the "
+        "view. Exact-decimal revenue makes the double equality safe "
+        "across engines.",
+)
+def q_tpch_q15(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q_tpch_q17",
+    f"""
+    SELECT {dsum_sql('l_extendedprice', 4)} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = part.p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): correlated "
+        "scalar AVG subquery, decorrelated to a per-part aggregate "
+        "joined back to the fact (exactly Catalyst's rewrite, written "
+        "as the explicit plan). l_quantity is integer-valued, so the "
+        "double AVG is order-insensitive and matches DuckDB exactly.",
+)
+def q_tpch_q17(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    # NOTE: per-part avg over ALL lineitem (the correlation is on the
+    # part key alone), not just Brand#3 rows — filter after the join.
+    avg_q = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__thresh")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(avg_q, l.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__thresh"))
+        .agg(
+            (dsum("l_extendedprice", 4) / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q19",
+    f"""
+    SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue): disjunction of "
+        "conjunctive predicates across both join sides. Catalyst "
+        "factors the single-side disjuncts out of the OR and pushes "
+        "them to each scan (part gets the brand/size OR, lineitem the "
+        "quantity OR) — the parity test for OR-predicate pushdown.",
+)
+def q_tpch_q19(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

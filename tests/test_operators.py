@@ -115,3 +115,31 @@ def test_approx_distinct_within_5pct(spark):
     exact = orders.select("o_custkey").distinct().count()
     approx = orders.agg(F.approx_count_distinct("o_custkey").alias("a")).first().a
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_lsh_grouped_matches_self_join(spark):
+    """The bucket-groupBy pair generator must emit exactly the pairs the
+    self-join form does (it replaces it in q_minhash_lsh)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    arrs = D.doc_shingle_arrays(docs, "doc_id", "text", 3, hashed=True).persist()
+    sig = D.minhash_signatures_from_arrays(arrs, 32)
+    grouped = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs_grouped(sig, bands=8).collect()}
+    joined = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sig, bands=8).collect()}
+    assert grouped == joined and grouped
+
+
+def test_array_jaccard_matches_exploded(spark):
+    """jaccard_pairs_from_arrays == jaccard_pairs on the same candidates."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    arrs = D.doc_shingle_arrays(docs, "doc_id", "text", 3, hashed=True).persist()
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    cand = D.lsh_candidate_pairs_grouped(D.minhash_signatures_from_arrays(arrs, 32), bands=16)
+    via_arrays = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in D.jaccard_pairs_from_arrays(arrs, cand, threshold=0.1).collect()
+    }
+    via_explode = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in D.jaccard_pairs(sh, pairs=cand, threshold=0.1).collect()
+    }
+    assert via_arrays == via_explode and via_arrays

@@ -119,3 +119,50 @@ def test_signature_agg_reuses_shingle_partitioning(spark):
     sh = shingles(load_table(spark, SF_SMALL, "documents"), "doc_id", "text", k=2, hashed=True)
     sig = minhash_signatures(sh)
     assert P.exchange_count(sig) == 1
+
+
+def test_minhash_array_pipeline_has_no_join_for_candidates(spark):
+    """Candidate generation is a bucket aggregate, not a self-join: the
+    candidate-pair plan must contain zero join nodes."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.dedup import (
+        doc_shingle_arrays,
+        lsh_candidate_pairs_grouped,
+        minhash_signatures_from_arrays,
+    )
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    arrs = doc_shingle_arrays(load_table(spark, SF_SMALL, "documents"), "doc_id", "text", k=2, hashed=True)
+    cand = lsh_candidate_pairs_grouped(minhash_signatures_from_arrays(arrs, 32), bands=8)
+    plan = P.explain_str(cand)
+    assert "Join" not in plan
+
+
+def test_minhash_signatures_from_arrays_no_shuffle(spark):
+    """Signatures are a projection over the array frame: exactly the one
+    id-repartition exchange, nothing added."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.dedup import (
+        doc_shingle_arrays,
+        minhash_signatures_from_arrays,
+    )
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    arrs = doc_shingle_arrays(load_table(spark, SF_SMALL, "documents"), "doc_id", "text", k=2, hashed=True)
+    assert P.exchange_count(minhash_signatures_from_arrays(arrs, 32)) == 1
+
+
+def test_tpch_q19_or_predicates_push_to_both_scans(spark):
+    """Catalyst must factor the OR-of-ANDs so each side's disjuncts
+    reach its parquet scan."""
+    pf = P.pushed_filters(q("q_tpch_q19", spark))
+    assert "p_brand" in pf, "part-side OR not pushed"
+    assert "l_quantity" in pf, "lineitem-side OR not pushed"
+
+
+def test_tpch_q15_scalar_max_broadcasts(spark):
+    plan = P.explain_str(q("q_tpch_q15", spark))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert not P.has_cartesian(q("q_tpch_q15", spark))
+
+
+def test_tpch_q4_plans_semi_join(spark):
+    assert "LeftSemi" in P.explain_str(q("q_tpch_q4", spark))
