@@ -134,3 +134,37 @@ def q_pivot(spark, sf_dir):
         F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
     )
+
+
+@register(
+    "q_pivot_multi",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS o_rev,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_rev
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pivot with MULTIPLE aggregates per pivot value (count + exact-"
+        "decimal revenue) — one hash aggregate producing the full wide "
+        "row, not one pass per measure.",
+)
+def q_pivot_multi(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    out = (
+        df.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("rev"),
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("o_n"),
+        F.col("O_rev").alias("o_rev"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("f_n"),
+        F.col("F_rev").alias("f_rev"),
+    )

@@ -107,3 +107,50 @@ def q_silver_pipeline(spark, sf_dir):
 
     bronze = load_table(spark, sf_dir, "orders")
     return silver_transform(bronze, {"filters": {"min_total_price": 0.0}})
+
+
+@register(
+    "q_range_layout",
+    """
+    SELECT CAST(l_shipdate AS DATE) AS ship_date,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY CAST(l_shipdate AS DATE)
+    """,
+    doc="Range-partitioned sorted layout (OPTIMIZE/Z-ORDER analogue for "
+        "plain parquet): repartitionByRange(l_shipdate) + "
+        "sortWithinPartitions gives globally range-clustered files, so "
+        "a time-window scan prunes to the few overlapping files via "
+        "parquet min/max — the layout discipline a 100 TB fact table "
+        "needs. The query writes the layout, reads it back, and "
+        "aggregates a window; the oracle is the same window on the "
+        "original table (layout must not change results).",
+)
+def q_range_layout(spark, sf_dir):
+    from .aggregates import dsum
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    path = scratch_dir("rangelayout")
+    (
+        l.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.to_date("l_shipdate").alias("ship_date"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

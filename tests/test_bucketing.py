@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import pytest
 from pyspark.sql import functions as F
 
@@ -49,3 +50,37 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
         lineitem, orders.o_orderkey == lineitem.l_orderkey
     ).count()
     assert n == expected > 0
+
+
+def test_range_layout_files_are_disjoint(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions must yield files whose
+    l_shipdate [min,max] ranges don't overlap (boundary ties aside) —
+    that disjointness is what lets parquet min/max stats prune a
+    time-window scan to O(window) files instead of O(table)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "range_layout")
+    (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .repartitionByRange(6, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        col = md.row_group(0).column(1)  # l_shipdate
+        lo = col.statistics.min
+        hi = md.row_group(md.num_row_groups - 1).column(1).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert lo_next >= hi_prev, f"overlapping file ranges: {hi_prev} > {lo_next}"
