@@ -77,3 +77,19 @@ def q_ann_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.lsh_topk(emb, queries, planes, k=5)
+
+
+@register(
+    "q_ann_ivf",
+    None,  # approximate recall by design → rows-only
+    doc="IVF ANN (16-cell deterministic k-means index, 4-probe search): "
+        "the clustered-index scale path — queries score only "
+        "~n_probe/n_centroids of the corpus. Index build is two Lloyd "
+        "iterations of pure DataFrame ops; only the k×dim centroid "
+        "matrix touches the driver.",
+)
+def q_ann_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, centroids, n_probe=4, k=5)

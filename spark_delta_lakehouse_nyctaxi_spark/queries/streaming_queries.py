@@ -178,3 +178,50 @@ def q_stream_dedup(spark, sf_dir):
         deduped, scratch_dir("ckpt_dd"), memory_table="q_stream_dedup_out"
     )
     return spark.table("q_stream_dedup_out")
+
+
+@register(
+    "q_stream_stream_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
+           a.ts AS click_ts, b.ts AS view_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts
+    """,
+    doc="Watermarked stream-stream inner join: clicks joined to the "
+        "views that preceded them within 10 minutes, both sides "
+        "watermarked so join state is bounded (the time-range condition "
+        "is what lets Spark expire buffered rows — an unbounded-state "
+        "join never survives at scale). Drained with availableNow; a "
+        "finite inner join must equal the batch self-join exactly.",
+)
+def q_stream_stream_join(spark, sf_dir):
+    path = _staged_events(spark, sf_dir)
+    clicks = (
+        read_parquet_stream(spark, path, _SCHEMA)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    views = (
+        read_parquet_stream(spark, path, _SCHEMA)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+    ).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+    run_available_now(
+        joined, scratch_dir("ckpt_ssj"), memory_table="q_stream_stream_join_out"
+    )
+    return spark.table("q_stream_stream_join_out")

@@ -143,3 +143,23 @@ def test_array_jaccard_matches_exploded(spark):
         for r in D.jaccard_pairs(sh, pairs=cand, threshold=0.1).collect()
     }
     assert via_arrays == via_explode and via_arrays
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with 16 cells / 4 probes must recover most of the exact
+    top-5 neighbors (recall ≥ 0.6 on the synthetic corpus), and must be
+    deterministic across invocations."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    cents = S.ivf_centroids(emb, n_centroids=16, iters=2)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, queries, cents, n_probe=4, k=5).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
+    cents2 = S.ivf_centroids(emb, n_centroids=16, iters=2)
+    assert cents == cents2
