@@ -121,3 +121,42 @@ def chunk_documents_udtf(chunk_size: int = 20):
                 yield i // chunk_size + 1, " ".join(part), len(part)
 
     return ChunkDocuments
+
+
+# GPT-2-style pretokenizer pattern, restricted to constructs whose
+# semantics are identical in Java regex (Spark) and RE2 (DuckDB):
+# contractions, space-prefixed word/number runs, punctuation runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+
+
+def bpe_tokens(col: str | Column) -> Column:
+    """BPE-ish subword pretokenization (the unit LLM token budgets count
+    in, vs. whitespace words): one JVM regexp_extract_all, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
+ROLLING_MOD = 1_000_000_007
+ROLLING_BASE = 31
+
+
+def rolling_fingerprint(col: str | Column) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    ``acc = (acc*B + h(token)) mod M`` with ``h`` = first 8 md5 hex
+    digits (md5 is the only hash with identical semantics in every
+    engine). Unlike the content md5 (:func:`fingerprint`), equal token
+    MULTISETS in different order get different prints — the shift-
+    detecting fingerprint used for near-dup triage. All JVM expressions
+    (aggregate over the token array); values stay < 2^31·B, so the
+    modular arithmetic never overflows a long."""
+    toks = tokens(col)
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % ROLLING_MOD  # noqa: E731
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLLING_BASE + h(t)) % ROLLING_MOD,
+    )

@@ -133,3 +133,45 @@ def q_udtf_chunks(spark, sf_dir):
         FROM documents_udtf_v, LATERAL chunk_documents(text) c
         """
     )
+
+
+@register(
+    "q_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+')) AS n_bpe_tokens,
+           len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="BPE-ish subword token counting (GPT-2-style pretokenizer regex, "
+        "JVM-side regexp_extract_all) next to the whitespace count — "
+        "the token-budget accounting step of a training-data pipeline.",
+)
+def q_token_count_bpe(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        T.token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "q_rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1000000007),
+             (acc, h) -> (acc * 31 + h) % 1000000007
+           ) AS rolling_fp
+    FROM documents
+    """,
+    doc="Order-sensitive rolling-hash document fingerprint (north-star "
+        "fingerprinting): polynomial hash over the token stream, exact "
+        "cross-engine via md5-derived token hashes and modular "
+        "arithmetic.",
+)
+def q_rolling_fingerprint(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", T.rolling_fingerprint("text").alias("rolling_fp"))
