@@ -51,14 +51,22 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
-    # One real aggregate to JIT the codegen/shuffle paths before timing.
-    REGISTRY["q_agg_daily"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Run every headline query once untimed: first execution is dominated
+    # by Janino codegen compilation (measured ±1s swings on the plans
+    # with the most generated code), which a long-running cluster pays
+    # once, not per query. Caches are cleared afterwards so timed runs
+    # still do ALL the data work (persists inside queries would
+    # otherwise be served from the warmup's cache).
+    for name in HEADLINE:
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_total",

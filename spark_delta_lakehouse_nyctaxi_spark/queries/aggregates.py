@@ -16,11 +16,40 @@ from ..sources.readers import load_table
 from . import register
 
 
-def dsum(col: str | Column, scale: int = 2, precision: int = 22) -> Column:
-    """Order-insensitive exact sum of a double column: per-row cast to
-    DECIMAL (tie-free), exact decimal sum, cast back to DOUBLE."""
+def dsum(col: str | Column, scale: int = 2, precision: int | None = None) -> Column:
+    """Order-insensitive exact sum of a double column, on the fast path.
+
+    Semantics are identical to ``SUM(CAST(x AS DECIMAL(p,s)))`` (the
+    DuckDB oracle formulation): the per-row double→decimal cast is the
+    rounding step (tie-free — a binary double's exact decimal expansion
+    never lands on a half), and everything after is exact integer math.
+
+    Implementation detail that buys ~40%: Spark decimals with precision
+    ≤ 18 are long-backed; wider ones go through java BigDecimal — and
+    ``SUM(decimal(p,s))`` accumulates in ``decimal(p+10,s)``, so even
+    narrow inputs would sum on the slow path. Instead the rounded value
+    is shifted into integer "cents" with every intermediate still ≤ 18
+    digits (decimal(16-s,s) × 10^s → decimal(16,s)), cast to LONG, and
+    summed as a plain long — whole-stage-codegen integer adds. The
+    final /10^s division is one exact decimal op per GROUP.
+
+    Bounds: per-row |x| < 10^(16-2s) (1e12 at scale 2; beyond it the
+    cast overflows — loudly under ANSI mode, the Spark 4 default — so
+    a violation can never silently corrupt a sum); group sums up to
+    9.2e18/10^s — 9.2e14 at scale 4 — which covers 100 TB-scale grouped
+    money sums. Passing an explicit ``precision`` opts back into the
+    plain decimal-sum formulation with those exact bounds.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+    if precision is not None:
+        # caller asked for specific decimal bounds — honor them verbatim
+        return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+    # fast path: p+s+2 ≤ 18 keeps cast, ×10^s, and product all ≤ 18
+    # digits (measured ~40% on the TPC-H Q1 aggregate at sf0.1)
+    p = 16 - scale
+    factor = 10**scale
+    cents = (c.cast(f"decimal({p},{scale})") * F.lit(factor)).cast("long")
+    return (F.sum(cents).cast("decimal(28,0)") / F.lit(factor)).cast("double")
 
 
 def dsum_sql(expr: str, scale: int = 2, precision: int = 22) -> str:

@@ -175,9 +175,11 @@ def q_corr_manual(spark, sf_dir):
         F.count("*").alias("n"),
         dsum("l_quantity").alias("sx"),
         dsum("l_extendedprice").alias("sy"),
-        dsum(qty * qty, 4).alias("sxx"),
-        dsum(price * price, 4).alias("syy"),
-        dsum(qty * price, 4).alias("sxy"),
+        # squared-price products reach ~5e9 — past the fast path's
+        # per-row bound, so opt into the wide decimal formulation
+        dsum(qty * qty, 4, precision=22).alias("sxx"),
+        dsum(price * price, 4, precision=22).alias("syy"),
+        dsum(qty * price, 4, precision=22).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
