@@ -21,9 +21,18 @@ from .text import tokens
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """Deterministic exact dedup: keep the min-``order_col`` row per key
     group (reference semantics: dropDuplicates at etl/silver_job.py:205,
-    made deterministic per SURVEY.md §7.4)."""
-    w = Window.partitionBy(*key_cols).orderBy(order_col)
-    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    made deterministic per SURVEY.md §7.4).
+
+    Implemented as ``min_by(struct(row), order_col)`` — ONE hash
+    aggregate. vs. the row_number window formulation: partial aggregation
+    runs map-side (each task forwards at most one candidate row per key,
+    so the shuffle carries ~|groups| rows instead of |input|), and
+    there's no per-partition sort. Deterministic whenever ``order_col``
+    is unique per group (callers pass a row id). ``order_col`` must be
+    non-null — min_by skips null-ordered rows."""
+    row = F.struct(*[F.col(c) for c in df.columns])
+    agg = df.groupBy(*key_cols).agg(F.min_by(row, F.col(order_col)).alias("__row"))
+    return agg.select("__row.*")
 
 
 def doc_shingle_arrays(

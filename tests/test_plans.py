@@ -166,3 +166,14 @@ def test_tpch_q15_scalar_max_broadcasts(spark):
 
 def test_tpch_q4_plans_semi_join(spark):
     assert "LeftSemi" in P.explain_str(q("q_tpch_q4", spark))
+
+
+def test_exact_dedup_aggregates_with_mapside_partials(spark):
+    """min_by dedup must plan as an aggregate with a map-side partial
+    (shuffle carries ~|keys| rows, not |input|) — not as a row_number
+    window over the full input — with one exchange."""
+    df = q("q_dedup_exact", spark)
+    plan = P.explain_str(df)
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
+    assert P.exchange_count(df) == 1
