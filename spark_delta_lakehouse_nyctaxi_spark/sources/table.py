@@ -23,9 +23,16 @@ Delta's partition-pruned MERGE provides. Appending 1 GB to a 100 TB
 table writes 1 GB.
 
 The version log is tiny driver-side JSON metadata (like Delta's
-transaction log); all data movement is Spark jobs. Single-writer
-assumption (no optimistic concurrency) — the reference's orchestrated
-jobs operate under the same envelope.
+transaction log); all data movement is Spark jobs.
+
+Concurrency follows Delta's optimistic protocol: a commit is a
+put-if-absent of ``<version>.json`` (``os.link`` — atomic on POSIX,
+fails EEXIST if another writer won the version). Losers refresh the
+snapshot and retry: blind writes (write/restore) rebase automatically;
+read-modify-write operations (merge/compact) raise
+:class:`ConcurrentWriteError` because their data was derived from a
+stale snapshot — the caller re-runs on the new snapshot, exactly
+Delta's conflict-detection semantics.
 """
 
 from __future__ import annotations
@@ -39,6 +46,11 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first. The operation's
+    inputs came from a now-stale snapshot; refresh and retry."""
 
 
 @dataclass
@@ -103,11 +115,23 @@ class VersionedTable:
         return vs[-1].version if vs else -1
 
     def _commit(self, info: VersionInfo) -> None:
+        """Atomic put-if-absent of the version manifest: ``os.link``
+        fails with EEXIST when another writer already committed this
+        version — the optimistic-concurrency conflict signal (os.rename
+        would silently overwrite the winner's commit)."""
         os.makedirs(self._vlog, exist_ok=True)
         tmp = os.path.join(self._vlog, f".{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(info.to_json())
-        os.rename(tmp, os.path.join(self._vlog, f"{info.version:08d}.json"))
+        try:
+            os.link(tmp, os.path.join(self._vlog, f"{info.version:08d}.json"))
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {info.version} at {self.path} was committed by a "
+                "concurrent writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     def _resolve(self, version: int | None = None, timestamp: float | None = None) -> VersionInfo:
         vs = self._versions()
@@ -170,20 +194,31 @@ class VersionedTable:
         prev = self._versions()
         if mode == "append" and prev:
             partition_by = partition_by or prev[-1].partition_by
-        units = self._write_units(df, partition_by)
-        if mode == "append" and prev:
-            units = prev[-1].units + units
-        info = VersionInfo(
-            version=(prev[-1].version + 1 if prev else 0),
-            timestamp=time.time(),
-            operation=operation,
-            mode=mode,
-            units=units,
-            partition_by=list(partition_by or []),
-            extra=extra or {},
-        )
-        self._commit(info)
-        return info
+        new_units = self._write_units(df, partition_by)
+        # Optimistic commit: the data units above are immutable and
+        # uuid-named, so on a version conflict only the manifest needs
+        # rebuilding against the refreshed snapshot (blind writes
+        # rebase; appends pick up the winner's units).
+        for attempt in range(10):
+            units = new_units
+            if mode == "append" and prev:
+                units = prev[-1].units + new_units
+            info = VersionInfo(
+                version=(prev[-1].version + 1 if prev else 0),
+                timestamp=time.time(),
+                operation=operation,
+                mode=mode,
+                units=units,
+                partition_by=list(partition_by or []),
+                extra=extra or {},
+            )
+            try:
+                self._commit(info)
+                return info
+            except ConcurrentWriteError:
+                if attempt == 9:
+                    raise
+                prev = self._versions()
 
     # ------------------------------------------------------------ read
 
@@ -247,17 +282,24 @@ class VersionedTable:
         """Restore an earlier version as a NEW version (history kept —
         utils/delta_ops.py:167-204 semantics)."""
         target = self._resolve(version)
-        info = VersionInfo(
-            version=self.latest_version() + 1,
-            timestamp=time.time(),
-            operation="RESTORE",
-            mode=None,
-            units=list(target.units),
-            partition_by=list(target.partition_by),
-            extra={"restored_from": version},
-        )
-        self._commit(info)
-        return info
+        for attempt in range(10):
+            info = VersionInfo(
+                version=self.latest_version() + 1,
+                timestamp=time.time(),
+                operation="RESTORE",
+                mode=None,
+                units=list(target.units),
+                partition_by=list(target.partition_by),
+                extra={"restored_from": version},
+            )
+            try:
+                self._commit(info)
+                return info
+            except ConcurrentWriteError:
+                # restore is a blind write of an existing snapshot —
+                # rebase onto the new head and retry
+                if attempt == 9:
+                    raise
 
     # ---------------------------------------------------------- vacuum
 
@@ -289,9 +331,22 @@ class VersionedTable:
         df = self.read()
         if not info.partition_by:
             df = df.coalesce(target_files)
-        return self.write(
-            df, mode="overwrite", partition_by=info.partition_by or None, operation="OPTIMIZE"
+        new_units = self._write_units(df, info.partition_by or None)
+        # Pin the expected head (info.version + 1): compaction is a
+        # read-modify-write, so if any writer committed since the
+        # snapshot read, this commit must FAIL (ConcurrentWriteError)
+        # rather than rebase and silently drop their rows.
+        vinfo = VersionInfo(
+            version=info.version + 1,
+            timestamp=time.time(),
+            operation="OPTIMIZE",
+            mode="overwrite",
+            units=new_units,
+            partition_by=list(info.partition_by),
+            extra={},
         )
+        self._commit(vinfo)
+        return vinfo
 
     # ----------------------------------------------------------- merge
 
@@ -402,8 +457,11 @@ class VersionedTable:
             merged = joined.filter(~s_only).select(*merged_cols)
 
         new_units = self._write_units(merged, part_cols or None)
+        # Pinned to the snapshot version this merge read (not the
+        # current head): a concurrent commit in between must surface as
+        # ConcurrentWriteError, not be silently overwritten.
         vinfo = VersionInfo(
-            version=self.latest_version() + 1,
+            version=info.version + 1,
             timestamp=time.time(),
             operation="MERGE",
             mode=None,

@@ -5,6 +5,8 @@ round-trip; dedup/merge invariants)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import Row, functions as F
@@ -107,3 +109,84 @@ def test_merge_update_condition(spark, tmp_table_path):
     got = {r.id: r.v for r in t.read().collect()}
     # id=1 updates (3 < 5), id=2 keeps 1.0 (9 > 1), id=3 inserts
     assert got == {1: 3.0, 2: 1.0, 3: 7.0}
+
+
+def test_occ_commit_put_if_absent(spark, tmp_path):
+    """Two writers committing the same version: exactly one wins; the
+    loser gets ConcurrentWriteError, the winner's manifest survives."""
+    import time as _time
+    from spark_delta_lakehouse_nyctaxi_spark.sources.table import (
+        ConcurrentWriteError,
+        VersionedTable,
+        VersionInfo,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "occ"))
+    t.write(spark.range(5), mode="overwrite")
+    head = t.latest_version()
+    winner = VersionInfo(head + 1, _time.time(), "WRITE", "append", ["u1"], [], {})
+    loser = VersionInfo(head + 1, _time.time(), "WRITE", "append", ["u2"], [], {})
+    t._commit(winner)
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(loser)
+    assert t._versions()[-1].units == ["u1"]
+
+
+def test_occ_concurrent_appends_both_land(spark, tmp_path):
+    """Two threads appending concurrently: the loser rebases and
+    retries, so BOTH commits land and the final snapshot has all rows."""
+    import threading
+
+    from spark_delta_lakehouse_nyctaxi_spark.sources.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "occ2"))
+    t.write(spark.range(0, 10).withColumnRenamed("id", "k"), mode="overwrite")
+    errs = []
+
+    def append(lo, hi):
+        try:
+            VersionedTable(spark, str(tmp_path / "occ2")).write(
+                spark.range(lo, hi).withColumnRenamed("id", "k"), mode="append"
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = [threading.Thread(target=append, args=(100, 110)), threading.Thread(target=append, args=(200, 210))]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    assert t.latest_version() == 2
+    assert t.read().count() == 30
+
+
+def test_occ_merge_conflict_detected(spark, tmp_path):
+    """A merge whose snapshot went stale (someone appended after its
+    read) must raise instead of clobbering the concurrent commit."""
+    from spark_delta_lakehouse_nyctaxi_spark.sources.table import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+
+    path = str(tmp_path / "occ3")
+    t = VersionedTable(spark, path)
+    t.write(spark.range(5).withColumnRenamed("id", "k"), mode="overwrite")
+
+    # simulate interleaving: stale handle resolves, another writer lands
+    stale = VersionedTable(spark, path)
+    src = spark.range(3, 8).withColumnRenamed("id", "k")
+    orig_write_units = stale._write_units
+
+    def hijack(df, partition_by):
+        # concurrent append commits between stale's read and its commit
+        VersionedTable(spark, path).write(
+            spark.range(50, 55).withColumnRenamed("id", "k"), mode="append"
+        )
+        return orig_write_units(df, partition_by)
+
+    stale._write_units = hijack
+    with pytest.raises(ConcurrentWriteError):
+        stale.merge(src, keys=["k"])
+    # the concurrent append survived
+    assert VersionedTable(spark, path).read().count() == 10
