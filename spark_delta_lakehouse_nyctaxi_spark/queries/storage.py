@@ -154,3 +154,38 @@ def q_range_layout(spark, sf_dir):
             dsum("l_extendedprice").alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_zorder_layout",
+    """
+    SELECT l_suppkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 200
+    GROUP BY l_suppkey
+    """,
+    doc="Z-order (Morton) clustered layout over (l_partkey, l_suppkey): "
+        "the OPTIMIZE ZORDER analogue — bit-interleaved rank positions, "
+        "range-partitioned and sorted so parquet min/max stats prune "
+        "point/range predicates on EITHER column. The query writes the "
+        "layout, reads it back through a partkey range, and aggregates; "
+        "the oracle is the same predicate on the original table (layout "
+        "must never change results).",
+)
+def q_zorder_layout(spark, sf_dir):
+    from ..sources.zorder import write_zordered
+    from .aggregates import dsum
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = scratch_dir("zorder")
+    write_zordered(l, path, ["l_partkey", "l_suppkey"], num_files=8)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("l_partkey").between(100, 200))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )

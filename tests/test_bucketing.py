@@ -84,3 +84,39 @@ def test_range_layout_files_are_disjoint(spark, tmp_path):
     assert len(ranges) >= 4
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert lo_next >= hi_prev, f"overlapping file ranges: {hi_prev} > {lo_next}"
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered files must be selective on BOTH clustered columns:
+    for a mid-range point on each column, the fraction of files whose
+    [min,max] admits it stays well under 1 (a single-column sort would
+    admit ~all files on the second column)."""
+    import pyarrow.parquet as pq
+    from spark_delta_lakehouse_nyctaxi_spark.sources.zorder import write_zordered
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "z")
+    l = load_table(spark, SF_SMALL, "lineitem").select("l_partkey", "l_suppkey")
+    write_zordered(l, path, ["l_partkey", "l_suppkey"], num_files=16)
+
+    spans = {"l_partkey": [], "l_suppkey": []}
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        schema_names = [md.row_group(0).column(i).path_in_schema for i in range(2)]
+        for i, name in enumerate(schema_names):
+            lo = min(md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups))
+            spans[name].append((lo, hi))
+    assert len(spans["l_partkey"]) >= 8
+
+    stats = l.agg(
+        F.expr("percentile(l_partkey, 0.5)").alias("p"),
+        F.expr("percentile(l_suppkey, 0.5)").alias("s"),
+    ).collect()[0]
+    for col, point in [("l_partkey", stats.p), ("l_suppkey", stats.s)]:
+        n = len(spans[col])
+        admitted = sum(1 for lo, hi in spans[col] if lo <= point <= hi)
+        assert admitted / n <= 0.75, f"{col}: {admitted}/{n} files admit the midpoint"
