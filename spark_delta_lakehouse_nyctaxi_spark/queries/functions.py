@@ -270,3 +270,56 @@ def q_array_agg(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_seen"),
     )
+
+
+@register(
+    "q_zscore_pandas",
+    """
+    WITH s AS (
+        SELECT lang,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean,
+               sqrt(CAST(SUM(n_chars * n_chars) AS DOUBLE) / COUNT(*)
+                    - (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*))
+                      * (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*))) AS sd
+        FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN s.sd > 0 THEN (d.n_chars - s.mean) / s.sd ELSE 0.0 END AS zscore
+    FROM documents d JOIN s ON d.lang = s.lang
+    """,
+    doc="Grouped-map Pandas UDF (applyInPandas): per-language z-score "
+        "of document length. Integer sums make the float math "
+        "order-independent, so the Arrow-batched Python path matches "
+        "the SQL formulation exactly.",
+)
+def q_zscore_pandas(spark, sf_dir):
+    from ..functions.udfs import zscore_by_group
+
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return zscore_by_group(df, "lang", "n_chars", ["doc_id"])
+
+
+@register(
+    "q_weighted_mean_udaf",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * l_linenumber) AS DOUBLE)
+             / CAST(SUM(l_linenumber) AS DOUBLE) AS wmean_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="GROUPED_AGG Pandas UDF (vectorized UDAF): linenumber-weighted "
+        "mean quantity per return flag — the custom-aggregate escape "
+        "hatch, exact via integer partial sums.",
+)
+def q_weighted_mean_udaf(spark, sf_dir):
+    from ..functions.udfs import weighted_mean_udaf
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.col("l_linenumber").cast("long").alias("w"),
+    )
+    return l.groupBy("l_returnflag").agg(
+        weighted_mean_udaf("q", "w").alias("wmean_qty")
+    )
