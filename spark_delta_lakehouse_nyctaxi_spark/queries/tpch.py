@@ -333,3 +333,191 @@ def q_tpch_q19(spark, sf_dir):
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "q_tpch_q7",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {dsum_sql('volume', 4)} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping): two broadcast nation dims "
+        "joined under an OR of cross-nation pairs, yearly revenue "
+        "matrix. The nation filter can't push below the join (it spans "
+        "both dims), so it runs as a post-join residual — the shape "
+        "that tests residual-predicate handling.",
+)
+def q_tpch_q7(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(vol, 4).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q8",
+    f"""
+    SELECT o_year,
+           {dsum_sql("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END", 4)}
+             / {dsum_sql('volume', 4)} AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): 8-relation snowflake "
+        "with nation joined twice under different roles, conditional "
+        "revenue ratio per year. Exact-decimal sums make the final "
+        "double division bit-stable.",
+)
+def q_tpch_q8(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), "n_regionkey"))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    natvol = F.when(F.col("nation") == "NATION_1", vol).otherwise(F.lit(0.0))
+    return (
+        F.broadcast(p).join(l, p.p_partkey == l.l_partkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("c_nk"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(natvol, 4) / dsum(vol, 4)).alias("mkt_share"))
+    )
+
+
+@register(
+    "q_tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order distribution): left outer join "
+        "with an ON-clause filter (kept inside the join, NOT a WHERE — "
+        "unmatched customers must survive with count 0), then a "
+        "count-of-counts histogram.",
+)
+def q_tpch_q13(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q_tpch_q22",
+    f"""
+    WITH avg_bal AS (
+        SELECT {dsum_sql('c_acctbal')} / COUNT(*) AS a
+        FROM customer
+        WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+    )
+    SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+           {dsum_sql('c_acctbal')} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+      AND c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity): scalar-average "
+        "subquery (one-row broadcast), anti join against orders, "
+        "grouped balance totals (nation key stands in for the phone "
+        "country code, urgent orders for the order-existence test — "
+        "the testdata has no phone column and every customer has some "
+        "order). The average is "
+        "an exact-decimal ratio so the > comparison is bit-stable.",
+)
+def q_tpch_q22(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7)
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal") / F.count("*")).alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+    )
