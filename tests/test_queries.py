@@ -9,7 +9,16 @@ import pytest
 from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
 from tests.conftest import SF_SMALL
 
-MAY_BE_EMPTY = {"q_join_anti", "q_except", "q_embedding_near_dup", "q_ngram_jaccard", "q_minhash_lsh"}
+MAY_BE_EMPTY = {
+    "q_join_anti",
+    "q_except",
+    "q_embedding_near_dup",
+    "q_ngram_jaccard",
+    "q_minhash_lsh",
+    # non-empty at sf0.01 (7 rows, oracle-checked); at sf0.001 the five
+    # urgent-order-less customers all sit below the average balance
+    "q_tpch_q22",
+}
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
