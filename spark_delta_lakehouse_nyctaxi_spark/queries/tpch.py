@@ -350,8 +350,8 @@ def q_tpch_q19(spark, sf_dir):
         JOIN customer ON c_custkey = o_custkey
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+            OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
           AND l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
     )
@@ -375,8 +375,8 @@ def q_tpch_q7(spark, sf_dir):
     n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
     n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
     pair = (
-        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10"))
+        | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
