@@ -34,6 +34,9 @@ HEADLINE = [
     "q_minhash_lsh",
     "q_text_quality",
     "q_ann_bruteforce",
+    "q_tpch_q5",
+    "q_tpch_q19",
+    "q_token_count_bpe",
 ]
 
 
