@@ -198,6 +198,50 @@ def q_stream_dedup(spark, sf_dir):
         "finite inner join must equal the batch self-join exactly.",
 )
 def q_stream_stream_join(spark, sf_dir):
+    return _stream_stream_join(spark, sf_dir, "inner", "q_stream_stream_join_out")
+
+
+@register(
+    "q_stream_stream_left_join",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         wm AS (SELECT least((SELECT MAX(click_ts) FROM c),
+                             (SELECT MAX(view_ts) FROM v))
+                       - INTERVAL 30 MINUTE AS w)
+    SELECT c.click_id, v.view_id, c.user_id, c.click_ts, v.view_ts
+    FROM c JOIN v ON c.user_id = v.user_id
+     AND v.view_ts BETWEEN c.click_ts - INTERVAL 10 MINUTE AND c.click_ts
+    UNION ALL
+    SELECT c.click_id, CAST(NULL AS BIGINT), c.user_id, c.click_ts,
+           CAST(NULL AS TIMESTAMP)
+    FROM c
+    WHERE NOT EXISTS (
+            SELECT 1 FROM v
+            WHERE v.user_id = c.user_id
+              AND v.view_ts BETWEEN c.click_ts - INTERVAL 10 MINUTE
+                                AND c.click_ts)
+      AND c.click_ts < (SELECT w FROM wm)
+    """,
+    doc="Watermarked stream-stream LEFT OUTER join (NOTES.md round-2 "
+        "item). Null-padded rows are emitted only once the watermark "
+        "proves no future match can arrive, so the oracle is the batch "
+        "inner join PLUS unmatched clicks below the final global "
+        "watermark = min(max click_ts, max view_ts) - 30min delay "
+        "(empirically bracketed at sf0.001 and sf0.01: every unmatched "
+        "click strictly below it is emitted, the ones above are held in "
+        "state — exactly the bounded-state behavior a 100 TB stream "
+        "needs; an unwatermarked outer join would buffer forever).",
+)
+def q_stream_stream_left_join(spark, sf_dir):
+    return _stream_stream_join(
+        spark, sf_dir, "left_outer", "q_stream_stream_left_join_out"
+    )
+
+
+def _stream_stream_join(spark, sf_dir, how, out_table):
     path = _staged_events(spark, sf_dir)
     clicks = (
         read_parquet_stream(spark, path, _SCHEMA)
@@ -220,8 +264,7 @@ def q_stream_stream_join(spark, sf_dir):
         (F.col("user_id") == F.col("v_user"))
         & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("view_ts") <= F.col("click_ts")),
+        how,
     ).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
-    run_available_now(
-        joined, scratch_dir("ckpt_ssj"), memory_table="q_stream_stream_join_out"
-    )
-    return spark.table("q_stream_stream_join_out")
+    run_available_now(joined, scratch_dir("ckpt_" + out_table), memory_table=out_table)
+    return spark.table(out_table)

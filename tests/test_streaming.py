@@ -102,3 +102,49 @@ def test_stream_dedup_det_matches_batch(spark, tmp_path):
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
     assert got == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_stream_left_join_matches_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream join: inner pairs equal the batch
+    self-join; null-padded rows are exactly the unmatched clicks whose
+    click_ts fell below the final global watermark
+    (min(max click_ts, max view_ts) - 30min)."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.streaming_queries import (
+        q_stream_stream_left_join,
+    )
+
+    out = q_stream_stream_left_join(spark, SF_SMALL)
+    ev = load_table(spark, SF_SMALL, "events")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    v = ev.filter("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    inner = c.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+    )
+    want_inner = {(r.click_id, r.view_id) for r in inner.collect()}
+    got_inner = {
+        (r.click_id, r.view_id) for r in out.filter("view_id IS NOT NULL").collect()
+    }
+    assert got_inner == want_inner
+
+    wm_row = c.agg(F.max("click_ts").alias("mc")).crossJoin(
+        v.agg(F.max("view_ts").alias("mv"))
+    ).select(
+        F.expr("least(mc, mv) - INTERVAL 30 MINUTES").alias("w")
+    ).collect()[0]
+    unmatched = {
+        r.click_id
+        for r in c.join(inner.select("click_id"), "click_id", "left_anti")
+        .filter(F.col("click_ts") < F.lit(wm_row.w))
+        .collect()
+    }
+    got_null = {r.click_id for r in out.filter("view_id IS NULL").collect()}
+    assert got_null == unmatched
