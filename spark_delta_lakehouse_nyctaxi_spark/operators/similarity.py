@@ -206,6 +206,94 @@ def ivf_centroids(
     return centroids
 
 
+def probe_order(vec: Column, centroids: list[list[float]]) -> Column:
+    """Full probe order for a query vector: all cell ids ranked by
+    assignment score descending (ties by cell id — deterministic).
+    ``F.slice(probe_order(v), 1, n_probe)`` is the probe set ivf_topk
+    uses."""
+    scores = _cell_scores(vec, centroids)
+    ranked = F.reverse(
+        F.array_sort(
+            F.zip_with(
+                scores,
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda s, i: F.struct(s.alias("s"), (-i).alias("ni")),
+            )
+        )
+    )
+    return F.transform(ranked, lambda p: (-p.getField("ni")).cast("int"))
+
+
+def ivf_probe_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, float]]:
+    """Exact recall@k of IVF search as a function of ``n_probe``, in ONE
+    distributed pass (NOTES.md round-2 item: probe-count autotuning).
+
+    A true top-k neighbor is found by IVF iff its cell is probed: any
+    candidate set containing a global top-k vector ranks it in the
+    candidate top-k (at most k-1 vectors score higher anywhere). So
+    recall(n) = fraction of ground-truth pairs whose neighbor-cell rank
+    in the query's probe order is ≤ n — computed for ALL n at once from
+    the per-pair cell rank, instead of re-running the search per
+    candidate probe count.
+
+    Ground truth is :func:`brute_force_topk` on the (small) tuning
+    sample; only |sample|·k (cell_rank) rows reach the driver — the
+    corpus itself never does, same discipline as :func:`ivf_centroids`.
+    """
+    truth = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        probe_order(F.col(vec_col), centroids).alias("probes"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    ranks = (
+        truth.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(F.array_position(F.col("probes"), F.col("cell")).alias("cell_rank"))
+        .groupBy("cell_rank")
+        .count()
+        .collect()
+    )
+    by_rank = {int(r.cell_rank): int(r["count"]) for r in ranks}
+    total = sum(by_rank.values())
+    curve, seen = [], 0
+    for n in range(1, len(centroids) + 1):
+        seen += by_rank.get(n, 0)
+        curve.append((n, seen / total if total else 1.0))
+    return curve
+
+
+def tune_n_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    target_recall: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Smallest ``n_probe`` whose measured recall@k on the tuning sample
+    meets ``target_recall`` (falls back to probing every cell). The
+    recall curve is monotone, so the first crossing is the optimum —
+    probing more cells past it only buys latency."""
+    for n, recall in ivf_probe_recall_curve(
+        corpus, queries, centroids, k, id_col, vec_col
+    ):
+        if recall >= target_recall:
+            return n
+    return len(centroids)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -226,17 +314,7 @@ def ivf_topk(
         F.col(vec_col).alias("c_vec"),
         assign_cell(F.col(vec_col), centroids).alias("cell"),
     )
-    scores = _cell_scores(F.col("q_vec"), centroids)
-    ranked = F.reverse(
-        F.array_sort(
-            F.zip_with(
-                scores,
-                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                lambda s, i: F.struct(s.alias("s"), i.alias("i")),
-            )
-        )
-    )
-    probes = F.transform(F.slice(ranked, 1, n_probe), lambda p: p.getField("i").cast("int"))
+    probes = F.slice(probe_order(F.col("q_vec"), centroids), 1, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).select("query_id", "q_vec", F.explode(probes).alias("cell"))

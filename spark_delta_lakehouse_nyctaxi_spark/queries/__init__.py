@@ -59,6 +59,7 @@ from . import governance  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
+from . import sampling  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

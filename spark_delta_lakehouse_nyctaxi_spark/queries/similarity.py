@@ -93,3 +93,23 @@ def q_ann_ivf(spark, sf_dir):
     centroids = S.ivf_centroids(emb, n_centroids=16, iters=2)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_topk(emb, queries, centroids, n_probe=4, k=5)
+
+
+@register(
+    "q_ann_ivf_tuned",
+    None,  # probe count is data-dependent → rows-only (recall pytest)
+    doc="IVF ANN with autotuned probe count (NOTES.md round-2 item): the "
+        "full recall@k-vs-n_probe curve is measured in ONE distributed "
+        "pass over a held-out tuning sample (a true neighbor is found "
+        "iff its cell is probed, so per-pair cell ranks give recall for "
+        "every n_probe at once), then the search runs with the smallest "
+        "n_probe meeting 90% recall — latency is bought back wherever "
+        "the index is good instead of hard-coding a probe count.",
+)
+def q_ann_ivf_tuned(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2)
+    tune_sample = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 30))
+    n_probe = S.tune_n_probe(emb, tune_sample, centroids, k=5, target_recall=0.9)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, centroids, n_probe=n_probe, k=5)

@@ -163,3 +163,54 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert len(exact & approx) / len(exact) >= 0.6
     cents2 = S.ivf_centroids(emb, n_centroids=16, iters=2)
     assert cents == cents2
+
+
+def test_ivf_probe_autotune(spark):
+    """The recall curve is monotone, hits 1.0 when every cell is probed,
+    and the tuned probe count actually delivers the target recall on
+    the tuning sample (the curve's model: a true neighbor is found iff
+    its cell is probed)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sample = emb.filter(F.col("vec_id") < 20)
+    cents = S.ivf_centroids(emb, n_centroids=16, iters=2)
+    curve = S.ivf_probe_recall_curve(emb, sample, cents, k=5)
+    recalls = [r for _, r in curve]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    n = S.tune_n_probe(emb, sample, cents, k=5, target_recall=0.9)
+    assert 1 <= n <= 16
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, sample, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, sample, cents, n_probe=n, k=5).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_sampling_operators(spark):
+    """Deterministic samplers: split partitions the table and is stable
+    across invocations; quotas cap every stratum; mixture rates bound
+    each stratum's kept fraction."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators import sampling as SA
+
+    docs = load_table(spark, SF_SMALL, "documents").persist()
+    n = docs.count()
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    s1 = SA.hash_split(docs, "doc_id", splits)
+    by = {r.split: r["count"] for r in s1.groupBy("split").count().collect()}
+    assert sum(by.values()) == n and set(by) <= {"train", "val", "test"}
+    assert by["train"] > by.get("val", 0)  # 80% really dominates
+    s2 = {(r.doc_id, r.split) for r in SA.hash_split(docs, "doc_id", splits).collect()}
+    assert s2 == {(r.doc_id, r.split) for r in s1.collect()}  # stable
+
+    q = SA.stratified_quota(docs, "lang", "doc_id", 5)
+    assert q.groupBy("lang").count().agg(F.max("count")).collect()[0][0] <= 5
+
+    mix = SA.weighted_mixture(docs, "lang", "doc_id", {"en": 1.0}, default_rate=0.0)
+    kept = {r.lang for r in mix.select("lang").distinct().collect()}
+    assert kept == {"en"}
+    assert mix.count() == docs.filter("lang = 'en'").count()
+    docs.unpersist()
