@@ -326,3 +326,73 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     for i in range(bits):
         sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
     return agg.select("id", sig.alias("simhash"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (id, cluster_id
+    = smallest id in the component). This is the resolution step every
+    near-dup pipeline needs after pair detection: Jaccard/cosine pairs
+    are not transitive, so "keep one per PAIR" over-deletes — you must
+    cluster first, then keep one survivor per CLUSTER.
+
+    Iterative smallest-label propagation, pure DataFrame ops: each
+    round, every node takes min(own label, neighbors' labels) — one
+    equi-join plus one map-side-combinable min aggregate (shuffled by
+    node id both times, so AQE can reuse the partitioning). Converges
+    in ≤ graph-diameter rounds; near-dup components are tiny cliques in
+    practice (diameter ≤ ~3), and only the per-round convergence SCALAR
+    reaches the driver — never the edge set. For adversarial
+    long-chain graphs swap in large-star/small-star (Kiveris et al.),
+    which squares distances per round; same contract.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    # Both directions are present, so src alone covers every node.
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("id").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        ).persist()
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("label").alias("old_label")), "id"
+            )
+            .filter("label <> old_label")
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def resolve_duplicates(
+    df: DataFrame, clusters: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep one canonical row per duplicate cluster (the cluster-min
+    id) plus every unclustered row. Broadcast-friendly: the cluster map
+    is |near-dup nodes| rows, orders of magnitude smaller than the
+    corpus."""
+    c = clusters.select(F.col("id").alias(id_col), "cluster_id")
+    return (
+        df.join(c, id_col, "left")
+        .filter(F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id")))
+        .drop("cluster_id")
+    )

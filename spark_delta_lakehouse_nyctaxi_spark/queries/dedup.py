@@ -110,3 +110,76 @@ def q_minhash_lsh(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return D.simhash(df, "doc_id", "text")
+
+
+_PAIRS_SQL = f"""
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+pairs AS (
+    SELECT id_a, id_b FROM inter
+    JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+clusters AS (
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+)
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_PAIRS_SQL}
+    SELECT doc_id, cluster_id FROM clusters
+    """,
+    doc="Duplicate-CLUSTER resolution: n-gram Jaccard pairs are not "
+        "transitive, so near-dup dedup must first union pairs into "
+        "connected components, then pick one survivor per component. "
+        "Components via iterative smallest-label propagation (join + "
+        "map-side-combinable min agg per round, only a convergence "
+        "scalar on the driver; ≤ diameter rounds). Value-oracled "
+        "against a DuckDB recursive CTE.",
+)
+def q_dedup_clusters(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(df, "doc_id", "text", k=3, hashed=True)
+    pairs = D.jaccard_pairs(sh, threshold=0.1)
+    return D.duplicate_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+@register(
+    "q_dedup_canonical",
+    f"""
+    WITH RECURSIVE {_PAIRS_SQL}
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR d.doc_id = c.cluster_id
+    """,
+    doc="The corpus after near-dup cluster resolution: one canonical "
+        "doc (cluster-min id) per component plus all unclustered docs "
+        "— the actual training-set output of the dedup pipeline. The "
+        "cluster map is tiny vs the corpus, so the final join "
+        "broadcasts.",
+)
+def q_dedup_canonical(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(df, "doc_id", "text", k=3, hashed=True)
+    pairs = D.jaccard_pairs(sh, threshold=0.1)
+    clusters = D.duplicate_clusters(pairs)
+    return D.resolve_duplicates(df, F.broadcast(clusters), "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -214,3 +214,33 @@ def test_sampling_operators(spark):
     assert kept == {"en"}
     assert mix.count() == docs.filter("lang = 'en'").count()
     docs.unpersist()
+
+
+def test_duplicate_clusters_resolution(spark):
+    """Label propagation on a known graph: two chains and an isolated
+    pair resolve to component minima; resolve_duplicates keeps exactly
+    one survivor per component plus all unclustered rows."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.dedup import (
+        duplicate_clusters,
+        resolve_duplicates,
+    )
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.cluster_id) for r in duplicate_clusters(pairs).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20)}
+    assert got == want
+
+    docs = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    kept = {
+        r.doc_id
+        for r in resolve_duplicates(
+            docs, duplicate_clusters(pairs), "doc_id"
+        ).collect()
+    }
+    clustered = {i for i, _ in want}
+    assert kept == (set(range(25)) - clustered) | {1, 10, 20}
