@@ -88,3 +88,60 @@ def weighted_mean_udaf(v: pd.Series, w: pd.Series) -> float:  # type: ignore[mis
     num = int((vv.astype(object) * ww.astype(object)).sum())
     den = int(ww.sum())
     return float(num / den) if den else float("nan")
+
+
+def asof_join_cogrouped(
+    left, right, key: str, ts_col: str, value_cols: list[str]
+):
+    """As-of join via ``groupBy().cogroup().applyInPandas`` — the
+    co-grouped-map API the as-of union+carry-forward implementation
+    (operators/joins.py) doesn't exercise. Both sides are co-shuffled
+    on the key and each key group is handed to ``pandas.merge_asof``
+    (a sorted backward search) in one Arrow batch — per-key work stays
+    distributed, nothing crosses the driver.
+
+    Spark-first note: the union+carry-forward form is preferred at
+    scale (pure JVM window, no Python); this exists for genuinely
+    pandas-native per-group logic and as the parity test for that
+    operator. Left columns (key, ts) + right value_cols carried as
+    ``<c>_right`` plus ``ts_right``; unmatched left rows keep nulls.
+    """
+    import pandas as _pd
+
+    from pyspark.sql import functions as _F
+    from pyspark.sql.types import StructField, StructType
+
+    suffixed = {ts_col: "ts_right", **{c: f"{c}_right" for c in value_cols}}
+    # Alias right's columns to fresh names BEFORE cogrouping: when both
+    # sides derive from the same source plan, left and right share
+    # attribute IDs and Spark's cogroup de-duplicates the repeated
+    # attributes out of the right-side Arrow batch (the pandas frame
+    # arrives without its ts column). Fresh aliases = fresh attribute
+    # IDs on the right side.
+    r_proj = right.select(
+        key, *[_F.col(c).alias(suffixed[c]) for c in [ts_col] + value_cols]
+    )
+    out_cols = [*left.columns, *suffixed.values()]
+    out_schema = StructType(
+        [left.schema[c] for c in left.columns]
+        + [StructField(n, r_proj.schema[n].dataType, True) for n in suffixed.values()]
+    )
+
+    def _merge(l: _pd.DataFrame, r: _pd.DataFrame) -> _pd.DataFrame:
+        if l.empty:
+            return _pd.DataFrame(columns=out_cols)
+        l = l.sort_values(ts_col, kind="mergesort")
+        r = r[list(suffixed.values())].sort_values("ts_right", kind="mergesort")
+        if r.empty:
+            for c in suffixed.values():
+                l[c] = None
+            return l
+        return _pd.merge_asof(
+            l, r, left_on=ts_col, right_on="ts_right", direction="backward"
+        )
+
+    return (
+        left.groupBy(key)
+        .cogroup(r_proj.groupBy(key))
+        .applyInPandas(_merge, schema=out_schema)
+    )

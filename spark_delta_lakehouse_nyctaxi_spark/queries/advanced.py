@@ -168,3 +168,35 @@ def q_pivot_multi(spark, sf_dir):
         F.coalesce(F.col("F_n"), F.lit(0)).alias("f_n"),
         F.col("F_rev").alias("f_rev"),
     )
+
+
+@register(
+    "q_cogroup_asof",
+    """
+    WITH errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           c.ts AS ts_right,
+           c.value AS click_value
+    FROM errors e
+    ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc="The same point-in-time lookup as q_join_asof, through the "
+        "cogrouped applyInPandas API: both sides co-shuffled on "
+        "user_id, pandas.merge_asof per key group in Arrow batches. "
+        "Exercises groupBy().cogroup() (the one pandas API surface the "
+        "JVM as-of operator doesn't) and must match the same DuckDB "
+        "ASOF JOIN oracle as the carry-forward form.",
+)
+def q_cogroup_asof(spark, sf_dir):
+    from ..functions.udfs import asof_join_cogrouped
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "value")
+    out = asof_join_cogrouped(errors, clicks, "user_id", "ts", ["value"])
+    return out.withColumnRenamed("value_right", "click_value")

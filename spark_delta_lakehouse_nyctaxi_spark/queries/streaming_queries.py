@@ -268,3 +268,36 @@ def _stream_stream_join(spark, sf_dir, how, out_table):
     ).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
     run_available_now(joined, scratch_dir("ckpt_" + out_table), memory_table=out_table)
     return spark.table(out_table)
+
+
+@register(
+    "q_stream_static_join",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(22,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Stream-static enrichment join: the event stream joined to the "
+        "static customer dimension (broadcast — the dim is read once "
+        "per microbatch, never shuffled) and aggregated per market "
+        "segment. The standard streaming-ETL enrichment shape; a "
+        "finite drain in complete mode must equal the batch join "
+        "exactly.",
+)
+def q_stream_static_join(spark, sf_dir):
+    path = _staged_events(spark, sf_dir)
+    sdf = read_parquet_stream(spark, path, _SCHEMA)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = sdf.join(F.broadcast(dim), sdf.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(22,2)")).cast("double").alias("sum_value"),
+    )
+    run_available_now(
+        agg,
+        scratch_dir("ckpt_ssd"),
+        memory_table="q_stream_static_join_out",
+        output_mode="complete",
+    )
+    return spark.table("q_stream_static_join_out")

@@ -177,3 +177,30 @@ def test_exact_dedup_aggregates_with_mapside_partials(spark):
     assert "Window" not in plan
     assert "partial_min_by" in plan
     assert P.exchange_count(df) == 1
+
+
+def test_mixture_sampler_is_shuffle_free(spark):
+    """Deterministic Bernoulli/mixture sampling must pipeline into the
+    scan: zero exchanges, and the stratum filter reaches the reader."""
+    df = q("q_sample_mixture", spark)
+    assert P.exchange_count(df) == 0
+
+
+def test_stratified_sampler_single_shuffle(spark):
+    """Per-stratum quota = one exchange (the window partition), never a
+    global sort."""
+    assert P.exchange_count(q("q_sample_stratified", spark)) == 1
+
+
+def test_split_assignment_is_projection(spark):
+    """hash_split itself adds no exchange — the only shuffle in
+    q_sample_split is the final per-split aggregate."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.sampling import hash_split
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    df = hash_split(
+        load_table(spark, SF_SMALL, "documents"),
+        "doc_id",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )
+    assert P.exchange_count(df) == 0

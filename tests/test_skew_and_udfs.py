@@ -46,3 +46,36 @@ def test_pandas_udf_cosine_matches_jvm_expression(spark):
     assert len(both) == 400
     for r in both:
         assert abs(r.jvm - r.py) < 1e-12, (r.ida, r.idb)
+
+
+def test_cogroup_asof_matches_jvm_asof(spark):
+    """The cogrouped applyInPandas (merge_asof) form and the JVM
+    union+carry-forward operator must produce identical point-in-time
+    lookups — including unmatched lefts (null carry columns) and the
+    same-source attribute-ID aliasing fix in asof_join_cogrouped."""
+    from spark_delta_lakehouse_nyctaxi_spark.functions.udfs import (
+        asof_join_cogrouped,
+    )
+    from spark_delta_lakehouse_nyctaxi_spark.operators.joins import asof_join
+
+    ev = load_table(spark, SF_SMALL, "events")
+    errors = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "value")
+    via_pandas = {
+        (r.event_id, r.ts_right, r.value_right)
+        for r in asof_join_cogrouped(
+            errors, clicks, "user_id", "ts", ["value"]
+        ).collect()
+    }
+    via_jvm = {
+        (r.event_id, r.ts_right, r.value)
+        for r in asof_join(
+            errors,
+            clicks,
+            by=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_value_cols=["value"],
+        ).collect()
+    }
+    assert via_pandas == via_jvm and via_pandas
