@@ -189,3 +189,61 @@ def q_zorder_layout(spark, sf_dir):
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty"))
     )
+
+
+@register(
+    "q_table_changes",
+    """
+    WITH v0 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), v1 AS (
+        SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+               COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+               COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+               COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus
+        FROM v0 t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+    ), v2 AS (
+        SELECT * FROM v1 WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey ELSE n.o_custkey END AS o_custkey,
+           CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END AS o_totalprice,
+           CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update_postimage' END AS _change_type
+    FROM v0 o FULL JOIN v2 n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR n.o_custkey     IS DISTINCT FROM o.o_custkey
+       OR n.o_totalprice  IS DISTINCT FROM o.o_totalprice
+       OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+    """,
+    doc="Change data feed across three table versions (Delta CDF "
+        "analog): v0 seed → v1 MERGE upsert → v2 delete-overwrite; "
+        "changes(0, latest) must tag every key as insert / "
+        "update_postimage / delete exactly once, with insert/update "
+        "rows carrying the new image and deletes the old. Verified "
+        "against the equivalent snapshot full-outer diff in SQL.",
+)
+def q_table_changes(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    t = VersionedTable(spark, scratch_dir("cdf"))
+    t.write(orders.filter(F.col("o_orderkey") % 3 == 0), mode="overwrite")
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        ),
+        keys=["o_orderkey"],
+    )
+    t.write(t.read().filter(F.col("o_orderkey") % 5 != 0), mode="overwrite")
+    return t.changes(0, keys=["o_orderkey"])

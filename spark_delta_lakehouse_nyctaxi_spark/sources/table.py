@@ -248,6 +248,54 @@ class VersionedTable:
         info = self._resolve(version, timestamp)
         return self._read_units(info.units, bool(info.partition_by))
 
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Change data feed between two versions (Delta CDF analog,
+        *net* changes): each key appears at most once, tagged
+        ``_change_type`` ∈ insert / update_postimage / delete.
+        Insert/update rows carry the new image, deletes the old one.
+
+        Computed as a key full-outer join of the two snapshots with a
+        null-safe payload-struct comparison — one shuffle per side (or
+        zero if both snapshots are read back bucketed); nothing touches
+        the driver. This is the downstream-sync primitive: consumers
+        re-apply the feed as a MERGE instead of re-reading the table.
+        """
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        cols = new.columns
+        keys = keys or [cols[0]]
+        payload = [c for c in cols if c not in keys]
+        o, n = old.alias("o"), new.alias("n")
+        cond = None
+        for k in keys:
+            c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+            cond = c if cond is None else (cond & c)
+        o_present = F.col(f"o.{keys[0]}").isNotNull()
+        n_present = F.col(f"n.{keys[0]}").isNotNull()
+        differs = ~F.struct(*[F.col(f"o.{c}") for c in payload]).eqNullSafe(
+            F.struct(*[F.col(f"n.{c}") for c in payload])
+        )
+        change = (
+            F.when(~o_present, "insert")
+            .when(~n_present, "delete")
+            .when(differs, "update_postimage")
+        )
+        out_cols = [
+            F.when(n_present, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+            for c in cols
+        ]
+        return (
+            o.join(n, cond, "full_outer")
+            .withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type")
+        )
+
     # --------------------------------------------------------- history
 
     def history(self, limit: int | None = None) -> list[dict]:

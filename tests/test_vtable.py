@@ -190,3 +190,26 @@ def test_occ_merge_conflict_detected(spark, tmp_path):
         stale.merge(src, keys=["k"])
     # the concurrent append survived
     assert VersionedTable(spark, path).read().count() == 10
+
+
+def test_changes_tags_net_diff(spark, tmp_table_path):
+    """changes(): insert/update_postimage/delete tagging with null-safe
+    payload comparison; unchanged rows don't appear; deletes carry the
+    old image, updates the new one."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(
+        _mk(spark, [{"id": 1, "v": 1.0}, {"id": 2, "v": 2.0}, {"id": 3, "v": None}]),
+        mode="overwrite",
+    )
+    t.write(
+        _mk(spark, [{"id": 1, "v": 1.0}, {"id": 3, "v": 3.0}, {"id": 4, "v": 4.0}]),
+        mode="overwrite",
+    )
+    got = {(r.id, r.v, r._change_type) for r in t.changes(0, keys=["id"]).collect()}
+    assert got == {
+        (2, 2.0, "delete"),          # old image
+        (3, 3.0, "update_postimage"), # NULL -> 3.0 is a change (null-safe)
+        (4, 4.0, "insert"),
+    }
+    # v0 -> v0 feed is empty
+    assert t.changes(0, 0, keys=["id"]).count() == 0
