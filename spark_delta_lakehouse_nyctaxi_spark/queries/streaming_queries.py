@@ -301,3 +301,80 @@ def q_stream_static_join(spark, sf_dir):
         output_mode="complete",
     )
     return spark.table("q_stream_static_join_out")
+
+
+@register(
+    "q_stream_window_append",
+    """
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS w FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+    doc="The same tumbling-window aggregate as q_stream_window in "
+        "APPEND output mode: a window row is emitted exactly once, "
+        "when the watermark passes its end and the result is final — "
+        "the mode a downstream incremental sink actually consumes "
+        "(complete mode rewrites the world every batch). Oracle: "
+        "batch windows whose end ≤ final watermark max(ts) - 1min; "
+        "the last in-flight window stays in state, unemitted.",
+)
+def q_stream_window_append(spark, sf_dir):
+    path = _staged_events(spark, sf_dir)
+    sdf = read_parquet_stream(spark, path, _SCHEMA)
+    agg = (
+        sdf.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "n_events", "sum_value")
+    )
+    run_available_now(
+        agg,
+        scratch_dir("ckpt_win_ap"),
+        memory_table="q_stream_window_append_out",
+        output_mode="append",
+    )
+    return spark.table("q_stream_window_append_out")
+
+
+@register(
+    "q_stream_sliding_window",
+    """
+    SELECT time_bucket(INTERVAL '30 minutes', ts)
+             - INTERVAL (k * 30) MINUTE AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS sum_value
+    FROM events, (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1
+    """,
+    doc="Watermarked SLIDING window (1 hour every 30 minutes) over the "
+        "event stream: each event lands in exactly two overlapping "
+        "windows. Complete-mode drain must equal the batch answer — "
+        "the oracle replicates each row into its slide offsets with a "
+        "constant 2-row unnest (no range join).",
+)
+def q_stream_sliding_window(spark, sf_dir):
+    path = _staged_events(spark, sf_dir)
+    sdf = read_parquet_stream(spark, path, _SCHEMA)
+    agg = (
+        sdf.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "n_events", "sum_value")
+    )
+    run_available_now(
+        agg,
+        scratch_dir("ckpt_slide"),
+        memory_table="q_stream_sliding_window_out",
+        output_mode="complete",
+    )
+    return spark.table("q_stream_sliding_window_out")

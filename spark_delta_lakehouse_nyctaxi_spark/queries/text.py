@@ -175,3 +175,53 @@ def q_token_count_bpe(spark, sf_dir):
 def q_rolling_fingerprint(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", T.rolling_fingerprint("text").alias("rolling_fp"))
+
+
+@register(
+    "q_pack_sequences",
+    """
+    WITH counted AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+                       - n_tokens) / 1024.0) AS BIGINT) AS pack_id
+    FROM counted
+    """,
+    doc="Sequence packing for training batches: documents are laid out "
+        "in deterministic hash order per source and assigned to "
+        "1024-token packs by running token count (a doc starts the "
+        "pack its cumulative offset falls into — the streaming-pack "
+        "assignment used when batches are filled in arrival order). "
+        "One window shuffle on the source key; no driver state. The "
+        "hash order is the same append-stable ordering the samplers "
+        "use, so pack assignment is reproducible across runs and "
+        "engines — verified exactly.",
+)
+def q_pack_sequences(spark, sf_dir):
+    from pyspark.sql.window import Window
+    from ..operators.sampling import hash_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        hash_key(F.col("doc_id")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return counted.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 1024.0)
+        .cast("long")
+        .alias("pack_id"),
+    )

@@ -186,14 +186,32 @@ class VersionedTable:
         partition_by: list[str] | None = None,
         operation: str = "WRITE",
         extra: dict | None = None,
+        merge_schema: bool = False,
     ) -> VersionInfo:
         """Reference parity: write_*_delta (etl/bronze_job.py:60-91) —
-        modes overwrite/append, optional partitionBy."""
+        modes overwrite/append, optional partitionBy.
+
+        Schema evolution follows Delta semantics: an append whose
+        column set differs from the table's is rejected unless
+        ``merge_schema=True`` (Delta's ``mergeSchema`` option), in
+        which case added columns read back as nulls on old rows and
+        dropped columns as nulls on new ones (the storage layer
+        reconciles by name at read time). Overwrite always replaces
+        the schema (the reference sets overwriteSchema=true
+        unconditionally, etl/bronze_job.py:78)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
         prev = self._versions()
         if mode == "append" and prev:
             partition_by = partition_by or prev[-1].partition_by
+            existing = set(self.read().columns)
+            if set(df.columns) != existing and not merge_schema:
+                added = sorted(set(df.columns) - existing)
+                missing = sorted(existing - set(df.columns))
+                raise ValueError(
+                    f"append schema mismatch (added={added}, missing="
+                    f"{missing}); pass merge_schema=True to evolve"
+                )
         new_units = self._write_units(df, partition_by)
         # Optimistic commit: the data units above are immutable and
         # uuid-named, so on a version conflict only the manifest needs

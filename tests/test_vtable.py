@@ -213,3 +213,25 @@ def test_changes_tags_net_diff(spark, tmp_table_path):
     }
     # v0 -> v0 feed is empty
     assert t.changes(0, 0, keys=["id"]).count() == 0
+
+
+def test_append_schema_evolution(spark, tmp_table_path):
+    """Delta mergeSchema semantics: mismatched append is rejected by
+    default; with merge_schema=True added columns null-fill old rows
+    and dropped columns null-fill new rows."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1, "v": 1.0}]), mode="overwrite")
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.write(
+            _mk(spark, [{"id": 2, "v": 2.0, "extra": "x"}]), mode="append"
+        )
+    t.write(
+        _mk(spark, [{"id": 2, "v": 2.0, "extra": "x"}]),
+        mode="append",
+        merge_schema=True,
+    )
+    rows = {r.id: (r.v, r.extra) for r in t.read().collect()}
+    assert rows == {1: (1.0, None), 2: (2.0, "x")}
+    # dropped column on the new side null-fills too
+    t.write(_mk(spark, [{"id": 3}]), mode="append", merge_schema=True)
+    assert {r.id for r in t.read().filter("v IS NULL AND extra IS NULL").collect()} == {3}
