@@ -183,3 +183,101 @@ def q_dedup_canonical(spark, sf_dir):
     return D.resolve_duplicates(df, F.broadcast(clusters), "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+def _training_pipeline_sql() -> str:
+    from ..operators.sampling import split_case_sql
+
+    split_case = split_case_sql(
+        "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return f"""
+    WITH RECURSIVE
+    quality AS (
+        SELECT doc_id, text, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE n_chars >= 100
+          AND len(string_split_regex(trim(text), '\\s+')) >= 20
+    ),
+    exact AS (
+        SELECT doc_id, text, lang, n_tokens FROM (
+            SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                           ORDER BY doc_id) AS rn
+            FROM quality q
+        ) WHERE rn = 1
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS id, s AS shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM exact)
+        ) WHERE s <> ''
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    clusters AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+                 FROM walk GROUP BY node),
+    resolved AS (
+        SELECT e.* FROM exact e LEFT JOIN clusters c ON e.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL OR e.doc_id = c.cluster_id
+    )
+    SELECT {split_case} AS split, lang,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM resolved GROUP BY 1, 2
+    """
+
+
+@register(
+    "q_training_pipeline",
+    _training_pipeline_sql(),
+    doc="The flagship end-to-end training-data pipeline, every stage "
+        "deterministic and the WHOLE composition value-oracled: "
+        "quality filter (length + token floor) → exact dedup (md5 "
+        "fingerprint, min-id survivor) → near-dup CLUSTER resolution "
+        "(n-gram Jaccard pairs → connected components → one canonical "
+        "doc per component) → append-stable train/val/test split → "
+        "per-split/language doc and token budgets. At 100 TB: filters "
+        "pipeline into the scan, exact dedup is one map-side-combining "
+        "shuffle, near-dup never leaves the co-shingle join, the "
+        "cluster map broadcasts, and the split adds no shuffle at all.",
+)
+def q_training_pipeline(spark, sf_dir):
+    from ..operators import sampling as SA
+    from ..operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.filter(
+        (F.col("n_chars") >= 100) & (T.token_count("text") >= 20)
+    ).select("doc_id", "text", "lang", T.token_count("text").cast("long").alias("n_tokens"))
+    exact = D.exact_dedup(
+        quality.withColumn("__fp", F.md5("text")), ["__fp"], "doc_id"
+    ).drop("__fp")
+    sh = D.shingles(exact, "doc_id", "text", k=3, hashed=True)
+    clusters = D.duplicate_clusters(D.jaccard_pairs(sh, threshold=0.1))
+    resolved = D.resolve_duplicates(exact, F.broadcast(clusters), "doc_id")
+    return (
+        SA.hash_split(resolved, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
