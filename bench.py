@@ -37,6 +37,7 @@ HEADLINE = [
     "q_tpch_q5",
     "q_tpch_q19",
     "q_token_count_bpe",
+    "q_training_pipeline",
 ]
 
 

@@ -333,6 +333,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (id, cluster_id
     = smallest id in the component). This is the resolution step every
@@ -354,6 +355,42 @@ def duplicate_clusters(
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # Near-dup edge sets are metadata-sized relative to the corpus
+    # (pairs survive an LSH/Jaccard threshold): below the threshold,
+    # union-find on the collected edges beats paying per-iteration job
+    # scheduling for a graph that fits in one hand — the same
+    # "driver holds k·dim, never the data" budget as ivf_centroids.
+    # Above it, the distributed loop below takes over unchanged.
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row.src, row.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id keeps cluster_id = component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in parent]
+        edges.unpersist()
+        id_type = pairs.schema[id_a].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [StructField("id", id_type), StructField("cluster_id", id_type)]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
     # Both directions are present, so src alone covers every node.
     labels = (
         edges.select(F.col("src").alias("id"))

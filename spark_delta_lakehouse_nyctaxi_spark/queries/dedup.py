@@ -270,9 +270,12 @@ def q_training_pipeline(spark, sf_dir):
     quality = docs.filter(
         (F.col("n_chars") >= 100) & (T.token_count("text") >= 20)
     ).select("doc_id", "text", "lang", T.token_count("text").cast("long").alias("n_tokens"))
+    # exact feeds BOTH the near-dup pair detection and the final
+    # resolved output — persist so the dedup shuffle runs once (at
+    # 100 TB this would be a checkpoint to cluster storage).
     exact = D.exact_dedup(
         quality.withColumn("__fp", F.md5("text")), ["__fp"], "doc_id"
-    ).drop("__fp")
+    ).drop("__fp").persist()
     sh = D.shingles(exact, "doc_id", "text", k=3, hashed=True)
     clusters = D.duplicate_clusters(D.jaccard_pairs(sh, threshold=0.1))
     resolved = D.resolve_duplicates(exact, F.broadcast(clusters), "doc_id")

@@ -244,3 +244,22 @@ def test_duplicate_clusters_resolution(spark):
     }
     clustered = {i for i, _ in want}
     assert kept == (set(range(25)) - clustered) | {1, 10, 20}
+
+
+def test_duplicate_clusters_distributed_path(spark):
+    """The distributed label-propagation loop (forced by
+    local_threshold=0) must agree with the union-find fallback."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    via_loop = {
+        (r.id, r.cluster_id)
+        for r in duplicate_clusters(pairs, local_threshold=0).collect()
+    }
+    via_uf = {(r.id, r.cluster_id) for r in duplicate_clusters(pairs).collect()}
+    assert via_loop == via_uf
