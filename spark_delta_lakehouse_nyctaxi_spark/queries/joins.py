@@ -167,3 +167,33 @@ def q_join_range(spark, sf_dir):
         l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
     )
     return o.join(l, cond, "inner").groupBy("o_orderkey").agg(F.count("*").alias("n_late_lines"))
+
+
+@register(
+    "q_join_salted",
+    """
+    SELECT l.l_orderkey, o.o_custkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+    doc="Skew-salted equi-join (operators/skew.py): the fact side gets "
+        "a uniform salt, the dim side explodes into salt_factor copies, "
+        "the join runs on (key, salt) — a hot key's rows spread over "
+        "salt_factor tasks instead of one straggler. The salt is an "
+        "execution detail: the result (and oracle) is exactly the "
+        "unsalted join + aggregate.",
+)
+def q_join_salted(spark, sf_dir):
+    from ..operators.skew import salted_join
+    from .aggregates import dsum
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = salted_join(
+        li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), on="l_orderkey",
+        salt_factor=8,
+    )
+    return joined.groupBy("l_orderkey", "o_custkey").agg(
+        dsum("l_extendedprice").alias("total_price")
+    )
