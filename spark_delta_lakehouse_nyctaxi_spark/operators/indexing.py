@@ -1,0 +1,90 @@
+"""Stable global row numbering at scale.
+
+The naive ``row_number().over(Window.orderBy(...))`` funnels the whole
+table through ONE partition (Spark warns about exactly this) — a
+non-starter at 100 TB. The classic two-phase alternative implemented
+here:
+
+1. range-partition by the order key and sort within partitions — the
+   same machinery a global sort uses, minus the single-partition window;
+2. count rows per partition (k scalars to the driver — metadata, like a
+   watermark or centroid matrix);
+3. give each partition its cumulative offset and add a per-partition
+   local index via ``mapInPandas`` (order-preserving over the sorted
+   partitions, no further shuffle).
+
+With a total order (include a unique tiebreaker in ``order_cols``) the
+assignment is fully deterministic — equal to the single-partition
+window answer, verified against a DuckDB ROW_NUMBER oracle — while the
+heavy lifting stays at one range exchange, fanned out over all
+executors.
+"""
+
+from __future__ import annotations
+
+import sys as _sys
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adds ``out_col`` = 1-based global rank of the row under
+    ``order_cols`` (which must be a total order for determinism)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Persist the ranged layout: the count pass and the index pass must
+    # see the SAME partition boundaries (and it saves the re-shuffle).
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
+
+    counts_schema = "pid int, cnt long"
+
+    def _count(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        total = sum(len(b) for b in it)
+        yield pd.DataFrame({"pid": [pid], "cnt": [total]})
+
+    counts = {r.pid: r.cnt for r in ranged.mapInPandas(_count, counts_schema).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # (StructType.add mutates in place — build a fresh copy instead of
+    # appending to the DataFrame's live schema object.)
+    out_schema = StructType(
+        list(ranged.schema.fields) + [StructField(out_col, LongType())]
+    )
+
+    def _index(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pos = offsets.get(pid, 0)
+        for b in it:
+            b = b.copy()
+            b[out_col] = range(pos + 1, pos + 1 + len(b))
+            pos += len(b)
+            yield b
+
+    return ranged.mapInPandas(_index, out_schema)

@@ -221,3 +221,48 @@ def q_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
         F.approx_count_distinct("o_orderkey").alias("approx_orderkeys"),
     )
+
+
+@register(
+    "q_percentile_exact",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price,
+           quantile_cont(l_discount, 0.25) AS p25_discount
+    FROM lineitem GROUP BY 1
+    """,
+    doc="EXACT percentiles per group (complements the rows-only "
+        "approx_percentile sketch): Spark's percentile() and DuckDB's "
+        "quantile_cont share the linear-interpolation definition, so "
+        "the values must match bit-for-bit. The exact form sorts each "
+        "group's values in aggregation buffers — fine for bounded "
+        "group sizes; at 100 TB-scale cardinalities switch to "
+        "q_approx_quantiles (bounded-error sketch, mergeable "
+        "map-side).",
+)
+def q_percentile_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_price"),
+        F.percentile("l_discount", F.lit(0.25)).alias("p25_discount"),
+    )
+
+
+@register(
+    "q_freq_items",
+    None,  # one-pass sketch may emit false positives → rows-only
+    doc="Approximate heavy hitters (Karp-Shenk-Papadimitriou one-pass "
+        "counting via df.freqItems): all customers covering ≥ 2% of "
+        "orders, single scan, fixed memory. May over-report (false "
+        "positives) but never misses a true heavy hitter — pytest "
+        "asserts the superset guarantee against the exact groupBy.",
+)
+def q_freq_items(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.freqItems(["o_custkey"], support=0.02)
+        .select(F.explode("o_custkey_freqItems").alias("o_custkey"))
+        .orderBy("o_custkey")
+    )

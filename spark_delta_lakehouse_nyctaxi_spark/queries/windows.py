@@ -156,3 +156,27 @@ def q_window_firstlast(spark, sf_dir):
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "q_global_row_number",
+    """
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS row_id
+    FROM orders
+    """,
+    doc="Global stable row numbering WITHOUT the single-partition "
+        "global-sort window (operators/indexing.py): range-partition + "
+        "in-partition sort, per-partition counts (k scalars to the "
+        "driver), then offset + local index via order-preserving "
+        "mapInPandas — the zipWithIndex analog that actually scales. "
+        "Total order via the (o_totalprice, o_orderkey) tiebreak makes "
+        "it equal to the window answer exactly.",
+)
+def q_global_row_number(spark, sf_dir):
+    from ..operators.indexing import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_row_number(
+        orders, ["o_totalprice", "o_orderkey"], out_col="row_id"
+    ).select("o_orderkey", "row_id")

@@ -12,7 +12,7 @@ from spark_delta_lakehouse_nyctaxi_spark.operators import dedup as D
 from spark_delta_lakehouse_nyctaxi_spark.operators import similarity as S
 from spark_delta_lakehouse_nyctaxi_spark.operators import text as T
 from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 
 def test_exact_dedup_removes_injected_duplicate(spark):
@@ -263,3 +263,24 @@ def test_duplicate_clusters_distributed_path(spark):
     }
     via_uf = {(r.id, r.cluster_id) for r in duplicate_clusters(pairs).collect()}
     assert via_loop == via_uf
+
+
+def test_freq_items_superset_of_true_heavy_hitters(spark):
+    """freqItems may over-report but must contain every key whose true
+    frequency is >= the support threshold."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    got = {
+        r.o_custkey
+        for r in REGISTRY["q_freq_items"].fn(spark, SF_MEDIUM).collect()
+    }
+    orders = load_table(spark, SF_MEDIUM, "orders")
+    n = orders.count()
+    true_heavy = {
+        r.o_custkey
+        for r in orders.groupBy("o_custkey")
+        .count()
+        .filter(F.col("count") >= 0.02 * n)
+        .collect()
+    }
+    assert true_heavy <= got
