@@ -90,3 +90,33 @@ def incremental_merge(
     if n:
         table.merge(inc, keys=merge_keys)
     return {"watermark": wm, "rows_merged": n}
+
+
+def refresh_aggregate(
+    table: VersionedTable,
+    delta: DataFrame,
+    keys: list[str],
+    add_columns: list[str],
+) -> dict:
+    """Incremental materialized-view maintenance for distributive
+    aggregates (SUM/COUNT): fold a PARTIAL aggregate of only the new
+    rows into the stored aggregate table — matched groups add
+    (``t.c + s.c``), new groups insert. A day's refresh touches a
+    day's groups; the full history is never rescanned (and with the
+    table partitioned on the group key, the MERGE prunes to the
+    touched partitions).
+
+    Exactness contract: additive columns must be decimal or integral.
+    Decimal addition is exact, so seed ⊕ increments is bit-equal to
+    the from-scratch aggregate under ANY refresh batching — double
+    columns would drift (rounding depends on addition order). Cast to
+    double only when reading the view out.
+    """
+    n = delta.count()
+    if n:
+        table.merge(
+            delta,
+            keys=keys,
+            update_exprs={c: f"t.{c} + s.{c}" for c in add_columns},
+        )
+    return {"groups_in_delta": n}

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..incremental import incremental_append
+from ..incremental import incremental_append, refresh_aggregate
 from ..sources.readers import load_table, read_csv
 from ..sources.table import VersionedTable
 from .merge import scratch_dir
@@ -247,3 +247,53 @@ def q_table_changes(spark, sf_dir):
     )
     t.write(t.read().filter(F.col("o_orderkey") % 5 != 0), mode="overwrite")
     return t.changes(0, keys=["o_orderkey"])
+
+
+@register(
+    "q_incremental_agg",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS order_date,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Incremental materialized-view maintenance: the daily-KPI "
+        "aggregate is seeded from pre-cutoff orders, then two refresh "
+        "batches fold PARTIAL aggregates of only the new rows into the "
+        "stored view (MERGE with additive update_exprs — matched "
+        "groups add, new groups insert). The additive column stays "
+        "DECIMAL inside the table so seed ⊕ increments is bit-equal "
+        "to the from-scratch aggregate regardless of batching; the "
+        "oracle IS that from-scratch aggregate. The reference recomputes "
+        "gold from all of silver every run (etl/gold_job.py:40-97) — "
+        "this is the 100 TB-viable alternative.",
+)
+def q_incremental_agg(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df):
+        return df.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(22,2)")).alias("total_revenue"),
+        )
+
+    c1 = F.lit("1993-01-01").cast("timestamp_ntz")
+    c2 = F.lit("1996-01-01").cast("timestamp_ntz")
+    t = VersionedTable(spark, scratch_dir("incagg"))
+    t.write(partial(orders.filter(F.col("o_orderdate") < c1)), mode="overwrite")
+    refresh_aggregate(
+        t,
+        partial(orders.filter((F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2))),
+        keys=["order_date"],
+        add_columns=["n_orders", "total_revenue"],
+    )
+    refresh_aggregate(
+        t,
+        partial(orders.filter(F.col("o_orderdate") >= c2)),
+        keys=["order_date"],
+        add_columns=["n_orders", "total_revenue"],
+    )
+    return t.read().select(
+        "order_date", "n_orders", F.col("total_revenue").cast("double").alias("total_revenue")
+    )

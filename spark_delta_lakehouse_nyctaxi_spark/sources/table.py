@@ -455,6 +455,7 @@ class VersionedTable:
         update_columns: list[str] | None = None,
         insert_unmatched: bool = True,
         update_condition: str | None = None,
+        update_exprs: dict[str, str] | None = None,
     ) -> VersionInfo:
         """Delta MERGE analog (utils/incremental.py:89-156):
         whenMatchedUpdate(set=update_columns or all non-key columns) +
@@ -463,6 +464,13 @@ class VersionedTable:
         ``update_condition``: optional SQL boolean over aliases ``t``
         (target) and ``s`` (source); matched rows update only when it
         holds (Delta's ``whenMatchedUpdate(condition=...)``).
+
+        ``update_exprs``: optional per-column SQL expressions over ``t``
+        and ``s`` applied to MATCHED rows (Delta's
+        ``whenMatchedUpdate(set={...})`` with arbitrary expressions) —
+        e.g. ``{"cnt": "t.cnt + s.cnt"}`` for additive incremental
+        aggregate maintenance. Unmatched source rows still insert the
+        source values.
 
         Partition pruning: when the table is partitioned and the source
         carries the partition columns, only partitions present in the
@@ -513,6 +521,12 @@ class VersionedTable:
             sc = F.col(f"s.{c}") if c in source.columns else F.lit(None)
             if c in keys:
                 expr = F.coalesce(tc, sc)
+            elif update_exprs and c in update_exprs:
+                expr = (
+                    F.when(matched, F.expr(update_exprs[c]))
+                    .when(s_only, sc)
+                    .otherwise(tc)
+                )
             elif c in update_columns:
                 expr = F.when(matched | s_only, sc).otherwise(tc)
             else:

@@ -204,3 +204,18 @@ def test_split_assignment_is_projection(spark):
         [("train", 0.8), ("val", 0.1), ("test", 0.1)],
     )
     assert P.exchange_count(df) == 0
+
+
+def test_global_row_number_avoids_single_partition_sort(spark):
+    """The scalable row-number must range-partition (parallel sort),
+    never collapse to the one-partition global-sort window."""
+    df = q("q_global_row_number", spark)
+    plan = P.explain_str(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "singlepartition" not in plan.lower()
+
+
+def test_training_pipeline_no_cartesian_and_broadcasts(spark):
+    df = q("q_training_pipeline", spark)
+    assert not P.has_cartesian(df)
+    assert P.uses_broadcast_join(df)  # the cluster map join

@@ -235,3 +235,16 @@ def test_append_schema_evolution(spark, tmp_table_path):
     # dropped column on the new side null-fills too
     t.write(_mk(spark, [{"id": 3}]), mode="append", merge_schema=True)
     assert {r.id for r in t.read().filter("v IS NULL AND extra IS NULL").collect()} == {3}
+
+
+def test_merge_update_exprs_additive(spark, tmp_table_path):
+    """MERGE with expression-based matched updates: additive fold
+    (t.c + s.c), inserts for new keys, untouched rows unchanged."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1, "cnt": 10}, {"id": 2, "cnt": 20}]), mode="overwrite")
+    t.merge(
+        _mk(spark, [{"id": 2, "cnt": 5}, {"id": 3, "cnt": 7}]),
+        keys=["id"],
+        update_exprs={"cnt": "t.cnt + s.cnt"},
+    )
+    assert {(r.id, r.cnt) for r in t.read().collect()} == {(1, 10), (2, 25), (3, 7)}
