@@ -297,3 +297,31 @@ def q_incremental_agg(spark, sf_dir):
     return t.read().select(
         "order_date", "n_orders", F.col("total_revenue").cast("double").alias("total_revenue")
     )
+
+
+@register(
+    "q_table_dml",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+    """,
+    doc="Row-level DML through the versioned storage path (Delta "
+        "UPDATE/DELETE analogs): UPDATE SET price*1.1 WHERE open, then "
+        "DELETE WHERE key%7=0 — each a new rewritten version (old "
+        "versions stay time-travelable; partitioned deletes carry "
+        "untouched partitions by reference). Oracle is the equivalent "
+        "CASE + filter over the source.",
+)
+def q_table_dml(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t = VersionedTable(spark, scratch_dir("dml"))
+    t.write(orders.filter(F.col("o_orderkey") % 3 == 0), mode="overwrite")
+    t.update({"o_totalprice": "o_totalprice * 1.1"}, condition="o_orderstatus = 'O'")
+    t.delete("o_orderkey % 7 = 0")
+    return t.read()

@@ -378,3 +378,46 @@ def q_stream_sliding_window(spark, sf_dir):
         output_mode="complete",
     )
     return spark.table("q_stream_sliding_window_out")
+
+
+@register(
+    "q_stream_incremental_agg",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="Streaming MATERIALIZED VIEW: each microbatch's partial "
+        "aggregate is folded into a VersionedTable with an additive "
+        "expression MERGE (refresh_aggregate) — update mode without "
+        "unbounded state, queryable mid-stream, versioned. The "
+        "additive column stays DECIMAL inside the view, so the end "
+        "state is bit-equal to the batch aggregate under ANY "
+        "microbatch split — the oracle is that batch aggregate.",
+)
+def q_stream_incremental_agg(spark, sf_dir):
+    from ..incremental import refresh_aggregate
+    from ..sources.table import VersionedTable
+
+    path = _staged_events(spark, sf_dir)
+    sdf = read_parquet_stream(spark, path, _SCHEMA)
+    t = VersionedTable(spark, scratch_dir("stream_mv"))
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,2)")).alias("sum_value"),
+        )
+        if not t.exists():
+            t.write(partial, mode="overwrite")
+        else:
+            refresh_aggregate(
+                t, partial, keys=["user_id"], add_columns=["n_events", "sum_value"]
+            )
+
+    run_available_now(sdf, scratch_dir("ckpt_mv"), foreach_batch=fold)
+    return t.read().select(
+        "user_id", "n_events", F.col("sum_value").cast("double").alias("sum_value")
+    )

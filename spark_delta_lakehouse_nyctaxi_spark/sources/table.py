@@ -266,6 +266,72 @@ class VersionedTable:
         info = self._resolve(version, timestamp)
         return self._read_units(info.units, bool(info.partition_by))
 
+    def delete(self, condition: str) -> VersionInfo:
+        """Delta ``DELETE WHERE`` analog: rewrite the snapshot without
+        the matching rows. When the table is partitioned, partitions
+        whose every row survives are carried over BY REFERENCE — only
+        partitions containing matches are rewritten (computed from one
+        aggregate over the partition columns, the moral equivalent of
+        Delta's file-level deletion stats)."""
+        info = self._resolve()
+        part_cols = info.partition_by
+        if part_cols:
+            touched_vals = {
+                tuple(str(r[c]) for c in part_cols)
+                for r in self.read().filter(condition).select(*part_cols).distinct().collect()
+            }
+            touched = {
+                "/".join(f"{c}={v}" for c, v in zip(part_cols, vals))
+                for vals in touched_vals
+            }
+            touched_units = [u for u in info.units if u.split("/", 1)[1] in touched]
+            carried = [u for u in info.units if u.split("/", 1)[1] not in touched]
+            if not touched_units:
+                return info  # nothing matched; current snapshot stands
+            kept = self._read_units(touched_units, True).filter(f"NOT ({condition})")
+        else:
+            carried = []
+            kept = self.read().filter(f"NOT ({condition})")
+        new_units = self._write_units(kept, part_cols or None)
+        vinfo = VersionInfo(
+            version=info.version + 1,
+            timestamp=time.time(),
+            operation="DELETE",
+            mode=None,
+            units=carried + new_units,
+            partition_by=list(part_cols or []),
+            extra={"condition": condition},
+        )
+        self._commit(vinfo)
+        return vinfo
+
+    def update(self, set_exprs: dict[str, str], condition: str = "true") -> VersionInfo:
+        """Delta ``UPDATE SET ... WHERE`` analog: matching rows get each
+        column replaced by its SQL expression (over the row itself),
+        everything else passes through unchanged. One scan, one
+        rewrite."""
+        info = self._resolve()
+        df = self.read()
+        cols = [
+            F.when(F.expr(condition), F.expr(e)).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c, e in ((c, set_exprs.get(c)) for c in df.columns)
+        ]
+        updated = df.select(*cols)
+        new_units = self._write_units(updated, info.partition_by or None)
+        vinfo = VersionInfo(
+            version=info.version + 1,
+            timestamp=time.time(),
+            operation="UPDATE",
+            mode=None,
+            units=new_units,
+            partition_by=list(info.partition_by or []),
+            extra={"condition": condition, "set": set_exprs},
+        )
+        self._commit(vinfo)
+        return vinfo
+
     def changes(
         self,
         from_version: int,

@@ -248,3 +248,33 @@ def test_merge_update_exprs_additive(spark, tmp_table_path):
         update_exprs={"cnt": "t.cnt + s.cnt"},
     )
     assert {(r.id, r.cnt) for r in t.read().collect()} == {(1, 10), (2, 25), (3, 7)}
+
+
+def test_delete_where(spark, tmp_table_path):
+    """DELETE rewrites matching rows out; partitioned tables carry
+    untouched partitions by reference (no rewrite)."""
+    t = VersionedTable(spark, tmp_table_path)
+    df = _mk(spark, [{"id": i, "grp": "a" if i < 5 else "b", "v": float(i)} for i in range(10)])
+    t.write(df, mode="overwrite", partition_by=["grp"])
+    before_units = set(t._resolve().units)
+    t.delete("id = 7")  # only grp=b touched
+    after = t._resolve()
+    assert t.read().count() == 9
+    assert {r.id for r in t.read().filter("grp = 'b'").collect()} == {5, 6, 8, 9}
+    # grp=a unit carried over by reference
+    a_units_before = {u for u in before_units if "grp=a" in u}
+    assert a_units_before <= set(after.units)
+    assert after.operation == "DELETE"
+    # no-match delete is a no-op version-wise
+    v = t.latest_version()
+    t.delete("id = 999")
+    assert t.latest_version() == v
+
+
+def test_update_set_where(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1, "v": 1.0}, {"id": 2, "v": 2.0}]), mode="overwrite")
+    t.update({"v": "v * 10"}, condition="id = 2")
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, 1.0), (2, 20.0)}
+    # time travel still sees the pre-update state
+    assert {(r.id, r.v) for r in t.read(version=0).collect()} == {(1, 1.0), (2, 2.0)}
