@@ -65,12 +65,19 @@ def main() -> None:
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
+    # Median of 3 timed runs per query: this host shows 2-3× swings
+    # under external load (VM steal), and a single sample can land on a
+    # spike. The median is robust to one bad run while still charging
+    # every query its full data work (cache cleared between runs).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(sorted(samples)[1], 3)
 
     out = {
         "metric": "headline_queries_total",
