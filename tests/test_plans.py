@@ -219,3 +219,30 @@ def test_training_pipeline_no_cartesian_and_broadcasts(spark):
     df = q("q_training_pipeline", spark)
     assert not P.has_cartesian(df)
     assert P.uses_broadcast_join(df)  # the cluster map join
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A date-partitioned fact joined to a filtered broadcast dim must
+    plan runtime partition pruning (dynamicpruningexpression in the
+    scan's PartitionFilters) — at 100 TB this is the difference
+    between scanning 7 years and scanning the 4 the dim selects."""
+    from pyspark.sql import functions as F
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    (
+        load_table(spark, SF_SMALL, "orders")
+        .withColumn("order_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(fact_path)
+    )
+    spark.createDataFrame(
+        [(y, f"grp{y % 2}") for y in range(1992, 1999)],
+        "order_year int, grp string",
+    ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter("grp = 'grp0'")
+    j = fact.join(dim, "order_year").groupBy("order_year").count()
+    assert "dynamicpruningexpression" in P.explain_str(j).lower()

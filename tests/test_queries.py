@@ -36,3 +36,26 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracle_sql()) <= set(queries())
     # every oracle is non-trivial SQL
     assert all(len(s.strip()) > 20 for s in oracle_sql().values())
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_merge_upsert",
+        "q_time_travel",
+        "q_incremental",
+        "q_incremental_agg",
+        "q_table_changes",
+        "q_table_dml",
+        "q_stream_incremental_agg",
+    ],
+)
+def test_stateful_queries_tolerate_double_invocation(spark, name):
+    """Driver contract (NOTES.md): every query must be re-runnable in
+    the same session — scratch tables are uuid'd per call, so a second
+    invocation must return the same row count, not conflict."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    n1 = REGISTRY[name].fn(spark, SF_SMALL).count()
+    n2 = REGISTRY[name].fn(spark, SF_SMALL).count()
+    assert n1 == n2
