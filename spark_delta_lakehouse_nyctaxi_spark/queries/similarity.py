@@ -113,3 +113,44 @@ def q_ann_ivf_tuned(spark, sf_dir):
     n_probe = S.tune_n_probe(emb, tune_sample, centroids, k=5, target_recall=0.9)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_topk(emb, queries, centroids, n_probe=n_probe, k=5)
+
+
+@register(
+    "q_dedup_embedding_canonical",
+    f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_SQL} >= 0.45
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    clusters AS (SELECT node AS vec_id, MIN(label) AS cluster_id
+                 FROM walk GROUP BY node)
+    SELECT e.vec_id, e.label
+    FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.vec_id
+    WHERE c.vec_id IS NULL OR e.vec_id = c.cluster_id
+    """,
+    doc="Embedding-modality dedup, end to end: cosine near-dup pairs "
+        "(≥ 0.45) → connected components → one canonical vector per "
+        "component plus all unclustered vectors. The same "
+        "cluster-resolution contract as the text path "
+        "(q_dedup_canonical) applied to the vector column — at scale "
+        "the pair stage routes through LSH/IVF buckets instead of the "
+        "exact pair join; the resolution stages are identical.",
+)
+def q_dedup_embedding_canonical(spark, sf_dir):
+    from ..operators.dedup import duplicate_clusters, resolve_duplicates
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dups(emb, threshold=0.45).select("id_a", "id_b")
+    clusters = duplicate_clusters(pairs)
+    return resolve_duplicates(
+        emb, F.broadcast(clusters), "vec_id"
+    ).select("vec_id", "label")
