@@ -30,7 +30,26 @@ def main() -> int:
     ap.add_argument("--use-dag", action="store_true", help="run via the DAG orchestrator")
     ap.add_argument("--base-path", default="/root/repo/.scratch/lake")
     ap.add_argument("--source", default="/root/testdata/sf0.001/orders.parquet")
+    ap.add_argument("--query", help="run one registry query by name instead of a job")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table dir for --query")
+    ap.add_argument("--limit", type=int, default=20, help="rows to show for --query")
     args = ap.parse_args()
+
+    if args.query:
+        from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+        if args.query == "list":
+            for name, spec in sorted(REGISTRY.items()):
+                kind = "oracle" if spec.sql else "rows-only"
+                print(f"{name:36s} [{kind}] {spec.doc.split('.')[0][:80]}")
+            return 0
+        spark = get_spark("query-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            REGISTRY[args.query].fn(spark, args.sf_dir).show(args.limit, truncate=False)
+            return 0
+        finally:
+            stop_spark(spark)
 
     cfg = (
         load_config(args.config, args.env)

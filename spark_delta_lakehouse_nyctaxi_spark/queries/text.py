@@ -225,3 +225,38 @@ def q_pack_sequences(spark, sf_dir):
         .cast("long")
         .alias("pack_id"),
     )
+
+
+@register(
+    "q_corpus_stats",
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) AS total_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) AS avg_chars,
+           COUNT(DISTINCT lang) OVER (PARTITION BY source) AS langs_in_source
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="Corpus profiling report: per (source, language) doc counts, "
+        "token totals, char extrema/means, and a post-aggregate window "
+        "(languages per source) — the dataset card every curation run "
+        "emits. One hash aggregate + one window over the (tiny) "
+        "aggregate output.",
+)
+def q_corpus_stats(spark, sf_dir):
+    from pyspark.sql.window import Window
+    from .aggregates import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count("text").cast("long")).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (dsum("n_chars") / F.count("*")).alias("avg_chars"),
+    )
+    w = Window.partitionBy("source")
+    return agg.withColumn(
+        "langs_in_source", F.size(F.collect_set("lang").over(w)).cast("long")
+    )
