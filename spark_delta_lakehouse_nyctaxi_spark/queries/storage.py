@@ -325,3 +325,29 @@ def q_table_dml(spark, sf_dir):
     t.update({"o_totalprice": "o_totalprice * 1.1"}, condition="o_orderstatus = 'O'")
     t.delete("o_orderkey % 7 = 0")
     return t.read()
+
+
+@register(
+    "q_scan_json",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    doc="JSON-lines source scan (S1's sibling): events staged as "
+        "json-lines files, read back with a DECLARED schema (single "
+        "pass — schema inference doubles the IO at 100 TB), nested "
+        "field projected out. Oracle extracts the same field from the "
+        "original props strings.",
+)
+def q_scan_json(spark, sf_dir):
+    from ..sources.readers import read_json
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.from_json("props", "k long").alias("p")
+    )
+    path = scratch_dir("jsonl")
+    ev.select(F.to_json(F.struct("event_id", F.col("p.k").alias("k"))).alias("j")).coalesce(
+        4
+    ).write.mode("overwrite").text(path)
+    return read_json(spark, path, "event_id long, k long").select("event_id", "k")

@@ -75,3 +75,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source scan. With ``schema`` declared the reader is a
+    single pass; without, Spark samples to infer (twice the IO — pass a
+    schema on big data)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_csv_robust(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV scan with explicit malformed-row policy (the production
+    upgrade of the reference's inferSchema ingest):
+
+    - PERMISSIVE: bad rows null-fill, raw text lands in ``corrupt_col``
+      (quarantine column — route to a dead-letter table downstream);
+    - DROPMALFORMED: bad rows silently dropped;
+    - FAILFAST: first bad row kills the job.
+    """
+    full = schema + (f", {corrupt_col} string" if mode == "PERMISSIVE" else "")
+    return (
+        spark.read.option("header", "true")
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .csv(path)
+    )

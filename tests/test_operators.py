@@ -284,3 +284,26 @@ def test_freq_items_superset_of_true_heavy_hitters(spark):
         .collect()
     }
     assert true_heavy <= got
+
+
+def test_read_csv_robust_modes(spark, tmp_path):
+    """Malformed-row policies: PERMISSIVE quarantines the raw line in
+    _corrupt_record, DROPMALFORMED drops it, FAILFAST raises."""
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import read_csv_robust
+
+    p = str(tmp_path / "rows.csv")
+    with open(p, "w") as f:
+        f.write("id,v\n1,10\n2,notanumber\n3,30\n")
+    schema = "id int, v int"
+
+    perm = read_csv_robust(spark, p, schema, mode="PERMISSIVE").collect()
+    by_id = {r.id: r for r in perm}
+    assert by_id[1].v == 10 and by_id[3].v == 30
+    bad = [r for r in perm if r._corrupt_record is not None]
+    assert len(bad) == 1 and "notanumber" in bad[0]._corrupt_record
+
+    dropped = read_csv_robust(spark, p, schema, mode="DROPMALFORMED")
+    assert {r.id for r in dropped.collect()} == {1, 3}
+
+    with pytest.raises(Exception):
+        read_csv_robust(spark, p, schema, mode="FAILFAST").collect()
