@@ -351,3 +351,23 @@ def q_scan_json(spark, sf_dir):
         4
     ).write.mode("overwrite").text(path)
     return read_json(spark, path, "event_id long, k long").select("event_id", "k")
+
+
+@register(
+    "q_scan_orc",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_totalprice > 100000.0
+    """,
+    doc="ORC source/sink round-trip (the other columnar format Spark "
+        "ships natively): orders written as ORC, read back, filter "
+        "pushed to the ORC reader the same way parquet gets it. Oracle "
+        "is the same predicate on the original table.",
+)
+def q_scan_orc(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = scratch_dir("orc")
+    orders.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).filter(F.col("o_totalprice") > 100000.0)
