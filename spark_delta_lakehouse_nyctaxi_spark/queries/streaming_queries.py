@@ -421,3 +421,55 @@ def q_stream_incremental_agg(spark, sf_dir):
     return t.read().select(
         "user_id", "n_events", F.col("sum_value").cast("double").alias("sum_value")
     )
+
+
+@register(
+    "q_stream_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    doc="Spark's NATIVE session_window aggregation (dynamic gap-merged "
+        "windows, 30-min inactivity) over the watermarked stream, "
+        "complete-mode drain — covers the built-in operator the "
+        "applyInPandasWithState sessionizer (q_stream_sessionize_state) "
+        "implements by hand; a finite drain must produce exactly the "
+        "batch lag/cumsum session set. Note session_window.end is "
+        "last_event+gap by definition, so session_end is taken as "
+        "MAX(ts) via the agg, not the window bound.",
+)
+def q_stream_session_window(spark, sf_dir):
+    path = _staged_events(spark, sf_dir)
+    sdf = read_parquet_stream(spark, path, _SCHEMA)
+    agg = (
+        sdf.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    run_available_now(
+        agg,
+        scratch_dir("ckpt_sesswin"),
+        memory_table="q_stream_session_window_out",
+        output_mode="complete",
+    )
+    return spark.table("q_stream_session_window_out")

@@ -64,3 +64,52 @@ def test_asof_join_invariants(spark, left, right):
             assert row.rv == max(cands) * 10
         else:
             assert row.rts_right is None and row.rv is None
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    w=st.tuples(
+        st.floats(0.1, 5, allow_nan=False),
+        st.floats(0.1, 5, allow_nan=False),
+        st.floats(0.1, 5, allow_nan=False),
+    ),
+)
+@SETTINGS
+def test_hash_split_partitions_and_is_stable(spark, ids, w):
+    """hash_split: every row lands in exactly one split regardless of
+    weights, and assignment depends only on the id (stable under
+    repetition and row order)."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.sampling import hash_split
+
+    weights = [("a", w[0]), ("b", w[1]), ("c", w[2])]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {(r.id, r.split) for r in hash_split(df, "id", weights).collect()}
+    assert len(got) == len(ids)
+    df2 = spark.createDataFrame([(i,) for i in reversed(ids)], "id long")
+    got2 = {(r.id, r.split) for r in hash_split(df2, "id", weights).collect()}
+    assert got == got2
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda ps: any(a != b for a, b in ps)),
+)
+@SETTINGS
+def test_duplicate_clusters_properties(spark, pairs):
+    """Connected components: cluster_id is a member of its own cluster
+    (the minimum), every edge endpoint shares its neighbor's cluster,
+    and the labeling is idempotent."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    label = {r.id: r.cluster_id for r in duplicate_clusters(df).collect()}
+    for a, b in pairs:
+        assert label[a] == label[b]
+    for node, cl in label.items():
+        assert label[cl] == cl and cl <= node
