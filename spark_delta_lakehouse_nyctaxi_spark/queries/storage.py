@@ -371,3 +371,31 @@ def q_scan_orc(spark, sf_dir):
     path = scratch_dir("orc")
     orders.write.mode("overwrite").orc(path)
     return spark.read.orc(path).filter(F.col("o_totalprice") > 100000.0)
+
+
+@register(
+    "q_scan_pysource",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    doc="Custom Python DataSource (Spark 4 pyspark.sql.datasource API — "
+        "sources/pysource.py): JSONL manifest read through a "
+        "user-defined connector with explicit partition planning (one "
+        "InputPartition per file → per-executor reads, nothing on the "
+        "driver). Same staged data and oracle as q_scan_json, proving "
+        "the custom connector matches the built-in reader row-for-row.",
+)
+def q_scan_pysource(spark, sf_dir):
+    from ..sources.pysource import JsonlDataSource
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.from_json("props", "k long").alias("p")
+    )
+    path = scratch_dir("pysrc")
+    ev.select(
+        F.to_json(F.struct("event_id", F.col("p.k").alias("k"))).alias("j")
+    ).coalesce(4).write.mode("overwrite").text(path)
+    spark.dataSource.register(JsonlDataSource)
+    return spark.read.format("jsonl_manifest").option("path", path).load()
