@@ -154,3 +154,48 @@ def q_dedup_embedding_canonical(spark, sf_dir):
     return resolve_duplicates(
         emb, F.broadcast(clusters), "vec_id"
     ).select("vec_id", "label")
+
+
+@register(
+    "q_arrow_normalize",
+    """
+    SELECT vec_id,
+           CAST(embedding[1] AS DOUBLE)
+             / sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS x1,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+    doc="mapInArrow coverage (the zero-copy batch API below "
+        "mapInPandas): per-vector L2 normalization over raw pyarrow "
+        "RecordBatches. Bit-exactness discipline: each float32 element "
+        "is widened to float64 BEFORE squaring and accumulated "
+        "left-to-right (a Python loop, not numpy's pairwise sum), "
+        "matching both the JVM aggregate expression and DuckDB's "
+        "list_sum evaluation order — so the first normalized component "
+        "value-matches exactly.",
+)
+def q_arrow_normalize(spark, sf_dir):
+    import math
+
+    import pyarrow as pa
+
+    def normalize(batches):
+        for batch in batches:
+            ids = batch.column("vec_id").to_pylist()
+            vecs = batch.column("embedding").to_pylist()
+            x1s, dims = [], []
+            for v in vecs:
+                s = 0.0
+                for x in v:
+                    d = float(x)
+                    s += d * d
+                x1s.append(float(v[0]) / math.sqrt(s))
+                dims.append(len(v))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(x1s, pa.float64()), pa.array(dims, pa.int32())],
+                names=["vec_id", "x1", "dim"],
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(normalize, "vec_id long, x1 double, dim int")
