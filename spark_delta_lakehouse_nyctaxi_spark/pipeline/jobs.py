@@ -52,6 +52,36 @@ def _dq_gate(
         raise RuntimeError(f"{layer}: blocking DQ failures: {failed}")
 
 
+def _dq_gate_or_observe(fw, df, run_id, layer, dq_store, fail_on_errors):
+    """DQ with the minimum number of passes for the chosen semantics.
+
+    - Blocking gate (fail_on_dq_errors=True): checks MUST run before
+      the write (bad data may not land) → dedicated aggregate pass,
+      exactly as the reference gates (etl/silver_job.py:340-349).
+    - Metrics-only (False): the same check expressions ride the write
+      action itself via ``df.observe`` — zero extra scans, where the
+      reference burned a full count()-per-check pass even when it
+      wasn't going to fail the job.
+
+    Returns ``(df_to_write, finalize)``; call ``finalize()`` after the
+    write action to record metrics (no-op for the blocking path).
+    """
+    import uuid as _uuid
+
+    if fail_on_errors:
+        _dq_gate(fw, df, run_id, layer, dq_store, True)
+        return df, lambda: None
+
+    obs_df, obs = fw.attach_observation(df, f"dq_{layer}_{_uuid.uuid4().hex[:8]}")
+
+    def finalize():
+        results = fw.results_from_observation(obs) + fw._run_frame_checks(df)
+        if dq_store is not None:
+            dq_store.record(run_id, layer, results)
+
+    return obs_df, finalize
+
+
 def run_bronze_job(
     spark: SparkSession,
     config: dict,
@@ -79,10 +109,13 @@ def run_bronze_job(
         partition_by = [col]
 
     fw = default_framework_from_config(config.get("data_quality", {}).get("bronze", {}))
-    _dq_gate(fw, df, run_id, "bronze", dq_store, config.get("fail_on_dq_errors", True))
+    df, dq_finalize = _dq_gate_or_observe(
+        fw, df, run_id, "bronze", dq_store, config.get("fail_on_dq_errors", True)
+    )
 
     table = VersionedTable(spark, config["paths"]["bronze"])
     table.write(df, mode="overwrite", partition_by=partition_by, operation="BRONZE_WRITE")
+    dq_finalize()  # metrics observed during the write action (no extra pass)
     final = table.read().count()  # read-back verification (etl/bronze_job.py:247-250)
 
     meta = {
@@ -147,12 +180,15 @@ def run_silver_job(
         raise RuntimeError(f"silver schema invalid: {errors}")
 
     fw = default_framework_from_config(config.get("data_quality", {}).get("silver", {}))
-    _dq_gate(fw, df, run_id, "silver", dq_store, config.get("fail_on_dq_errors", True))
+    df, dq_finalize = _dq_gate_or_observe(
+        fw, df, run_id, "silver", dq_store, config.get("fail_on_dq_errors", True)
+    )
 
     table = VersionedTable(spark, config["paths"]["silver"])
     part = config.get("partitioning", {})
     partition_by = [part.get("column", "order_date")] if part.get("enabled") else None
     table.write(df, mode="overwrite", partition_by=partition_by, operation="SILVER_WRITE")
+    dq_finalize()  # metrics observed during the write action (no extra pass)
     final = table.read().count()
 
     meta = {

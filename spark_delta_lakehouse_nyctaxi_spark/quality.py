@@ -126,22 +126,54 @@ class DataQualityFramework:
 
     # --------------------------------------------------------- run
 
-    def run_all_checks(self, df: DataFrame) -> list[CheckResult]:
-        """Single-pass evaluation of all predicate/null/count checks,
-        plus per-check jobs for frame checks."""
+    def _agg_columns(self, df: DataFrame) -> list:
+        """The one-pass metric expressions shared by run_all_checks
+        (its own aggregate job) and attach_observation (riding an
+        existing action)."""
         aggs = [F.count(F.lit(1)).alias("__total")]
         for c in self.predicate_checks:
             aggs.append(
                 F.sum(F.when(c.violation, 1).otherwise(0)).cast("long").alias(f"pc_{c.name}")
             )
-        null_checks = getattr(self, "_null_checks", [])
-        for col, _, _, check_nan in null_checks:
+        for col, _, _, check_nan in getattr(self, "_null_checks", []):
             cond = F.col(col).isNull()
             if check_nan and _is_float_type(df, col):
                 cond = cond | F.isnan(F.col(col))
             aggs.append(F.sum(cond.cast("long")).alias(f"nc_{col}"))
+        return aggs
 
-        row = df.agg(*aggs).collect()[0].asDict()
+    def attach_observation(self, df: DataFrame, name: str):
+        """Zero-extra-pass DQ: pin the check metrics to the plan with
+        ``df.observe`` so they are computed DURING whatever action runs
+        next (typically the table write) — no separate aggregate job,
+        no second scan. Returns ``(observed_df, observation)``; after
+        the action, feed the observation to
+        :meth:`results_from_observation`.
+
+        Use when DQ is metrics-only (fail_on_dq_errors=False). A
+        blocking gate must still run BEFORE the write — you can't both
+        skip the pre-pass and refuse to write bad data.
+
+        (Frame checks join other tables and can't ride an observation;
+        run_all_checks handles them.)"""
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        return df.observe(obs, *self._agg_columns(df)), obs
+
+    def results_from_observation(self, obs) -> list[CheckResult]:
+        """CheckResults from an Observation populated by the write
+        action (blocks until that action has run)."""
+        return self._results_from_row(dict(obs.get))
+
+    def run_all_checks(self, df: DataFrame) -> list[CheckResult]:
+        """Single-pass evaluation of all predicate/null/count checks,
+        plus per-check jobs for frame checks."""
+        row = df.agg(*self._agg_columns(df)).collect()[0].asDict()
+        return self._results_from_row(row) + self._run_frame_checks(df)
+
+    def _results_from_row(self, row: dict) -> list[CheckResult]:
+        null_checks = getattr(self, "_null_checks", [])
         total = row["__total"]
 
         results: list[CheckResult] = []
@@ -173,7 +205,6 @@ class DataQualityFramework:
                     severity,
                 )
             )
-        results.extend(self._run_frame_checks(df))
         return results
 
     def _run_frame_checks(self, df: DataFrame) -> list[CheckResult]:

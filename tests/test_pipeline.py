@@ -177,3 +177,24 @@ def test_dag_cycle_detection():
 def test_run_id_format():
     rid = generate_run_id(1700000000.0)
     assert rid.startswith("run_") and len(rid) == len("run_YYYYmmdd_HHMMSS")
+
+
+def test_dq_metrics_ride_write_when_not_blocking(spark, tmp_path):
+    """fail_on_dq_errors=False routes DQ through df.observe: metrics
+    are computed by the write action itself and still land in the DQ
+    store, with the same results as the dedicated-pass path."""
+    from spark_delta_lakehouse_nyctaxi_spark.audit import DQMetricsStore
+    from spark_delta_lakehouse_nyctaxi_spark.pipeline.jobs import run_bronze_job
+    from spark_delta_lakehouse_nyctaxi_spark.pipeline import default_config
+
+    results = {}
+    for fail_on, sub in [(False, "obs"), (True, "gate")]:
+        cfg = default_config(str(tmp_path / sub), "/root/testdata/sf0.001/orders.parquet")
+        cfg["fail_on_dq_errors"] = fail_on
+        store = DQMetricsStore(spark, str(tmp_path / sub / "dq"))
+        run_bronze_job(spark, cfg, dq_store=store)
+        rows = store.table.read().select(
+            "check_name", "violation_count", "passed"
+        ).collect()
+        results[sub] = {(r.check_name, r.violation_count, r.passed) for r in rows}
+    assert results["obs"] == results["gate"] and results["obs"]
