@@ -30,6 +30,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StatefulProcessor
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 # Worker-side functions here must survive drivers whose cwd / PYTHONPATH
@@ -124,4 +125,55 @@ def sessionize_with_state(
         F.timestamp_micros(F.col("end")).alias("session_end"),
         F.col("n").alias("n_events"),
         "closed_by",
+    )
+
+
+class RunningStatsProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor (the Spark 4 successor to
+    applyInPandasWithState used by sessionize_with_state): per-user
+    running count / min / max held in a ValueState, cumulative row
+    emitted per (key, microbatch). Downstream takes each key's
+    highest-count row, so the final answer is independent of how the
+    drain was split into batches.
+
+    ENVIRONMENT GATE: the TWS state-server protocol needs a working
+    ``google.protobuf`` in the Python workers — broken in this
+    container (StateMessage_pb2 import fails), so this operator is
+    covered by a skip-gated test, not a registry query. The
+    applyInPandasWithState sessionizer above provides the
+    value-oracled arbitrary-state coverage here."""
+
+    def init(self, handle):
+        self._state = handle.getValueState("stats", "n long, mn double, mx double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as _pd
+
+        n, mn, mx = (self._state.get() or (0, None, None)) if self._state.exists() else (0, None, None)
+        for pdf in rows:
+            n += len(pdf)
+            bmn = float(pdf["value"].min())
+            bmx = float(pdf["value"].max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        self._state.update((n, mn, mx))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "min_value": [mn], "max_value": [mx]}
+        )
+
+    def close(self):
+        pass
+
+
+def running_stats_with_state(sdf):
+    """Per-user cumulative stats over a stream via
+    transformWithStateInPandas (update mode, processing-time)."""
+    return (
+        sdf.groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningStatsProcessor(),
+            outputStructType="user_id long, n_events long, min_value double, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
     )

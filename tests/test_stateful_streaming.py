@@ -64,3 +64,60 @@ def test_stateful_sessionization(spark, tmp_path):
     for r in got:
         if r.closed_by == "gap":
             assert r.n_events in batch_counts.get(r.user_id, []), r
+
+
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """transformWithStateInPandas running stats equal the batch
+    aggregate (skipped where the TWS protobuf dependency is broken)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable — TWS state server cannot start")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from spark_delta_lakehouse_nyctaxi_spark.queries.merge import scratch_dir
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+    from spark_delta_lakehouse_nyctaxi_spark.streaming import (
+        read_parquet_stream,
+        run_available_now,
+    )
+    from spark_delta_lakehouse_nyctaxi_spark.streaming.stateful import (
+        running_stats_with_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = scratch_dir("tws_events")
+    load_table(spark, sf, "events").drop("props").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    sdf = read_parquet_stream(
+        spark, path, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = running_stats_with_state(sdf)
+    run_available_now(
+        out, str(tmp_path / "ckpt"), memory_table="tws_out", output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = {
+        (r.user_id, r.n_events, r.min_value, r.max_value)
+        for r in spark.table("tws_out")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    }
+    want = {
+        (r.user_id, r.n_events, r.min_value, r.max_value)
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want
