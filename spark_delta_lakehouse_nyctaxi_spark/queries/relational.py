@@ -346,3 +346,61 @@ def q_json_extract(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
     )
+
+
+@register(
+    "q_union_by_name",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL BY NAME
+        SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 1
+    )
+    """,
+    doc="unionByName with schema reconciliation: the second branch's "
+        "columns arrive in a different order (name-matched, not "
+        "positional — a positional union would silently corrupt), "
+        "matching DuckDB's UNION ALL BY NAME.",
+)
+def q_union_by_name(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter("o_orderkey % 10 = 0").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    b = orders.filter("o_orderkey % 10 = 1").select(
+        "o_orderkey", F.lit(None).cast("string").alias("o_orderstatus"), "o_totalprice"
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "q_join_null_safe",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM (SELECT event_id, json_extract(props, '$.missing') AS k
+          FROM events WHERE event_id < 50) a
+    JOIN (SELECT event_id, json_extract(props, '$.missing') AS k
+          FROM events WHERE event_id >= 50 AND event_id < 100) b
+      ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc="Null-safe equi-join (<=> / eqNullSafe): NULL keys MATCH each "
+        "other, where a plain equi-join drops every null-keyed row — "
+        "the semantics dedup and CDC key joins need (the storage "
+        "layer's MERGE builds its condition with eqNullSafe for this "
+        "reason). Keys here are an always-missing JSON field, so every "
+        "pair matches through NULL.",
+)
+def q_join_null_safe(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter("event_id < 50").select(
+        F.col("event_id").alias("id_a"),
+        F.get_json_object("props", "$.missing").alias("k_a"),
+    )
+    b = ev.filter("event_id >= 50 AND event_id < 100").select(
+        F.col("event_id").alias("id_b"),
+        F.get_json_object("props", "$.missing").alias("k_b"),
+    )
+    return a.join(b, F.col("k_a").eqNullSafe(F.col("k_b"))).select("id_a", "id_b")
