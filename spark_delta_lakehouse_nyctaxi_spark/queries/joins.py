@@ -197,3 +197,63 @@ def q_join_salted(spark, sf_dir):
     return joined.groupBy("l_orderkey", "o_custkey").agg(
         dsum("l_extendedprice").alias("total_price")
     )
+
+
+@register(
+    "q_scd2_lookup",
+    """
+    WITH dim AS (
+        SELECT c_custkey, 1 AS dim_version,
+               CAST(NULL AS TIMESTAMP) AS valid_from,
+               TIMESTAMP '1995-01-01' AS valid_to,
+               c_acctbal AS acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 2, TIMESTAMP '1995-01-01',
+               CAST(NULL AS TIMESTAMP), c_acctbal + 500.0
+        FROM customer
+    )
+    SELECT o.o_orderkey, o.o_custkey, d.dim_version, d.acctbal
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND (d.valid_from IS NULL OR o.o_orderdate >= d.valid_from)
+     AND (d.valid_to   IS NULL OR o.o_orderdate <  d.valid_to)
+    """,
+    doc="Slowly-changing-dimension Type 2 lookup: each fact row joins "
+        "the dimension VERSION that was valid at its event time "
+        "(validity-interval join on key + half-open time range), the "
+        "point-in-time-correctness pattern every warehouse needs and a "
+        "training pipeline needs for label/feature snapshots (no "
+        "future leakage). Dim versions broadcast; the range predicate "
+        "evaluates post-broadcast-join, so no shuffle on the fact side "
+        "at all.",
+)
+def q_scd2_lookup(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    cut = F.lit("1995-01-01").cast("timestamp_ntz")
+    v1 = cust.select(
+        "c_custkey",
+        F.lit(1).alias("dim_version"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_from"),
+        cut.alias("valid_to"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.lit(2).alias("dim_version"),
+        cut.alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        (F.col("c_acctbal") + 500.0).alias("acctbal"),
+    )
+    dim = v1.unionByName(v2)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cond = (
+        (orders.o_custkey == dim.c_custkey)
+        & (dim.valid_from.isNull() | (orders.o_orderdate >= dim.valid_from))
+        & (dim.valid_to.isNull() | (orders.o_orderdate < dim.valid_to))
+    )
+    return orders.join(F.broadcast(dim), cond).select(
+        "o_orderkey", "o_custkey", "dim_version", "acctbal"
+    )
