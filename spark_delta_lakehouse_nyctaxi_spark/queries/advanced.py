@@ -200,3 +200,73 @@ def q_cogroup_asof(spark, sf_dir):
     clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "value")
     out = asof_join_cogrouped(errors, clicks, "user_id", "ts", ["value"])
     return out.withColumnRenamed("value_right", "click_value")
+
+
+@register(
+    "q_unpivot",
+    """
+    SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (SELECT o_orderkey,
+                 o_totalprice AS totalprice,
+                 CAST(o_custkey AS DOUBLE) AS custkey_d
+          FROM orders WHERE o_orderkey % 100 = 0)
+    UNPIVOT (val FOR metric IN (totalprice, custkey_d))
+    """,
+    doc="unpivot/melt (wide → long, the inverse of q_pivot): each "
+        "measure column becomes a (metric, value) row — the reshape "
+        "every metrics store and long-format feature table needs. "
+        "Pure projection+explode, no shuffle.",
+)
+def q_unpivot(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.filter("o_orderkey % 100 = 0").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey_d"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey_d"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "q_fuzzy_match",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 16), substr(b.text, 1, 16)) AS dist
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id AND a.lang = b.lang
+    WHERE a.doc_id < 100 AND b.doc_id < 100
+      AND levenshtein(substr(a.text, 1, 16), substr(b.text, 1, 16)) <= 6
+    """,
+    doc="Edit-distance fuzzy matching (levenshtein ≤ 6 on 16-char "
+        "prefixes, blocked by language): the record-linkage primitive "
+        "for near-identical titles/names that token-level Jaccard "
+        "misses. The lang equi-key is the blocking strategy — at "
+        "100 TB you never run edit distance across blocks, only "
+        "within them (here plus an id cap to bound the demo).",
+)
+def q_fuzzy_match(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 100")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.substring("text", 1, 16).alias("pref_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.substring("text", 1, 16).alias("pref_b"),
+    )
+    return (
+        a.join(b, (F.col("id_a") < F.col("id_b")) & (F.col("lang_a") == F.col("lang_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("pref_a", "pref_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 6)
+    )
