@@ -88,3 +88,31 @@ def q_sample_mixture(spark, sf_dir):
     return SA.weighted_mixture(
         docs, "source", "doc_id", _RATES, default_rate=_DEFAULT_RATE
     ).select("doc_id", "source")
+
+
+@register(
+    "q_sample_split_grouped",
+    f"""
+    SELECT {SA.split_case_sql('source', _SPLITS)} AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="GROUP-aware train/val/test split: the hash is taken over the "
+        "SOURCE, not the document, so every doc from one source lands "
+        "in the same split — the leakage guard for correlated groups "
+        "(near-identical docs from one crawl domain must never "
+        "straddle train and test). Same md5-threshold primitive, "
+        "different key.",
+)
+def q_sample_split_grouped(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SA.hash_split(docs, "source", _SPLITS)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )

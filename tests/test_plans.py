@@ -246,3 +246,18 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     dim = spark.read.parquet(dim_path).filter("grp = 'grp0'")
     j = fact.join(dim, "order_year").groupBy("order_year").count()
     assert "dynamicpruningexpression" in P.explain_str(j).lower()
+
+
+def test_join_strategy_hints_are_respected(spark):
+    """Strategy control: a shuffle_hash hint must produce a
+    ShuffledHashJoin and a merge hint a SortMergeJoin, overriding the
+    size-based broadcast pick — the manual override lever when AQE's
+    choice is wrong for a known workload."""
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey")
+    sh = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    assert "ShuffledHashJoin" in P.explain_str(sh)
+    sm = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in P.explain_str(sm)

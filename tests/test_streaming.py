@@ -148,3 +148,48 @@ def test_stream_stream_left_join_matches_batch(spark, tmp_path):
     }
     got_null = {r.click_id for r in out.filter("view_id IS NULL").collect()}
     assert got_null == unmatched
+
+
+def test_rocksdb_state_store_windowed_agg(spark, tmp_path):
+    """The RocksDB state store provider (the 100 TB state backend —
+    state spills to local disk + changelog instead of living on the
+    JVM heap) runs the watermarked window agg and produces the same
+    answer as the default provider."""
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        path = str(tmp_path / "ev")
+        load_table(spark, SF_SMALL, "events").drop("props").coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(path)
+        sdf = read_parquet_stream(
+            spark, path,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        agg = (
+            sdf.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("ws"), "n")
+        )
+        run_available_now(
+            agg, str(tmp_path / "ckpt"), memory_table="rocks_out", output_mode="complete"
+        )
+        got = {(r.ws, r.n) for r in spark.table("rocks_out").collect()}
+        want = {
+            (r.ws, r.n)
+            for r in load_table(spark, SF_SMALL, "events")
+            .groupBy(F.date_trunc("hour", "ts").alias("ws"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)
