@@ -193,3 +193,40 @@ def test_rocksdb_state_store_windowed_agg(spark, tmp_path):
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, old)
+
+
+def test_stream_checkpoint_resume_reads_only_new_files(spark, tmp_path):
+    """Exactly-once across restarts: a second availableNow drain from
+    the SAME checkpoint must process only files that appeared after
+    the first drain — the file-source offset log is the resume
+    contract an incremental 100 TB ingest depends on."""
+    ev = load_table(spark, SF_SMALL, "events").drop("props")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter("event_id < 500").coalesce(1).write.mode("overwrite").parquet(src)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    seen: list[set] = []
+
+    def drain():
+        batch_ids: set = set()
+        seen.append(batch_ids)
+
+        def sink(batch_df, batch_id):
+            batch_ids.update(r.event_id for r in batch_df.select("event_id").collect())
+
+        run_available_now(
+            read_parquet_stream(spark, src, schema), ckpt, foreach_batch=sink
+        )
+
+    drain()
+    first = set(seen[0])
+    assert len(first) == 500
+
+    # new file appears; resume from the same checkpoint
+    ev.filter("event_id >= 500 AND event_id < 800").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    second = set(seen[1])
+    assert len(second) == 300 and second.isdisjoint(first)
