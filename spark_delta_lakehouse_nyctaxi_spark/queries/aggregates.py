@@ -266,3 +266,35 @@ def q_freq_items(spark, sf_dir):
         .select(F.explode("o_custkey_freqItems").alias("o_custkey"))
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "q_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Fixed-width histogram profiling (25k-wide price buckets with "
+        "per-bucket extrema): one map-side-combining aggregate — the "
+        "distribution snapshot a data profile emits. The bucket "
+        "expression is identical floor arithmetic on both engines "
+        "(width_bucket would differ in edge rounding between "
+        "implementations, so the portable formulation is the exact "
+        "one).",
+)
+def q_histogram(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
