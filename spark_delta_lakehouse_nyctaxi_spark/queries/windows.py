@@ -180,3 +180,38 @@ def q_global_row_number(spark, sf_dir):
     return global_row_number(
         orders, ["o_totalprice", "o_orderkey"], out_col="row_id"
     ).select("o_orderkey", "row_id")
+
+
+@register(
+    "q_window_range_frame",
+    """
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_trailing_hour,
+           CAST(SUM(CAST(value AS DECIMAL(22,2))) OVER w AS DOUBLE)
+               AS sum_trailing_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-based RANGE window frame (trailing one hour per user) — "
+        "the VALUE-bounded frame q_window_frame's ROWS variant can't "
+        "express: the frame extends by event-time distance, not row "
+        "count, so irregular event spacing is handled correctly "
+        "(rolling rates, trailing velocity features). Decimal-cast sum "
+        "keeps the frame aggregate bit-stable. Frame bounds are "
+        "tie-safe: RANGE at equal ts includes all peers on both "
+        "engines.",
+)
+def q_window_range_frame(spark, sf_dir):
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rf_v")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_trailing_hour,
+               CAST(SUM(CAST(value AS DECIMAL(22,2))) OVER w AS DOUBLE)
+                   AS sum_trailing_hour
+        FROM events_rf_v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
