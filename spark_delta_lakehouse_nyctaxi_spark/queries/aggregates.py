@@ -153,9 +153,9 @@ def q_agg_sum(spark, sf_dir):
     "q_null_profile",
     """
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
-           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_value,
-           SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS nulls_event_type_derived
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+           CAST(SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type_derived
     FROM events
     """,
     doc="Single-pass null profile (A8) — replaces the reference's "
