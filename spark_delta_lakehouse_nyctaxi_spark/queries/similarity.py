@@ -56,7 +56,9 @@ def q_ann_bruteforce(spark, sf_dir):
     """,
     doc="Embedding near-duplicate pairs (cosine ≥ 0.45 — the corpus max "
         "pairwise similarity is ~0.51, so this is the near-dup tail). "
-        "Double-precision math matches the oracle bit-for-bit.",
+        "EXACT but no cartesian: k-means cell assignment + triangle-"
+        "inequality cell-pair pruning; pair stage is an equi-join on "
+        "cell id. Double-precision math matches the oracle bit-for-bit.",
 )
 def q_embedding_near_dup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")

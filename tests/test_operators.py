@@ -83,6 +83,16 @@ def test_brute_force_topk_self_excluded_and_ranked(spark):
     assert all(sorted(v) == [1, 2, 3, 4] for v in by_q.values())
 
 
+def test_embedding_near_dups_cell_pruned_matches_allpairs(spark):
+    # the cell-pruned default is EXACT: bit-identical pairs and cosines
+    # to the O(N²) reference form, at both a loose and a tight threshold
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    for t in (0.45, 0.95):
+        got = sorted(map(tuple, S.embedding_near_dups(emb, threshold=t).collect()))
+        ref = sorted(map(tuple, S.embedding_near_dups_allpairs(emb, threshold=t).collect()))
+        assert got == ref
+
+
 def test_lsh_topk_subset_of_bruteforce_domain(spark):
     import random
 
