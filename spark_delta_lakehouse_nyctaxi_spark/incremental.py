@@ -97,6 +97,7 @@ def refresh_aggregate(
     delta: DataFrame,
     keys: list[str],
     add_columns: list[str],
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Incremental materialized-view maintenance for distributive
     aggregates (SUM/COUNT): fold a PARTIAL aggregate of only the new
@@ -111,12 +112,24 @@ def refresh_aggregate(
     the from-scratch aggregate under ANY refresh batching — double
     columns would drift (rounding depends on addition order). Cast to
     double only when reading the view out.
+
+    Replay safety: an additive fold applied twice double-counts, and
+    ``foreachBatch`` CAN replay a batch after a failure/restart.  Pass
+    ``txn=(app_id, batch_id)`` to make the fold idempotent — already-
+    applied batches (batch_id ≤ the table's recorded txn version for
+    ``app_id``) are skipped, the Delta ``txnAppId``/``txnVersion``
+    idempotent-writer pattern.
     """
+    if txn is not None:
+        last = table.last_txn_version(txn[0]) if table.exists() else None
+        if last is not None and txn[1] <= last:
+            return {"groups_in_delta": 0, "skipped_replay": True}
     n = delta.count()
     if n:
         table.merge(
             delta,
             keys=keys,
             update_exprs={c: f"t.{c} + s.{c}" for c in add_columns},
+            extra=VersionedTable.txn_extra(*txn) if txn is not None else None,
         )
     return {"groups_in_delta": n}

@@ -398,6 +398,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("id"))
         .persist()
     )
+    changed = -1
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("id").alias("src"), "label"), "src"
@@ -417,7 +418,21 @@ def duplicate_clusters(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    if changed != 0:
+        # Unconverged labels are WRONG (some nodes still carry a
+        # non-minimal label) — surface it instead of returning silently.
+        labels.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters: label propagation did not converge in "
+            f"{max_iter} iterations ({changed} labels still changing) — "
+            f"the pair graph has a path longer than max_iter; raise "
+            f"max_iter or use a star-contraction variant"
+        )
+    # Materialize before releasing the cache: the caller gets a plain
+    # result frame and no persisted intermediate is leaked.
+    out = labels.select("id", F.col("label").alias("cluster_id")).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def resolve_duplicates(

@@ -403,18 +403,29 @@ def q_stream_incremental_agg(spark, sf_dir):
     sdf = read_parquet_stream(spark, path, _SCHEMA)
     t = VersionedTable(spark, scratch_dir("stream_mv"))
 
+    # foreachBatch can REPLAY a batch after a failure/restart; an
+    # additive fold applied twice double-counts. Each commit records
+    # (app_id, batch_id) and replayed batches are skipped — the Delta
+    # txnAppId/txnVersion idempotent-writer pattern.
+    app_id = "q_stream_incremental_agg"
+
     def fold(batch_df, batch_id):
         if batch_df.isEmpty():
             return
+        last = t.last_txn_version(app_id) if t.exists() else None
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already folded into the view
         partial = batch_df.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(22,2)")).alias("sum_value"),
         )
         if not t.exists():
-            t.write(partial, mode="overwrite")
+            t.write(partial, mode="overwrite",
+                    extra=VersionedTable.txn_extra(app_id, batch_id))
         else:
             refresh_aggregate(
-                t, partial, keys=["user_id"], add_columns=["n_events", "sum_value"]
+                t, partial, keys=["user_id"],
+                add_columns=["n_events", "sum_value"], txn=(app_id, batch_id),
             )
 
     run_available_now(sdf, scratch_dir("ckpt_mv"), foreach_batch=fold)

@@ -266,6 +266,28 @@ class VersionedTable:
         info = self._resolve(version, timestamp)
         return self._read_units(info.units, bool(info.partition_by))
 
+    def _conform_types(self, df: DataFrame) -> DataFrame:
+        """Cast NullType columns to their type in the full snapshot.
+
+        A pruned read whose only visible partition directory is
+        ``__HIVE_DEFAULT_PARTITION__`` infers the partition column as
+        VOID (there is no value in any path to infer from), which can
+        be neither rewritten partitioned nor merged. The full snapshot
+        read is lazy — only partition discovery runs, no data IO."""
+        from pyspark.sql.types import NullType
+
+        if not any(isinstance(f.dataType, NullType) for f in df.schema.fields):
+            return df
+        ref = {f.name: f.dataType for f in self.read().schema.fields}
+        return df.select(
+            *[
+                F.col(f.name).cast(ref[f.name]).alias(f.name)
+                if isinstance(f.dataType, NullType) and f.name in ref
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+
     def delete(self, condition: str) -> VersionInfo:
         """Delta ``DELETE WHERE`` analog: rewrite the snapshot without
         the matching rows. When the table is partitioned, partitions
@@ -275,23 +297,41 @@ class VersionedTable:
         Delta's file-level deletion stats)."""
         info = self._resolve()
         part_cols = info.partition_by
+        # DELETE removes rows where the condition is TRUE; rows where it
+        # evaluates to NULL must SURVIVE (Delta semantics) — a bare
+        # `NOT (cond)` would silently drop them.
+        keep_pred = f"NOT coalesce(({condition}), false)"
         if part_cols:
-            touched_vals = {
-                tuple(str(r[c]) for c in part_cols)
-                for r in self.read().filter(condition).select(*part_cols).distinct().collect()
+            # Touched units are derived from the actual files that hold
+            # matching rows (input_file_name), not from re-encoding
+            # partition values as strings — str(value) diverges from
+            # Spark's partition-path encoding for NULLs
+            # (__HIVE_DEFAULT_PARTITION__), URL-escaped characters, and
+            # float/timestamp formatting. File paths are metadata-sized
+            # (one row per file, same cardinality as Delta's file stats).
+            from urllib.parse import unquote, urlparse
+
+            matched_files = {
+                unquote(urlparse(r["_f"]).path)
+                for r in self.read()
+                .filter(condition)
+                .select(F.input_file_name().alias("_f"))
+                .distinct()
+                .collect()
             }
-            touched = {
-                "/".join(f"{c}={v}" for c, v in zip(part_cols, vals))
-                for vals in touched_vals
-            }
-            touched_units = [u for u in info.units if u.split("/", 1)[1] in touched]
-            carried = [u for u in info.units if u.split("/", 1)[1] not in touched]
+            touched_units, carried = [], []
+            for u in info.units:
+                prefix = os.path.abspath(os.path.join(self._data, u)) + os.sep
+                if any(f.startswith(prefix) for f in matched_files):
+                    touched_units.append(u)
+                else:
+                    carried.append(u)
             if not touched_units:
                 return info  # nothing matched; current snapshot stands
-            kept = self._read_units(touched_units, True).filter(f"NOT ({condition})")
+            kept = self._conform_types(self._read_units(touched_units, True)).filter(keep_pred)
         else:
             carried = []
-            kept = self.read().filter(f"NOT ({condition})")
+            kept = self.read().filter(keep_pred)
         new_units = self._write_units(kept, part_cols or None)
         vinfo = VersionInfo(
             version=info.version + 1,
@@ -354,16 +394,25 @@ class VersionedTable:
         cols = new.columns
         keys = keys or [cols[0]]
         payload = [c for c in cols if c not in keys]
-        o, n = old.alias("o"), new.alias("n")
+        # Presence is detected via a literal marker added to each side
+        # BEFORE the join — key-nullness would mislabel genuinely
+        # NULL-keyed rows (the join matches them via eqNullSafe, but
+        # both key-based flags would read false → bogus 'insert').
+        o = old.withColumn("_o_mark", F.lit(True)).alias("o")
+        n = new.withColumn("_n_mark", F.lit(True)).alias("n")
         cond = None
         for k in keys:
             c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
             cond = c if cond is None else (cond & c)
-        o_present = F.col(f"o.{keys[0]}").isNotNull()
-        n_present = F.col(f"n.{keys[0]}").isNotNull()
-        differs = ~F.struct(*[F.col(f"o.{c}") for c in payload]).eqNullSafe(
-            F.struct(*[F.col(f"n.{c}") for c in payload])
-        )
+        o_present = F.col("o._o_mark").isNotNull()
+        n_present = F.col("n._n_mark").isNotNull()
+        if payload:
+            differs = ~F.struct(*[F.col(f"o.{c}") for c in payload]).eqNullSafe(
+                F.struct(*[F.col(f"n.{c}") for c in payload])
+            )
+        else:
+            # all columns are keys: a matched row can never differ
+            differs = F.lit(False)
         change = (
             F.when(~o_present, "insert")
             .when(~n_present, "delete")
@@ -522,6 +571,7 @@ class VersionedTable:
         insert_unmatched: bool = True,
         update_condition: str | None = None,
         update_exprs: dict[str, str] | None = None,
+        extra: dict | None = None,
     ) -> VersionInfo:
         """Delta MERGE analog (utils/incremental.py:89-156):
         whenMatchedUpdate(set=update_columns or all non-key columns) +
@@ -545,7 +595,7 @@ class VersionedTable:
         the rewrite automatically.
         """
         if not self.exists():
-            return self.write(source, mode="overwrite", operation="MERGE")
+            return self.write(source, mode="overwrite", operation="MERGE", extra=extra)
         info = self._resolve()
         cols = self.read().columns
         update_columns = update_columns or [
@@ -559,7 +609,7 @@ class VersionedTable:
             touched_units = [u for u in info.units if u.split("/", 1)[1] in touched]
             carried_units = [u for u in info.units if u.split("/", 1)[1] not in touched]
             target = (
-                self._read_units(touched_units, True)
+                self._conform_types(self._read_units(touched_units, True))
                 if touched_units
                 else self.read().limit(0)
             )
@@ -567,16 +617,19 @@ class VersionedTable:
             carried_units = []
             target = self.read()
 
-        t = target.alias("t")
-        s = source.alias("s")
+        # Literal markers (not key-nullness) detect row presence after the
+        # full-outer join — the join matches NULL keys via eqNullSafe, so
+        # key-based flags would mislabel genuinely NULL-keyed rows.
+        t = target.withColumn("_t_mark", F.lit(True)).alias("t")
+        s = source.withColumn("_s_mark", F.lit(True)).alias("s")
         cond = None
         for k in keys:
             c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
             cond = c if cond is None else (cond & c)
         joined = t.join(s, cond, "full_outer")
 
-        s_present = F.col(f"s.{keys[0]}").isNotNull()
-        t_present = F.col(f"t.{keys[0]}").isNotNull()
+        s_present = F.col("s._s_mark").isNotNull()
+        t_present = F.col("t._t_mark").isNotNull()
         matched = s_present & t_present
         if update_condition is not None:
             matched = matched & F.expr(update_condition)
@@ -613,7 +666,28 @@ class VersionedTable:
             mode=None,
             units=carried_units + new_units,
             partition_by=list(part_cols or []),
-            extra={"keys": keys, "pruned": prunable},
+            extra={**(extra or {}), "keys": keys, "pruned": prunable},
         )
         self._commit(vinfo)
         return vinfo
+
+    # ------------------------------------------------ idempotent writers
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest transaction version committed under ``app_id`` — the
+        Delta ``txnAppId``/``txnVersion`` idempotent-writer analog.
+        Writers that may replay work (e.g. ``foreachBatch`` after a
+        checkpoint restart) record ``extra={"txn": {"app_id": ...,
+        "version": batch_id}}`` on each commit and skip any batch whose
+        id is ≤ this value."""
+        best = None
+        for v in self._versions():
+            txn = v.extra.get("txn")
+            if txn and txn.get("app_id") == app_id:
+                best = txn["version"] if best is None else max(best, txn["version"])
+        return best
+
+    @staticmethod
+    def txn_extra(app_id: str, version: int) -> dict:
+        """Commit-metadata fragment marking a transactional write."""
+        return {"txn": {"app_id": app_id, "version": int(version)}}

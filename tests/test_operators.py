@@ -317,3 +317,26 @@ def test_read_csv_robust_modes(spark, tmp_path):
 
     with pytest.raises(Exception):
         read_csv_robust(spark, p, schema, mode="FAILFAST").collect()
+
+
+def test_duplicate_clusters_distributed_path_converges(spark):
+    # local_threshold=0 forces the label-propagation loop; two
+    # components resolve to their min ids, result is leak-free
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id, r.cluster_id)
+        for r in D.duplicate_clusters(pairs, local_threshold=0).collect()
+    }
+    assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    # a 10-hop chain cannot converge in 2 min-label rounds; silent
+    # wrong labels must not escape
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters(pairs, max_iter=2, local_threshold=0)

@@ -278,3 +278,82 @@ def test_update_set_where(spark, tmp_table_path):
     assert {(r.id, r.v) for r in t.read().collect()} == {(1, 1.0), (2, 20.0)}
     # time travel still sees the pre-update state
     assert {(r.id, r.v) for r in t.read(version=0).collect()} == {(1, 1.0), (2, 2.0)}
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_table_path):
+    """DELETE WHERE removes only rows where the condition is TRUE —
+    rows where it evaluates to NULL (e.g. NULL status) must SURVIVE
+    (Delta semantics; a bare NOT(cond) would silently drop them)."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(
+        _mk(spark, [{"id": 1, "status": "O"}, {"id": 2, "status": "F"},
+                    {"id": 3, "status": None}]),
+        mode="overwrite",
+    )
+    t.delete("status = 'O'")
+    assert {(r.id, r.status) for r in t.read().collect()} == {(2, "F"), (3, None)}
+
+
+def test_delete_partitioned_null_and_special_values(spark, tmp_table_path):
+    """Partitioned DELETE must find matching rows in partitions whose
+    path encoding diverges from str(value): NULL partitions
+    (__HIVE_DEFAULT_PARTITION__) and URL-escaped special characters."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(
+        spark.createDataFrame(
+            [(1, None), (2, "a b:c"), (3, "plain"), (4, None)],
+            "id long, grp string",
+        ),
+        mode="overwrite",
+        partition_by=["grp"],
+    )
+    t.delete("id = 1")  # lives in the NULL partition
+    assert {r.id for r in t.read().collect()} == {2, 3, 4}
+    t.delete("id = 2")  # lives in the escaped-chars partition
+    assert {r.id for r in t.read().collect()} == {3, 4}
+    # NULL-partition row 4 survived both rewrites
+    assert {r.grp for r in t.read().collect()} == {"plain", None}
+
+
+def test_changes_all_key_columns_and_null_keys(spark, tmp_table_path):
+    """changes() with an empty payload (every column a key) must not
+    throw, and genuinely NULL-keyed rows present in both snapshots are
+    NOT mislabeled as inserts."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1}, {"id": None}]), mode="overwrite")
+    t.write(_mk(spark, [{"id": 1}, {"id": None}, {"id": 2}]), mode="overwrite")
+    out = {(r.id, r._change_type) for r in t.changes(0, 1, keys=["id"]).collect()}
+    # unchanged rows (incl. the NULL-keyed one) emit nothing; only the insert
+    assert out == {(2, "insert")}
+
+
+def test_merge_null_keyed_rows_match(spark, tmp_table_path):
+    """MERGE matches NULL keys null-safely: a NULL-keyed source row
+    updates the NULL-keyed target row instead of inserting a dup."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": None, "v": 1.0}, {"id": 1, "v": 2.0}]), mode="overwrite")
+    t.merge(
+        spark.createDataFrame([(None, 9.0)], "id long, v double"), keys=["id"]
+    )
+    assert sorted(
+        [(r.id, r.v) for r in t.read().collect()], key=lambda x: (x[0] is None, x)
+    ) == [(1, 2.0), (None, 9.0)]
+
+
+def test_refresh_aggregate_replayed_batch_skipped(spark, tmp_table_path):
+    """The txnAppId/txnVersion idempotent-writer pattern: re-applying
+    the same batch_id is a no-op, so a foreachBatch replay after a
+    checkpoint restart cannot double-count into the view."""
+    from spark_delta_lakehouse_nyctaxi_spark.incremental import refresh_aggregate
+
+    t = VersionedTable(spark, tmp_table_path)
+    b0 = _mk(spark, [{"k": "a", "cnt": 2}])
+    t.write(b0, mode="overwrite", extra=VersionedTable.txn_extra("app", 0))
+    b1 = _mk(spark, [{"k": "a", "cnt": 3}, {"k": "b", "cnt": 1}])
+    r1 = refresh_aggregate(t, b1, keys=["k"], add_columns=["cnt"], txn=("app", 1))
+    assert r1["groups_in_delta"] == 2
+    # replay batch 1 (and a stale batch 0): both skipped
+    r2 = refresh_aggregate(t, b1, keys=["k"], add_columns=["cnt"], txn=("app", 1))
+    r3 = refresh_aggregate(t, b0, keys=["k"], add_columns=["cnt"], txn=("app", 0))
+    assert r2.get("skipped_replay") and r3.get("skipped_replay")
+    assert {(r.k, r.cnt) for r in t.read().collect()} == {("a", 5), ("b", 1)}
