@@ -243,7 +243,7 @@ def _training_pipeline_sql() -> str:
         WHERE c.doc_id IS NULL OR e.doc_id = c.cluster_id
     )
     SELECT {split_case} AS split, lang,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM resolved GROUP BY 1, 2
     """
 

@@ -17,17 +17,17 @@ from . import register
     """
     SELECT * FROM (
         SELECT 'range_l_quantity' AS check_name,
-               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS violation_count,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS violation_count,
                COUNT(*) AS total_rows
         FROM lineitem
         UNION ALL
         SELECT 'range_l_discount',
-               SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(*)
         FROM lineitem
         UNION ALL
         SELECT 'null_l_shipdate',
-               SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(*)
         FROM lineitem
     )

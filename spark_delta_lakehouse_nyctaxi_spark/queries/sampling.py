@@ -27,7 +27,7 @@ _H = "md5(CAST(doc_id AS VARCHAR))"
     f"""
     SELECT {SA.split_case_sql('doc_id', _SPLITS)} AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1
     """,

@@ -231,7 +231,7 @@ def q_pack_sequences(spark, sf_dir):
     "q_corpus_stats",
     """
     SELECT source, lang, COUNT(*) AS n_docs,
-           SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) AS total_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
            CAST(SUM(CAST(n_chars AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) AS avg_chars,
            COUNT(DISTINCT lang) OVER (PARTITION BY source) AS langs_in_source

@@ -41,12 +41,51 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
-def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
+def dtype_class(s: pd.Series) -> str:
+    """Representation class as the driver's hash sees it. Within a
+    class, value equality implies hash equality (int widths hash alike,
+    datetime units are normalized); ACROSS classes — the q_null_profile
+    trap: DuckDB HUGEINT materializing as float64 vs Spark int64 —
+    equal values hash differently and the driver flags a mismatch."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        # Spark DATE comes back as object(datetime.date) while DuckDB
+        # DATE is datetime64[us] — proven hash-safe by the round-1
+        # driver (q_project_date / q_agg_daily / q_cast_timestamp all
+        # green), so classify date objects with the datetimes.
+        import datetime as _dt
+
+        nn = s.dropna()
+        if len(nn) and isinstance(nn.iloc[0], _dt.date) and not isinstance(nn.iloc[0], _dt.datetime):
+            return "datetime"
+    return "object"
+
+
+def compare(
+    name: str, sdf: pd.DataFrame, odf: pd.DataFrame, strict_dtypes: bool = False
+) -> tuple[bool, str]:
     if len(sdf) != len(odf):
         return False, f"row count spark={len(sdf)} oracle={len(odf)}"
     s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
     if s_cols != o_cols:
         return False, f"columns spark={s_cols} oracle={o_cols}"
+    if strict_dtypes:
+        bad = []
+        for c in s_cols:
+            sc, oc = dtype_class(sdf[c]), dtype_class(odf[c])
+            if sc != oc:
+                bad.append(
+                    f"{c}: spark {sdf[c].dtype}({sc}) vs oracle {odf[c].dtype}({oc})"
+                )
+        if bad:
+            return False, "dtype-class mismatch — " + "; ".join(bad)
     s, o = norm_frame(sdf), norm_frame(odf)
     max_float_diff = 0.0
     for c in s.columns:
@@ -72,6 +111,13 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--strict-dtypes",
+        action="store_true",
+        help="also fail on cross-class dtype mismatches (int vs float, "
+        "etc.) that the driver's representation-sensitive hash would flag "
+        "even when values are equal",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -101,7 +147,7 @@ def main():
             print(f"FAIL  {name}: oracle error\n{traceback.format_exc()}")
             n_fail += 1
             continue
-        ok, msg = compare(name, sdf, odf)
+        ok, msg = compare(name, sdf, odf, strict_dtypes=args.strict_dtypes)
         print(f"{'PASS' if ok else 'FAIL'}  {name}: {msg} [{time.time()-t0:.1f}s]")
         n_pass += ok
         n_fail += not ok
