@@ -360,7 +360,10 @@ def duplicate_clusters(
     # union-find on the collected edges beats paying per-iteration job
     # scheduling for a graph that fits in one hand — the same
     # "driver holds k·dim, never the data" budget as ivf_centroids.
-    # Above it, the distributed loop below takes over unchanged.
+    # Memory math for the default threshold: 100k edges collect as
+    # 100k × 2 longs ≈ 1.6 MB raw (≈ tens of MB as Row objects), and
+    # the parent dict holds ≤ 200k int entries ≈ 20 MB — far under any
+    # driver heap. Above it, the distributed loop takes over unchanged.
     n_edges = edges.count()
     if n_edges <= local_threshold:
         parent: dict = {}

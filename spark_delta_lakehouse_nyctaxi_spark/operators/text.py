@@ -160,3 +160,52 @@ def rolling_fingerprint(col: str | Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * ROLLING_BASE + h(t)) % ROLLING_MOD,
     )
+
+
+def token_ngrams(col: str | Column, n: int) -> Column:
+    """Token n-grams as space-joined strings (empty array when the doc
+    has fewer than n tokens). Pure array expressions — the per-row cost
+    is O(tokens·n) with no shuffle; downstream overlap joins explode
+    this column."""
+    ts = tokens(col)
+    return F.when(
+        F.size(ts) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+            lambda i: F.array_join(F.slice(ts, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_token_count(col: str | Column) -> Column:
+    """Occurrences of the most frequent token — the Gopher-style
+    repetition signal's numerator. O(unique·tokens) per row as pure
+    array expressions; no explode, no shuffle."""
+    ts = tokens(col)
+    return F.array_max(
+        F.transform(
+            F.array_distinct(ts), lambda w: F.size(F.filter(ts, lambda t: t == w))
+        )
+    )
+
+
+# PII patterns deliberately use only portable regex constructs (char
+# classes + bounded quantifiers) so the Spark (Java) and oracle (RE2)
+# engines match identically.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\d{3}-\d{3}-\d{4}"
+
+
+def scrub_pii(col: str | Column) -> Column:
+    """Redact email addresses and US-style phone numbers (the minimal
+    training-data PII pass). Spark regexp_replace is global by default."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
+    return F.regexp_replace(out, PHONE_PATTERN, "[PHONE]")
+
+
+def pii_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0)) + F.size(
+        F.regexp_extract_all(c, F.lit(PHONE_PATTERN), 0)
+    )

@@ -144,6 +144,10 @@ _PRIORITY: list[str] = [
     "q_udtf_chunks",
     "q_pack_sequences",
     "q_corpus_stats",
+    # round-2 additions (LLM-pipeline ops)
+    "q_repetition_profile",
+    "q_pii_scrub",
+    "q_contamination",
     "q_zscore_pandas",
     "q_weighted_mean_udaf",
     "q_arrow_normalize",

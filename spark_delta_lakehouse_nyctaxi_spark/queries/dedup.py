@@ -97,7 +97,11 @@ def q_minhash_lsh(spark, sf_dir):
     arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed=True).persist()
     sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
     sig = D.minhash_signatures(sh, num_hashes=32)
-    cand = D.lsh_candidate_pairs_grouped(sig, bands=8)
+    # Hot-bucket guard ON by default: a degenerate bucket of ~1000+
+    # near-identical boilerplate docs would emit O(bucket²) pairs; the
+    # cap drops only such buckets. Parity-tested as a no-op on the
+    # testdata (largest bucket ≪ cap).
+    cand = D.lsh_candidate_pairs_grouped(sig, bands=8, max_bucket_size=1000)
     return D.jaccard_pairs_from_arrays(arrs, cand, threshold=0.1)
 
 

@@ -260,3 +260,131 @@ def q_corpus_stats(spark, sf_dir):
     return agg.withColumn(
         "langs_in_source", F.size(F.collect_set("lang").over(w)).cast("long")
     )
+
+
+@register(
+    "q_repetition_profile",
+    """
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ts)) AS BIGINT) AS n_unique,
+           CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS unique_ratio,
+           CAST(list_max(list_transform(list_distinct(ts),
+                    w -> len(list_filter(ts, t -> t = w)))) AS DOUBLE)
+             / len(ts) AS top_token_frac
+    FROM tok
+    """,
+    doc="Gopher/C4-style repetition quality signals per document: "
+        "unique-token ratio and most-frequent-token fraction. Pure "
+        "array expressions (no explode, no shuffle) — the classic "
+        "boilerplate/low-quality filter for LLM training corpora. "
+        "Ratios are single IEEE divisions of exact integer counts, so "
+        "Spark and the oracle agree bit-for-bit.",
+)
+def q_repetition_profile(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    ts = T.tokens("text")
+    n_tokens = F.size(ts).cast("long")
+    n_unique = F.size(F.array_distinct(ts)).cast("long")
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        (n_unique.cast("double") / n_tokens).alias("unique_ratio"),
+        (T.top_token_count("text").cast("double") / n_tokens).alias("top_token_frac"),
+    )
+
+
+# Deterministic synthetic PII injected on BOTH sides (the corpus itself
+# is PII-free): docs where doc_id % 7 == 0 gain an email, % 11 == 0 a
+# phone number — so the scrubber's redactions are value-verified.
+_PII_AUG_SQL = """
+    text || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+"""
+
+
+@register(
+    "q_pii_scrub",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+               '\\d{{3}}-\\d{{3}}-\\d{{4}}', '[PHONE]', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+              + len(regexp_extract_all(text, '\\d{{3}}-\\d{{3}}-\\d{{4}}'))
+              AS BIGINT) AS n_redactions
+    FROM aug
+    """,
+    doc="PII scrubbing (email + phone redaction with redaction counts) "
+        "— the mandatory pre-training privacy pass. Portable regex "
+        "subset so the Java and RE2 engines agree; global replace on "
+        "both sides. Spark side is two JVM regexp_replace expressions "
+        "inside codegen — no UDF.",
+)
+def q_pii_scrub(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.select(
+        "doc_id",
+        T.scrub_pii(aug).alias("clean_text"),
+        T.pii_count(aug).cast("long").alias("n_redactions"),
+    )
+
+
+@register(
+    "q_contamination",
+    """
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) - 2),
+                      i -> array_to_string(ts[i:i+3], ' '))) AS g
+        FROM tok WHERE len(ts) >= 4
+    )
+    SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_hits
+    FROM grams c
+    JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < 20) b USING (g)
+    WHERE c.doc_id >= 20
+    GROUP BY c.doc_id
+    """,
+    doc="Benchmark-contamination detection: corpus documents sharing "
+        "any token 4-gram with the held-out benchmark set (doc_id < 20 "
+        "stands in for the eval suite), with the count of distinct "
+        "shared grams. The benchmark gram set is broadcast — at 100 TB "
+        "the corpus side streams through the hash join without a "
+        "shuffle; gram n is a parameter (real decontamination uses "
+        "8-13; the synthetic corpus needs 4 to produce overlap).",
+)
+def q_contamination(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    grams = df.select("doc_id", F.explode(T.token_ngrams("text", 4)).alias("g"))
+    bench = grams.filter(F.col("doc_id") < 20).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )

@@ -340,3 +340,60 @@ def test_duplicate_clusters_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         D.duplicate_clusters(pairs, max_iter=2, local_threshold=0)
+
+
+def test_lsh_hot_bucket_guard_parity_on_testdata(spark):
+    # the max_bucket_size=1000 default in q_minhash_lsh must be a no-op
+    # on the testdata corpus (no bucket approaches the cap), while a
+    # tiny cap visibly drops pairs — proving the guard is live
+    docs = load_table(spark, SF_SMALL, "documents")
+    arrs = D.doc_shingle_arrays(docs, "doc_id", "text", 3, hashed=True).persist()
+    sig = D.minhash_signatures_from_arrays(arrs, 32)
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs_grouped(sig, bands=8, max_bucket_size=1000).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs_grouped(sig, bands=8).collect()
+    }
+    assert capped == uncapped and capped
+    tiny = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs_grouped(sig, bands=8, max_bucket_size=1).collect()
+    }
+    assert tiny == set()
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.org or call 212-555-0199 ok"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean, r.n)
+        for r in df.select(
+            "doc_id",
+            T.scrub_pii("text").alias("clean"),
+            T.pii_count("text").alias("n"),
+        ).collect()
+    }
+    assert out[1] == ("mail me at [EMAIL] or call [PHONE] ok", 2)
+    assert out[2] == ("no pii here at all", 0)
+
+
+def test_token_ngrams_and_top_token(spark):
+    df = spark.createDataFrame([(1, "a b a b a"), (2, "x y")], "doc_id long, text string")
+    rows = {
+        r.doc_id: (r.grams, r.top)
+        for r in df.select(
+            "doc_id",
+            T.token_ngrams("text", 3).alias("grams"),
+            T.top_token_count("text").alias("top"),
+        ).collect()
+    }
+    assert rows[1] == (["a b a", "b a b", "a b a"], 3)
+    assert rows[2] == ([], 1)  # shorter than n -> empty gram list
