@@ -271,3 +271,16 @@ def test_join_strategy_hints_are_respected(spark):
     assert "ShuffledHashJoin" in P.explain_str(sh)
     sm = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
     assert "SortMergeJoin" in P.explain_str(sm)
+
+
+def test_repetition_and_pii_are_pure_projections(spark):
+    # quality signals and scrubbing must not shuffle — they run inside
+    # the scan's projection at any scale
+    assert P.exchange_count(q("q_repetition_profile", spark)) == 0
+    assert P.exchange_count(q("q_pii_scrub", spark)) == 0
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    df = q("q_contamination", spark)
+    assert P.uses_broadcast_join(df), "benchmark gram set must broadcast"
+    assert not P.has_cartesian(df)
