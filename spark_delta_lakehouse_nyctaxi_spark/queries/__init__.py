@@ -148,6 +148,8 @@ _PRIORITY: list[str] = [
     "q_repetition_profile",
     "q_pii_scrub",
     "q_contamination",
+    "q_tfidf_topk",
+    "q_embedding_quantize",
     "q_zscore_pandas",
     "q_weighted_mean_udaf",
     "q_arrow_normalize",

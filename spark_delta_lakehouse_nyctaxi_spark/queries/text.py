@@ -388,3 +388,98 @@ def q_contamination(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_hits"))
     )
+
+
+@register(
+    "q_tfidf_topk",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               CAST(tf.tf AS DOUBLE)
+                 * (CAST((SELECT n_docs FROM n) + 1 AS DOUBLE) / (df.df + 1)) AS score
+        FROM tf JOIN df USING (tok)
+    )
+    SELECT doc_id, tok, score, term_rank FROM (
+        SELECT doc_id, tok, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, tok) AS term_rank
+        FROM scored
+    ) WHERE term_rank <= 3
+    """,
+    doc="Per-document top-3 terms by tf-idf with the MULTIPLICATIVE idf "
+        "variant idf' = (N+1)/(df+1) — a monotone transform of the "
+        "textbook log idf chosen because every arithmetic step "
+        "(division, multiply) is a single correctly-rounded IEEE op, so "
+        "Spark and the oracle rank and hash identically (ln() would pull "
+        "in libm, which is not cross-engine bit-stable). Two hash "
+        "aggregates + a broadcast df join; the corpus-size scalar is the "
+        "only driver value (same budget as get_watermark).",
+)
+def q_tfidf_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # metadata-sized scalar, mirrors the oracle's (SELECT n)
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        "doc_id",
+        "tok",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + 1))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "tok", "score", "term_rank")
+    )
+
+
+@register(
+    "q_embedding_quantize",
+    """
+    WITH scaled AS (
+        SELECT vec_id,
+               127.0 / list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           s.scale,
+           list_transform(e.embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * s.scale + 0.5) AS INT)) AS q_vec
+    FROM embeddings e JOIN scaled s USING (vec_id)
+    """,
+    doc="Symmetric int8 embedding quantization (per-vector scale = "
+        "127/max|x|, half-up rounding) — the storage/bandwidth op every "
+        "vector corpus at 100 TB needs before indexing. Pure array "
+        "projection, zero shuffle. Rounding is floor(x*scale + 0.5) on "
+        "BOTH engines (library round() half-even/half-away semantics "
+        "differ; floor is exact IEEE everywhere).",
+)
+def q_embedding_quantize(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.withColumn(
+        "scale",
+        F.lit(127.0)
+        / F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
+    )
+    return scaled.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("int"),
+        ).alias("q_vec"),
+    )
