@@ -254,6 +254,111 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 8) -> DataFrame:
     )
 
 
+def prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """EXACT candidate superset for Jaccard ≥ threshold via AllPairs/
+    PPJoin prefix filtering (Bayardo et al. 2007, Xiao et al. 2008) —
+    the scale-safe replacement for the naive co-shingle self-join.
+
+    Canonical shingle order = (global document frequency ASC, shingle
+    ASC). A document with set size s keeps only its first
+    ``s - ceil(t·s) + 1`` shingles in that order; two documents with
+    J ≥ t must share a prefix shingle (if all common elements sat in
+    A's suffix of size ceil(t·s)-1, the overlap would be < t·s ≤ |A∩B|
+    — contradiction). The join therefore runs only over PREFIX
+    entries, and because hot shingles sort LAST they almost never
+    enter a prefix — the quadratic blowup of the co-shingle join on
+    common shingles disappears while recall stays exactly 1
+    (parity-tested against the naive form).
+
+    The ceil is computed as ``ceil(t·s − 1e-9)``: IEEE rounding of
+    ``t·s`` can land one ulp above an exact integer, which would
+    SHORTEN the prefix and silently drop pairs; the epsilon can only
+    lengthen it (still exact, marginally more candidates).
+
+    Shuffle shape — the input is scanned ONCE: document frequency is a
+    count window over the shingle partitioning (no separate aggregate +
+    join-back), rank/size share the id partitioning (one exchange), and
+    pairs come from a per-prefix-shingle bucket aggregate expanded with
+    array expressions (the lsh_candidate_pairs_grouped pattern) instead
+    of a self-join — so the prefix frame is never computed twice.
+    Everything is bounded by prefix size, not raw shingle frequency.
+    """
+    from pyspark.sql.window import Window
+
+    w_df = Window.partitionBy("shingle")
+    w_rank = Window.partitionBy("id").orderBy("df", "shingle")
+    w_sz = Window.partitionBy("id")
+    pre = (
+        sh.withColumn("df", F.count("*").over(w_df))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("sz", F.count("*").over(w_sz))
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+        )
+        .select("id", "shingle")
+    )
+    buckets = (
+        pre.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    n = F.size("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs_adaptive(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = 3,
+    pair_budget: int = 50_000_000,
+) -> DataFrame:
+    """Cost-based EXACT near-dup pair join: choose between the
+    co-shingle self-join and AllPairs prefix filtering from the data's
+    actual shingle-frequency profile — both paths produce identical
+    output, so the choice is purely physical (the same call Catalyst
+    makes between broadcast and shuffle joins, made here because the
+    statistic it needs — Σ df·(df−1)/2, the co-shingle join's EXACT
+    candidate-pair count — is not in its cost model).
+
+    One frequency aggregate (a scalar to the driver) prices the naive
+    join. Under ``pair_budget`` the co-shingle join is provably
+    bounded and wins on stage count (uniform corpora, test SFs); above
+    it — hot boilerplate shingles, the 100 TB regime — the prefix
+    filter's rarest-first pruning takes over. Parity across both
+    branches is pytest-gated.
+    """
+    sh = shingles(df, id_col, text_col, k=k, hashed=True)
+    est = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("est"))
+        .first()["est"]
+    )
+    if est is not None and est <= pair_budget:
+        return jaccard_pairs(sh, threshold=threshold)
+    arrs = doc_shingle_arrays(df, id_col, text_col, k=k, hashed=True).persist()
+    arrs.count()  # eager: three consumers in one job would race the cache
+    sh_arr = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    cand = prefix_filter_candidates(sh_arr, threshold)
+    return jaccard_pairs_from_arrays(arrs, cand, threshold=threshold)
+
+
 def jaccard_pairs(
     sh: DataFrame,
     pairs: DataFrame | None = None,

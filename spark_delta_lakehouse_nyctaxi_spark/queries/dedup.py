@@ -45,6 +45,14 @@ def q_dedup_exact(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _prefix_jaccard_pairs(df, threshold: float, id_col: str = "doc_id"):
+    """Shared exact near-dup pair stage: cost-based choice between the
+    co-shingle join (bounded candidate count, priced by one frequency
+    aggregate) and AllPairs prefix filtering (hot-shingle-immune).
+    Identical output either way — see jaccard_pairs_adaptive."""
+    return D.jaccard_pairs_adaptive(df, id_col, "text", threshold=threshold)
+
+
 @register(
     "q_ngram_jaccard",
     f"""
@@ -63,12 +71,14 @@ def q_dedup_exact(spark, sf_dir):
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
     """,
     doc="Exact n-gram (3-token shingle) Jaccard near-dup pairs ≥ 0.1 "
-        "(north-star n-gram dedup). Co-shingle join, never cross join.",
+        "(north-star n-gram dedup). Candidates come from AllPairs "
+        "prefix filtering (rarest-shingles-first canonical order) — "
+        "exactly the co-shingle join's output, hot-shingle-immune at "
+        "scale — then exact array-intersect verification.",
 )
 def q_ngram_jaccard(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(df, "doc_id", "text", k=3, hashed=True)
-    return D.jaccard_pairs(sh, threshold=0.1)
+    return _prefix_jaccard_pairs(df, threshold=0.1)
 
 
 @register(
@@ -158,9 +168,8 @@ clusters AS (
 )
 def q_dedup_clusters(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(df, "doc_id", "text", k=3, hashed=True)
-    pairs = D.jaccard_pairs(sh, threshold=0.1)
-    return D.duplicate_clusters(pairs).select(
+    pairs = _prefix_jaccard_pairs(df, threshold=0.1)
+    return D.duplicate_clusters(pairs.select("id_a", "id_b")).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
 
@@ -181,9 +190,8 @@ def q_dedup_clusters(spark, sf_dir):
 )
 def q_dedup_canonical(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(df, "doc_id", "text", k=3, hashed=True)
-    pairs = D.jaccard_pairs(sh, threshold=0.1)
-    clusters = D.duplicate_clusters(pairs)
+    pairs = _prefix_jaccard_pairs(df, threshold=0.1)
+    clusters = D.duplicate_clusters(pairs.select("id_a", "id_b"))
     return D.resolve_duplicates(df, F.broadcast(clusters), "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -280,8 +288,11 @@ def q_training_pipeline(spark, sf_dir):
     exact = D.exact_dedup(
         quality.withColumn("__fp", F.md5("text")), ["__fp"], "doc_id"
     ).drop("__fp").persist()
-    sh = D.shingles(exact, "doc_id", "text", k=3, hashed=True)
-    clusters = D.duplicate_clusters(D.jaccard_pairs(sh, threshold=0.1))
+    # Near-dup pair stage: AllPairs prefix filtering (exact, identical
+    # output to the co-shingle join, immune to hot-shingle blowup) +
+    # in-place array-intersect verification.
+    pairs = _prefix_jaccard_pairs(exact, threshold=0.1)
+    clusters = D.duplicate_clusters(pairs.select("id_a", "id_b"))
     resolved = D.resolve_duplicates(exact, F.broadcast(clusters), "doc_id")
     return (
         SA.hash_split(resolved, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])

@@ -397,3 +397,45 @@ def test_token_ngrams_and_top_token(spark):
     }
     assert rows[1] == (["a b a", "b a b", "a b a"], 3)
     assert rows[2] == ([], 1)  # shorter than n -> empty gram list
+
+
+def test_prefix_filter_candidates_exact_parity(spark):
+    """AllPairs prefix filtering must reproduce the naive co-shingle
+    join's pairs EXACTLY (it replaces it in every registered jaccard
+    path) while generating strictly fewer candidates."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    arrs = D.doc_shingle_arrays(docs, "doc_id", "text", 3, hashed=True).persist()
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    for t in (0.1, 0.3):
+        naive = {
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in D.jaccard_pairs(sh, threshold=t).collect()
+        }
+        cand = D.prefix_filter_candidates(sh, t)
+        pf = {
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in D.jaccard_pairs_from_arrays(arrs, cand, threshold=t).collect()
+        }
+        assert pf == naive
+    n_cand = D.prefix_filter_candidates(sh, 0.3).count()
+    n_all = D.jaccard_pairs(sh, threshold=0.0).count()
+    assert n_cand < n_all
+
+
+def test_jaccard_adaptive_both_branches_identical(spark):
+    """The cost-based pair join must give identical pairs whichever
+    physical branch the budget selects."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    naive_branch = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in D.jaccard_pairs_adaptive(
+            docs, "doc_id", "text", 0.1, pair_budget=10**12
+        ).collect()
+    }
+    prefix_branch = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in D.jaccard_pairs_adaptive(
+            docs, "doc_id", "text", 0.1, pair_budget=0
+        ).collect()
+    }
+    assert naive_branch == prefix_branch and naive_branch
