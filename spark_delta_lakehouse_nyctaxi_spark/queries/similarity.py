@@ -49,10 +49,10 @@ def q_ann_bruteforce(spark, sf_dir):
 @register(
     "q_embedding_near_dup",
     f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_COS_SQL} AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_COS_SQL} >= 0.45
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.45
     """,
     doc="Embedding near-duplicate pairs (cosine ≥ 0.45 — the corpus max "
         "pairwise similarity is ~0.51, so this is the near-dup tail). "
@@ -122,9 +122,10 @@ def q_ann_ivf_tuned(spark, sf_dir):
     f"""
     WITH RECURSIVE
     pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_COS_SQL} >= 0.45
+        SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cos_sim >= 0.45
     ),
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
