@@ -37,7 +37,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (the
+    value is undefined — try_divide keeps that NULL under ANSI mode,
+    where a bare division would throw DIVIDE_BY_ZERO). Nonzero inputs
+    are bit-identical to the plain division."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -162,6 +166,22 @@ def embedding_near_dups(
     )
     centroids = ivf_centroids(normed, n_centroids=n_cells, iters=kmeans_iters,
                               id_col="_id", vec_col="_unit")
+    if not centroids:
+        # every vector was zero-norm (or the corpus is empty): no pair
+        # can clear any threshold — undefined cosines never qualify
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        idt = corpus.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id_a", idt),
+                    StructField("id_b", idt),
+                    StructField("cos_sim", DoubleType()),
+                ]
+            ),
+        )
     cell = assign_cell(F.col("_unit"), centroids)
     # assign_cell's winning score is s = <v̂,c> - |c|²/2, so the squared
     # distance to the OWN centroid is |v̂|² - 2s = 1 - 2s — no re-lookup.
@@ -278,6 +298,8 @@ def ivf_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r.v] for r in init]
+    if not centroids:
+        return []  # empty corpus — caller decides (no cells to build)
     dim = len(centroids[0])
     for _ in range(iters):
         cid = assign_cell(F.col(vec_col), centroids)

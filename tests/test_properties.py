@@ -113,3 +113,73 @@ def test_duplicate_clusters_properties(spark, pairs):
         assert label[a] == label[b]
     for node, cl in label.items():
         assert label[cl] == cl and cl <= node
+
+
+WORDS = ["spark", "join", "agg", "row", "scan", "table", "value", "fast"]
+DOCS = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(docs=DOCS, t=st.sampled_from([0.1, 0.25, 0.5, 0.8]))
+@SETTINGS
+def test_prefix_filter_matches_naive_on_random_corpora(spark, docs, t):
+    """AllPairs prefix filtering is EXACT on arbitrary corpora — same
+    jaccard pairs as the co-shingle join for any threshold, including
+    texts built from a tiny vocabulary (maximally hot shingles, the
+    regime the filter exists for)."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.dedup import (
+        doc_shingle_arrays,
+        jaccard_pairs,
+        jaccard_pairs_from_arrays,
+        prefix_filter_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    arrs = doc_shingle_arrays(df, "doc_id", "text", k=2, hashed=True)
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    naive = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in jaccard_pairs(sh, threshold=t).collect()
+    }
+    cand = prefix_filter_candidates(sh, t)
+    pf = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in jaccard_pairs_from_arrays(arrs, cand, threshold=t).collect()
+    }
+    assert pf == naive
+
+
+VECS = st.lists(
+    st.lists(
+        st.floats(-1.0, 1.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(vecs=VECS, t=st.sampled_from([0.3, 0.7, 0.95]))
+@SETTINGS
+def test_cell_pruned_near_dups_match_allpairs_on_random_vectors(spark, vecs, t):
+    """The k-means cell-pruned embedding pair join is EXACT for
+    arbitrary vector sets and thresholds — identical pairs and cosines
+    to the O(N²) reference form."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_allpairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted(map(tuple, embedding_near_dups(df, threshold=t, n_cells=4).collect()))
+    ref = sorted(map(tuple, embedding_near_dups_allpairs(df, threshold=t).collect()))
+    assert got == ref
