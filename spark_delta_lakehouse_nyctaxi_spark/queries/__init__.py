@@ -150,6 +150,7 @@ _PRIORITY: list[str] = [
     "q_contamination",
     "q_tfidf_topk",
     "q_embedding_quantize",
+    "q_minhash_mllib",
     "q_zscore_pandas",
     "q_weighted_mean_udaf",
     "q_arrow_normalize",

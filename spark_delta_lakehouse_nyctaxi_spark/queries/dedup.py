@@ -299,3 +299,39 @@ def q_training_pipeline(spark, sf_dir):
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
     )
+
+
+@register(
+    "q_minhash_mllib",
+    None,  # LSH candidate recall < 1 by design → rows-only (+ pytest vs exact)
+    doc="The STOCK pyspark.ml MinHashLSH near-dup path "
+        "(HashingTF token-set vectors → MinHashLSH(seed) → "
+        "approxSimilarityJoin), kept alongside the native "
+        "array-expression pipeline (q_minhash_lsh) for API parity: a "
+        "reference user migrating MLlib code runs this unchanged. "
+        "Seeded → deterministic. The native pipeline is preferred at "
+        "scale (no ML vector materialization, fewer shuffles); pytest "
+        "asserts the two agree on high-similarity pairs.",
+)
+def q_minhash_mllib(spark, sf_dir):
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    df = load_table(spark, sf_dir, "documents")
+    # Same 3-token shingle sets as the native pipeline, so the two
+    # paths find the same near-dup structure and pytest can compare.
+    toks = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed=False).select(
+        F.col("id").alias("doc_id"), F.col("sh_arr").alias("tokens")
+    )
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            (F.lit(1.0) - F.col("jaccard_dist")).alias("jaccard_sim"),
+        )
+    )

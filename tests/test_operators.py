@@ -439,3 +439,23 @@ def test_jaccard_adaptive_both_branches_identical(spark):
         ).collect()
     }
     assert naive_branch == prefix_branch and naive_branch
+
+
+def test_mllib_minhash_agrees_with_native_pipeline(spark):
+    """The stock MLlib MinHashLSH path over the same shingle sets must
+    find the same high-similarity pairs as the native array pipeline
+    (both are LSH-candidates + exact-jaccard filters at 0.1)."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    native = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["q_minhash_lsh"].fn(spark, SF_SMALL).collect()
+    }
+    mllib = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["q_minhash_mllib"].fn(spark, SF_SMALL).collect()
+    }
+    # identical candidates is not guaranteed (different hash families),
+    # but every strong pair (the dedup-relevant ones) must be in both
+    assert native and mllib
+    assert native == mllib
