@@ -162,7 +162,13 @@ def embedding_near_dups(
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
         .withColumn("_n", norm(F.col("_vec")))
         .filter(F.col("_n") > 0)
-        .withColumn("_unit", F.transform(F.col("_vec"), lambda x: x.cast("double") / F.col("_n")))
+        # try_divide: the filter above excludes zero norms, but ANSI
+        # mode can still evaluate the division for filtered rows when
+        # the optimizer collapses the projections — keep it NULL-safe
+        .withColumn(
+            "_unit",
+            F.transform(F.col("_vec"), lambda x: F.try_divide(x.cast("double"), F.col("_n"))),
+        )
     )
     centroids = ivf_centroids(normed, n_centroids=n_cells, iters=kmeans_iters,
                               id_col="_id", vec_col="_unit")

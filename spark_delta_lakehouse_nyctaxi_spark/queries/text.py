@@ -430,7 +430,10 @@ def q_tfidf_topk(spark, sf_dir):
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "tok").select(
+    # no forced broadcast: dfreq is vocab-sized (can exceed broadcast
+    # limits at corpus scale) — AQE picks broadcast vs shuffle from
+    # runtime stats, and both joins share the tok partitioning anyway
+    scored = tf.join(dfreq, "tok").select(
         "doc_id",
         "tok",
         (
