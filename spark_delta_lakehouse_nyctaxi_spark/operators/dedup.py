@@ -344,6 +344,13 @@ def jaccard_pairs_adaptive(
     branches is pytest-gated.
     """
     sh = shingles(df, id_col, text_col, k=k, hashed=True)
+    # Free short-circuit: co-shingle candidates can never exceed
+    # N·(N−1)/2, so a small corpus is provably under budget without
+    # the frequency pass (a parquet-metadata count for raw tables; for
+    # computed inputs it doubles as eager cache materialization).
+    n = df.count()
+    if n * (n - 1) / 2 <= pair_budget:
+        return jaccard_pairs(sh, threshold=threshold)
     est = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("c"))
