@@ -152,6 +152,12 @@ def embedding_near_dups(
     output that is itself Ω(N²) cannot be produced in less; the bound
     only skips work that provably yields nothing.
 
+    Sizing at scale: per-cell-pair work is ~(N/k)², so k should grow
+    ~√N to hold cell-pair cost constant (k=16 suits the test corpora;
+    a 1e9-vector corpus wants k in the thousands — the index build
+    stays driver-safe because only the k×dim centroid matrix ever
+    leaves the executors).
+
     Zero-norm vectors have undefined cosine (NULL) and are excluded by
     the threshold filter in both forms.
     """
