@@ -91,7 +91,10 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         n_tokens.alias("n_tokens"),
         vowel_count(t).alias("n_vowels"),
         space_count(t).alias("n_spaces"),
-        (vowel_count(t).cast("double") / n_chars).alias("vowel_ratio"),
+        # try_divide: empty-text docs have n_chars = 0 — undefined ratio
+        # must be NULL, not an ANSI DIVIDE_BY_ZERO (n_tokens ≥ 1 always:
+        # split of a trimmed empty string yields [''])
+        F.try_divide(vowel_count(t).cast("double"), n_chars).alias("vowel_ratio"),
         ((n_chars - space_count(t)).cast("double") / n_tokens).alias("avg_token_len"),
     )
 

@@ -52,7 +52,8 @@ def q_text_quality(spark, sf_dir):
         n_chars.alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
         n_vowels.alias("n_vowels"),
-        (n_vowels.cast("double") / n_chars).alias("vowel_ratio"),
+        # NULL (not ANSI error) for empty-text docs, matching SQL division
+        F.try_divide(n_vowels.cast("double"), n_chars).alias("vowel_ratio"),
         ((n_chars - n_spaces).cast("double") / n_tokens).alias("avg_token_len"),
     )
 
@@ -475,8 +476,12 @@ def q_embedding_quantize(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     scaled = emb.withColumn(
         "scale",
-        F.lit(127.0)
-        / F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
+        # try_divide: a zero vector has max|x| = 0 — scale is undefined
+        # (NULL), not an ANSI DIVIDE_BY_ZERO
+        F.try_divide(
+            F.lit(127.0),
+            F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
+        ),
     )
     return scaled.select(
         "vec_id",
