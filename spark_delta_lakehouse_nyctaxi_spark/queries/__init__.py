@@ -164,6 +164,8 @@ _PRIORITY: list[str] = [
     "q_scan_json",
     "q_scan_orc",
     "q_scan_pysource",
+    "q_scan_text",
+    "q_scan_binary",
     "q_partition_pruning",
     "q_incremental",
     "q_incremental_agg",

@@ -399,3 +399,52 @@ def q_scan_pysource(spark, sf_dir):
     ).coalesce(4).write.mode("overwrite").text(path)
     spark.dataSource.register(JsonlDataSource)
     return spark.read.format("jsonl_manifest").option("path", path).load()
+
+
+@register(
+    "q_scan_text",
+    "SELECT text AS value FROM documents",
+    doc="Line-based text source round-trip (spark.read.text — the raw "
+        "ingestion format for unstructured corpora): documents staged "
+        "as text files, read back one row per line. The corpus has no "
+        "embedded newlines, so the round-trip is exact; the oracle is "
+        "the original text column.",
+)
+def q_scan_text(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    path = scratch_dir("text_src")
+    docs.coalesce(4).write.mode("overwrite").text(path)
+    return spark.read.text(path)
+
+
+@register(
+    "q_scan_binary",
+    """
+    SELECT CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+           md5(text) AS content_md5,
+           CAST(LENGTH(text) AS BIGINT) AS content_len
+    FROM documents WHERE doc_id < 64
+    """,
+    doc="binaryFile source — THE ingest path for multimodal payloads "
+        "(images/audio enter the lake as opaque bytes + path "
+        "metadata): 64 per-document binary files staged, read back "
+        "with spark.read.format('binaryFile'), keyed by file name with "
+        "md5/length of the content verified against the source bytes. "
+        "At 100 TB this reader scales like any file scan (one task per "
+        "file group); pathGlobFilter/recursiveFileLookup handle layout.",
+)
+def q_scan_binary(spark, sf_dir):
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    path = scratch_dir("bin_src")
+    os.makedirs(path, exist_ok=True)
+    for r in docs.select("doc_id", "text").collect():  # 64 small files — test staging only
+        with open(os.path.join(path, f"{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(path)
+    return bf.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.md5(F.col("content")).alias("content_md5"),
+        F.col("length").alias("content_len"),
+    )
