@@ -148,6 +148,7 @@ _PRIORITY: list[str] = [
     "q_repetition_profile",
     "q_pii_scrub",
     "q_contamination",
+    "q_decontaminate",
     "q_tfidf_topk",
     "q_embedding_quantize",
     "q_minhash_mllib",

@@ -491,3 +491,48 @@ def q_embedding_quantize(spark, sf_dir):
             lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("int"),
         ).alias("q_vec"),
     )
+
+
+@register(
+    "q_decontaminate",
+    """
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) - 2),
+                      i -> array_to_string(ts[i:i+3], ' '))) AS g
+        FROM tok WHERE len(ts) >= 4
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM grams c
+        JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < 20) b USING (g)
+        WHERE c.doc_id >= 20
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.doc_id >= 20 AND c.doc_id IS NULL
+    """,
+    doc="Decontamination — the removal step after detection: corpus "
+        "documents sharing NO token 4-gram with the benchmark set, via "
+        "left-anti join against the contaminated-id set. The id set is "
+        "near-dup-sized (broadcasts); the corpus passes through one "
+        "anti join, no extra shuffle beyond the gram stage.",
+)
+def q_decontaminate(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    grams = df.select("doc_id", F.explode(T.token_ngrams("text", 4)).alias("g"))
+    bench = grams.filter(F.col("doc_id") < 20).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        df.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
