@@ -284,3 +284,9 @@ def test_contamination_broadcasts_benchmark_grams(spark):
     df = q("q_contamination", spark)
     assert P.uses_broadcast_join(df), "benchmark gram set must broadcast"
     assert not P.has_cartesian(df)
+
+
+def test_decontaminate_plans_anti_join_no_cartesian(spark):
+    plan = P.explain_str(q("q_decontaminate", spark))
+    assert "LeftAnti" in plan
+    assert not P.has_cartesian(q("q_decontaminate", spark))
