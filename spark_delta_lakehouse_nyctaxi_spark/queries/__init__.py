@@ -160,6 +160,7 @@ _PRIORITY: list[str] = [
     "q_fuzzy_match",
     "q_cogroup_asof",
     "q_corr_manual",
+    "q_stddev_manual",
     "q_map_struct",
     "q_array_agg",
     "q_scan_json",

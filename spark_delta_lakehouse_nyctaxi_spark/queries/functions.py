@@ -323,3 +323,41 @@ def q_weighted_mean_udaf(spark, sf_dir):
     return l.groupBy("l_returnflag").agg(
         weighted_mean_udaf("q", "w").alias("wmean_qty")
     )
+
+
+@register(
+    "q_stddev_manual",
+    f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {dsum_sql('l_quantity')} AS sx,
+               {dsum_sql('l_quantity * l_quantity', 4)} AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty
+    FROM s
+    """,
+    doc="Grouped sample standard deviation from exact decimal moment "
+        "sums (the q_corr_manual discipline applied to dispersion): "
+        "built-in stddev() accumulates in fp and is shuffle-order-"
+        "dependent; exact Σx/Σx² then one sqrt/division per GROUP is "
+        "bit-stable under any partitioning and matches the oracle.",
+)
+def q_stddev_manual(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum(qty * qty, 4, precision=22).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - 1))).alias("stddev_qty"),
+    )
