@@ -62,107 +62,49 @@ from . import subqueries  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 
 
-# Breadth-first driver ordering.  The round-1 driver verified exactly the
-# first 50 registry entries and stopped, leaving TPC-H / streaming / dedup /
-# similarity / sampling / storage dark (VERDICT.md "What's wrong" #3).  The
-# registry is re-ordered after population so the first ~50 slots carry one
-# green row for EVERY capability family that lacked a driver entry in
-# CORRECTNESS_r01.json; the 46 queries already driver-verified in round 1
-# keep their implementations but sort last.  Names absent from the priority
-# list (or listed but unregistered) degrade gracefully.
+# Round-3 rotation.  The driver verifies ~50 registry entries per round
+# in order; CORRECTNESS_r01 ∪ CORRECTNESS_r02 covers 99 of the 148
+# registered queries, leaving exactly 49 without a driver row (all 49
+# pass the local strict oracle check — tools/check_oracle.py — so the
+# residual risk is driver-environment drift only; VERDICT.md round-2
+# item 1 says to retire it).  Those 49 fill the first slots this round:
+# value-oracled queries first (cheapest families early), rows-only
+# checks last within the tranche.  New round-3 queries slot in right
+# after, reachable if the budget stretches; every r1/r2-verified query
+# sorts last in original registration order.
 _PRIORITY: list[str] = [
-    # round-1 hash FAIL, now fixed — verify first
-    "q_null_profile",
-    # flagship composition + core unverified operators
-    "q_training_pipeline",
-    "q_merge_upsert",
-    "q_minhash_lsh",
-    # dedup family
-    "q_dedup_exact",
-    "q_dedup_clusters",
-    "q_dedup_canonical",
-    "q_ngram_jaccard",
-    "q_simhash",
-    # similarity family
-    "q_ann_bruteforce",
-    "q_embedding_near_dup",
-    "q_dedup_embedding_canonical",
-    # sampling family
-    "q_sample_split",
-    "q_sample_stratified",
-    "q_sample_mixture",
-    "q_sample_split_grouped",
-    # TPC-H (all implemented queries)
-    "q_tpch_q3",
-    "q_tpch_q6",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_tpch_q14",
-    "q_tpch_q4",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q13",
-    "q_tpch_q22",
-    "q_tpch_q18",
-    # structured streaming representatives
-    "q_stream_window",
-    "q_stream_dedup_det",
-    "q_stream_stream_join",
-    "q_stream_incremental_agg",
-    # storage engine
-    "q_scan_csv",
-    "q_time_travel",
-    "q_silver_pipeline",
-    "q_table_dml",
-    "q_table_changes",
-    # DQ framework
-    "q_dq_checks",
-    # function families
-    "q_string_funcs",
-    "q_datetime_funcs",
-    "q_conditional",
-    "q_array_funcs",
-    "q_grouping_sets",
-    "q_cube",
-    "q_pivot",
-    # temporal joins / sessionization
-    "q_join_asof",
-    "q_sessionize",
-    # subqueries
-    "q_exists_subquery",
+    # --- the 49 queries with no driver CORRECTNESS row yet (r1 ∪ r2) ---
+    # subquery shapes
     "q_scalar_subquery",
-    # --- slot 52+: remaining round-1-unverified queries (cheapest first),
-    # reachable if the driver budget is time-based rather than count-based
     "q_in_subquery",
     "q_not_exists_subquery",
+    # text / LLM-pipeline ops (round-1 tail + round-2 additions)
     "q_lang_id",
     "q_token_count_bpe",
     "q_rolling_fingerprint",
     "q_udtf_chunks",
     "q_pack_sequences",
     "q_corpus_stats",
-    # round-2 additions (LLM-pipeline ops)
     "q_repetition_profile",
     "q_pii_scrub",
     "q_contamination",
     "q_decontaminate",
     "q_tfidf_topk",
     "q_embedding_quantize",
-    "q_minhash_mllib",
+    # UDF / pandas / arrow surface
     "q_zscore_pandas",
     "q_weighted_mean_udaf",
     "q_arrow_normalize",
+    "q_cogroup_asof",
+    # reshaping + manual-moment aggregates
     "q_unpivot",
     "q_pivot_multi",
     "q_fuzzy_match",
-    "q_cogroup_asof",
     "q_corr_manual",
     "q_stddev_manual",
     "q_map_struct",
     "q_array_agg",
+    # storage / layout tail
     "q_scan_json",
     "q_scan_orc",
     "q_scan_pysource",
@@ -173,22 +115,24 @@ _PRIORITY: list[str] = [
     "q_incremental_agg",
     "q_range_layout",
     "q_zorder_layout",
+    # remaining streaming shapes (value-oracled)
     "q_stream_window_append",
     "q_stream_sliding_window",
     "q_stream_session_window",
     "q_stream_sessionize_state",
     "q_stream_stream_left_join",
     "q_stream_static_join",
+    # rows-only checks (weaker driver record, still worth a row)
     "q_stream_dedup",
+    "q_minhash_mllib",
     "q_ann_lsh",
     "q_ann_ivf",
     "q_ann_ivf_tuned",
     "q_multimodal_features",
     "q_multimodal_frames",
-    "q_approx_quantiles",
-    "q_approx_distinct",
-    "q_freq_items",
-    # round-1 driver-green queries follow in original registration order
+    # --- round-3 additions land here (slot 50+) ---
+    "q_tpch_q1",
+    # --- r1/r2 driver-green queries follow in registration order ---
 ]
 
 
