@@ -344,10 +344,13 @@ def jaccard_pairs_adaptive(
     branches is pytest-gated.
     """
     sh = shingles(df, id_col, text_col, k=k, hashed=True)
-    # Free short-circuit: co-shingle candidates can never exceed
-    # N·(N−1)/2, so a small corpus is provably under budget without
-    # the frequency pass (a parquet-metadata count for raw tables; for
-    # computed inputs it doubles as eager cache materialization).
+    # Cheap short-circuit: co-shingle candidates can never exceed
+    # N·(N−1)/2, so a small corpus is provably under budget without the
+    # frequency pass.  The count is parquet-metadata-free only for raw
+    # table scans; for computed inputs (e.g. the flagship's deduped
+    # frame) it runs the upstream plan once — still the cheapest
+    # statistic that bounds the join, and strictly cheaper than the
+    # per-shingle frequency aggregate it avoids.
     n = df.count()
     if n * (n - 1) / 2 <= pair_budget:
         return jaccard_pairs(sh, threshold=threshold)
@@ -359,8 +362,14 @@ def jaccard_pairs_adaptive(
     )
     if est is not None and est <= pair_budget:
         return jaccard_pairs(sh, threshold=threshold)
-    arrs = doc_shingle_arrays(df, id_col, text_col, k=k, hashed=True).persist()
-    arrs.count()  # eager: three consumers in one job would race the cache
+    # localCheckpoint(eager) instead of persist(): three consumers read
+    # the materialized blocks, and nothing leaks into a long-lived
+    # session (a bare persist here had no unpersist point — the caller
+    # owns the returned lazy frame; round-2 ADVICE).  Blocks free when
+    # the DataFrame is GC'd.
+    arrs = doc_shingle_arrays(df, id_col, text_col, k=k, hashed=True).localCheckpoint(
+        eager=True
+    )
     sh_arr = arrs.select("id", F.explode("sh_arr").alias("shingle"))
     cand = prefix_filter_candidates(sh_arr, threshold)
     return jaccard_pairs_from_arrays(arrs, cand, threshold=threshold)

@@ -337,7 +337,8 @@ def q_weighted_mean_udaf(spark, sf_dir):
     )
     SELECT l_returnflag, n,
            sx / n AS mean_qty,
-           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty
+           sqrt(greatest(0, n * sxx - sx * sx) / NULLIF(n * (n - 1), 0))
+               AS stddev_qty
     FROM s
     """,
     doc="Grouped sample standard deviation from exact decimal moment "
@@ -355,9 +356,17 @@ def q_stddev_manual(spark, sf_dir):
         dsum(qty * qty, 4, precision=22).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    # NULL-safety discipline (round-2 ADVICE): a single-row group makes
+    # the denominator 0 (DIVIDE_BY_ZERO under ANSI) → try_divide/NULLIF
+    # yields NULL on both sides; and the decimal product n*sxx - sx*sx
+    # (precision 45 capped to 38) can round marginally negative for
+    # zero-variance groups → greatest(0, ·) on both sides keeps sqrt
+    # real.  Happy-path values are bit-identical to the unguarded form.
     return s.select(
         "l_returnflag",
         "n",
         (sx / n).alias("mean_qty"),
-        F.sqrt((n * sxx - sx * sx) / (n * (n - 1))).alias("stddev_qty"),
+        F.sqrt(
+            F.try_divide(F.greatest(F.lit(0), n * sxx - sx * sx), n * (n - 1))
+        ).alias("stddev_qty"),
     )

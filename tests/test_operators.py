@@ -93,6 +93,47 @@ def test_embedding_near_dups_cell_pruned_matches_allpairs(spark):
         assert got == ref
 
 
+def test_brute_force_topk_guards_unbounded_query_side(spark):
+    """The exact baseline must refuse a query set past the broadcast
+    threshold (its cost is |queries|×|corpus|) and direct callers to
+    the IVF/LSH scale paths; None disables the guard explicitly."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="ivf_topk"):
+        S.brute_force_topk(emb, emb, k=2, max_query_rows=3)
+    # explicit opt-out still runs
+    q = emb.filter(F.col("vec_id") < 5)
+    assert S.brute_force_topk(emb, q, k=1, max_query_rows=None).count() == 5
+
+
+def test_embedding_near_dups_ignores_nonfinite_vectors(spark):
+    """Round-2 ADVICE (medium): a NaN-norm vector used to poison its
+    k-means cell's radius (NaN passes `_n > 0` under Spark's NaN-high
+    ordering), silently pruning every pair involving that cell — clean
+    pairs included.  Both forms must now drop non-finite vectors and
+    still find the clean near-dup pair that shares the dirty vector's
+    neighborhood."""
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),     # near-dup of 0
+        (2, [nan, 0.5, 0.5]),        # NaN vector, same neighborhood
+        (3, [inf, 0.0, 0.0]),        # Inf vector
+        (4, [0.0, 0.0, 0.0]),        # zero norm
+        (5, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # few vectors → few cells; force the dirty vectors to share cells
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dups(emb, threshold=0.95, n_cells=2).collect()
+    )
+    ref = sorted(
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dups_allpairs(emb, threshold=0.95).collect()
+    )
+    assert got == ref == [(0, 1)]
+
+
 def test_lsh_topk_subset_of_bruteforce_domain(spark):
     import random
 
@@ -447,15 +488,19 @@ def test_mllib_minhash_agrees_with_native_pipeline(spark):
     (both are LSH-candidates + exact-jaccard filters at 0.1)."""
     from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
 
-    native = {
-        (r.id_a, r.id_b)
-        for r in REGISTRY["q_minhash_lsh"].fn(spark, SF_SMALL).collect()
-    }
-    mllib = {
-        (r.id_a, r.id_b)
-        for r in REGISTRY["q_minhash_mllib"].fn(spark, SF_SMALL).collect()
-    }
-    # identical candidates is not guaranteed (different hash families),
-    # but every strong pair (the dedup-relevant ones) must be in both
+    native_rows = REGISTRY["q_minhash_lsh"].fn(spark, SF_SMALL).collect()
+    mllib_rows = REGISTRY["q_minhash_mllib"].fn(spark, SF_SMALL).collect()
+    native = {(r.id_a, r.id_b) for r in native_rows}
+    mllib = {(r.id_a, r.id_b) for r in mllib_rows}
     assert native and mllib
-    assert native == mllib
+    # Exact set equality between two different LSH hash families is NOT
+    # guaranteed (candidate recall differs near the threshold, and the
+    # MLlib side measures Jaccard over HashingTF-collided indices) — a
+    # round-2 ADVICE item flagged the old `native == mllib` assertion as
+    # brittle.  The contract both paths do guarantee: every STRONG pair
+    # (exact Jaccard well above the 0.1 threshold) survives banding with
+    # overwhelming probability in both families.
+    strong_native = {(r.id_a, r.id_b) for r in native_rows if r.jaccard >= 0.3}
+    strong_mllib = {(r.id_a, r.id_b) for r in mllib_rows if r.jaccard_sim >= 0.3}
+    assert strong_native <= mllib
+    assert strong_mllib <= native
