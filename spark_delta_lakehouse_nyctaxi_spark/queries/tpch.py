@@ -13,6 +13,57 @@ from . import register
 
 
 @register(
+    "q_tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {dsum_sql('l_quantity')} / COUNT(*) AS avg_qty,
+           {dsum_sql('l_extendedprice')} / COUNT(*) AS avg_price,
+           {dsum_sql('l_discount', 4)} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 in FULL official form (round-2 VERDICT item 7 — "
+        "q_agg_2key carries only the shape): shipdate filter, all four "
+        "sums incl. the 3-factor charge expression, the three averages, "
+        "and the ORDER BY. Each per-row product is one IEEE double "
+        "chain (identical in both engines) cast to decimal before the "
+        "exact sum, so hashes are bit-stable under any partitioning. "
+        "Single map-side-combining hash aggregate over a pushed-down "
+        "scan — the canonical pricing-summary plan.",
+)
+def q_tpch_q1(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            # scale 6 puts the fast path's per-row bound at 10^4 < the
+            # ~1.1e5 charge values — explicit precision opts into the
+            # plain decimal(22,6) sum, matching the oracle cast exactly
+            dsum(charge, 6, precision=22).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum("l_discount", 4) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
     "q_tpch_q3",
     f"""
     SELECT l_orderkey,
