@@ -3,6 +3,7 @@ inputs, invariants that must hold at any scale)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -113,6 +114,48 @@ def test_duplicate_clusters_properties(spark, pairs):
         assert label[a] == label[b]
     for node, cl in label.items():
         assert label[cl] == cl and cl <= node
+
+
+@given(
+    length=st.integers(5, 7),
+    seed=st.integers(0, 2**31),
+)
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_duplicate_clusters_chain_graphs_distributed(spark, length, seed):
+    """Round-2 VERDICT item 8: pin the max_iter/convergence contract on
+    graphs beyond the near-dup diameter-≤3 regime.  A chain is label
+    propagation's worst case (labels move one hop per round, so a chain
+    of diameter D needs ~D rounds): with ample max_iter the distributed
+    path (local_threshold=0) must converge to the component minimum for
+    every node; with max_iter below the diameter it must RAISE rather
+    than return non-minimal labels."""
+    import random
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    rng = random.Random(seed)
+    nodes = rng.sample(range(1, 10_000), length)
+    pairs = [(nodes[i], nodes[i + 1]) for i in range(length - 1)]
+    rng.shuffle(pairs)
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    label = {
+        r.id: r.cluster_id
+        for r in duplicate_clusters(df, local_threshold=0, max_iter=length + 2).collect()
+    }
+    lo = min(nodes)
+    assert label == {n: lo for n in nodes}
+
+    # max_iter=1 cannot finish any chain with diameter > 2 — the
+    # contract is a loud RuntimeError, never silently wrong labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(df, local_threshold=0, max_iter=1).collect()
 
 
 WORDS = ["spark", "join", "agg", "row", "scan", "table", "value", "fast"]
