@@ -158,6 +158,50 @@ def test_duplicate_clusters_chain_graphs_distributed(spark, length, seed):
         duplicate_clusters(df, local_threshold=0, max_iter=1).collect()
 
 
+# Adversarial money values: decimal-tie neighbors (0.005, 2.675 — the
+# classic "rint(x*100) disagrees with CAST AS DECIMAL" cases that made
+# the r1-verdict #9 scaled-long idea risky), negatives, and magnitudes
+# near the fast path's documented per-row bound.
+_TIE_VALUES = st.sampled_from(
+    [0.005, -0.005, 2.675, -2.675, 0.015, 1.005, 0.125, -0.125,
+     9_999_999.99, -9_999_999.99, 0.0, 1e-9]
+)
+
+
+# |x| stays under the scale-4 fast path's documented per-row bound
+# (10^(16-2s) = 1e8); beyond it the cast overflows LOUDLY under ANSI
+# (verified: 1e12 at scale 4 raises NUMERIC_VALUE_OUT_OF_RANGE) — the
+# contract is "never silently wrong", not "accepts any magnitude".
+@given(
+    vals=st.lists(
+        st.one_of(_TIE_VALUES, st.floats(-9.9e7, 9.9e7, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    ),
+    scale=st.sampled_from([2, 4]),
+)
+@SETTINGS
+def test_dsum_fast_path_matches_plain_decimal_sum(spark, vals, scale):
+    """r1-verdict #9, closed: the long-backed dsum fast path must be
+    bit-identical to the plain SUM(CAST(x AS DECIMAL(22,s))) it
+    replaces, on any input — including decimal-tie neighbors, because
+    the fast path rounds via the SAME double→decimal cast (tie-free by
+    construction) before shifting into long cents.  grouped + global,
+    any partitioning."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.aggregates import dsum
+
+    rows = [(i % 3, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g int, x double").repartition(5)
+    fast = {r.g: r.s for r in df.groupBy("g").agg(dsum("x", scale).alias("s")).collect()}
+    plain = {
+        r.g: r.s
+        for r in df.groupBy("g")
+        .agg(dsum("x", scale, precision=22).alias("s"))
+        .collect()
+    }
+    assert fast == plain
+
+
 WORDS = ["spark", "join", "agg", "row", "scan", "table", "value", "fast"]
 DOCS = st.lists(
     st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(" ".join),
