@@ -426,6 +426,63 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+def document_segments(
+    df: DataFrame, id_col: str, text_col: str, seg_len: int = 10
+) -> DataFrame:
+    """One row per non-overlapping ``seg_len``-token span of each
+    document: (``id``, ``seg_idx``, ``seg``, ``seg_tokens``). The span
+    inventory behind C4/RefinedWeb-style SPAN-level dedup — finer than
+    whole-document dedup (a boilerplate paragraph pasted into thousands
+    of otherwise-distinct pages is invisible to document fingerprints).
+
+    Pure JVM expressions: tokenize once, explode a 0..ceil(n/L)-1 index
+    sequence, slice the token array per index. The explode multiplies
+    rows ~n/L-fold but adds NO shuffle — it pipelines into whatever
+    exchange the consumer needs."""
+    d = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t")).withColumn(
+        "__n", F.size("__t")
+    )
+    d = d.withColumn(
+        "seg_idx",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                (F.ceil(F.col("__n") / F.lit(seg_len)) - F.lit(1)).cast("int"),
+            )
+        ),
+    )
+    return d.select(
+        "id",
+        "seg_idx",
+        F.array_join(
+            F.slice("__t", F.col("seg_idx") * seg_len + 1, F.lit(seg_len)), " "
+        ).alias("seg"),
+        F.least(F.lit(seg_len), F.col("__n") - F.col("seg_idx") * seg_len).alias(
+            "seg_tokens"
+        ),
+    ).filter(F.col("seg") != "")
+
+
+def segment_dedup(
+    segments: DataFrame, id_col: str = "id", idx_col: str = "seg_idx",
+    seg_col: str = "seg",
+) -> DataFrame:
+    """Mark the globally-FIRST occurrence of each distinct span
+    (ordered by document id, then span position) with ``kept = true``;
+    every repeat — across documents or within one — is ``kept = false``.
+    Downstream either drops unkept spans (C4-style span excision) or
+    aggregates kept token counts per doc.
+
+    One shuffle, keyed on the span fingerprint. The partition-by
+    cardinality is ~|distinct spans| (huge, uniform: md5 of content),
+    so per-partition sorted groups are tiny — the same scale shape as
+    exact document dedup, just at span granularity."""
+    w = Window.partitionBy(F.md5(F.col(seg_col))).orderBy(
+        F.col(id_col), F.col(idx_col)
+    )
+    return segments.withColumn("kept", F.row_number().over(w) == 1)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash signature: per-token xxhash64, bitwise ±1 vote, sign → bit.
 

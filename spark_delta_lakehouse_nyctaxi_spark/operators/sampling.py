@@ -106,6 +106,97 @@ def stratified_quota(
     )
 
 
+def shuffle_shards(
+    df: DataFrame, id_col: str, num_shards: int, salt: str = "shuffle"
+) -> DataFrame:
+    """Deterministic global corpus shuffle, the scalable way: assign each
+    row to one of ``num_shards`` shards by hash threshold (uniform
+    weights through :func:`hash_split`), then rank WITHIN the shard by a
+    second, decorrelated hash. Training jobs read shards in shard order
+    and rows in ``pos`` order — a reproducible permutation of the corpus
+    that never performs a global sort: one exchange on the shard key,
+    each shard sorts independently. At 100 TB, ``num_shards`` scales
+    with the cluster (thousands of shards ⇒ bounded per-task sort), vs.
+    ``ORDER BY rand()`` which funnels the world through range
+    partitioning with a driver-sampled boundary step.
+
+    Adds ``shard`` (int) and ``pos`` (1-based rank within shard).
+    Seedless/append-stable in shard ASSIGNMENT (a row's shard never
+    changes); ``pos`` is recomputed per snapshot, as any rank must be.
+    """
+    weights = [(str(i), 1.0) for i in range(num_shards)]
+    d = hash_split(df, id_col, weights, salt).withColumnRenamed("split", "shard")
+    w = Window.partitionBy("shard").orderBy(
+        hash_key(F.col(id_col), salt + ":pos"), F.col(id_col)
+    )
+    return d.withColumn("shard", F.col("shard").cast("int")).withColumn(
+        "pos", F.row_number().over(w)
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    tokens_col: Column,
+    budget: int,
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-stratum token-budget-capped selection: walk each stratum in
+    hash order (reproducible pseudo-random, append-order-independent)
+    and keep rows while the running token total stays ≤ ``budget``.
+    Because token counts are non-negative the running sum is monotone,
+    so the kept set is a clean prefix of the hash order — deterministic
+    and engine-portable. One shuffle on the stratum key; the cumulative
+    window runs per-partition after the exchange (the standard "give
+    every language/domain a token budget" curation step).
+
+    Adds ``cum_tokens`` (running total including the current row)."""
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(hash_key(F.col(id_col), salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "cum_tokens", F.sum(tokens_col).over(w).cast("long")
+    ).filter(F.col("cum_tokens") <= budget)
+
+
+def mixture_rates(
+    df: DataFrame, strata_col: str, targets: dict[str, float]
+) -> DataFrame:
+    """Compute the per-source Bernoulli rates that realize a TARGET
+    mixture (e.g. 50% src0 / 30% src1 / 20% src2) at the largest total
+    size achievable without upsampling: the bottleneck source (max
+    target-share-to-count ratio) is taken whole (rate 1.0) and every
+    other source is downsampled proportionally. The output feeds
+    :func:`weighted_mixture` as its ``rates`` dict.
+
+    One map-side-combining count per source plus arithmetic over the
+    |sources|-row grouped frame — the unpartitioned min-window is over
+    that tiny frame, never the corpus. Expression shapes (``n / share``,
+    ``(share * total) / n``) are mirrored token-for-token in the oracle
+    SQL so the IEEE results agree bitwise."""
+    counts = (
+        df.filter(F.col(strata_col).isin(*targets.keys()))
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("n_rows"))
+    )
+    share = None
+    for value, p in targets.items():
+        share = (
+            F.when(F.col(strata_col) == value, F.lit(p))
+            if share is None
+            else share.when(F.col(strata_col) == value, F.lit(p))
+        )
+    tagged = counts.withColumn("target_share", share)
+    w = Window.partitionBy()
+    achievable = F.min(F.col("n_rows") / F.col("target_share")).over(w)
+    return tagged.withColumn(
+        "sample_rate", (F.col("target_share") * achievable) / F.col("n_rows")
+    ).withColumn("expected_rows", F.col("sample_rate") * F.col("n_rows"))
+
+
 def weighted_mixture(
     df: DataFrame,
     strata_col: str,

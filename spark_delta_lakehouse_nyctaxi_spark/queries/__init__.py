@@ -133,6 +133,10 @@ _PRIORITY: list[str] = [
     "q_multimodal_frames",
     # --- round-3 additions land here (slot 50+) ---
     "q_tpch_q1",
+    "q_segment_dedup",
+    "q_shuffle_shards",
+    "q_token_budget",
+    "q_mixture_weights",
     # --- r1/r2 driver-green queries follow in registration order ---
 ]
 

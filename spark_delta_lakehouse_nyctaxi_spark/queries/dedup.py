@@ -302,6 +302,62 @@ def q_training_pipeline(spark, sf_dir):
 
 
 @register(
+    "q_segment_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, i,
+               array_to_string(
+                   list_slice(t, (i - 1) * 10 + 1, least((i - 1) * 10 + 10, n)),
+                   ' ') AS seg,
+               least(10, n - (i - 1) * 10) AS seg_tokens
+        FROM (
+            SELECT doc_id, t, len(t) AS n,
+                   unnest(range(1, CAST(ceil(len(t) / 10.0) AS BIGINT) + 1)) AS i
+            FROM toks
+        )
+    ),
+    marked AS (
+        SELECT doc_id, seg_tokens,
+               ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                  ORDER BY doc_id, i) AS rn
+        FROM segs WHERE seg <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN seg_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM marked GROUP BY doc_id
+    """,
+    doc="SPAN-level exact dedup (C4/RefinedWeb-style): documents are cut "
+        "into non-overlapping 10-token spans, only the globally-first "
+        "occurrence of each distinct span survives (deterministic "
+        "doc-id/position order), and the per-document span/token "
+        "retention budget comes back. Catches boilerplate repeated "
+        "across otherwise-distinct documents that whole-document "
+        "fingerprints (q_dedup_exact) cannot see. Two shuffles — one on "
+        "the span fingerprint (uniform md5 keys), one per-doc "
+        "re-aggregate — and the explode pipelines into the first.",
+)
+def q_segment_dedup(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    segs = D.document_segments(df, "doc_id", "text", seg_len=10)
+    marked = D.segment_dedup(segs)
+    return marked.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("kept").cast("int")).alias("kept_segments"),
+        F.sum(F.when(F.col("kept"), F.col("seg_tokens")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+@register(
     "q_minhash_mllib",
     None,  # LSH candidate recall < 1 by design → rows-only (+ pytest vs exact)
     doc="The STOCK pyspark.ml MinHashLSH near-dup path "

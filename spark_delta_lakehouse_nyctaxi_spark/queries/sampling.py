@@ -116,3 +116,113 @@ def q_sample_split_grouped(spark, sf_dir):
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+_N_SHARDS = 8
+_SHARD_WEIGHTS = [(str(i), 1.0) for i in range(_N_SHARDS)]
+_TOKEN_BUDGET = 2000
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+@register(
+    "q_shuffle_shards",
+    f"""
+    SELECT doc_id, shard, pos FROM (
+        SELECT doc_id,
+               CAST({SA.split_case_sql('doc_id', _SHARD_WEIGHTS, salt='shuffle')}
+                    AS INTEGER) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {SA.split_case_sql('doc_id', _SHARD_WEIGHTS,
+                                                   salt='shuffle')}
+                   ORDER BY md5('shuffle:pos' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS pos
+        FROM documents
+    )
+    """,
+    doc="Deterministic global corpus shuffle for training-data ordering: "
+        "hash rows into 8 shards, rank within each shard by a second "
+        "decorrelated hash — a reproducible permutation with NO global "
+        "sort (one exchange on the shard key; each shard sorts "
+        "independently; at 100 TB shard count scales with the cluster, "
+        "unlike ORDER BY rand()'s driver-sampled range partitioning). "
+        "Shard assignment is seedless and append-stable.",
+)
+def q_shuffle_shards(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.shuffle_shards(docs, "doc_id", _N_SHARDS, salt="shuffle").select(
+        "doc_id", "shard", F.col("pos").cast("long").alias("pos")
+    )
+
+
+@register(
+    "q_token_budget",
+    f"""
+    SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('budget' || CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+        FROM documents
+    ) WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """,
+    doc="Per-language token-budget-capped selection (2000 tokens/lang): "
+        "walk each language in deterministic hash order and keep docs "
+        "while the running token total fits — the 'give every language "
+        "a token budget' curation step. Token counts are non-negative "
+        "so the kept set is a clean prefix of the hash order: exact, "
+        "append-order-independent, one shuffle on the stratum key.",
+)
+def q_token_budget(spark, sf_dir):
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = SA.token_budget_select(
+        docs, "lang", "doc_id", token_count("text"), _TOKEN_BUDGET, salt="budget"
+    )
+    return sel.select(
+        "doc_id", "lang",
+        token_count("text").cast("long").alias("n_tokens"), "cum_tokens",
+    )
+
+
+@register(
+    "q_mixture_weights",
+    """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_rows FROM documents
+        WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+    ),
+    tagged AS (
+        SELECT source, n_rows,
+               CASE WHEN source = 'src0' THEN CAST(0.5 AS DOUBLE)
+                    WHEN source = 'src1' THEN CAST(0.3 AS DOUBLE)
+                    WHEN source = 'src2' THEN CAST(0.2 AS DOUBLE)
+               END AS target_share
+        FROM counts
+    )
+    SELECT source, n_rows, target_share,
+           (target_share * MIN(n_rows / target_share) OVER ()) / n_rows
+               AS sample_rate,
+           ((target_share * MIN(n_rows / target_share) OVER ()) / n_rows)
+               * n_rows AS expected_rows
+    FROM tagged
+    """,
+    doc="Mixture-weight SOLVER: given a target source mixture "
+        "(50/30/20), compute the per-source Bernoulli rates realizing "
+        "it at the largest size achievable without upsampling — the "
+        "bottleneck source gets rate 1.0, everything else downsamples "
+        "proportionally. Output feeds weighted_mixture "
+        "(q_sample_mixture) as its rates dict. One map-side-combining "
+        "count per source; the min-window runs over the |sources|-row "
+        "grouped frame, never the corpus. Expression shapes mirrored "
+        "token-for-token in the oracle so IEEE doubles agree bitwise.",
+)
+def q_mixture_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.mixture_rates(docs, "source", _MIX_TARGETS).select(
+        "source", "n_rows", "target_share", "sample_rate", "expected_rows"
+    )

@@ -504,3 +504,90 @@ def test_mllib_minhash_agrees_with_native_pipeline(spark):
     strong_mllib = {(r.id_a, r.id_b) for r in mllib_rows if r.jaccard_sim >= 0.3}
     assert strong_native <= mllib
     assert strong_mllib <= native
+
+
+def test_segment_dedup_excises_repeated_spans(spark):
+    """Span-level dedup: a 10-token span pasted into a second document
+    is excised there (first occurrence by doc id/position survives);
+    distinct tails survive; token accounting is exact."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [
+        Row(doc_id=1, text=base + " a b c"),
+        Row(doc_id=2, text=base + " x y z"),
+        Row(doc_id=3, text="p q r s t u v w0b y0 p2 q2"),
+    ]
+    df = spark.createDataFrame(rows)
+    marked = D.segment_dedup(D.document_segments(df, "doc_id", "text", seg_len=10))
+    kept = {(r.id, r.seg_idx) for r in marked.filter("kept").collect()}
+    assert (1, 0) in kept and (2, 0) not in kept  # repeat excised
+    assert (1, 1) in kept and (2, 1) in kept      # distinct tails survive
+    toks = {
+        (r.id, r.seg_idx): r.seg_tokens for r in marked.collect()
+    }
+    assert toks[(1, 0)] == 10 and toks[(1, 1)] == 3 and toks[(3, 1)] == 1
+
+
+def test_shuffle_shards_is_stable_permutation(spark):
+    """Every row lands in exactly one shard with a contiguous 1..k rank,
+    and the full (shard, pos) assignment is identical under any input
+    partitioning — a reproducible global shuffle with no global sort."""
+    from collections import defaultdict
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import sampling as SA
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = SA.shuffle_shards(docs, "doc_id", 8).collect()
+    assert len(out) == docs.count()
+    by = defaultdict(list)
+    for r in out:
+        by[r.shard].append(r.pos)
+    assert set(by) == set(range(8))  # 500 docs: every shard populated
+    for ps in by.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    out2 = SA.shuffle_shards(docs.repartition(7), "doc_id", 8).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in out} == {
+        (r.doc_id, r.shard, r.pos) for r in out2
+    }
+
+
+def test_token_budget_prefix_selection(spark):
+    """Budget-capped selection keeps a clean hash-order prefix per
+    stratum: running totals never exceed the budget, the very next doc
+    in hash order would, and the selection is partitioning-independent."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators import sampling as SA
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sel = SA.token_budget_select(docs, "lang", "doc_id", T.token_count("text"), 2000)
+    rows = sel.collect()
+    assert rows and max(r.cum_tokens for r in rows) <= 2000
+    per_lang_sel = {
+        r.lang: r.n for r in sel.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    per_lang_all = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_lang_sel) == set(per_lang_all)
+    assert all(per_lang_sel[k] < per_lang_all[k] for k in per_lang_all)  # strict subset
+    sel2 = SA.token_budget_select(
+        docs.repartition(5), "lang", "doc_id", T.token_count("text"), 2000
+    )
+    assert {r.doc_id for r in rows} == {r.doc_id for r in sel2.collect()}
+
+
+def test_mixture_rates_solver(spark):
+    """The mixture solver takes the bottleneck source whole (rate 1.0)
+    and downsamples the rest so expected rows realize the target mixture
+    exactly."""
+    import pytest as _pytest
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import sampling as SA
+
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = {r.source: r for r in SA.mixture_rates(docs, "source", targets).collect()}
+    assert set(out) == set(targets)
+    assert all(0.0 < r.sample_rate <= 1.0 + 1e-12 for r in out.values())
+    assert max(r.sample_rate for r in out.values()) == _pytest.approx(1.0)
+    total = sum(r.expected_rows for r in out.values())
+    for s, p in targets.items():
+        assert out[s].expected_rows / total == _pytest.approx(p)

@@ -290,3 +290,30 @@ def test_decontaminate_plans_anti_join_no_cartesian(spark):
     plan = P.explain_str(q("q_decontaminate", spark))
     assert "LeftAnti" in plan
     assert not P.has_cartesian(q("q_decontaminate", spark))
+
+
+def test_segment_dedup_two_exchanges_no_cartesian(spark):
+    """Span dedup = one shuffle on the span fingerprint + one per-doc
+    re-aggregate; the explode pipelines into the first exchange."""
+    df = q("q_segment_dedup", spark)
+    assert P.exchange_count(df) == 2
+    assert not P.has_cartesian(df)
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """The global shuffle is ONE exchange on the shard key — each shard
+    ranks independently, no global sort, no range partitioning."""
+    assert P.exchange_count(q("q_shuffle_shards", spark)) == 1
+
+
+def test_token_budget_single_exchange(spark):
+    """Budget selection = one exchange on the stratum key; the
+    cumulative window runs per-partition after it."""
+    assert P.exchange_count(q("q_token_budget", spark)) == 1
+
+
+def test_mixture_weights_min_window_over_grouped_frame_only(spark):
+    """The corpus crosses one map-side-combining count exchange; the
+    second (single-partition) exchange carries only the |sources|-row
+    grouped frame into the min-window."""
+    assert P.exchange_count(q("q_mixture_weights", spark)) == 2
