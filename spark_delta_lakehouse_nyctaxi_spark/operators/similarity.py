@@ -321,6 +321,38 @@ def assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(s, F.array_max(s)) - 1).cast("int")
 
 
+def nearest_centroid(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid as a PURE
+    PROJECTION — no join, no shuffle: ``centroids`` is a small
+    ``[(cid, vector), ...]`` list (bounded k×dim driver metadata, the
+    same contract as :func:`ivf_centroids`) whose vectors fold into the
+    plan as literals. Adds ``centroid_id`` and ``cos_sim`` (the winning
+    cosine). Ties take the lowest centroid id (array_position finds the
+    first max; centroids are sorted by id here), matching an
+    ``ORDER BY cos DESC, cid`` oracle. Zero-norm vectors are excluded
+    (cosine undefined); callers with non-finite vectors should filter
+    them first (NaN would win every max on both engines but tie-break
+    paths diverge)."""
+    cents = sorted(centroids)
+    scores = F.array(*[cosine(F.col(vec_col), _lit_vec(v)) for _, v in cents])
+    cids = F.array(*[F.lit(c) for c, _ in cents])
+    return (
+        corpus.filter(norm(F.col(vec_col)) > 0)
+        .withColumn("__scores", scores)
+        .withColumn("cos_sim", F.array_max("__scores"))
+        .withColumn(
+            "centroid_id",
+            F.element_at(cids, F.array_position("__scores", F.col("cos_sim")).cast("int")),
+        )
+        .drop("__scores")
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

@@ -137,6 +137,8 @@ _PRIORITY: list[str] = [
     "q_shuffle_shards",
     "q_token_budget",
     "q_mixture_weights",
+    "q_embedding_centroids",
+    "q_curation_funnel",
     # --- r1/r2 driver-green queries follow in registration order ---
 ]
 

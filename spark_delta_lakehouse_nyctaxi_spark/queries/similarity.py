@@ -202,3 +202,74 @@ def q_arrow_normalize(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInArrow(normalize, "vec_id long, x1 double, dim int")
+
+
+_COS_TO_CENTROID_SQL = """
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(c.cvec,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@register(
+    "q_embedding_centroids",
+    f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id < 8
+    ),
+    corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+    ),
+    scored AS (
+        SELECT a.vec_id AS vid, c.cid,
+               {_COS_TO_CENTROID_SQL} AS cos_sim
+        FROM corpus a, centroids c
+    ),
+    assigned AS (
+        SELECT vid, cid, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY vid
+                                  ORDER BY cos_sim DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT cid AS centroid_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(CAST(cos_sim AS DECIMAL(16,12))) AS DOUBLE) AS sum_cos,
+           MIN(cos_sim) AS min_cos,
+           MAX(cos_sim) AS max_cos
+    FROM assigned WHERE rn = 1 GROUP BY cid
+    """,
+    doc="Nearest-centroid cluster PROFILE (corpus topology snapshot: "
+        "member counts + cohesion per cluster — the curation view that "
+        "spots embedding-space mode collapse). Assignment is a pure "
+        "projection against 8 broadcast-literal centroid vectors (the "
+        "first 8 corpus vectors — deterministic, no k-means "
+        "nondeterminism to oracle around), then ONE map-side-combining "
+        "aggregate on centroid id: zero joins, one exchange carrying 8 "
+        "rows. Per-member cosines are decimal-rounded (scale 12) before "
+        "the cohesion sum so the total is partition-order-invariant; "
+        "min/max are order-free. At 100 TB: k×dim literals in the plan, "
+        "corpus never shuffles.",
+)
+def q_embedding_centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Bounded driver metadata: 8 centroid vectors (8×64 floats), same
+    # contract as ivf_centroids' k×dim collect.
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    from .aggregates import dsum
+
+    assigned = S.nearest_centroid(emb, cents)
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_members"),
+        dsum("cos_sim", scale=12, precision=16).alias("sum_cos"),
+        F.min("cos_sim").alias("min_cos"),
+        F.max("cos_sim").alias("max_cos"),
+    )

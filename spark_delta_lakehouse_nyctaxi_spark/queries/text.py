@@ -536,3 +536,48 @@ def q_decontaminate(spark, sf_dir):
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
     )
+
+
+@register(
+    "q_curation_funnel",
+    """
+    SELECT COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_length,
+           CAST(SUM(CASE WHEN n_chars >= 100
+                          AND len(string_split_regex(trim(text), '\\s+')) >= 20
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after_tokens,
+           COUNT(DISTINCT CASE WHEN n_chars >= 100
+                          AND len(string_split_regex(trim(text), '\\s+')) >= 20
+                     THEN md5(text) END) AS n_after_dedup,
+           CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS viol_short,
+           CAST(SUM(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 20
+                     THEN 1 ELSE 0 END) AS BIGINT) AS viol_few_tokens
+    FROM documents
+    """,
+    doc="Curation FUNNEL observability: stage-by-stage survivor counts "
+        "for the flagship pipeline's gates (length floor → token floor "
+        "→ exact dedup) plus independent per-rule violation counts — "
+        "the reference's DQ-check single-pass discipline "
+        "(utils/data_quality.py:279-296, one aggregate instead of one "
+        "job per check) applied to training-data curation. The dedup "
+        "stage needs no window: survivors of a min-id dedup are exactly "
+        "COUNT(DISTINCT fingerprint) over the stage's passers. One "
+        "corpus pass; at 100 TB this is the cheap pre-flight that "
+        "decides whether the full pipeline is worth launching.",
+)
+def q_curation_funnel(spark, sf_dir):
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    passes_len = F.col("n_chars") >= 100
+    passes_tok = passes_len & (token_count("text") >= 20)
+    return docs.agg(
+        F.count("*").alias("n_total"),
+        F.sum(passes_len.cast("int")).alias("n_after_length"),
+        F.sum(passes_tok.cast("int")).alias("n_after_tokens"),
+        F.countDistinct(F.when(passes_tok, F.md5("text"))).alias("n_after_dedup"),
+        F.sum((F.col("n_chars") < 100).cast("int")).alias("viol_short"),
+        F.sum((token_count("text") < 20).cast("int")).alias("viol_few_tokens"),
+    )

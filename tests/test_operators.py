@@ -591,3 +591,49 @@ def test_mixture_rates_solver(spark):
     total = sum(r.expected_rows for r in out.values())
     for s, p in targets.items():
         assert out[s].expected_rows / total == _pytest.approx(p)
+
+
+def test_nearest_centroid_matches_bruteforce_argmax(spark):
+    """Projection-based assignment equals the explicit per-centroid
+    cosine argmax (lowest-cid tie-break); zero-norm vectors excluded."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    got = {r.vec_id: r.centroid_id for r in S.nearest_centroid(emb, cents).collect()}
+    import math
+
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return d / (na * nb)
+
+    for vid, v in vecs.items():
+        best = max(cents, key=lambda c: (cos(v, c[1]), -c[0]))[0]
+        assert got[vid] == best, vid
+
+    # zero-norm vector is dropped, not mis-assigned
+    zero = spark.createDataFrame([(999, [0.0] * 64)], "vec_id long, embedding array<float>")
+    assert S.nearest_centroid(zero, cents).count() == 0
+
+
+def test_curation_funnel_consistent_with_direct_counts(spark):
+    """Funnel stages agree with independently-computed filters and the
+    exact-dedup survivor count."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    row = REGISTRY["q_curation_funnel"].fn(spark, SF_SMALL).collect()[0]
+    docs = load_table(spark, SF_SMALL, "documents")
+    n = docs.count()
+    passed = docs.filter((F.col("n_chars") >= 100) & (T.token_count("text") >= 20))
+    assert row.n_total == n
+    assert row.n_after_tokens == passed.count()
+    assert row.n_after_dedup == passed.select(F.md5("text")).distinct().count()
+    assert row.n_after_dedup <= row.n_after_tokens <= row.n_after_length <= n
+    assert row.viol_short == docs.filter(F.col("n_chars") < 100).count()

@@ -317,3 +317,21 @@ def test_mixture_weights_min_window_over_grouped_frame_only(spark):
     second (single-partition) exchange carries only the |sources|-row
     grouped frame into the min-window."""
     assert P.exchange_count(q("q_mixture_weights", spark)) == 2
+
+
+def test_embedding_centroids_zero_join_single_exchange(spark):
+    """Centroid assignment folds the centroids into the plan as
+    literals — no join anywhere; the corpus crosses only the final
+    8-row aggregate exchange."""
+    df = q("q_embedding_centroids", spark)
+    assert P.exchange_count(df) == 1
+    assert "Join" not in P.explain_str(df)
+
+
+def test_curation_funnel_single_pass(spark):
+    """All funnel stages and violation counts come from ONE scan —
+    two exchanges (the countDistinct expand), no joins, no windows."""
+    df = q("q_curation_funnel", spark)
+    plan = P.explain_str(df)
+    assert P.exchange_count(df) == 2
+    assert "Join" not in plan and "Window" not in plan
