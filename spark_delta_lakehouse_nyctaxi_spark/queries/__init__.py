@@ -139,6 +139,7 @@ _PRIORITY: list[str] = [
     "q_mixture_weights",
     "q_embedding_centroids",
     "q_curation_funnel",
+    "q_stats_skipping",
     # --- r1/r2 driver-green queries follow in registration order ---
 ]
 

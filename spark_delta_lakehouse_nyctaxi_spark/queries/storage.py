@@ -448,3 +448,51 @@ def q_scan_binary(spark, sf_dir):
         F.md5(F.col("content")).alias("content_md5"),
         F.col("length").alias("content_len"),
     )
+
+
+@register(
+    "q_stats_skipping",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 100 AND 700
+    GROUP BY o_orderstatus
+    """,
+    doc="Manifest-level data skipping (Delta per-file stats analog): a "
+        "clustered ingest (four key-range appends, each commit storing "
+        "per-unit min/max in the version manifest via "
+        "write(stats_cols=...)) is scanned through a key-range "
+        "predicate; units whose stats are provably disjoint never reach "
+        "the reader's FILE LISTING — pruning BEFORE parquet footers are "
+        "even opened, one manifest read on the driver. The query raises "
+        "if nothing was skipped, so the driver's value check also "
+        "certifies the pruning really engaged. Complements "
+        "q_zorder_layout (row-group stats pruning inside files). At "
+        "100 TB with time-ordered ingest this is the difference between "
+        "listing one unit and listing the table.",
+)
+def q_stats_skipping(spark, sf_dir):
+    from .aggregates import dsum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = VersionedTable(spark, scratch_dir("skipping"))
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    q = mx // 4 + 1
+    for i in range(4):
+        batch = orders.filter(
+            (F.col("o_orderkey") >= i * q) & (F.col("o_orderkey") < (i + 1) * q)
+        )
+        t.write(batch, mode="append" if i else "overwrite", stats_cols=["o_orderkey"])
+    out = t.scan({"o_orderkey": (100, 700)})
+    # the contract is executable: a scan that silently degraded to
+    # reading every unit must fail loudly, not pass on correct values
+    if t.last_scan["skipped"] < 2:
+        raise AssertionError(f"stats skipping ineffective: {t.last_scan}")
+    return out.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price")
+    )

@@ -179,6 +179,80 @@ class VersionedTable:
                 out.extend(self._subunits(f"{rel}/{sub}", nxt, depth - 1))
         return out
 
+    @staticmethod
+    def _jsonable(v):
+        """Stats values must round-trip through the JSON manifest AND
+        compare consistently with user-supplied predicate bounds:
+        numbers stay numbers; date/timestamp/decimal become strings
+        (ISO date/timestamp strings compare lexicographically in value
+        order, so the pruning comparison stays correct)."""
+        import datetime
+        import decimal
+
+        if v is None or isinstance(v, (int, float, str, bool)):
+            return v
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        return str(v)
+
+    def _collect_stats(
+        self, new_units: list[str], stats_cols: list[str], partitioned: bool
+    ) -> dict:
+        """Per-unit min/max/null-count for ``stats_cols`` — the
+        VersionedTable analog of Delta's per-file stats in the
+        transaction log. ONE Spark job for the whole commit: group by
+        the file's directory (a unit holds its part-files directly, so
+        leaf dir == unit), aggregate min/max/nulls per column; the
+        result is metadata-sized (one row per unit). Directory strings
+        are matched back to unit paths on the driver via the same
+        unquote(urlparse(...)) decoding the DELETE path uses — never by
+        re-encoding partition values."""
+        from urllib.parse import unquote, urlparse
+
+        if not new_units:
+            return {}
+        roots = sorted({u.split("/", 1)[0] for u in new_units})
+        rows = []
+        for root in roots:
+            base = os.path.join(self._data, root)
+            reader = self.spark.read
+            if partitioned:
+                reader = reader.option("basePath", base)
+            df = reader.parquet(base)
+            have = [c for c in stats_cols if c in df.columns]
+            if not have:
+                continue
+            rows += (
+                df.groupBy(
+                    F.regexp_replace(F.input_file_name(), "/[^/]*$", "").alias("_dir")
+                )
+                .agg(*[a for c in have for a in (
+                    F.min(c).alias(f"min__{c}"),
+                    F.max(c).alias(f"max__{c}"),
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}"),
+                )])
+                .collect()
+            )
+        by_dir = {unquote(urlparse(r["_dir"]).path): r for r in rows}
+        stats = {}
+        for u in new_units:
+            abs_u = os.path.abspath(os.path.join(self._data, u))
+            r = by_dir.get(abs_u)
+            if r is None:
+                continue
+            stats[u] = {
+                c: {
+                    "min": self._jsonable(r[f"min__{c}"]),
+                    "max": self._jsonable(r[f"max__{c}"]),
+                    "nulls": r[f"nulls__{c}"],
+                }
+                for c in stats_cols
+                if f"min__{c}" in r.asDict()
+            }
+        return stats
+
     def write(
         self,
         df: DataFrame,
@@ -187,6 +261,7 @@ class VersionedTable:
         operation: str = "WRITE",
         extra: dict | None = None,
         merge_schema: bool = False,
+        stats_cols: list[str] | None = None,
     ) -> VersionInfo:
         """Reference parity: write_*_delta (etl/bronze_job.py:60-91) —
         modes overwrite/append, optional partitionBy.
@@ -213,14 +288,27 @@ class VersionedTable:
                     f"{missing}); pass merge_schema=True to evolve"
                 )
         new_units = self._write_units(df, partition_by)
+        new_stats = (
+            self._collect_stats(new_units, stats_cols, bool(partition_by))
+            if stats_cols
+            else {}
+        )
         # Optimistic commit: the data units above are immutable and
         # uuid-named, so on a version conflict only the manifest needs
         # rebuilding against the refreshed snapshot (blind writes
         # rebase; appends pick up the winner's units).
         for attempt in range(10):
             units = new_units
+            stats = new_stats
             if mode == "append" and prev:
                 units = prev[-1].units + new_units
+                # Carry the carried units' stats: skipping metadata is
+                # per-unit and units are immutable, so prior stats stay
+                # valid verbatim. Units with no stats simply never skip.
+                stats = {**prev[-1].extra.get("stats", {}), **new_stats}
+            xtra = dict(extra or {})
+            if stats:
+                xtra["stats"] = stats
             info = VersionInfo(
                 version=(prev[-1].version + 1 if prev else 0),
                 timestamp=time.time(),
@@ -228,7 +316,7 @@ class VersionedTable:
                 mode=mode,
                 units=units,
                 partition_by=list(partition_by or []),
-                extra=extra or {},
+                extra=xtra,
             )
             try:
                 self._commit(info)
@@ -265,6 +353,73 @@ class VersionedTable:
         """Latest or time-travel scan (utils/delta_ops.py:132-164)."""
         info = self._resolve(version, timestamp)
         return self._read_units(info.units, bool(info.partition_by))
+
+    def _prune_units(
+        self, info: VersionInfo, pred: dict[str, tuple]
+    ) -> tuple[list[str], list[str]]:
+        """Split units into (kept, skipped) for a conjunction of range
+        predicates ``{col: (lo, hi)}`` (inclusive; None = open end).
+        A unit is skipped only when its manifest stats PROVE no row can
+        match: its [min, max] is disjoint from [lo, hi], or the column
+        is all-null there (range predicates never match NULL). Units
+        without stats — pre-stats commits, rewrite paths, schema-merge
+        gaps — are always kept: skipping is an optimization, never a
+        correctness dependency."""
+        stats = info.extra.get("stats", {})
+        kept, skipped = [], []
+        for u in info.units:
+            s = stats.get(u, {})
+            keep = True
+            for col, (lo, hi) in pred.items():
+                cs = s.get(col)
+                if not cs:
+                    continue
+                if cs["min"] is None:  # every row NULL in this unit
+                    keep = False
+                    break
+                lo_n, hi_n = self._jsonable(lo), self._jsonable(hi)
+                if lo_n is not None and cs["max"] < lo_n:
+                    keep = False
+                    break
+                if hi_n is not None and cs["min"] > hi_n:
+                    keep = False
+                    break
+            (kept if keep else skipped).append(u)
+        return kept, skipped
+
+    def scan(
+        self,
+        pred: dict[str, tuple],
+        version: int | None = None,
+        timestamp: float | None = None,
+    ) -> DataFrame:
+        """Stats-skipping scan — the Delta data-skipping analog: range
+        predicates are checked against the per-unit min/max collected at
+        write time (``write(stats_cols=...)``), units provably disjoint
+        from the predicate never reach the reader's file listing, and
+        the same predicates are re-applied as row filters on the
+        surviving units (stats prune at unit granularity; parquet
+        row-group stats and the row filter finish the job). At 100 TB a
+        clustered ingest (time-ordered appends, range/Z-order layout)
+        makes this the difference between scanning one unit and
+        scanning the table. ``self.last_scan`` records kept/skipped
+        counts for observability."""
+        info = self._resolve(version, timestamp)
+        kept, skipped = self._prune_units(info, pred)
+        self.last_scan = {"kept": len(kept), "skipped": len(skipped)}
+        if kept:
+            df = self._read_units(kept, bool(info.partition_by))
+        else:
+            # schema-correct empty frame; the lazy full-snapshot read
+            # plans partition discovery only, and the FALSE filter means
+            # no data IO ever runs
+            df = self._read_units(info.units, bool(info.partition_by)).filter(F.lit(False))
+        for col, (lo, hi) in pred.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def _conform_types(self, df: DataFrame) -> DataFrame:
         """Cast NullType columns to their type in the full snapshot.
@@ -333,6 +488,15 @@ class VersionedTable:
             carried = []
             kept = self.read().filter(keep_pred)
         new_units = self._write_units(kept, part_cols or None)
+        # Carried-by-reference units are byte-identical, so their
+        # skipping stats stay valid; rewritten units drop theirs (safe —
+        # stats-less units are always scanned).
+        carried_stats = {
+            u: s for u, s in info.extra.get("stats", {}).items() if u in set(carried)
+        }
+        xtra: dict = {"condition": condition}
+        if carried_stats:
+            xtra["stats"] = carried_stats
         vinfo = VersionInfo(
             version=info.version + 1,
             timestamp=time.time(),
@@ -340,7 +504,7 @@ class VersionedTable:
             mode=None,
             units=carried + new_units,
             partition_by=list(part_cols or []),
-            extra={"condition": condition},
+            extra=xtra,
         )
         self._commit(vinfo)
         return vinfo

@@ -357,3 +357,110 @@ def test_refresh_aggregate_replayed_batch_skipped(spark, tmp_table_path):
     r3 = refresh_aggregate(t, b0, keys=["k"], add_columns=["cnt"], txn=("app", 0))
     assert r2.get("skipped_replay") and r3.get("skipped_replay")
     assert {(r.k, r.cnt) for r in t.read().collect()} == {("a", 5), ("b", 1)}
+
+
+def test_stats_skipping_prunes_disjoint_units(spark, tmp_table_path):
+    """Clustered appends with stats_cols → a range scan skips every
+    unit whose [min, max] is disjoint, and values equal the full-scan
+    filter."""
+    t = VersionedTable(spark, tmp_table_path)
+    for i in range(4):
+        batch = _mk(spark, [{"id": i * 100 + j, "v": float(j)} for j in range(100)])
+        t.write(batch, mode="append" if i else "overwrite", stats_cols=["id"])
+    info = t._resolve()
+    assert len(info.extra["stats"]) == len(info.units) == 4
+    got = t.scan({"id": (120, 180)})
+    assert t.last_scan == {"kept": 1, "skipped": 3}
+    full = t.read().filter(F.col("id").between(120, 180))
+    assert sorted(r.id for r in got.collect()) == sorted(r.id for r in full.collect())
+    # open-ended bound
+    t.scan({"id": (300, None)})
+    assert t.last_scan == {"kept": 1, "skipped": 3}
+    # disjoint everywhere → empty frame with the right schema
+    empty = t.scan({"id": (1000, 2000)})
+    assert t.last_scan["kept"] == 0 and empty.count() == 0
+    assert empty.columns == t.read().columns
+
+
+def test_stats_skipping_partitioned_and_null_handling(spark, tmp_table_path):
+    """Partitioned units get per-partition stats; an all-null unit is
+    skipped for range predicates (NULL never matches); NULL rows inside
+    a mixed unit survive pruning but are dropped by the row filter."""
+    t = VersionedTable(spark, tmp_table_path)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", None), (4, "b", None), (5, "c", 99)],
+        "id long, part string, v long",
+    )
+    t.write(df, mode="overwrite", partition_by=["part"], stats_cols=["v"])
+    info = t._resolve()
+    assert len(info.extra["stats"]) == len(info.units) == 3
+    got = t.scan({"v": (5, 50)})
+    # part=b is all-null in v → skipped; part=c disjoint → skipped
+    assert t.last_scan == {"kept": 1, "skipped": 2}
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+
+
+def test_stats_absent_units_always_scanned(spark, tmp_table_path):
+    """Units written without stats_cols must never be skipped — skipping
+    is an optimization, not a correctness dependency — and appends carry
+    prior units' stats verbatim."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": i} for i in range(10)]), mode="overwrite")  # no stats
+    t.write(
+        _mk(spark, [{"id": 1000 + i} for i in range(10)]),
+        mode="append",
+        stats_cols=["id"],
+    )
+    info = t._resolve()
+    assert len(info.units) == 2 and len(info.extra["stats"]) == 1
+    got = t.scan({"id": (0, 5)})
+    assert t.last_scan == {"kept": 1, "skipped": 1}  # stats-less unit kept
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4, 5]
+    # another stats append carries the previous stats forward
+    t.write(_mk(spark, [{"id": 2000}]), mode="append", stats_cols=["id"])
+    assert len(t._resolve().extra["stats"]) == 2
+
+
+def test_stats_survive_partition_pruned_delete(spark, tmp_table_path):
+    """DELETE carries untouched partitions by reference together with
+    their stats; the rewritten partition loses its stats (and is then
+    always scanned)."""
+    t = VersionedTable(spark, tmp_table_path)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "b", 30)], "id long, part string, v long"
+    )
+    t.write(df, mode="overwrite", partition_by=["part"], stats_cols=["v"])
+    t.delete("id = 3")
+    info = t._resolve()
+    stats = info.extra.get("stats", {})
+    assert len(stats) == 1  # only the carried part=a unit
+    got = t.scan({"v": (15, 25)})
+    assert t.last_scan["skipped"] == 1  # part=a provably disjoint
+    assert [r.id for r in got.collect()] == [2]
+
+
+def test_stats_date_and_string_columns_roundtrip(spark, tmp_table_path):
+    """Date stats serialize as ISO strings in the manifest and still
+    prune correctly against date-string bounds."""
+    import datetime
+
+    t = VersionedTable(spark, tmp_table_path)
+    rows = [
+        (1, datetime.date(2023, 1, 5)),
+        (2, datetime.date(2023, 6, 5)),
+    ]
+    t.write(
+        spark.createDataFrame(rows, "id long, d date"),
+        mode="overwrite",
+        stats_cols=["d"],
+    )
+    t.write(
+        spark.createDataFrame(
+            [(3, datetime.date(2024, 1, 1))], "id long, d date"
+        ),
+        mode="append",
+        stats_cols=["d"],
+    )
+    got = t.scan({"d": ("2023-12-01", "2024-12-31")})
+    assert t.last_scan == {"kept": 1, "skipped": 1}
+    assert [r.id for r in got.collect()] == [3]
