@@ -1,0 +1,92 @@
+"""Iterative graph algorithms over edge-list DataFrames.
+
+Pregel-style: each iteration is a join (propagate along edges) plus a
+map-side-combining aggregate (combine incoming messages), so one
+iteration costs two exchanges and the graph never leaves the cluster.
+Companion to the label-propagation connected components in
+operators/dedup.py (duplicate_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list; returns
+    (``node``, ``rank``).
+
+    Determinism contract (the property that makes this the only
+    PageRank exactly value-checkable against a SQL oracle): each
+    per-edge contribution ``rank/outdeg`` is rounded to DECIMAL(18,12)
+    BEFORE the per-node sum, so the sum is exact integer math —
+    invariant to partitioning and merge order — and every other
+    arithmetic step is a single IEEE double op mirrored token-for-token
+    in the oracle SQL. A plain double sum would drift between engines
+    (and between runs!) with the combine order.
+
+    Scale shape: ranks live as a (node, rank) frame co-keyed with the
+    edge list's ``src`` — each iteration is edges⋈ranks (one exchange,
+    then AQE reuses the partitioning) + a contribution aggregate on
+    ``dst`` (map-side combined) + a left join back onto the node set
+    for dangling-safe rank assembly. The driver sees only the node
+    COUNT. Lineage grows linearly with iterations; past
+    ``checkpoint_every`` the rank frame is localCheckpointed so the
+    DAG stays bounded (on a cluster this would be a reliable
+    checkpoint to durable storage).
+
+    Nodes are the edge endpoints; rows with no in-edges keep the
+    teleport mass ``(1-d)/N``. Symmetric (undirected) graphs: pass
+    both edge directions.
+    """
+    # The edge list may itself be an expensive computed frame (e.g. a
+    # near-dup pair pipeline); every iteration references it, so
+    # materialize ONCE — localCheckpoint truncates the lineage and
+    # nothing leaks into the session (blocks free with the frame; on a
+    # cluster this would be a reliable checkpoint).
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # bounded scalar to the driver (like a watermark)
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ew = e.join(outdeg, "src").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        contribs = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(
+                "dst",
+                (F.col("rank") / F.col("outdeg")).cast("decimal(18,12)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, nodes["node"] == contribs["dst"], "left").select(
+            "node",
+            (
+                # (1-d) evaluated in Python IEEE — the oracle writes the
+                # same subtraction so the two literals agree bitwise
+                F.lit(1.0 - damping) / F.lit(n)
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

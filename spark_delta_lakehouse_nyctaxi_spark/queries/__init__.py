@@ -140,6 +140,7 @@ _PRIORITY: list[str] = [
     "q_embedding_centroids",
     "q_curation_funnel",
     "q_stats_skipping",
+    "q_pagerank",
     # --- r1/r2 driver-green queries follow in registration order ---
 ]
 

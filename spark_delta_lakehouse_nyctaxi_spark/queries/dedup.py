@@ -126,7 +126,7 @@ def q_simhash(spark, sf_dir):
     return D.simhash(df, "doc_id", "text")
 
 
-_PAIRS_SQL = f"""
+_PAIRS_CORE_SQL = f"""
 sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
 inter AS (
@@ -138,7 +138,11 @@ pairs AS (
     SELECT id_a, id_b FROM inter
     JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
-),
+)
+"""
+
+_PAIRS_SQL = f"""
+{_PAIRS_CORE_SQL},
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
 walk(node, label) AS (
@@ -354,6 +358,75 @@ def q_segment_dedup(spark, sf_dir):
         F.sum(F.when(F.col("kept"), F.col("seg_tokens")).otherwise(0)).alias(
             "kept_tokens"
         ),
+    )
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank (recursive CTEs cannot
+    aggregate in the recursive member, so iterations unroll as chained
+    CTEs). Every arithmetic step mirrors operators/graph.py:pagerank
+    token-for-token; contributions are decimal-rounded before the sum,
+    so both engines are exact and order-invariant."""
+    parts = [
+        f"""
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    gnodes AS (SELECT src AS node FROM edges
+               UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM gnodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+           FROM gnodes CROSS JOIN nn)
+    """
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""
+    r{k} AS (
+        SELECT g.node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE)
+                 * COALESCE(CAST(c.s AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+        FROM gnodes g CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst, SUM(CAST(r.rank / o.outdeg AS DECIMAL(18,12))) AS s
+            FROM edges e
+            JOIN outdeg o ON e.src = o.src
+            JOIN r{k - 1} r ON r.node = e.src
+            GROUP BY e.dst
+        ) c ON c.dst = g.node
+    )
+    """
+        )
+    return ",".join(parts)
+
+
+@register(
+    "q_pagerank",
+    f"""
+    WITH {_PAIRS_CORE_SQL},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    {_pagerank_sql(5)}
+    SELECT node AS doc_id, rank FROM r5
+    """,
+    doc="PageRank (5 iterations, damping 0.85) over the document "
+        "near-dup similarity graph — centrality-weighted curation "
+        "(which documents anchor their duplicate neighborhoods). The "
+        "only exactly-oracled PageRank formulation: per-edge "
+        "contributions are decimal-rounded before each per-node sum, "
+        "making every iteration order-invariant and bit-identical to "
+        "the unrolled DuckDB CTE. Pregel-shape per iteration: one "
+        "edges⋈ranks join + one map-side-combining aggregate; driver "
+        "sees only the node count; lineage checkpointed past 8 "
+        "iterations.",
+)
+def q_pagerank(spark, sf_dir):
+    from ..operators.graph import pagerank
+
+    df = load_table(spark, sf_dir, "documents")
+    pairs = _prefix_jaccard_pairs(df, threshold=0.1).select("id_a", "id_b")
+    edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+    return pagerank(edges.toDF("src", "dst"), iters=5).select(
+        F.col("node").alias("doc_id"), "rank"
     )
 
 

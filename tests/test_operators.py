@@ -637,3 +637,49 @@ def test_curation_funnel_consistent_with_direct_counts(spark):
     assert row.n_after_dedup == passed.select(F.md5("text")).distinct().count()
     assert row.n_after_dedup <= row.n_after_tokens <= row.n_after_length <= n
     assert row.viol_short == docs.filter(F.col("n_chars") < 100).count()
+
+
+def test_pagerank_matches_python_simulation_exactly(spark):
+    """The decimal-rounded-contribution formulation is deterministic
+    enough to match a pure-Python simulation of the same arithmetic
+    bit-for-bit, under any input partitioning."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=5).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        s = {v: Decimal(0) for v in nodes}
+        for u, v in edges:
+            c = Decimal(rank[u] / outdeg[u]).quantize(
+                Decimal("1e-12"), rounding=ROUND_HALF_UP
+            )
+            s[v] += c
+        rank = {v: (1.0 - 0.85) / n + 0.85 * float(s[v]) for v in nodes}
+    assert got == rank
+
+    got2 = {r.node: r.rank for r in pagerank(df.repartition(7), iters=5).collect()}
+    assert got2 == got
+
+
+def test_pagerank_mass_and_ordering(spark):
+    """No dangling nodes (symmetric graph) → total rank mass stays ~1;
+    a hub with more in-links outranks a leaf."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.graph import pagerank
+
+    # star: hub 0 connected to 1..4, symmetric
+    pairs = [(0, i) for i in range(1, 5)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    ranks = {r.node: r.rank for r in pagerank(df, iters=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[0] > ranks[1]
