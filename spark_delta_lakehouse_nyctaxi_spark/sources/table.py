@@ -628,6 +628,11 @@ class VersionedTable:
         utils/delta_ops.py:167-204 semantics)."""
         target = self._resolve(version)
         for attempt in range(10):
+            xtra: dict = {"restored_from": version}
+            # the restored snapshot's units are byte-identical, so its
+            # skipping stats come along verbatim
+            if target.extra.get("stats"):
+                xtra["stats"] = target.extra["stats"]
             info = VersionInfo(
                 version=self.latest_version() + 1,
                 timestamp=time.time(),
@@ -635,7 +640,7 @@ class VersionedTable:
                 mode=None,
                 units=list(target.units),
                 partition_by=list(target.partition_by),
-                extra={"restored_from": version},
+                extra=xtra,
             )
             try:
                 self._commit(info)
@@ -668,15 +673,32 @@ class VersionedTable:
 
     # ------------------------------------------------------ compaction
 
-    def compact(self, target_files: int = 1) -> VersionInfo:
+    def compact(
+        self, target_files: int = 1, stats_cols: list[str] | None = None
+    ) -> VersionInfo:
         """OPTIMIZE/compaction analog (utils/delta_ops.py:29-54): rewrite
         the snapshot into ``target_files`` files (per partition when
-        partitioned)."""
+        partitioned). When the table carries skipping stats (or the
+        caller passes ``stats_cols``), the compacted units get fresh
+        stats — OPTIMIZE must not silently degrade a skipping-enabled
+        table into an always-scan one."""
         info = self._resolve()
         df = self.read()
         if not info.partition_by:
             df = df.coalesce(target_files)
         new_units = self._write_units(df, info.partition_by or None)
+        if stats_cols is None and info.extra.get("stats"):
+            # re-stat the columns the previous snapshot tracked
+            stats_cols = sorted(
+                {c for s in info.extra["stats"].values() for c in s}
+            )
+        xtra: dict = {}
+        if stats_cols:
+            stats = self._collect_stats(
+                new_units, stats_cols, bool(info.partition_by)
+            )
+            if stats:
+                xtra["stats"] = stats
         # Pin the expected head (info.version + 1): compaction is a
         # read-modify-write, so if any writer committed since the
         # snapshot read, this commit must FAIL (ConcurrentWriteError)
@@ -688,7 +710,7 @@ class VersionedTable:
             mode="overwrite",
             units=new_units,
             partition_by=list(info.partition_by),
-            extra={},
+            extra=xtra,
         )
         self._commit(vinfo)
         return vinfo

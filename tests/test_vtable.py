@@ -464,3 +464,24 @@ def test_stats_date_and_string_columns_roundtrip(spark, tmp_table_path):
     got = t.scan({"d": ("2023-12-01", "2024-12-31")})
     assert t.last_scan == {"kept": 1, "skipped": 1}
     assert [r.id for r in got.collect()] == [3]
+
+
+def test_stats_survive_compact_and_restore(spark, tmp_table_path):
+    """OPTIMIZE re-stats the tracked columns on the compacted units
+    (compaction must not degrade a skipping table to always-scan), and
+    RESTORE carries the restored snapshot's stats verbatim."""
+    t = VersionedTable(spark, tmp_table_path)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 90)], "id long, part string, v long"
+    )
+    t.write(df, mode="overwrite", partition_by=["part"], stats_cols=["v"])
+    v0_stats = t._resolve().extra["stats"]
+    t.compact()
+    info = t._resolve()
+    assert info.operation == "OPTIMIZE" and len(info.extra["stats"]) == len(info.units)
+    t.scan({"v": (80, 100)})
+    assert t.last_scan["skipped"] == 1  # part=a still provably disjoint
+    t.restore(0)
+    assert t._resolve().extra["stats"] == v0_stats
+    t.scan({"v": (80, 100)})
+    assert t.last_scan["skipped"] == 1
