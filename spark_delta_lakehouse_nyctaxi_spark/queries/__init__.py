@@ -141,6 +141,7 @@ _PRIORITY: list[str] = [
     "q_curation_funnel",
     "q_stats_skipping",
     "q_pagerank",
+    "q_outlier_iqr",
     # --- r1/r2 driver-green queries follow in registration order ---
 ]
 

@@ -73,3 +73,53 @@ def q_partition_pruning(spark, sf_dir):
         partition_by=["order_year"],
     )
     return t.read().filter(F.col("order_year").isin(1996, 1997))
+
+
+@register(
+    "q_outlier_iqr",
+    """
+    WITH fences AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25)
+                 - 1.5 * (quantile_cont(value, 0.75)
+                          - quantile_cont(value, 0.25)) AS lo,
+               quantile_cont(value, 0.75)
+                 + 1.5 * (quantile_cont(value, 0.75)
+                          - quantile_cont(value, 0.25)) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    WHERE value >= lo AND value <= hi
+    """,
+    doc="Per-group IQR outlier filter (Tukey fences, 1.5×IQR on the "
+        "event value, per event type so each type's own distribution "
+        "sets its fences) — the robust data-quality gate the "
+        "reference's fixed min/max range checks "
+        "(utils/data_quality.py:194-223) cannot express; ~5% of events "
+        "in the testdata fall outside their fences. Exact: Spark "
+        "percentile() and DuckDB quantile_cont share the linear-"
+        "interpolation definition and the fence arithmetic is mirrored "
+        "token-for-token. One grouped exact-percentile aggregate "
+        "(|types| rows) broadcast back onto the stream — the corpus "
+        "crosses one exchange; at extreme group cardinality swap in "
+        "the approx_percentile sketch.",
+)
+def q_outlier_iqr(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    q1 = F.percentile("value", F.lit(0.25))
+    q3 = F.percentile("value", F.lit(0.75))
+    fences = (
+        events.groupBy("event_type")
+        .agg(q1.alias("q1"), q3.alias("q3"))
+        .select(
+            "event_type",
+            (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("lo"),
+            (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi"),
+        )
+    )
+    return (
+        events.join(F.broadcast(fences), "event_type")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")))
+        .select("event_id", "event_type", "value")
+    )

@@ -683,3 +683,27 @@ def test_pagerank_mass_and_ordering(spark):
     ranks = {r.node: r.rank for r in pagerank(df, iters=10).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks[0] > ranks[1]
+
+
+def test_outlier_iqr_removes_tail_and_respects_fences(spark):
+    """The per-type Tukey filter really removes tail events (the
+    testdata value column has a heavy tail), keeps every inlier, and
+    every surviving value sits inside its own type's fences."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    events = load_table(spark, SF_SMALL, "events")
+    kept = REGISTRY["q_outlier_iqr"].fn(spark, SF_SMALL)
+    n_all, n_kept = events.count(), kept.count()
+    assert 0 < n_kept < n_all
+    fences = {
+        r.event_type: (r.q1 - 1.5 * (r.q3 - r.q1), r.q3 + 1.5 * (r.q3 - r.q1))
+        for r in events.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.25)).alias("q1"),
+            F.percentile("value", F.lit(0.75)).alias("q3"),
+        )
+        .collect()
+    }
+    for r in kept.collect():
+        lo, hi = fences[r.event_type]
+        assert lo <= r.value <= hi

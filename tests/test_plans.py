@@ -335,3 +335,12 @@ def test_curation_funnel_single_pass(spark):
     plan = P.explain_str(df)
     assert P.exchange_count(df) == 2
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_outlier_iqr_broadcasts_fences(spark):
+    """The |types|-row fence frame broadcasts; the event stream crosses
+    only the percentile aggregate's exchange — no sort-merge join of
+    the corpus against itself."""
+    df = q("q_outlier_iqr", spark)
+    assert P.uses_broadcast_join(df)
+    assert "SortMergeJoin" not in P.explain_str(df)
