@@ -142,6 +142,7 @@ _PRIORITY: list[str] = [
     "q_stats_skipping",
     "q_pagerank",
     "q_outlier_iqr",
+    "q_resample_ffill",
     # --- r1/r2 driver-green queries follow in registration order ---
 ]
 

@@ -270,3 +270,78 @@ def q_fuzzy_match(spark, sf_dir):
         )
         .filter(F.col("dist") <= 6)
     )
+
+
+@register(
+    "q_resample_ffill",
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS sum_v,
+               COUNT(*) AS n_obs
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM spans
+    )
+    SELECT g.user_id, g.hour,
+           last_value(h.sum_v / h.n_obs IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           CAST(COALESCE(h.n_obs, 0) AS BIGINT) AS n_obs
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+    doc="Time-series RESAMPLE + forward-fill: each user's sparse event "
+        "stream becomes a dense hourly series over their own active "
+        "span (exploded timestamp sequence — no driver-side calendar), "
+        "hourly averages are decimal-exact (dsum discipline ⇒ "
+        "partition-order-invariant), gaps carry the last observation "
+        "forward via last(..., ignorenulls) — the gap-filling prep "
+        "every downstream ML feature pipeline needs. The first grid "
+        "hour always holds an observation (span starts at the user's "
+        "min event), so the fill is total. One exchange for the hourly "
+        "aggregate, one for the span aggregate, the grid join is "
+        "co-keyed on user — scales per user, never a global sort.",
+)
+def q_resample_ffill(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from .aggregates import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(dsum("value", 4).alias("sum_v"), F.count("*").alias("n_obs"))
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last(F.col("sum_v") / F.col("n_obs"), ignorenulls=True)
+            .over(w)
+            .alias("value_ffill"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+        )
+    )

@@ -707,3 +707,28 @@ def test_outlier_iqr_removes_tail_and_respects_fences(spark):
     for r in kept.collect():
         lo, hi = fences[r.event_type]
         assert lo <= r.value <= hi
+
+
+def test_resample_ffill_dense_grid_and_fill(spark):
+    """Resampling makes each user's series dense over their span (one
+    row per hour), the fill is total (no NULLs), real gaps exist and
+    carry the last observed hourly average forward."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    out = REGISTRY["q_resample_ffill"].fn(spark, SF_SMALL)
+    assert out.filter(F.col("value_ffill").isNull()).count() == 0
+    gaps = out.filter(F.col("n_obs") == 0).count()
+    assert gaps > 0  # sparse stream → real gaps were filled
+    # one user's series: contiguous hours, gap rows repeat the previous
+    # observed value
+    uid = out.select("user_id").first().user_id
+    rows = out.filter(F.col("user_id") == uid).orderBy("hour").collect()
+    hours = [r.hour for r in rows]
+    assert all(
+        (b - a).total_seconds() == 3600 for a, b in zip(hours, hours[1:])
+    )
+    last_obs = None
+    for r in rows:
+        if r.n_obs == 0:
+            assert r.value_ffill == last_obs
+        last_obs = r.value_ffill
