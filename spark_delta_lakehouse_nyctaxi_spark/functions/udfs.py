@@ -145,3 +145,45 @@ def asof_join_cogrouped(
         .cogroup(r_proj.groupBy(key))
         .applyInPandas(_merge, schema=out_schema)
     )
+
+
+def ewma_by_group(
+    df,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.2,
+):
+    """Per-group exponentially-weighted moving average — the canonical
+    ORDER-DEPENDENT stateful aggregate no SQL window expresses (each
+    step folds the previous state: acc = α·x + (1−α)·acc, seeded with
+    the group's first value).
+
+    applyInPandas is exactly the right tool: the group's rows arrive as
+    one Arrow batch, the fold is a tight Python loop over a numpy
+    column, and only (group, n, ewma) leaves Python. Exactness: the
+    fold is two multiplies and an add per step in IEEE double, in a
+    deterministic (order_cols-sorted) order — bit-identical to a
+    DuckDB ``list_reduce(list(v ORDER BY ...), (acc, x) -> α·x +
+    (1−α)·acc)`` oracle, which performs the same left fold. One
+    shuffle on the group key; state is O(1) per group.
+    """
+    beta = 1.0 - alpha
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        acc = float(vals[0])
+        for x in vals[1:]:
+            acc = alpha * float(x) + beta * acc
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_events": [len(vals)],
+                "ewma": [acc],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(
+        _fold, schema=f"{group_col} long, n_events long, ewma double"
+    )

@@ -143,6 +143,7 @@ _PRIORITY: list[str] = [
     "q_pagerank",
     "q_outlier_iqr",
     "q_resample_ffill",
+    "q_ewma_pandas",
     # --- r1/r2 driver-green queries follow in registration order ---
 ]
 

@@ -370,3 +370,30 @@ def q_stddev_manual(spark, sf_dir):
             F.try_divide(F.greatest(F.lit(0), n * sxx - sx * sx), n * (n - 1))
         ).alias("stddev_qty"),
     )
+
+
+@register(
+    "q_ewma_pandas",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma
+    FROM events GROUP BY user_id
+    """,
+    doc="Stateful order-dependent aggregate via applyInPandas: per-user "
+        "EWMA (alpha 0.2) over the time-ordered event stream — the fold "
+        "acc = 0.2·x + 0.8·acc that no SQL window expresses. The "
+        "Python loop's IEEE fold is bit-identical to DuckDB's "
+        "list_reduce left fold over the same (ts, event_id)-sorted "
+        "list, so this UDF-family entry is EXACTLY value-oracled (most "
+        "engines' EWMA can only be spot-checked). One shuffle on the "
+        "user key; O(1) state per group.",
+)
+def q_ewma_pandas(spark, sf_dir):
+    from ..functions.udfs import ewma_by_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return ewma_by_group(ev, "user_id", ["ts", "event_id"], "value", alpha=0.2)

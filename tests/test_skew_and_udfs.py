@@ -79,3 +79,26 @@ def test_cogroup_asof_matches_jvm_asof(spark):
         ).collect()
     }
     assert via_pandas == via_jvm and via_pandas
+
+
+def test_ewma_by_group_fold_and_determinism(spark):
+    """EWMA matches the hand fold and is stable under repartitioning
+    (the sort inside the group fixes the fold order)."""
+    from spark_delta_lakehouse_nyctaxi_spark.functions.udfs import ewma_by_group
+
+    rows = [
+        (1, 1, 10.0), (1, 2, 20.0), (1, 3, 5.0),
+        (2, 1, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    df = df.withColumn("ts", F.col("event_id").cast("timestamp"))
+    out = {r.user_id: (r.n_events, r.ewma) for r in
+           ewma_by_group(df, "user_id", ["ts", "event_id"], "value").collect()}
+    acc = 10.0
+    acc = 0.2 * 20.0 + 0.8 * acc
+    acc = 0.2 * 5.0 + 0.8 * acc
+    assert out[1] == (3, acc)
+    assert out[2] == (1, 100.0)
+    out2 = {r.user_id: (r.n_events, r.ewma) for r in
+            ewma_by_group(df.repartition(5), "user_id", ["ts", "event_id"], "value").collect()}
+    assert out2 == out
