@@ -270,3 +270,111 @@ def test_cell_pruned_near_dups_match_allpairs_on_random_vectors(spark, vecs, t):
     got = sorted(map(tuple, embedding_near_dups(df, threshold=t, n_cells=4).collect()))
     ref = sorted(map(tuple, embedding_near_dups_allpairs(df, threshold=t).collect()))
     assert got == ref
+
+
+WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+TEXTS = st.lists(
+    st.lists(WORDS, min_size=1, max_size=25).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=TEXTS, seg_len=st.sampled_from([2, 3, 5]))
+@SETTINGS
+def test_segment_dedup_matches_bruteforce_model(spark, texts, seg_len):
+    """Span dedup agrees with a direct Python model on random
+    tiny-vocab corpora (small vocab forces heavy span collisions —
+    within docs, across docs, and at ragged tails)."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.dedup import (
+        document_segments,
+        segment_dedup,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id, r.seg_idx): (r.seg, r.seg_tokens, r.kept)
+        for r in segment_dedup(
+            document_segments(df, "doc_id", "text", seg_len=seg_len)
+        ).collect()
+    }
+    seen: set[str] = set()
+    expected = {}
+    for i, t in rows:
+        toks = t.split()
+        for j in range(0, (len(toks) + seg_len - 1) // seg_len):
+            seg = " ".join(toks[j * seg_len : (j + 1) * seg_len])
+            kept = seg not in seen
+            seen.add(seg)
+            expected[(i, j)] = (seg, min(seg_len, len(toks) - j * seg_len), kept)
+    assert got == expected
+
+
+@given(
+    batches=st.lists(
+        st.lists(st.tuples(st.integers(0, 500), st.integers(-50, 50)),
+                 min_size=1, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    lo=st.integers(-60, 60),
+    width=st.integers(0, 60),
+)
+@SETTINGS
+def test_stats_skipping_never_changes_results(spark, tmp_path, batches, lo, width):
+    """For ANY append pattern and ANY range predicate, scan() returns
+    exactly what a full read + filter returns — skipping is invisible
+    except in the unit counts."""
+    from spark_delta_lakehouse_nyctaxi_spark.sources.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for bi, batch in enumerate(batches):
+        rows = [(bi * 1000 + j, v) for j, (_, v) in enumerate(batch)]
+        t.write(
+            spark.createDataFrame(rows, "id long, v long"),
+            mode="append" if bi else "overwrite",
+            stats_cols=["v"],
+        )
+    hi = lo + width
+    got = sorted((r.id, r.v) for r in t.scan({"v": (lo, hi)}).collect())
+    exp = sorted(
+        (r.id, r.v)
+        for r in t.read().filter(F.col("v").between(lo, hi)).collect()
+    )
+    assert got == exp
+    assert t.last_scan["kept"] + t.last_scan["skipped"] == len(batches)
+
+
+@given(
+    counts=st.lists(st.integers(0, 40), min_size=1, max_size=25),
+    budget=st.integers(0, 120),
+)
+@SETTINGS
+def test_token_budget_is_exact_hash_order_prefix(spark, counts, budget):
+    """The selected set is EXACTLY the maximal hash-order prefix whose
+    running total fits the budget — not merely 'under budget'."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.sampling import (
+        hash_key,
+        token_budget_select,
+    )
+
+    rows = [(i, "g", c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "id long, g string, n int")
+    sel = sorted(
+        r.id
+        for r in token_budget_select(df, "g", "id", F.col("n"), budget).collect()
+    )
+    order = [
+        r.id
+        for r in df.select("id", hash_key(F.col("id"), "budget").alias("h"))
+        .orderBy("h", "id")
+        .collect()
+    ]
+    by_id = dict((i, c) for i, _, c in rows)
+    expected, total = [], 0
+    for i in order:
+        total += by_id[i]
+        if total > budget:
+            break
+        expected.append(i)
+    assert sel == sorted(expected)
