@@ -29,15 +29,39 @@ _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 def cosine_pandas_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized cosine similarity between two array<float> columns.
 
-    Matches operators.similarity.cosine's double-precision math:
-    float32 inputs upcast to float64 before any arithmetic.
+    Ragged-array vectorized (round-2 review follow-up): the whole Arrow
+    batch is flattened into two contiguous float64 buffers and the
+    per-row dot/norm sums come from ONE ``np.add.reduceat`` pass each —
+    no Python loop over rows in the math. float32 inputs upcast to
+    float64 before any arithmetic, matching
+    operators.similarity.cosine's double-precision discipline (numpy's
+    partial-sum reductions can differ from the JVM's sequential fold in
+    the last ulp — the parity test pins agreement at 1e-12; the JVM
+    expression remains the hot path, per this module's docstring).
     """
-    out = np.empty(len(a), dtype=np.float64)
-    for i in range(len(a)):
-        x = np.asarray(a.iloc[i], dtype=np.float64)
-        y = np.asarray(b.iloc[i], dtype=np.float64)
-        denom = np.sqrt((x * x).sum()) * np.sqrt((y * y).sum())
-        out[i] = (x * y).sum() / denom if denom else np.nan
+    n = len(a)
+    if n == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    av, bv = a.to_numpy(), b.to_numpy()
+    lens = np.fromiter((len(v) for v in av), dtype=np.int64, count=n)
+    lens_b = np.fromiter((len(v) for v in bv), dtype=np.int64, count=n)
+    if not np.array_equal(lens, lens_b):
+        raise ValueError("cosine_pandas_udf: vector length mismatch within batch")
+    out = np.full(n, np.nan, dtype=np.float64)
+    nonempty = lens > 0
+    if nonempty.any():
+        x = np.concatenate(av[nonempty]).astype(np.float64)
+        y = np.concatenate(bv[nonempty]).astype(np.float64)
+        ne_lens = lens[nonempty]
+        ne_offs = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(ne_lens[:-1], out=ne_offs[1:])
+        dots = np.add.reduceat(x * y, ne_offs)
+        na = np.sqrt(np.add.reduceat(x * x, ne_offs))
+        nb = np.sqrt(np.add.reduceat(y * y, ne_offs))
+        denom = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vals = np.where(denom > 0, dots / denom, np.nan)
+        out[nonempty] = vals
     return pd.Series(out)
 
 
