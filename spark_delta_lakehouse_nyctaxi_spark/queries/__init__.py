@@ -140,13 +140,16 @@ _PRIORITY: list[str] = [
     "q_embedding_centroids",
     "q_curation_funnel",
     "q_stats_skipping",
-    "q_pagerank",
     "q_outlier_iqr",
     "q_resample_ffill",
     "q_ewma_pandas",
     "q_lm_score",
     "q_drift_chisq",
     "q_vocab_gini",
+    # most expensive new check (multi-iteration graph + DuckDB CTE
+    # chain) sorts last in the tranche so the driver's time budget
+    # reaches the cheap rows first
+    "q_pagerank",
     # --- r1/r2 driver-green queries follow in registration order ---
 ]
 
