@@ -146,6 +146,8 @@ _PRIORITY: list[str] = [
     "q_lm_score",
     "q_drift_chisq",
     "q_vocab_gini",
+    "q_markov_transitions",
+    "q_event_funnel",
     # most expensive new check (multi-iteration graph + DuckDB CTE
     # chain) sorts last in the tranche so the driver's time budget
     # reaches the cheap rows first

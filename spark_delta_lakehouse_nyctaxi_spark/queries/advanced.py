@@ -345,3 +345,125 @@ def q_resample_ffill(spark, sf_dir):
             F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
         )
     )
+
+
+@register(
+    "q_markov_transitions",
+    """
+    WITH pairs AS (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev,
+               event_type AS cur
+        FROM events
+    ),
+    counts AS (
+        SELECT prev, cur, COUNT(*) AS n_transitions
+        FROM pairs WHERE prev IS NOT NULL GROUP BY prev, cur
+    ),
+    tot AS (SELECT prev, SUM(n_transitions) AS t FROM counts GROUP BY prev)
+    SELECT c.prev, c.cur, c.n_transitions,
+           CAST(c.n_transitions AS DOUBLE) / t.t AS prob
+    FROM counts c JOIN tot t ON c.prev = t.prev
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences: lag() pairs each event with its predecessor "
+        "(deterministic ts/event_id order), one grouped count per "
+        "(prev, cur) edge, conditional probabilities as a single exact "
+        "long/long→double ratio. The sequence-model building block for "
+        "behavioral features and synthetic-session generation. One "
+        "exchange on the user key for the window, one for the "
+        "transition count; the |types|² matrix is driver-trivial.",
+)
+def q_markov_transitions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("cur"),
+    ).filter(F.col("prev").isNotNull())
+    counts = pairs.groupBy("prev", "cur").agg(F.count("*").alias("n_transitions"))
+    tot = counts.groupBy("prev").agg(F.sum("n_transitions").alias("t"))
+    return counts.join(F.broadcast(tot), "prev").select(
+        "prev", "cur", "n_transitions",
+        (F.col("n_transitions").cast("double") / F.col("t")).alias("prob"),
+    )
+
+
+@register(
+    "q_event_funnel",
+    """
+    WITH v AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view
+                        THEN e.ts END) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click
+                        THEN e.ts END) AS t_purch
+        FROM events e JOIN c ON e.user_id = c.user_id GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(v.t_view) AS n_view,
+           COUNT(c.t_click) AS n_click_after_view,
+           COUNT(p.t_purch) AS n_purchase_after_click
+    FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+    """,
+    doc="STRICT sequential conversion funnel view → click → purchase: "
+        "each stage anchors on the previous stage's first-completion "
+        "time (a click only counts AFTER the user's first view, a "
+        "purchase only after that click) — the exact funnel semantics, "
+        "not the loose first-occurrence-ordering approximation. Three "
+        "grouped conditional-min passes, each stage's per-user anchor "
+        "frame broadcast back onto the stream; timestamp comparisons "
+        "are exact so the oracle matches bitwise.",
+)
+def q_event_funnel(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    c = (
+        ev.join(F.broadcast(v), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    p = (
+        ev.join(F.broadcast(c), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purch")
+        )
+    )
+    return (
+        v.join(c, "user_id")
+        .join(p, "user_id")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click_after_view"),
+            F.count("t_purch").alias("n_purchase_after_click"),
+        )
+    )

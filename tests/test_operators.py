@@ -804,3 +804,64 @@ def test_vocab_gini_bounds_and_degenerate_case(spark):
     tok = one.select("lang", F.explode(T.tokens("text")).alias("w"))
     counts = tok.groupBy("lang", "w").count()
     assert counts.count() == 1  # single vocab entry
+
+
+def test_event_funnel_strict_ordering(spark):
+    """A purchase BEFORE the user's first view must not count — the
+    funnel anchors each stage after the previous one."""
+    import datetime as dt
+
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda s: t0 + dt.timedelta(minutes=s)  # noqa: E731
+    rows = [
+        # user 1: view → click → purchase (full conversion)
+        (1, 1, mk(0), "view"), (2, 1, mk(1), "click"), (3, 1, mk(2), "purchase"),
+        # user 2: purchase then view then click (purchase must NOT count)
+        (4, 2, mk(0), "purchase"), (5, 2, mk(1), "view"), (6, 2, mk(2), "click"),
+        # user 3: click before view only (click must NOT count)
+        (7, 3, mk(0), "click"), (8, 3, mk(1), "view"),
+        # user 4: never views
+        (9, 4, mk(0), "click"), (10, 4, mk(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    # replicate the query body inline on this hand-built frame
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    c = ev.join(v, "user_id").groupBy("user_id").agg(
+        F.min(F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))).alias("t_click")
+    )
+    p = ev.join(c, "user_id").groupBy("user_id").agg(
+        F.min(F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts"))).alias("t_purch")
+    )
+    r = v.join(c, "user_id").join(p, "user_id").agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purch").alias("n_purch"),
+    ).first()
+    assert (r.n_users, r.n_view, r.n_click, r.n_purch) == (4, 3, 2, 1)
+    # and the registered query runs on the real events table
+    out = REGISTRY["q_event_funnel"].fn(spark, SF_SMALL).first()
+    assert out.n_users >= out.n_view >= out.n_click_after_view >= out.n_purchase_after_click > 0
+
+
+def test_markov_transitions_rows_and_stochastic(spark):
+    """Every per-prev probability row sums to 1 and transition counts
+    cover exactly n_events - n_users pairs."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    out = REGISTRY["q_markov_transitions"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    ev = load_table(spark, SF_SMALL, "events")
+    n_pairs = ev.count() - ev.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_pairs
+    from collections import defaultdict
+    by_prev = defaultdict(float)
+    for r in rows:
+        by_prev[r.prev] += r.prob
+    assert all(abs(s - 1.0) < 1e-9 for s in by_prev.values())
