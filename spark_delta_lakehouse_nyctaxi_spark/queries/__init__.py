@@ -149,6 +149,7 @@ _PRIORITY: list[str] = [
     "q_markov_transitions",
     "q_event_funnel",
     "q_cohort_retention",
+    "q_mor_delete",
     # most expensive new check (multi-iteration graph + DuckDB CTE
     # chain) sorts last in the tranche so the driver's time budget
     # reaches the cheap rows first

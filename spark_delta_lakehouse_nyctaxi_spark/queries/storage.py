@@ -496,3 +496,33 @@ def q_stats_skipping(spark, sf_dir):
     return out.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price")
     )
+
+
+@register(
+    "q_mor_delete",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      AND NOT coalesce(value > 300, false)
+    UNION ALL
+    SELECT event_id, user_id, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    doc="Merge-on-read DELETE (deletion-vector / Iceberg equality-"
+        "delete analog): the predicate commits as a metadata-only "
+        "tombstone — zero data rewrite, the O(1)-commit path that "
+        "matters when a GDPR delete hits a 100 TB table — and reads "
+        "apply it scoped to the units that existed at delete time, so "
+        "the post-cutoff append here keeps its value>300 rows even "
+        "though they match the tombstone. OPTIMIZE later materializes "
+        "and clears pending tombstones (test-pinned). The oracle is "
+        "the two-epoch union the scoping semantics define.",
+)
+def q_mor_delete(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    t = VersionedTable(spark, scratch_dir("mordel"))
+    t.write(ev.filter(F.col("ts") < cutoff).drop("ts"), mode="overwrite")
+    t.delete("value > 300", mode="merge-on-read")
+    t.write(ev.filter(F.col("ts") >= cutoff).drop("ts"), mode="append")
+    return t.read()

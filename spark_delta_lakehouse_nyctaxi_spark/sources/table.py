@@ -307,6 +307,10 @@ class VersionedTable:
                 # valid verbatim. Units with no stats simply never skip.
                 stats = {**prev[-1].extra.get("stats", {}), **new_stats}
             xtra = dict(extra or {})
+            if mode == "append" and prev and prev[-1].extra.get("mor_deletes"):
+                # pending merge-on-read tombstones stay scoped to the
+                # pre-append units; the appended rows are never filtered
+                xtra["mor_deletes"] = prev[-1].extra["mor_deletes"]
             if stats:
                 xtra["stats"] = stats
             info = VersionInfo(
@@ -349,10 +353,39 @@ class VersionedTable:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
+    def _read_with_deletes(self, info: VersionInfo, units: list[str]) -> DataFrame:
+        """Read ``units`` applying any pending merge-on-read delete
+        predicates. Each tombstone is SCOPED to the units that existed
+        when the DELETE committed, so rows appended later are never
+        filtered even if they match an old predicate. Units sharing the
+        same tombstone chain read as one group (filters compose as
+        ``NOT coalesce(pred, false)`` — NULL-evaluating rows survive,
+        Delta DELETE semantics); groups union back together."""
+        mor = info.extra.get("mor_deletes", [])
+        partitioned = bool(info.partition_by)
+        if not mor:
+            return self._read_units(units, partitioned)
+        groups: dict[tuple[int, ...], list[str]] = {}
+        for u in units:
+            key = tuple(i for i, d in enumerate(mor) if u in d["units"])
+            groups.setdefault(key, []).append(u)
+        parts = []
+        for key, us in groups.items():
+            df = self._read_units(us, partitioned)
+            for i in key:
+                df = df.filter(F.expr(f"NOT coalesce(({mor[i]['pred']}), false)"))
+            parts.append(df)
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
     def read(self, version: int | None = None, timestamp: float | None = None) -> DataFrame:
-        """Latest or time-travel scan (utils/delta_ops.py:132-164)."""
+        """Latest or time-travel scan (utils/delta_ops.py:132-164).
+        Applies pending merge-on-read delete tombstones (see
+        :meth:`delete` with ``mode="merge-on-read"``)."""
         info = self._resolve(version, timestamp)
-        return self._read_units(info.units, bool(info.partition_by))
+        return self._read_with_deletes(info, info.units)
 
     def _prune_units(
         self, info: VersionInfo, pred: dict[str, tuple]
@@ -408,7 +441,7 @@ class VersionedTable:
         kept, skipped = self._prune_units(info, pred)
         self.last_scan = {"kept": len(kept), "skipped": len(skipped)}
         if kept:
-            df = self._read_units(kept, bool(info.partition_by))
+            df = self._read_with_deletes(info, kept)
         else:
             # schema-correct empty frame; the lazy full-snapshot read
             # plans partition discovery only, and the FALSE filter means
@@ -443,15 +476,47 @@ class VersionedTable:
             ]
         )
 
-    def delete(self, condition: str) -> VersionInfo:
-        """Delta ``DELETE WHERE`` analog: rewrite the snapshot without
+    def delete(self, condition: str, mode: str = "copy-on-write") -> VersionInfo:
+        """Delta ``DELETE WHERE`` analog.
+
+        ``mode="copy-on-write"`` (default): rewrite the snapshot without
         the matching rows. When the table is partitioned, partitions
         whose every row survives are carried over BY REFERENCE — only
         partitions containing matches are rewritten (computed from one
         aggregate over the partition columns, the moral equivalent of
-        Delta's file-level deletion stats)."""
+        Delta's file-level deletion stats).
+
+        ``mode="merge-on-read"``: the deletion-vector / Iceberg
+        equality-delete analog — NO data is rewritten at all. The
+        predicate commits as a tombstone SCOPED to the current unit set;
+        reads (read / scan / merge / CDF, which all route through
+        :meth:`_read_with_deletes`) apply ``NOT coalesce(pred, false)``
+        to exactly those units, so later appends are untouched even
+        when they match. O(metadata) commit — at 100 TB this turns a
+        petabyte rewrite into one manifest write; ``compact()``
+        materializes pending tombstones and clears them (merge-on-read
+        pays a small read tax until then)."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unsupported delete mode {mode!r}")
         info = self._resolve()
         part_cols = info.partition_by
+        if mode == "merge-on-read":
+            mor = list(info.extra.get("mor_deletes", []))
+            mor.append({"pred": condition, "units": list(info.units)})
+            xtra = {k: v for k, v in info.extra.items() if k != "mor_deletes"}
+            xtra["mor_deletes"] = mor
+            xtra["condition"] = condition
+            vinfo = VersionInfo(
+                version=info.version + 1,
+                timestamp=time.time(),
+                operation="DELETE",
+                mode="merge-on-read",
+                units=list(info.units),
+                partition_by=list(part_cols or []),
+                extra=xtra,
+            )
+            self._commit(vinfo)
+            return vinfo
         # DELETE removes rows where the condition is TRUE; rows where it
         # evaluates to NULL must SURVIVE (Delta semantics) — a bare
         # `NOT (cond)` would silently drop them.
@@ -483,7 +548,12 @@ class VersionedTable:
                     carried.append(u)
             if not touched_units:
                 return info  # nothing matched; current snapshot stands
-            kept = self._conform_types(self._read_units(touched_units, True)).filter(keep_pred)
+            # read THROUGH pending merge-on-read tombstones — a raw unit
+            # read would resurrect previously MoR-deleted rows in the
+            # rewritten partitions
+            kept = self._conform_types(
+                self._read_with_deletes(info, touched_units)
+            ).filter(keep_pred)
         else:
             carried = []
             kept = self.read().filter(keep_pred)
@@ -491,12 +561,22 @@ class VersionedTable:
         # Carried-by-reference units are byte-identical, so their
         # skipping stats stay valid; rewritten units drop theirs (safe —
         # stats-less units are always scanned).
+        carried_set = set(carried)
         carried_stats = {
-            u: s for u, s in info.extra.get("stats", {}).items() if u in set(carried)
+            u: s for u, s in info.extra.get("stats", {}).items() if u in carried_set
         }
         xtra: dict = {"condition": condition}
         if carried_stats:
             xtra["stats"] = carried_stats
+        # pending merge-on-read tombstones stay live on carried units
+        # (their rows were NOT materialized); rewritten units are clean
+        carried_mor = [
+            {"pred": d["pred"], "units": scoped}
+            for d in info.extra.get("mor_deletes", [])
+            if (scoped := [u for u in d["units"] if u in carried_set])
+        ]
+        if carried_mor:
+            xtra["mor_deletes"] = carried_mor
         vinfo = VersionInfo(
             version=info.version + 1,
             timestamp=time.time(),
@@ -630,9 +710,12 @@ class VersionedTable:
         for attempt in range(10):
             xtra: dict = {"restored_from": version}
             # the restored snapshot's units are byte-identical, so its
-            # skipping stats come along verbatim
+            # skipping stats — and any tombstones pending AT that
+            # version — come along verbatim
             if target.extra.get("stats"):
                 xtra["stats"] = target.extra["stats"]
+            if target.extra.get("mor_deletes"):
+                xtra["mor_deletes"] = target.extra["mor_deletes"]
             info = VersionInfo(
                 version=self.latest_version() + 1,
                 timestamp=time.time(),
@@ -794,8 +877,10 @@ class VersionedTable:
             touched = self._touched_partition_units(source, part_cols)
             touched_units = [u for u in info.units if u.split("/", 1)[1] in touched]
             carried_units = [u for u in info.units if u.split("/", 1)[1] not in touched]
+            # read THROUGH pending merge-on-read tombstones: a raw unit
+            # read would resurrect MoR-deleted rows into the rewrite
             target = (
-                self._conform_types(self._read_units(touched_units, True))
+                self._conform_types(self._read_with_deletes(info, touched_units))
                 if touched_units
                 else self.read().limit(0)
             )
@@ -842,6 +927,23 @@ class VersionedTable:
             merged = joined.filter(~s_only).select(*merged_cols)
 
         new_units = self._write_units(merged, part_cols or None)
+        # Carried-by-reference partitions keep their skipping stats and
+        # any pending merge-on-read tombstones (their bytes and their
+        # unmaterialized deletes are both unchanged).
+        carried_set = set(carried_units)
+        xtra = {**(extra or {}), "keys": keys, "pruned": prunable}
+        carried_stats = {
+            u: s for u, s in info.extra.get("stats", {}).items() if u in carried_set
+        }
+        if carried_stats:
+            xtra["stats"] = carried_stats
+        carried_mor = [
+            {"pred": d["pred"], "units": scoped}
+            for d in info.extra.get("mor_deletes", [])
+            if (scoped := [u for u in d["units"] if u in carried_set])
+        ]
+        if carried_mor:
+            xtra["mor_deletes"] = carried_mor
         # Pinned to the snapshot version this merge read (not the
         # current head): a concurrent commit in between must surface as
         # ConcurrentWriteError, not be silently overwritten.
@@ -852,7 +954,7 @@ class VersionedTable:
             mode=None,
             units=carried_units + new_units,
             partition_by=list(part_cols or []),
-            extra={**(extra or {}), "keys": keys, "pruned": prunable},
+            extra=xtra,
         )
         self._commit(vinfo)
         return vinfo

@@ -485,3 +485,105 @@ def test_stats_survive_compact_and_restore(spark, tmp_table_path):
     assert t._resolve().extra["stats"] == v0_stats
     t.scan({"v": (80, 100)})
     assert t.last_scan["skipped"] == 1
+
+
+def _data_files(path):
+    out = []
+    for root, _, files in os.walk(os.path.join(path, "data")):
+        out += [f for f in files if f.endswith(".parquet")]
+    return sorted(out)
+
+
+def test_mor_delete_metadata_only_stacking_and_compact(spark, tmp_table_path):
+    """Merge-on-read DELETE writes NO data files; tombstones stack,
+    scope only to pre-delete units (later appends survive a matching
+    predicate), time travel sees through them, and OPTIMIZE
+    materializes + clears them."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": i, "v": float(i)} for i in range(10)]), mode="overwrite")
+    before = _data_files(tmp_table_path)
+    t.delete("id < 3", mode="merge-on-read")
+    assert _data_files(tmp_table_path) == before  # zero data IO
+    assert sorted(r.id for r in t.read().collect()) == list(range(3, 10))
+    assert t.read(version=0).count() == 10  # time travel pre-delete
+    # append a row MATCHING the old predicate — must survive (scoped)
+    t.write(_mk(spark, [{"id": 1, "v": 99.0}]), mode="append")
+    assert sorted(r.id for r in t.read().collect()) == [1] + list(range(3, 10))
+    # second tombstone applies to everything current, incl. the append
+    t.delete("id >= 8", mode="merge-on-read")
+    assert sorted(r.id for r in t.read().collect()) == [1, 3, 4, 5, 6, 7]
+    # compaction materializes: same rows, tombstones gone
+    t.compact()
+    info = t._resolve()
+    assert "mor_deletes" not in info.extra
+    assert sorted(r.id for r in t.read().collect()) == [1, 3, 4, 5, 6, 7]
+
+
+def test_mor_null_predicate_rows_survive(spark, tmp_table_path):
+    """Rows where the tombstone predicate evaluates to NULL must
+    survive (Delta DELETE semantics), same as the copy-on-write path."""
+    t = VersionedTable(spark, tmp_table_path)
+    df = spark.createDataFrame([(1, 5), (2, None), (3, 20)], "id long, v long")
+    t.write(df, mode="overwrite")
+    t.delete("v > 10", mode="merge-on-read")
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+def test_mor_then_cow_delete_keeps_carried_tombstones(spark, tmp_table_path):
+    """A partition-pruned copy-on-write DELETE after a merge-on-read
+    one: the rewritten partition materializes the tombstone, the
+    carried partition keeps it live — no resurrection either way."""
+    t = VersionedTable(spark, tmp_table_path)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "id long, part string"
+    )
+    t.write(df, mode="overwrite", partition_by=["part"])
+    t.delete("id = 1 OR id = 3", mode="merge-on-read")
+    assert sorted(r.id for r in t.read().collect()) == [2, 4]
+    t.delete("id = 4")  # CoW, touches only part=b
+    info = t._resolve()
+    assert info.extra.get("mor_deletes"), "carried partition must keep its tombstone"
+    assert sorted(r.id for r in t.read().collect()) == [2]
+
+
+def test_merge_after_mor_delete_no_resurrection(spark, tmp_table_path):
+    """MERGE reads through tombstones on the touched partitions and
+    carries them on untouched ones — MoR-deleted rows never come back,
+    pruned or not."""
+    t = VersionedTable(spark, tmp_table_path)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id long, part string, v long"
+    )
+    t.write(df, mode="overwrite", partition_by=["part"])
+    t.delete("id = 2", mode="merge-on-read")
+    src = spark.createDataFrame([(1, "a", 11)], "id long, part string, v long")
+    t.merge(src, keys=["id"])  # pruned: touches part=a only
+    got = sorted((r.id, r.v) for r in t.read().collect())
+    assert got == [(1, 11), (3, 30)]  # id=2 stays deleted
+    # unpruned merge (source lacks partition col usable? use full path)
+    src2 = spark.createDataFrame([(3, "b", 31)], "id long, part string, v long")
+    t.delete("id = 1", mode="merge-on-read")
+    t.merge(src2, keys=["id"])
+    got2 = sorted((r.id, r.v) for r in t.read().collect())
+    assert got2 == [(3, 31)]
+
+
+def test_mor_composes_with_stats_skipping_and_restore(spark, tmp_table_path):
+    """scan() applies tombstones on the kept units; RESTORE to a
+    tombstoned version brings the tombstones along."""
+    t = VersionedTable(spark, tmp_table_path)
+    for i in range(3):
+        t.write(
+            _mk(spark, [{"id": i * 100 + j, "v": i * 100 + j} for j in range(50)]),
+            mode="append" if i else "overwrite",
+            stats_cols=["v"],
+        )
+    t.delete("id = 120", mode="merge-on-read")  # v1
+    got = sorted(r.id for r in t.scan({"v": (110, 130)}).collect())
+    assert t.last_scan["skipped"] == 2
+    assert got == [i for i in range(110, 131) if i != 120]
+    mor_version = t.latest_version()
+    t.compact()
+    t.restore(mor_version)
+    assert t._resolve().extra.get("mor_deletes")
+    assert t.read().filter("id = 120").count() == 0
