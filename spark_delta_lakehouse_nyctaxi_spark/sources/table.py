@@ -589,13 +589,58 @@ class VersionedTable:
         self._commit(vinfo)
         return vinfo
 
-    def update(self, set_exprs: dict[str, str], condition: str = "true") -> VersionInfo:
+    def update(
+        self,
+        set_exprs: dict[str, str],
+        condition: str = "true",
+        mode: str = "copy-on-write",
+    ) -> VersionInfo:
         """Delta ``UPDATE SET ... WHERE`` analog: matching rows get each
         column replaced by its SQL expression (over the row itself),
-        everything else passes through unchanged. One scan, one
-        rewrite."""
+        everything else passes through unchanged.
+
+        ``copy-on-write`` (default): one scan, one full rewrite.
+
+        ``merge-on-read``: the deletion-vector update path — ONLY the
+        matched rows are written (as a fresh unit carrying their
+        updated images) and the predicate commits as a tombstone scoped
+        to the pre-update units, hiding the stale images at read time.
+        IO is proportional to the matched rows, not the table: the
+        update that touches 0.001% of 100 TB writes megabytes. The new
+        unit is outside the tombstone's scope, so updated rows survive
+        even when they still match the predicate. OPTIMIZE
+        materializes. Rows where the condition is NULL are untouched
+        in both modes."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unsupported update mode {mode!r}")
         info = self._resolve()
         df = self.read()
+        if mode == "merge-on-read":
+            matched = df.filter(F.expr(f"coalesce(({condition}), false)"))
+            updated = matched.select(
+                *[
+                    F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            new_units = self._write_units(updated, info.partition_by or None)
+            mor = list(info.extra.get("mor_deletes", []))
+            mor.append({"pred": condition, "units": list(info.units)})
+            xtra = {k: v for k, v in info.extra.items() if k != "mor_deletes"}
+            xtra.update(
+                {"mor_deletes": mor, "condition": condition, "set": set_exprs}
+            )
+            vinfo = VersionInfo(
+                version=info.version + 1,
+                timestamp=time.time(),
+                operation="UPDATE",
+                mode="merge-on-read",
+                units=list(info.units) + new_units,
+                partition_by=list(info.partition_by or []),
+                extra=xtra,
+            )
+            self._commit(vinfo)
+            return vinfo
         cols = [
             F.when(F.expr(condition), F.expr(e)).otherwise(F.col(c)).alias(c)
             if c in set_exprs

@@ -587,3 +587,27 @@ def test_mor_composes_with_stats_skipping_and_restore(spark, tmp_table_path):
     t.restore(mor_version)
     assert t._resolve().extra.get("mor_deletes")
     assert t.read().filter("id = 120").count() == 0
+
+
+def test_mor_update_writes_only_matched_rows(spark, tmp_table_path):
+    """Merge-on-read UPDATE: IO proportional to matched rows (one new
+    small unit), stale images hidden by the scoped tombstone, updated
+    rows survive even when they still match the predicate, NULL
+    condition rows untouched, OPTIMIZE materializes."""
+    t = VersionedTable(spark, tmp_table_path)
+    df = spark.createDataFrame(
+        [(i, i if i != 3 else None) for i in range(10)], "id long, v long"
+    )
+    t.write(df, mode="overwrite")
+    before = set(_data_files(tmp_table_path))
+    t.update({"v": "v + 100"}, condition="v >= 8", mode="merge-on-read")
+    added = set(_data_files(tmp_table_path)) - before
+    assert added  # exactly one small new unit's files
+    got = {r.id: r.v for r in t.read().collect()}
+    # 8,9 updated (still match v >= 8 after +100 — must not be hidden);
+    # NULL-v row untouched; others untouched
+    assert got == {0: 0, 1: 1, 2: 2, 3: None, 4: 4, 5: 5, 6: 6, 7: 7, 8: 108, 9: 109}
+    assert t.read(version=0).filter("v = 8").count() == 1  # time travel
+    t.compact()
+    assert "mor_deletes" not in t._resolve().extra
+    assert {r.id: r.v for r in t.read().collect()} == got
