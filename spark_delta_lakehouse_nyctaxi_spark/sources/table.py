@@ -738,12 +738,19 @@ class VersionedTable:
                     if fn.endswith(".parquet"):
                         n_files += 1
                         size += os.path.getsize(os.path.join(root, fn))
+        stats = info.extra.get("stats", {})
         return {
             "location": self.path,
             "version": info.version,
             "num_files": n_files,
             "size_bytes": size,
             "partition_columns": info.partition_by,
+            # observability for the scan optimizations: how much of the
+            # snapshot can skip, and whether reads pay a tombstone tax
+            "num_units": len(info.units),
+            "units_with_stats": len([u for u in info.units if u in stats]),
+            "stats_columns": sorted({c for s in stats.values() for c in s}),
+            "pending_mor_deletes": len(info.extra.get("mor_deletes", [])),
         }
 
     # --------------------------------------------------------- restore

@@ -611,3 +611,16 @@ def test_mor_update_writes_only_matched_rows(spark, tmp_table_path):
     t.compact()
     assert "mor_deletes" not in t._resolve().extra
     assert {r.id: r.v for r in t.read().collect()} == got
+
+
+def test_detail_reports_skipping_and_tombstone_state(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": i} for i in range(5)]), mode="overwrite", stats_cols=["id"])
+    t.write(_mk(spark, [{"id": 10}]), mode="append")  # stats-less unit
+    t.delete("id = 0", mode="merge-on-read")
+    d = t.detail()
+    assert d["num_units"] == 2 and d["units_with_stats"] == 1
+    assert d["stats_columns"] == ["id"] and d["pending_mor_deletes"] == 1
+    t.compact()
+    d2 = t.detail()
+    assert d2["pending_mor_deletes"] == 0 and d2["units_with_stats"] == d2["num_units"]
