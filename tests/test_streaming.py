@@ -230,3 +230,53 @@ def test_stream_checkpoint_resume_reads_only_new_files(spark, tmp_path):
     drain()
     second = set(seen[1])
     assert len(second) == 300 and second.isdisjoint(first)
+
+
+def test_late_data_dropped_across_checkpointed_restarts(spark, tmp_path):
+    """The watermark persists in the checkpoint: an event arriving in a
+    LATER run, older than the carried watermark, is dropped — its
+    already-finalized window never re-emits — while in-horizon state
+    (the 11:00 window) still closes correctly."""
+    import datetime as dt
+
+    d = str(tmp_path / "late_in")
+    ck = str(tmp_path / "late_ckpt")
+    ts = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows1 = [
+        (1, ts(10, 5), 1, "view", 1.0),
+        (2, ts(10, 30), 2, "view", 1.0),
+        (3, ts(11, 15), 3, "view", 1.0),
+        (4, ts(12, 0), 4, "view", 1.0),
+    ]
+    spark.createDataFrame(rows1, SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    agg_of = lambda: windowed_aggregation(  # noqa: E731
+        read_parquet_stream(spark, d, SCHEMA),
+        "ts",
+        "1 hour",
+        aggs=[F.count("*").alias("n")],
+        watermark_delay="1 minute",
+    )
+    emitted1 = []
+    run_available_now(
+        agg_of(), ck,
+        foreach_batch=lambda df, bid: emitted1.extend(df.collect()),
+    )
+    got1 = {(r.window_start.hour, r.n) for r in emitted1}
+    # final watermark 11:59 → only the 10:00 window has closed
+    assert got1 == {(10, 2)}
+
+    rows2 = [
+        (5, ts(9, 10), 5, "view", 1.0),   # LATE: before the carried watermark
+        (6, ts(13, 0), 6, "view", 1.0),   # advances the watermark past 12:00
+    ]
+    spark.createDataFrame(rows2, SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    emitted2 = []
+    run_available_now(
+        agg_of(), ck,
+        foreach_batch=lambda df, bid: emitted2.extend(df.collect()),
+    )
+    got2 = {(r.window_start.hour, r.n) for r in emitted2}
+    # the 11:00 window (state carried from run 1) closes with its one
+    # event; the 09:00 late event produces NOTHING, ever
+    assert got2 == {(11, 1)}
+    assert not any(h == 9 for h, _ in got1 | got2)
