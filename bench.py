@@ -65,19 +65,22 @@ def main() -> None:
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    # Median of 3 timed runs per query: this host shows 2-3× swings
+    # Median of 5 timed runs per query: this host shows 2-3× swings
     # under external load (VM steal), and a single sample can land on a
-    # spike. The median is robust to one bad run while still charging
-    # every query its full data work (cache cleared between runs).
+    # spike — round-3 measured the SAME build anywhere from 13.8s to
+    # 16.2s total on medians-of-3 across one hour. Five samples put two
+    # spikes, not one, between the median and the truth, while still
+    # charging every query its full data work (cache cleared between
+    # runs). Adds ~1-2 min wall over median-of-3.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
             spark.catalog.clearCache()
-        timings[name] = round(sorted(samples)[1], 3)
+        timings[name] = round(sorted(samples)[2], 3)
 
     out = {
         "metric": "headline_queries_total",
