@@ -378,3 +378,60 @@ def test_token_budget_is_exact_hash_order_prefix(spark, counts, budget):
             break
         expected.append(i)
     assert sel == sorted(expected)
+
+
+MOR_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 3)),          # batch id
+        st.tuples(st.just("mor_delete"), st.integers(0, 60)),     # threshold
+        st.tuples(st.just("cow_delete"), st.integers(0, 60)),
+        st.tuples(st.just("mor_update"), st.integers(0, 60)),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=MOR_OPS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_mor_table_matches_python_model(spark, tmp_path, ops):
+    """Model-based check of the merge-on-read machinery: any sequence of
+    appends, MoR deletes, copy-on-write deletes, MoR updates, and
+    compactions leaves the table row-set identical to a plain Python
+    list model — tombstone scoping, carry, and materialization can
+    never resurrect or lose a row."""
+    import uuid as _uuid
+
+    from spark_delta_lakehouse_nyctaxi_spark.sources.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / f"t{_uuid.uuid4().hex[:6]}"))
+    batches = {
+        b: [(b * 100 + j, (7 * j + 13 * b) % 61) for j in range(8)] for b in range(4)
+    }
+    t.write(
+        spark.createDataFrame(batches[0], "id long, v long"), mode="overwrite"
+    )
+    model = {i: v for i, v in batches[0]}
+    next_base = 1000
+    for op, arg in ops:
+        if op == "append":
+            rows = [(i + next_base, v) for i, v in batches[arg]]
+            next_base += 1000
+            t.write(spark.createDataFrame(rows, "id long, v long"), mode="append")
+            model.update(dict(rows))
+        elif op in ("mor_delete", "cow_delete"):
+            mode = "merge-on-read" if op == "mor_delete" else "copy-on-write"
+            t.delete(f"v > {arg}", mode=mode)
+            model = {i: v for i, v in model.items() if not v > arg}
+        elif op == "mor_update":
+            t.update({"v": "v + 1"}, condition=f"v < {arg}", mode="merge-on-read")
+            model = {i: (v + 1 if v < arg else v) for i, v in model.items()}
+        else:
+            t.compact()
+        got = sorted((r.id, r.v) for r in t.read().collect())
+        assert got == sorted(model.items()), f"diverged after {op}({arg})"
