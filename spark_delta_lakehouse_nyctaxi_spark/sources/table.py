@@ -95,9 +95,17 @@ class VersionedTable:
 
     # ------------------------------------------------------------- log
 
+    @staticmethod
+    def _is_version_file(fn: str) -> bool:
+        # strictly NNNNNNNN.json — side metadata (_constraints.json,
+        # temp files) lives in the same dir and must not parse as a
+        # version manifest
+        stem = fn[:-5]
+        return fn.endswith(".json") and stem.isdigit()
+
     def exists(self) -> bool:
         return os.path.isdir(self._vlog) and bool(
-            [f for f in os.listdir(self._vlog) if f.endswith(".json")]
+            [f for f in os.listdir(self._vlog) if self._is_version_file(f)]
         )
 
     def _versions(self) -> list[VersionInfo]:
@@ -105,7 +113,7 @@ class VersionedTable:
             return []
         out = []
         for fn in sorted(os.listdir(self._vlog)):
-            if fn.endswith(".json"):
+            if self._is_version_file(fn):
                 with open(os.path.join(self._vlog, fn)) as f:
                     out.append(VersionInfo.from_json(f.read()))
         return out
@@ -148,6 +156,75 @@ class VersionedTable:
                 raise ValueError(f"no version at or before timestamp {timestamp}")
             return eligible[-1]
         return vs[-1]
+
+    # ------------------------------------------------------ constraints
+
+    @property
+    def _constraints_path(self) -> str:
+        return os.path.join(self._vlog, "_constraints.json")
+
+    def constraints(self) -> dict[str, str]:
+        """Current CHECK constraints (Delta ``ALTER TABLE ... ADD
+        CONSTRAINT`` analog). Table-level, enforced on every write path
+        from the moment they are added (constraint history is not
+        time-traveled — matching the practical Delta behavior where the
+        latest metadata governs writes)."""
+        if not os.path.exists(self._constraints_path):
+            return {}
+        with open(self._constraints_path) as f:
+            return json.load(f)
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """Register a CHECK constraint after validating the EXISTING
+        data satisfies it (Delta semantics: adding a constraint scans
+        the table once and fails if any current row violates). A row
+        violates when the expression evaluates to FALSE; NULL passes
+        (SQL CHECK semantics)."""
+        if self.exists():
+            bad = self.read().filter(F.expr(f"({expr}) IS FALSE")).count()
+            if bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: {bad} existing rows "
+                    f"violate ({expr})"
+                )
+        cons = self.constraints()
+        cons[name] = expr
+        os.makedirs(self._vlog, exist_ok=True)
+        tmp = self._constraints_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, self._constraints_path)
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        cons.pop(name, None)
+        tmp = self._constraints_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, self._constraints_path)
+
+    def _check_constraints(self, df: DataFrame, what: str) -> None:
+        """Validate incoming rows against every CHECK constraint in ONE
+        pass (all violation counts in a single aggregate, the DQ
+        framework's fused-check discipline) BEFORE any data lands — a
+        rejected commit leaves no new version and no orphan units that
+        vacuum would have to collect."""
+        cons = self.constraints()
+        if not cons:
+            return
+        names = list(cons)
+        counts = df.agg(
+            *[
+                F.sum(F.expr(f"({cons[n]}) IS FALSE").cast("long")).alias(n)
+                for n in names
+            ]
+        ).first()
+        bad = {n: counts[n] for n in names if counts[n]}
+        if bad:
+            detail = ", ".join(
+                f"{n} ({cons[n]!r}): {c} rows" for n, c in bad.items()
+            )
+            raise ValueError(f"CHECK constraint violation on {what}: {detail}")
 
     # ----------------------------------------------------------- write
 
@@ -287,6 +364,7 @@ class VersionedTable:
                     f"append schema mismatch (added={added}, missing="
                     f"{missing}); pass merge_schema=True to evolve"
                 )
+        self._check_constraints(df, f"write({mode})")
         new_units = self._write_units(df, partition_by)
         new_stats = (
             self._collect_stats(new_units, stats_cols, bool(partition_by))
@@ -623,6 +701,7 @@ class VersionedTable:
                     for c in df.columns
                 ]
             )
+            self._check_constraints(updated, "UPDATE(merge-on-read)")
             new_units = self._write_units(updated, info.partition_by or None)
             mor = list(info.extra.get("mor_deletes", []))
             mor.append({"pred": condition, "units": list(info.units)})
@@ -648,6 +727,7 @@ class VersionedTable:
             for c, e in ((c, set_exprs.get(c)) for c in df.columns)
         ]
         updated = df.select(*cols)
+        self._check_constraints(updated, "UPDATE")
         new_units = self._write_units(updated, info.partition_by or None)
         vinfo = VersionInfo(
             version=info.version + 1,
@@ -978,6 +1058,7 @@ class VersionedTable:
         if not insert_unmatched:
             merged = joined.filter(~s_only).select(*merged_cols)
 
+        self._check_constraints(merged, "MERGE")
         new_units = self._write_units(merged, part_cols or None)
         # Carried-by-reference partitions keep their skipping stats and
         # any pending merge-on-read tombstones (their bytes and their

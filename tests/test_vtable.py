@@ -624,3 +624,36 @@ def test_detail_reports_skipping_and_tombstone_state(spark, tmp_table_path):
     t.compact()
     d2 = t.detail()
     assert d2["pending_mor_deletes"] == 0 and d2["units_with_stats"] == d2["num_units"]
+
+
+def test_check_constraints_enforced_on_all_write_paths(spark, tmp_table_path):
+    """CHECK constraints: adding validates existing data; write/MERGE/
+    UPDATE reject violating commits atomically (no new version, no
+    orphan data); NULL passes (SQL CHECK semantics); drop re-opens."""
+    import pytest as _pytest
+
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(
+        spark.createDataFrame([(1, 10), (2, None)], "id long, v long"),
+        mode="overwrite",
+    )
+    t.add_constraint("v_positive", "v > 0")  # NULL row passes
+    assert t.constraints() == {"v_positive": "v > 0"}
+    with _pytest.raises(ValueError, match="v_nonnull"):
+        # adding a constraint the EXISTING data violates must fail
+        t.add_constraint("v_nonnull", "v IS NOT NULL")
+    v_before = t.latest_version()
+    with _pytest.raises(ValueError, match="v_positive"):
+        t.write(spark.createDataFrame([(3, -5)], "id long, v long"), mode="append")
+    assert t.latest_version() == v_before  # rejected commit left nothing
+    assert t.read().count() == 2
+    with _pytest.raises(ValueError, match="MERGE"):
+        t.merge(spark.createDataFrame([(1, -1)], "id long, v long"), keys=["id"])
+    with _pytest.raises(ValueError, match="UPDATE"):
+        t.update({"v": "v - 100"}, condition="id = 1", mode="merge-on-read")
+    assert {r.id: r.v for r in t.read().collect()} == {1: 10, 2: None}
+    # passing writes still work, and dropping re-opens the gate
+    t.write(spark.createDataFrame([(3, 5)], "id long, v long"), mode="append")
+    t.drop_constraint("v_positive")
+    t.write(spark.createDataFrame([(4, -5)], "id long, v long"), mode="append")
+    assert t.read().count() == 4
