@@ -657,3 +657,41 @@ def test_check_constraints_enforced_on_all_write_paths(spark, tmp_table_path):
     t.drop_constraint("v_positive")
     t.write(spark.createDataFrame([(4, -5)], "id long, v long"), mode="append")
     assert t.read().count() == 4
+
+
+def test_partition_layout_evolution_across_appends(spark, tmp_table_path):
+    """Layout evolution without rewrite: an append may introduce (or
+    change) partitioning — old commits keep their layout on disk, reads
+    reconcile by name across per-root basePaths, and later appends
+    inherit the newest layout. The 100 TB repartition-without-rewrite
+    path."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 2020), (2, "b", 2021)], "id long, name string, yr int"
+        ),
+        mode="overwrite",
+    )  # unpartitioned
+    t.write(
+        spark.createDataFrame([(3, "c", 2022)], "id long, name string, yr int"),
+        mode="append",
+        partition_by=["yr"],
+    )  # evolves the layout
+    assert t._resolve().partition_by == ["yr"]
+    got = sorted((r.id, r.name, r.yr) for r in t.read().collect())
+    assert got == [(1, "a", 2020), (2, "b", 2021), (3, "c", 2022)]
+    # later appends inherit the evolved layout and land as subdirs
+    t.write(
+        spark.createDataFrame([(4, "d", 2022)], "id long, name string, yr int"),
+        mode="append",
+    )
+    info = t._resolve()
+    assert any("yr=2022" in u for u in info.units)
+    assert t.read().count() == 4
+    # DML still correct across the mixed layout
+    t.delete("id = 2")
+    assert sorted(r.id for r in t.read().collect()) == [1, 3, 4]
+    # and OPTIMIZE normalizes everything into the evolved layout
+    t.compact()
+    assert all("yr=" in u for u in t._resolve().units)
+    assert sorted(r.id for r in t.read().collect()) == [1, 3, 4]
