@@ -110,8 +110,8 @@ def shuffle_shards(
     df: DataFrame, id_col: str, num_shards: int, salt: str = "shuffle"
 ) -> DataFrame:
     """Deterministic global corpus shuffle, the scalable way: assign each
-    row to one of ``num_shards`` shards by hash threshold (uniform
-    weights through :func:`hash_split`), then rank WITHIN the shard by a
+    row to one of ``num_shards`` shards by a 60-bit hash-prefix modulo
+    (constant-size expression in the shard count), then rank WITHIN the shard by a
     second, decorrelated hash. Training jobs read shards in shard order
     and rows in ``pos`` order — a reproducible permutation of the corpus
     that never performs a global sort: one exchange on the shard key,
@@ -124,14 +124,20 @@ def shuffle_shards(
     Seedless/append-stable in shard ASSIGNMENT (a row's shard never
     changes); ``pos`` is recomputed per snapshot, as any rank must be.
     """
-    weights = [(str(i), 1.0) for i in range(num_shards)]
-    d = hash_split(df, id_col, weights, salt).withColumnRenamed("split", "shard")
+    h = hash_key(F.col(id_col), salt)
+    # Arithmetic shard id — 60 hash bits modulo n — instead of a
+    # hash-threshold CASE chain: the expression is CONSTANT-SIZE in
+    # ``num_shards`` (a thousand-shard when-chain would bloat the plan
+    # linearly), stays engine-portable (DuckDB parses the same
+    # '0x'+hex-prefix cast), and the modulo bias over 2^60 is ~n/2^60.
+    shard = (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % num_shards
+    ).cast("int")
+    d = df.withColumn("shard", shard)
     w = Window.partitionBy("shard").orderBy(
         hash_key(F.col(id_col), salt + ":pos"), F.col(id_col)
     )
-    return d.withColumn("shard", F.col("shard").cast("int")).withColumn(
-        "pos", F.row_number().over(w)
-    )
+    return d.withColumn("pos", F.row_number().over(w))
 
 
 def token_budget_select(

@@ -119,9 +119,14 @@ def q_sample_split_grouped(spark, sf_dir):
 
 
 _N_SHARDS = 8
-_SHARD_WEIGHTS = [(str(i), 1.0) for i in range(_N_SHARDS)]
 _TOKEN_BUDGET = 2000
 _MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+_SHARD_SQL = (
+    "CAST(concat('0x', substr(md5('shuffle' || CAST(doc_id AS VARCHAR)), "
+    f"1, 15)) AS BIGINT) % {_N_SHARDS}"
+)
 
 
 @register(
@@ -129,11 +134,9 @@ _MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
     f"""
     SELECT doc_id, shard, pos FROM (
         SELECT doc_id,
-               CAST({SA.split_case_sql('doc_id', _SHARD_WEIGHTS, salt='shuffle')}
-                    AS INTEGER) AS shard,
+               CAST({_SHARD_SQL} AS INTEGER) AS shard,
                ROW_NUMBER() OVER (
-                   PARTITION BY {SA.split_case_sql('doc_id', _SHARD_WEIGHTS,
-                                                   salt='shuffle')}
+                   PARTITION BY {_SHARD_SQL}
                    ORDER BY md5('shuffle:pos' || CAST(doc_id AS VARCHAR)),
                             doc_id) AS pos
         FROM documents
