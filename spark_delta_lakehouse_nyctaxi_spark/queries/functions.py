@@ -149,44 +149,75 @@ def q_array_funcs(spark, sf_dir):
 
 @register(
     "q_corr_manual",
-    f"""
+    """
     WITH s AS (
-        SELECT COUNT(*) AS n,
-               {dsum_sql('l_quantity')} AS sx,
-               {dsum_sql('l_extendedprice')} AS sy,
-               {dsum_sql('l_quantity * l_quantity', 4)} AS sxx,
-               {dsum_sql('l_extendedprice * l_extendedprice', 4)} AS syy,
-               {dsum_sql('l_quantity * l_extendedprice', 4)} AS sxy
+        SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(22,2)))
+                    AS DECIMAL(16,2)) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2)))
+                    AS DECIMAL(16,2)) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(22,4)))
+                    AS DECIMAL(22,4)) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(22,4))) AS DECIMAL(22,4)) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(22,4)))
+                    AS DECIMAL(22,4)) AS sxy
         FROM lineitem
     )
-    SELECT n,
-           (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
-    FROM s
+    , w AS (
+        -- DuckDB derives multiply width from operand widths and does
+        -- NOT auto-widen past int64 storage: force int128 decimals so
+        -- every product is exact (values are identical to Spark's
+        -- exact (33,4)/(34,4) arithmetic — only the representation
+        -- differs)
+        SELECT CAST(n AS DECIMAL(16,0)) AS n,
+               CAST(sx AS DECIMAL(19,2)) AS sx,
+               CAST(sy AS DECIMAL(19,2)) AS sy,
+               CAST(sxx AS DECIMAL(22,4)) AS sxx,
+               CAST(syy AS DECIMAL(22,4)) AS syy,
+               CAST(sxy AS DECIMAL(22,4)) AS sxy
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+    FROM w
     """,
     doc="Pearson correlation from exact decimal moment sums — the "
         "scale-safe way to get bit-stable statistical aggregates "
-        "(built-in corr() is fp-order-dependent under shuffles).",
+        "(built-in corr() is fp-order-dependent under shuffles). The "
+        "moment ALGEBRA stays in exact decimals too — narrowed so "
+        "every product fits precision 38 without capping — and doubles "
+        "appear only at three single-rounding points (numerator, two "
+        "radicands), so there is no multi-op float sequence an engine "
+        "could fuse differently (the earlier double-algebra form "
+        "diverged from DuckDB by 1 ulp at sf0.1 via FMA in "
+        "n·sxy − sx·sy).",
 )
 def q_corr_manual(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     qty, price = F.col("l_quantity"), F.col("l_extendedprice")
     s = l.agg(
-        F.count("*").alias("n"),
-        dsum("l_quantity").alias("sx"),
-        dsum("l_extendedprice").alias("sy"),
-        # squared-price products reach ~5e9 — past the fast path's
-        # per-row bound, so opt into the wide decimal formulation
-        dsum(qty * qty, 4, precision=22).alias("sxx"),
-        dsum(price * price, 4, precision=22).alias("syy"),
-        dsum(qty * price, 4, precision=22).alias("sxy"),
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        # per-row rounding identical to the dsum discipline; the sum is
+        # then NARROWED (exact — overflow would raise under ANSI, never
+        # silently round) so decimal products below stay ≤ precision 38
+        F.sum(qty.cast("decimal(22,2)")).cast("decimal(16,2)").alias("sx"),
+        F.sum(price.cast("decimal(22,2)")).cast("decimal(16,2)").alias("sy"),
+        F.sum((qty * qty).cast("decimal(22,4)")).cast("decimal(22,4)").alias("sxx"),
+        F.sum((price * price).cast("decimal(22,4)")).cast("decimal(22,4)").alias("syy"),
+        F.sum((qty * price).cast("decimal(22,4)")).cast("decimal(22,4)").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # exact decimal algebra: (10,0)*(22,4) → (33,4); (16,2)² → (33,4);
+    # differences → (34,4) — no precision capping anywhere
+    corr = (n * sxy - sx * sy).cast("double") / (
+        F.sqrt((n * sxx - sx * sx).cast("double"))
+        * F.sqrt((n * syy - sy * sy).cast("double"))
     )
-    return s.select("n", corr.alias("corr_qty_price"))
+    return s.select(n.cast("long").alias("n"), corr.alias("corr_qty_price"))
 
 
 @register(
