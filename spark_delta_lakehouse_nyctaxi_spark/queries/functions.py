@@ -358,18 +358,21 @@ def q_weighted_mean_udaf(spark, sf_dir):
 
 @register(
     "q_stddev_manual",
-    f"""
+    """
     WITH s AS (
         SELECT l_returnflag,
                COUNT(*) AS n,
-               {dsum_sql('l_quantity')} AS sx,
-               {dsum_sql('l_quantity * l_quantity', 4)} AS sxx
+               CAST(SUM(CAST(l_quantity AS DECIMAL(22,2)))
+                    AS DECIMAL(19,2)) AS sx,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(22,4)))
+                    AS DECIMAL(22,4)) AS sxx
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           sx / n AS mean_qty,
-           sqrt(greatest(0, n * sxx - sx * sx) / NULLIF(n * (n - 1), 0))
-               AS stddev_qty
+           CAST(sx AS DOUBLE) / n AS mean_qty,
+           sqrt(CAST(greatest(0, CAST(n AS DECIMAL(16,0)) * sxx - sx * sx)
+                     AS DOUBLE)
+                / NULLIF(n * (n - 1), 0)) AS stddev_qty
     FROM s
     """,
     doc="Grouped sample standard deviation from exact decimal moment "
@@ -383,23 +386,26 @@ def q_stddev_manual(spark, sf_dir):
     qty = F.col("l_quantity")
     s = l.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        dsum("l_quantity").alias("sx"),
-        dsum(qty * qty, 4, precision=22).alias("sxx"),
+        F.sum(qty.cast("decimal(22,2)")).cast("decimal(16,2)").alias("sx"),
+        F.sum((qty * qty).cast("decimal(22,4)")).cast("decimal(22,4)").alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     # NULL-safety discipline (round-2 ADVICE): a single-row group makes
     # the denominator 0 (DIVIDE_BY_ZERO under ANSI) → try_divide/NULLIF
-    # yields NULL on both sides; and the decimal product n*sxx - sx*sx
-    # (precision 45 capped to 38) can round marginally negative for
-    # zero-variance groups → greatest(0, ·) on both sides keeps sqrt
-    # real.  Happy-path values are bit-identical to the unguarded form.
+    # yields NULL on both sides.  The radicand is EXACT decimal algebra
+    # (q_corr_manual discipline: (10,0)×(22,4) and (16,2)² both fit
+    # precision 38 uncapped, so no float sequence an engine could fuse
+    # differently, and no capping round-off) — greatest(0, ·) still
+    # guards the theoretical zero-variance edge, and doubles appear
+    # only at the single-rounding radicand cast and mean division.
+    rad = F.greatest(
+        F.lit(0), n.cast("decimal(10,0)") * sxx - sx * sx
+    ).cast("double")
     return s.select(
         "l_returnflag",
         "n",
-        (sx / n).alias("mean_qty"),
-        F.sqrt(
-            F.try_divide(F.greatest(F.lit(0), n * sxx - sx * sx), n * (n - 1))
-        ).alias("stddev_qty"),
+        (sx.cast("double") / n).alias("mean_qty"),
+        F.sqrt(F.try_divide(rad, n * (n - 1))).alias("stddev_qty"),
     )
 
 
