@@ -118,6 +118,13 @@ def main():
         "etc.) that the driver's representation-sensitive hash would flag "
         "even when values are equal",
     )
+    ap.add_argument(
+        "--plain",
+        action="store_true",
+        help="use a DRIVER-IDENTICAL plain SparkSession "
+        "(local[8], no confs, ambient TZ) instead of session.get_spark — "
+        "catches anything that silently depends on our pinned session",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -125,7 +132,12 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
-    spark = get_spark("oracle-check")
+    if args.plain:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
     names = args.names or list(REGISTRY)
     n_pass = n_fail = 0
     for name in names:
