@@ -133,3 +133,36 @@ def refresh_aggregate(
             extra=VersionedTable.txn_extra(*txn) if txn is not None else None,
         )
     return {"groups_in_delta": n}
+
+
+def sync_changes(
+    src: VersionedTable,
+    dst: VersionedTable,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> None:
+    """Re-apply a change data feed downstream — the consumer half of
+    the CDF contract (``changes()`` produces net per-key
+    insert/update_postimage/delete rows; this replays them into ``dst``
+    with ONE MERGE): upserts apply through whenMatchedUpdate +
+    whenNotMatchedInsert, deletes through whenMatchedDelete, and
+    feed-only metadata never lands. After the call, ``dst`` equals
+    ``src``'s target snapshot without ever re-reading the full source
+    table — the point of CDF at 100 TB: downstream cost is
+    proportional to the CHANGES, not the table."""
+    if not dst.exists():
+        # bootstrap: materialize the from-version snapshot, then the
+        # feed below brings it to the target snapshot
+        dst.write(
+            src.read(version=from_version), mode="overwrite", operation="CDF_SYNC"
+        )
+    feed = src.changes(from_version, to_version, keys=keys)
+    data_cols = [c for c in feed.columns if c != "_change_type"]
+    dst.merge(
+        feed,
+        keys=keys,
+        update_columns=[c for c in data_cols if c not in keys],
+        delete_condition="s._change_type = 'delete'",
+        extra={"cdf_from": from_version, "cdf_to": to_version},
+    )

@@ -972,11 +972,18 @@ class VersionedTable:
         insert_unmatched: bool = True,
         update_condition: str | None = None,
         update_exprs: dict[str, str] | None = None,
+        delete_condition: str | None = None,
         extra: dict | None = None,
     ) -> VersionInfo:
         """Delta MERGE analog (utils/incremental.py:89-156):
         whenMatchedUpdate(set=update_columns or all non-key columns) +
         whenNotMatchedInsertAll, as a join-based rewrite.
+
+        ``delete_condition``: optional SQL boolean over aliases ``t``
+        and ``s``; MATCHED rows satisfying it are DELETED instead of
+        updated (Delta's ``whenMatchedDelete(condition=...)``) — the
+        primitive a change-data-feed consumer needs to re-apply
+        upstream deletes.
 
         ``update_condition``: optional SQL boolean over aliases ``t``
         (target) and ``s`` (source); matched rows update only when it
@@ -1033,10 +1040,21 @@ class VersionedTable:
 
         s_present = F.col("s._s_mark").isNotNull()
         t_present = F.col("t._t_mark").isNotNull()
-        matched = s_present & t_present
+        raw_matched = s_present & t_present
+        matched = raw_matched
         if update_condition is not None:
             matched = matched & F.expr(update_condition)
         s_only = ~t_present
+        if delete_condition is not None:
+            # whenMatchedDelete wins over whenMatchedUpdate (Delta
+            # evaluates clauses in order; we expose delete-first)
+            to_delete = raw_matched & F.expr(delete_condition)
+            matched = matched & ~to_delete
+            joined = joined.filter(
+                ~F.coalesce(to_delete, F.lit(False))
+                # a source row that ONLY deletes must not insert either
+                & ~(s_only & F.coalesce(F.expr(delete_condition), F.lit(False)))
+            )
         merged_cols = []
         for c in cols:
             tc = F.col(f"t.{c}")

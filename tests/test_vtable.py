@@ -695,3 +695,51 @@ def test_partition_layout_evolution_across_appends(spark, tmp_table_path):
     t.compact()
     assert all("yr=" in u for u in t._resolve().units)
     assert sorted(r.id for r in t.read().collect()) == [1, 3, 4]
+
+
+def test_merge_when_matched_delete(spark, tmp_table_path):
+    """whenMatchedDelete: matched rows satisfying the condition are
+    removed, other matched rows update, unmatched delete-marked source
+    rows neither insert nor fail."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, v long"),
+        mode="overwrite",
+    )
+    src = spark.createDataFrame(
+        [(1, 0, "del"), (2, 21, "up"), (4, 40, "up"), (5, 0, "del")],
+        "id long, v long, op string",
+    )
+    t.merge(src, keys=["id"], update_columns=["v"], delete_condition="s.op = 'del'")
+    got = {r.id: r.v for r in t.read().select("id", "v").collect()}
+    assert got == {2: 21, 3: 30, 4: 40}  # 1 deleted, 5 never inserted
+
+
+def test_sync_changes_replays_cdf_downstream(spark, tmp_table_path):
+    """A downstream copy synced purely from the change feed equals the
+    source snapshot after arbitrary DML (insert + update + delete +
+    merge-on-read delete)."""
+    from spark_delta_lakehouse_nyctaxi_spark.incremental import sync_changes
+
+    src = VersionedTable(spark, str(tmp_table_path) + "_src")
+    dst = VersionedTable(spark, str(tmp_table_path) + "_dst")
+    src.write(
+        spark.createDataFrame([(i, i * 10) for i in range(8)], "id long, v long"),
+        mode="overwrite",
+    )
+    sync_changes(src, dst, ["id"], from_version=0)  # bootstrap copy
+    assert dst.read().count() == 8
+    v0 = src.latest_version()
+    src.write(spark.createDataFrame([(100, 1)], "id long, v long"), mode="append")
+    src.update({"v": "v + 5"}, condition="id = 2")
+    src.delete("id = 3")
+    src.delete("id = 5", mode="merge-on-read")
+    sync_changes(src, dst, ["id"], from_version=v0)
+    assert sorted(map(tuple, dst.read().select("id", "v").collect())) == sorted(
+        map(tuple, src.read().select("id", "v").collect())
+    )
+    # idempotent: replaying the same feed changes nothing
+    sync_changes(src, dst, ["id"], from_version=v0)
+    assert sorted(map(tuple, dst.read().select("id", "v").collect())) == sorted(
+        map(tuple, src.read().select("id", "v").collect())
+    )
