@@ -150,6 +150,7 @@ _PRIORITY: list[str] = [
     "q_event_funnel",
     "q_cohort_retention",
     "q_mor_delete",
+    "q_cdf_sync",
     # most expensive new check (multi-iteration graph + DuckDB CTE
     # chain) sorts last in the tranche so the driver's time budget
     # reaches the cheap rows first

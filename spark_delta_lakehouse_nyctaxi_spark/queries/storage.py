@@ -526,3 +526,36 @@ def q_mor_delete(spark, sf_dir):
     t.delete("value > 300", mode="merge-on-read")
     t.write(ev.filter(F.col("ts") >= cutoff).drop("ts"), mode="append")
     return t.read()
+
+
+@register(
+    "q_cdf_sync",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 50.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0)
+    """,
+    doc="Change-data-feed ROUND TRIP: a downstream table is bootstrapped "
+        "from the source snapshot, the source takes an UPDATE and a "
+        "merge-on-read DELETE, and sync_changes replays the net feed "
+        "with one whenMatchedDelete-capable MERGE — the downstream copy "
+        "must equal the source's final state exactly (the oracle "
+        "recomputes that state relationally). At 100 TB the consumer "
+        "reads the CHANGES, never the table.",
+)
+def q_cdf_sync(spark, sf_dir):
+    from ..incremental import sync_changes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = VersionedTable(spark, scratch_dir("cdfsrc"))
+    dst = VersionedTable(spark, scratch_dir("cdfdst"))
+    src.write(orders, mode="overwrite")
+    sync_changes(src, dst, ["o_orderkey"], from_version=0)  # bootstrap
+    src.update({"o_totalprice": "o_totalprice + 50.0"}, "o_orderkey % 10 = 0")
+    src.delete("o_orderkey % 7 = 0", mode="merge-on-read")
+    sync_changes(src, dst, ["o_orderkey"], from_version=0)
+    return dst.read()
