@@ -40,7 +40,7 @@ def doc_shingle_arrays(
     id_col: str,
     text_col: str,
     k: int = 3,
-    hashed: bool = False,
+    hashed: bool | str = False,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Distinct k-token shingles per document as ONE ROW PER DOC
@@ -65,7 +65,11 @@ def doc_shingle_arrays(
     ``hashed=True`` replaces each shingle string with its xxhash64 —
     Jaccard/MinHash are invariant under an injective map, and 8-byte
     keys cut downstream shuffle volume ~3× at scale (collision
-    probability ~2^-64 per pair, immaterial).
+    probability ~2^-64 per pair, immaterial).  ``hashed="md5"`` uses
+    the 60-bit md5-derived id instead (:func:`md5_id`) — same
+    injectivity argument, but exactly reproducible in any engine with
+    an md5() (the DuckDB oracle mirrors it bit-for-bit), which is what
+    upgrades the minhash-LSH query from rows-only to value-oracled.
 
     Documents with no shingles (empty/whitespace text) are dropped,
     matching the exploded form where they simply produce no rows.
@@ -86,7 +90,9 @@ def doc_shingle_arrays(
     fields = [f"w{i}" for i in range(k)]
     joined = F.transform(sh, lambda z: F.concat_ws(" ", *[z.getField(f) for f in fields]))
     arr = F.filter(F.array_distinct(joined), lambda s: s != "")
-    if hashed:
+    if hashed == "md5":
+        arr = F.transform(arr, lambda s: md5_id(s))
+    elif hashed:
         arr = F.transform(arr, lambda s: F.xxhash64(s))
     return with_toks.select("id", arr.alias("sh_arr")).filter(F.size("sh_arr") > 0)
 
@@ -104,6 +110,64 @@ def shingles(
     for the per-doc array form (and the shuffle design notes)."""
     arrs = doc_shingle_arrays(df, id_col, text_col, k, hashed, parallelism)
     return arrs.select("id", F.explode("sh_arr").alias("shingle"))
+
+
+#: Mersenne prime 2^31-1 — the classic universal-hash modulus.  With
+#: a, b < P and x reduced mod P first, a*x+b < 2^62 stays inside int64
+#: in BOTH Spark and DuckDB, so the permutation hashes below are exact
+#: integer arithmetic any engine reproduces bit-for-bit.
+MINHASH_PRIME = 2_147_483_647
+
+
+def md5_id(col: str | Column) -> Column:
+    """60-bit integer id from the first 15 hex chars of md5 — an
+    injective-enough (collision ~2^-60) stand-in for xxhash64 whose
+    value is reproducible in ANY engine with an md5() function:
+    DuckDB's ``('0x' || substr(md5(x), 1, 15))::BIGINT`` matches this
+    bit-for-bit (verified incl. UTF-8 multibyte input).  15 hex chars
+    (not 16) so the value fits SIGNED int64 in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def linear_hash_coeffs(num_hashes: int = 32, seed: int = 20240814) -> list[tuple[int, int]]:
+    """The (a, b) coefficient list for the ``(a*x + b) mod P`` MinHash
+    permutation family — seeded, so the family is a FIXED constant both
+    the Spark pipeline and the DuckDB oracle embed as literals."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MINHASH_PRIME), rnd.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures_linear(
+    sh: DataFrame, coeffs: list[tuple[int, int]], p: int = MINHASH_PRIME
+) -> DataFrame:
+    """MinHash signatures from the classic linear permutation family
+    ``h_i(x) = (a_i * (x mod p) + b_i) mod p`` over integer shingle ids
+    (use :func:`md5_id`-hashed shingles).  Same single-shuffle groupBy
+    shape as :func:`minhash_signatures`, but the hash family is plain
+    int64 arithmetic — which makes the WHOLE minhash-LSH pipeline
+    reproducible in the DuckDB oracle (xxhash64 is Spark-only).
+
+    Exactness: x mod p and all products stay < 2^62 (see
+    MINHASH_PRIME), and both engines define ``%`` identically on
+    nonnegative int64 — bit-for-bit parity, verified by the
+    q_minhash_lsh value oracle."""
+    x = F.col("shingle") % F.lit(p)
+    mins = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(p)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = sh.groupBy("id").agg(*mins, F.count("*").alias("n_sh"))
+    return agg.select(
+        "id",
+        F.array(*[f"h{i}" for i in range(len(coeffs))]).alias("signature"),
+        "n_sh",
+    )
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
@@ -155,8 +219,30 @@ def _band_hashes(bands: int) -> Column:
     )
 
 
+def _band_keys(bands: int) -> Column:
+    """Array of ``bands`` EXACT band keys: the band's signature slice
+    comma-joined as a string (no hashing).  Unlike :func:`_band_hashes`
+    two distinct band contents can never share a bucket (xxhash64
+    collisions merge buckets, harmless for recall but unreproducible in
+    an oracle) — this is the banding the DuckDB mirror re-derives
+    verbatim, so bucket membership is bit-identical across engines."""
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            ",",
+            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast(
+                "array<string>"
+            ),
+        ),
+    )
+
+
 def lsh_candidate_pairs_grouped(
-    sig: DataFrame, bands: int = 8, max_bucket_size: int | None = None
+    sig: DataFrame,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+    exact_keys: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs WITHOUT a self-join: group ids per
     (band_idx, band_hash) bucket, expand each bucket's sorted id list
@@ -169,11 +255,12 @@ def lsh_candidate_pairs_grouped(
     either way; ``max_bucket_size`` drops degenerate hot buckets (a
     bucket of 100k near-identical boilerplate docs would emit 5e9
     pairs) — the standard LSH skew guard at corpus scale; None keeps
-    exact parity with the self-join.
+    exact parity with the self-join.  ``exact_keys=True`` buckets on
+    the un-hashed band content (:func:`_band_keys`) so bucket
+    membership is engine-reproducible — required for the value oracle.
     """
-    banded = sig.select(
-        "id", F.posexplode(_band_hashes(bands)).alias("band_idx", "band_hash")
-    )
+    keys = _band_keys(bands) if exact_keys else _band_hashes(bands)
+    banded = sig.select("id", F.posexplode(keys).alias("band_idx", "band_hash"))
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
@@ -483,16 +570,30 @@ def segment_dedup(
     return segments.withColumn("kept", F.row_number().over(w) == 1)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """SimHash signature: per-token xxhash64, bitwise ±1 vote, sign → bit.
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash signature: per-token hash, bitwise ±1 vote, sign → bit.
 
-    One explode + one groupBy (single shuffle); the 64 votes are computed
-    as 64 conditional sums in the same aggregate."""
+    One explode + one groupBy (single shuffle); the ``bits`` votes are
+    computed as conditional sums in the same aggregate.
+
+    ``hash_fn="xxhash64"`` (default, fastest) or ``"md5"`` — the 60-bit
+    :func:`md5_id` family, engine-reproducible so the q_simhash value
+    oracle can recompute the signatures bit-for-bit in DuckDB (pass
+    ``bits=60`` with it; votes and the bit-reassembly are exact int64
+    arithmetic in both engines).  Hamming-distance semantics are
+    identical across families."""
     tok = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token"))
         .filter(F.col("token") != "")
     )
-    hashed = tok.select("id", F.xxhash64("token").alias("h"))
+    h = md5_id("token") if hash_fn == "md5" else F.xxhash64("token")
+    hashed = tok.select("id", h.alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

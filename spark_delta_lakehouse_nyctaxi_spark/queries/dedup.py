@@ -81,12 +81,78 @@ def q_ngram_jaccard(spark, sf_dir):
     return _prefix_jaccard_pairs(df, threshold=0.1)
 
 
+# ---- q_minhash_lsh value oracle -------------------------------------
+# The entire pipeline is deterministic given the hash family, so with
+# an engine-reproducible family it is EXACTLY checkable: 60-bit md5
+# shingle ids (md5_id — DuckDB's ('0x'||substr(md5(x),1,15))::BIGINT is
+# bit-identical) and (a·x+b) mod P permutation mins (plain int64
+# arithmetic; products < 2^62, no overflow in either engine).  The SQL
+# below re-derives signatures → exact-content bands → capped buckets →
+# candidate pairs → exact Jaccard, token-for-token with the Spark plan.
+_MH_COEFFS = D.linear_hash_coeffs(32)
+_MH_P = D.MINHASH_PRIME
+_MH_MINS = ",\n               ".join(
+    f"MIN(({a} * (shingle % {_MH_P}) + {b}) % {_MH_P}) AS h{i}"
+    for i, (a, b) in enumerate(_MH_COEFFS)
+)
+_MH_BAND_ARMS = "\n        UNION ALL ".join(
+    "SELECT id, {b} AS band, {key} AS key FROM sigs".format(
+        b=b,
+        key="||','||".join(f"CAST(h{4 * b + j} AS VARCHAR)" for j in range(4)),
+    )
+    for b in range(8)
+)
+_MINHASH_LSH_SQL = f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sh AS (
+        SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+        FROM sh0
+    ),
+    sigs AS (
+        SELECT id,
+               {_MH_MINS}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        {_MH_BAND_ARMS}
+    ),
+    buckets AS (
+        SELECT id, band, key,
+               COUNT(*) OVER (PARTITION BY band, key) AS bsz
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM buckets x
+        JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.id < y.id
+        WHERE x.bsz <= 1000
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.id = c.id_a
+        JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+"""
+
+
 @register(
     "q_minhash_lsh",
-    None,  # xxhash64 signatures have no DuckDB equivalent → rows-only
-    doc="MinHash(32 hashes) + LSH(8 bands) candidate pairs, then exact "
-        "Jaccard filter ≥ 0.1 (north-star near-dup dedup at scale). "
-        "Verified rows-only + pytest asserts candidates ⊇ high-jaccard pairs.",
+    _MINHASH_LSH_SQL,
+    doc="MinHash(32 linear-permutation hashes over 60-bit md5 shingle "
+        "ids) + LSH(8 exact-content bands, hot-bucket cap 1000) "
+        "candidate pairs, then exact Jaccard filter ≥ 0.1 (north-star "
+        "near-dup dedup at scale). VALUE-ORACLED: the engine-"
+        "reproducible hash family makes the whole pipeline bit-exact "
+        "vs DuckDB (upgraded from rows-only in round 3).",
 )
 def q_minhash_lsh(spark, sf_dir):
     # Hybrid array pipeline (fastest of the three forms measured at
@@ -104,26 +170,58 @@ def q_minhash_lsh(spark, sf_dir):
     # two pair-side join exchanges — vs. eight for the exploded form.
     # (At 100 TB the persist would be a checkpoint to cluster storage.)
     df = load_table(spark, sf_dir, "documents")
-    arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed=True).persist()
+    arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed="md5").persist()
     sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
-    sig = D.minhash_signatures(sh, num_hashes=32)
+    sig = D.minhash_signatures_linear(sh, _MH_COEFFS)
     # Hot-bucket guard ON by default: a degenerate bucket of ~1000+
     # near-identical boilerplate docs would emit O(bucket²) pairs; the
     # cap drops only such buckets. Parity-tested as a no-op on the
-    # testdata (largest bucket ≪ cap).
-    cand = D.lsh_candidate_pairs_grouped(sig, bands=8, max_bucket_size=1000)
+    # testdata (largest bucket ≪ cap); the oracle mirrors it with a
+    # COUNT(*) OVER (PARTITION BY band, key) <= 1000 predicate.
+    cand = D.lsh_candidate_pairs_grouped(
+        sig, bands=8, max_bucket_size=1000, exact_keys=True
+    )
     return D.jaccard_pairs_from_arrays(arrs, cand, threshold=0.1)
+
+
+# ---- q_simhash value oracle -----------------------------------------
+# Same md5_id trick: per-token 60-bit hashes, per-bit ±1 votes, sign →
+# bit, reassembled as Σ 2^b — every step exact int64 arithmetic both
+# engines define identically ((h>>b)&1, conditional SUM, shifts).
+_SIMHASH_SQL = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        FROM tok WHERE token <> ''
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN range(60) r(b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id AS id,
+           SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+"""
 
 
 @register(
     "q_simhash",
-    None,  # xxhash64-based — rows-only
-    doc="64-bit SimHash signatures per document (north-star near-dup "
-        "fingerprint). Single explode+groupBy pass.",
+    _SIMHASH_SQL,
+    doc="60-bit SimHash signatures per document (north-star near-dup "
+        "fingerprint), md5-derived token hashes. Single explode+groupBy "
+        "pass. VALUE-ORACLED: engine-reproducible hash family, bit "
+        "votes and reassembly are exact int64 arithmetic (upgraded "
+        "from rows-only in round 3).",
 )
 def q_simhash(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
-    return D.simhash(df, "doc_id", "text")
+    return D.simhash(df, "doc_id", "text", bits=60, hash_fn="md5")
 
 
 _PAIRS_CORE_SQL = f"""

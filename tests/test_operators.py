@@ -406,6 +406,65 @@ def test_lsh_hot_bucket_guard_parity_on_testdata(spark):
     assert tiny == set()
 
 
+def test_md5_id_matches_duckdb(spark):
+    """md5_id (conv of the first 15 md5 hex chars) must equal DuckDB's
+    ('0x'||substr(md5(x),1,15))::BIGINT — the parity the q_minhash_lsh
+    and q_simhash value oracles stand on. Includes UTF-8 multibyte."""
+    import duckdb
+
+    vals = ["hello", "world", "döc ümlaut", "", "a b  c", "123"]
+    df = spark.createDataFrame([(v,) for v in vals], ["t"])
+    got = {r.t: r.h for r in df.select("t", D.md5_id("t").alias("h")).collect()}
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT t, ('0x'||substr(md5(t),1,15))::BIGINT FROM (SELECT unnest(?) AS t)",
+            [vals],
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_linear_minhash_exact_bands_match_hashed_bands(spark):
+    """The engine-reproducible pipeline (md5 shingle ids, linear
+    permutation mins, exact-content band keys) must produce the same
+    candidate set as xxhash64-banded buckets over the SAME signatures —
+    band hashing only relabels buckets (absent a 2^-64 collision)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    arrs = D.doc_shingle_arrays(docs, "doc_id", "text", 3, hashed="md5").persist()
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    sig = D.minhash_signatures_linear(sh, D.linear_hash_coeffs(32)).persist()
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs_grouped(sig, bands=8, exact_keys=True).collect()
+    }
+    hashed = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs_grouped(sig, bands=8, exact_keys=False).collect()
+    }
+    assert exact == hashed and exact
+    arrs.unpersist()
+    sig.unpersist()
+
+
+def test_simhash_md5_close_for_near_identical_docs(spark):
+    """Hamming-distance semantics carry over to the oracled md5/60-bit
+    family (the one q_simhash registers)."""
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again and again"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog again and again today"),
+        Row(doc_id=3, text="completely different words about spark shuffle partitions and joins"),
+    ]
+    df = spark.createDataFrame(rows)
+    sigs = {
+        r.id: r.simhash
+        for r in D.simhash(df, "doc_id", "text", bits=60, hash_fn="md5").collect()
+    }
+    assert all(0 <= s < 2**60 for s in sigs.values())  # 60-bit, nonnegative
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+
+
 def test_pii_scrub_redacts_and_counts(spark):
     df = spark.createDataFrame(
         [
