@@ -529,6 +529,36 @@ def q_pagerank(spark, sf_dir):
 
 
 @register(
+    "q_triangle_count",
+    f"""
+    WITH {_PAIRS_CORE_SQL},
+    tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.id_a = e1.id_b
+        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+    """,
+    doc="Per-node triangle counts over the near-dup similarity graph — "
+        "the clustering-coefficient numerator (tightly-knit duplicate "
+        "neighborhoods vs chains). Each triangle enumerated once via "
+        "ordered-edge wedge join + closure join (two equi-joins, no "
+        "cross product); exact integer counts, value-oracled.",
+)
+def q_triangle_count(spark, sf_dir):
+    from ..operators.graph import triangle_counts
+
+    df = load_table(spark, sf_dir, "documents")
+    pairs = _prefix_jaccard_pairs(df, threshold=0.1).select("id_a", "id_b")
+    return triangle_counts(pairs)
+
+
+@register(
     "q_minhash_mllib",
     None,  # LSH candidate recall < 1 by design → rows-only (+ pytest vs exact)
     doc="The STOCK pyspark.ml MinHashLSH near-dup path "

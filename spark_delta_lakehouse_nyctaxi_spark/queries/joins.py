@@ -257,3 +257,57 @@ def q_scd2_lookup(spark, sf_dir):
     return orders.join(F.broadcast(dim), cond).select(
         "o_orderkey", "o_custkey", "dim_version", "acctbal"
     )
+
+
+@register(
+    "q_bucketed_join",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS segment_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Co-located (bucketed) join: both sides written with "
+        "bucketBy(8, custkey) + sortBy, then sort-merge-joined with "
+        "ZERO exchanges on the join — the 100 TB pattern for repeated "
+        "fact⋈fact joins where neither side broadcasts.  The query "
+        "RAISES if the join plan contains a shuffle, so the driver's "
+        "value check also certifies the bucketing contract.",
+)
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed-table co-located join (SURVEY §2 scale extension).
+
+    At 100 TB, orders⋈customer on custkey is shuffle-bound: both sides
+    re-exchange on every query.  Writing both as bucketed tables (same
+    bucket count, bucket column = join key) moves that shuffle to WRITE
+    time, once — every subsequent join reads co-located buckets and
+    sort-merges with no exchange at all.  Spark's native (non-Hive)
+    catalog carries bucketing metadata, so this works on a plain
+    session; the `merge` hint pins the sort-merge path (the dim side
+    would otherwise broadcast at test SFs, which also skips the shuffle
+    but wouldn't exercise the bucketing contract).
+    """
+    from ..plans import exchange_count
+    from ..sources.bucketing import write_bucketed
+    from .merge import scratch_dir
+
+    base = scratch_dir("bucketed")
+    tag = base.rsplit("-", 1)[-1]  # unique per invocation → no catalog clash
+    cust_t, ord_t = f"bj_customer_{tag}", f"bj_orders_{tag}"
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    write_bucketed(cust, cust_t, "c_custkey", 8, path=f"{base}/{cust_t}")
+    write_bucketed(orders, ord_t, "o_custkey", 8, path=f"{base}/{ord_t}")
+    j = spark.table(ord_t).join(
+        spark.table(cust_t).hint("merge"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    if exchange_count(j) != 0:
+        raise AssertionError(
+            "bucketed join planned a shuffle — bucketing metadata was not used"
+        )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("segment_revenue"),
+    )

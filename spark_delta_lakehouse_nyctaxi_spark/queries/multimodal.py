@@ -78,13 +78,39 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# q_multimodal_frames upgraded rows-only → value-oracled (round 3):
+# the synthetic corpus and the stub decoder are pure functions DuckDB
+# can re-derive — videos are media_id % 3 == 2, duration_s = id%30+1,
+# frame count = max(1, trunc(duration/2.0)), and every frame's first
+# byte is payload[0] = sha256('media-<id>')[0] (DuckDB sha256 hex →
+# ('0x'||substr(…,1,2))::BIGINT matches the raw byte).  The oracle thus
+# certifies the mapInPandas FLAT-MAP fan-out (rows out > rows in), the
+# per-media frame counts, AND that real decoded frame bytes flow
+# through the Arrow boundary — not just row counts.
+_FRAMES_ORACLE = """
+    SELECT i AS media_id,
+           greatest(1, CAST(trunc((i % 30 + 1) / 2.0) AS BIGINT)) AS n_frames,
+           ('0x' || substr(sha256('media-' || CAST(i AS VARCHAR)), 1, 2))::BIGINT
+               AS first_byte
+    FROM range(96) t(i) WHERE i % 3 = 2
+"""
+
+
 @register(
     "q_multimodal_frames",
-    None,
+    _FRAMES_ORACLE,
     doc="Video frame sampling as a mapInPandas flat-map (rows out > rows "
-        "in) + per-media frame counts.",
+        "in) + per-media frame counts and first decoded byte. "
+        "VALUE-ORACLED: the deterministic stub corpus/decoder are pure "
+        "functions DuckDB re-derives (sha256 payloads, trunc frame "
+        "math) — upgraded from rows-only in round 3.",
 )
 def q_multimodal_frames(spark, sf_dir):
     media = M.synth_media_table(spark, n=96)
     frames = M.sample_frames(media, every_s=2.0)
-    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.min(F.conv(F.hex(F.expr("substring(frame, 1, 1)")), 16, 10).cast("long")).alias(
+            "first_byte"
+        ),
+    )

@@ -694,3 +694,84 @@ def q_vocab_gini(spark, sf_dir):
             (F.lit(1.0) - F.col("s").cast("double")).alias("gini_impurity"),
         )
     )
+
+
+@register(
+    "q_importance_weights",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b
+        FROM tok WHERE w <> ''
+    ),
+    counts AS (
+        SELECT b, COUNT(*) AS c_s,
+               COUNT(*) FILTER (WHERE lang = 'en') AS c_t
+        FROM feat GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_s) AS BIGINT) AS n_s,
+               CAST(SUM(c_t) AS BIGINT) AS n_t
+        FROM counts
+    ),
+    model AS (
+        SELECT b,
+               CAST((CAST(c_t + 1 AS DOUBLE) / (n_t + 64))
+                    / (CAST(c_s + 1 AS DOUBLE) / (n_s + 64))
+                    AS DECIMAL(28,12)) AS r
+        FROM counts, tot
+    )
+    SELECT f.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(r) AS DOUBLE) / COUNT(*) AS dsir_weight
+    FROM feat f JOIN model USING (b)
+    GROUP BY f.doc_id
+    """,
+    doc="DSIR-style data-selection importance weights (Xie et al. 2023, "
+        "'Data Selection for Language Models via Importance Resampling' "
+        "— public arXiv:2302.03169): hashed unigram features (64 "
+        "buckets over the engine-reproducible md5_id), Laplace-smoothed "
+        "target (lang='en') vs source (whole corpus) bucket "
+        "distributions, per-document mean importance ratio. Formulated "
+        "LOG-FREE (decimal-rounded probability ratios, same discipline "
+        "as q_lm_score) so the score is bit-exact cross-engine. One "
+        "explode + one fused two-way count aggregate builds the model; "
+        "the 64-row model broadcasts and the corpus streams through "
+        "the scoring join — at 100 TB the model stays driver-tiny "
+        "regardless of corpus size (the whole point of hashed "
+        "features).",
+)
+def q_importance_weights(spark, sf_dir):
+    from ..operators.dedup import md5_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = (
+        docs.select("doc_id", "lang", F.explode(T.tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", "lang", (md5_id("w") % 64).alias("b"))
+    )
+    counts = feat.groupBy("b").agg(
+        F.count("*").alias("c_s"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+    )
+    tot = counts.agg(
+        F.sum("c_s").cast("long").alias("n_s"), F.sum("c_t").cast("long").alias("n_t")
+    )
+    ratio = (
+        (F.col("c_t") + 1).cast("double") / (F.col("n_t") + 64)
+    ) / ((F.col("c_s") + 1).cast("double") / (F.col("n_s") + 64))
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "b", ratio.cast("decimal(28,12)").alias("r")
+    )
+    return (
+        feat.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("r").cast("double") / F.count("*")).alias("dsir_weight"),
+        )
+    )

@@ -23,12 +23,18 @@ def write_bucketed(
     bucket_col: str,
     num_buckets: int = 8,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
+    """``path`` makes the table EXTERNAL at that location — required
+    when the session's warehouse dir (defaults to ``$cwd``) may not be
+    writable, e.g. the driver's plain session from a foreign cwd."""
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
         .bucketBy(num_buckets, bucket_col)
     )
+    if path is not None:
+        writer = writer.option("path", path)
     writer = writer.sortBy(sort_col or bucket_col)
     writer.saveAsTable(table_name)
 

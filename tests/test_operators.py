@@ -966,3 +966,34 @@ def test_cohort_retention_triangle(spark):
     # registered query: offsets non-negative, cohort totals monotone at offset 0
     out = REGISTRY["q_cohort_retention"].fn(spark, SF_SMALL).collect()
     assert out and all(r.week_offset >= 0 for r in out)
+
+
+def test_triangle_counts_known_graph(spark):
+    """K3 {1,2,3} plus pendant edge (3,4): exactly one triangle, each
+    member counted once, the pendant node absent."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.graph import triangle_counts
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    # two triangles sharing edge (1,2): {1,2,3} and {1,2,4}
+    pairs2 = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "id_a long, id_b long"
+    )
+    got2 = {r.node: r.n_triangles for r in triangle_counts(pairs2).collect()}
+    assert got2 == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_importance_weights_favor_target_language(spark):
+    """DSIR weights must rank target-language (en) docs above the
+    farthest-from-target language on average — the selection signal
+    the resampling step consumes."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang")
+    w = REGISTRY["q_importance_weights"].fn(spark, SF_SMALL).join(docs, "doc_id")
+    rows = w.groupBy("lang").agg(F.avg("dsir_weight").alias("m")).collect()
+    means = {r.lang: r.m for r in rows}
+    assert means["en"] > means["zh"]

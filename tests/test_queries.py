@@ -48,6 +48,7 @@ def test_oracle_keys_subset_of_queries():
         "q_table_changes",
         "q_table_dml",
         "q_stream_incremental_agg",
+        "q_bucketed_join",
     ],
 )
 def test_stateful_queries_tolerate_double_invocation(spark, name):
