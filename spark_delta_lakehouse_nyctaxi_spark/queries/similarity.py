@@ -65,20 +65,66 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.embedding_near_dups(emb, threshold=0.45)
 
 
-@register(
-    "q_ann_lsh",
-    None,  # approximate recall by design → rows-only
-    doc="LSH-bucketed ANN (8 random hyperplanes): the 100 TB scale path — "
-        "bucket equi-join replaces the cartesian product.",
-)
-def q_ann_lsh(spark, sf_dir):
+# ---- q_ann_lsh value oracle -----------------------------------------
+# "Approximate" means recall < 1 vs brute force — but the OUTPUT is a
+# deterministic function of the (seeded) hyperplanes, so it is exactly
+# checkable: bucket bits are signs of <v, p_i> computed with the same
+# left-fold double accumulation _COS_SQL already mirrors bit-for-bit,
+# and the plane constants are embedded as literals (repr() round-trips
+# doubles exactly) in both the Spark pipeline and the SQL below.
+def _ann_planes() -> list[list[float]]:
     import random
 
     rng = random.Random(42)
-    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    return [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+
+
+def _plane_bucket_sql() -> str:
+    cases = []
+    for i, p in enumerate(_ann_planes()):
+        arr = "[" + ", ".join(repr(x) for x in p) + "]"
+        d = (
+            "list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+        )
+        cases.append(f"(CASE WHEN {d} >= 0 THEN {2 ** i} ELSE 0 END)")
+    return "\n             + ".join(cases)
+
+
+@register(
+    "q_ann_lsh",
+    f"""
+    WITH bkt AS (
+        SELECT vec_id, embedding,
+               {_plane_bucket_sql()} AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS cos_sim
+        FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, sim_rank
+    FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS sim_rank
+        FROM scored
+    ) WHERE sim_rank <= 5
+    """,
+    doc="LSH-bucketed ANN (8 random hyperplanes): the 100 TB scale path — "
+        "bucket equi-join replaces the cartesian product. VALUE-ORACLED "
+        "(upgraded from rows-only in round 3): recall vs brute force is "
+        "approximate, but the output itself is a deterministic function "
+        "of the seeded planes — sign bits and cosines use the left-fold "
+        "double accumulation DuckDB reproduces bit-for-bit, with the "
+        "plane constants embedded as exact literals on both sides.",
+)
+def q_ann_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.lsh_topk(emb, queries, planes, k=5)
+    return S.lsh_topk(emb, queries, _ann_planes(), k=5)
 
 
 @register(
