@@ -559,3 +559,44 @@ def q_cdf_sync(spark, sf_dir):
     src.delete("o_orderkey % 7 = 0", mode="merge-on-read")
     sync_changes(src, dst, ["o_orderkey"], from_version=0)
     return dst.read()
+
+
+@register(
+    "q_column_rename",
+    f"""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Metadata-only column rename round trip (Delta column-mapping "
+        "analog): write even-key orders, RENAME o_totalprice→price "
+        "(zero data IO — the query RAISES unless the manifest carries "
+        "the mapping, so the driver's value check certifies the "
+        "metadata-only path), append the odd-key rows under the NEW "
+        "logical name, read back and aggregate. The oracle recomputes "
+        "the end state relationally over the full orders table.",
+)
+def q_column_rename(spark, sf_dir):
+    from .aggregates import dsum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = VersionedTable(spark, scratch_dir("rename"))
+    t.write(orders.filter(F.col("o_orderkey") % 2 == 0), mode="overwrite")
+    t.rename_column("o_totalprice", "price")
+    if t.detail()["column_mapping"] != {"o_totalprice": "price"}:
+        raise AssertionError("rename did not commit as a metadata-only mapping")
+    t.write(
+        orders.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+            "o_totalprice", "price"
+        ),
+        mode="append",
+    )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n_orders"), dsum("price").alias("total_price"))
+    )

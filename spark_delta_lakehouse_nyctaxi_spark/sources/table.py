@@ -364,6 +364,12 @@ class VersionedTable:
                     f"append schema mismatch (added={added}, missing="
                     f"{missing}); pass merge_schema=True to evolve"
                 )
+            # appended frames arrive under LOGICAL names; files store
+            # physical ones so all units stay name-uniform
+            df = self._to_physical(df, prev[-1])
+            if stats_cols:
+                inv = {l: p for p, l in self._column_map_of(prev[-1]).items()}
+                stats_cols = [inv.get(c, c) for c in stats_cols]
         self._check_constraints(df, f"write({mode})")
         new_units = self._write_units(df, partition_by)
         new_stats = (
@@ -389,6 +395,9 @@ class VersionedTable:
                 # pending merge-on-read tombstones stay scoped to the
                 # pre-append units; the appended rows are never filtered
                 xtra["mor_deletes"] = prev[-1].extra["mor_deletes"]
+            if mode == "append" and prev and prev[-1].extra.get("column_map"):
+                # a pending metadata-only rename survives appends
+                xtra["column_map"] = prev[-1].extra["column_map"]
             if stats:
                 xtra["stats"] = stats
             info = VersionInfo(
@@ -458,12 +467,157 @@ class VersionedTable:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
+    # ----------------------------------------------- column mapping
+
+    @staticmethod
+    def _column_map_of(info: VersionInfo) -> dict[str, str]:
+        """physical → logical name map (Delta column-mapping analog).
+        Empty when no metadata-only rename is pending."""
+        return dict(info.extra.get("column_map", {}))
+
+    def _apply_column_map(self, df: DataFrame, info: VersionInfo) -> DataFrame:
+        """Present a physically-named frame under its logical names."""
+        m = self._column_map_of(info)
+        if not m:
+            return df
+        return df.select(*[F.col(c).alias(m.get(c, c)) for c in df.columns])
+
+    def _to_physical(self, df: DataFrame, info: VersionInfo) -> DataFrame:
+        """Map a logically-named frame back to physical storage names
+        (what the parquet files carry) before writing."""
+        m = self._column_map_of(info)
+        if not m:
+            return df
+        inv = {l: p for p, l in m.items()}
+        return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+
+    def _require_no_column_map(self, op: str) -> VersionInfo:
+        info = self._resolve()
+        if self._column_map_of(info):
+            raise ValueError(
+                f"{op} is not supported while a metadata-only column "
+                "rename is pending (predicate strings would need "
+                "physical-name translation); call materialize_rename() "
+                "first — it rewrites the data files under the logical "
+                "names and clears the mapping"
+            )
+        return info
+
+    def rename_column(self, old: str, new: str) -> VersionInfo:
+        """Metadata-only column rename (Delta column-mapping analog):
+        commits a new version whose manifest maps the column's PHYSICAL
+        name (what every immutable parquet unit carries) to the new
+        LOGICAL name — zero data IO, O(manifest) cost.  At 100 TB this
+        is the difference between an instant schema change and a
+        petabyte rewrite.
+
+        Reads (``read``/``scan``/``changes``) present logical names;
+        appends accept logical names and store physical ones, so the
+        files stay uniform.  Restrictions (each raises):
+        - partition columns (their physical names are baked into
+          key=value directory paths);
+        - while merge-on-read tombstones are pending (their predicate
+          strings reference storage names — OPTIMIZE first);
+        - DML (delete/update/merge) while a mapping is pending — run
+          :meth:`materialize_rename` to rewrite under logical names.
+        """
+        import re
+
+        for name in (old, new):
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+                raise ValueError(f"not a simple identifier: {name!r}")
+        for attempt in range(10):
+            vs = self._versions()
+            if not vs:
+                raise ValueError("cannot rename a column of an empty table")
+            info = vs[-1]
+            if info.extra.get("mor_deletes"):
+                raise ValueError(
+                    "pending merge-on-read tombstones reference storage "
+                    "names; compact() before renaming"
+                )
+            m = self._column_map_of(info)
+            physical = self._read_units(info.units, bool(info.partition_by)).columns
+            logical = [m.get(c, c) for c in physical]
+            if old not in logical:
+                raise ValueError(f"no such column: {old!r} (have {logical})")
+            if new in logical:
+                raise ValueError(f"column already exists: {new!r}")
+            part_logical = {m.get(p, p) for p in info.partition_by}
+            if old in part_logical:
+                raise ValueError(
+                    f"{old!r} is a partition column — its physical name "
+                    "is baked into the directory layout; rewrite instead"
+                )
+            phys = physical[logical.index(old)]
+            m.pop(phys, None)
+            if new != phys:
+                m[phys] = new
+            xtra = {k: v for k, v in info.extra.items() if k != "column_map"}
+            if m:
+                xtra["column_map"] = m
+            vinfo = VersionInfo(
+                version=info.version + 1,
+                timestamp=time.time(),
+                operation="RENAME COLUMN",
+                mode=None,
+                units=list(info.units),
+                partition_by=list(info.partition_by),
+                extra=xtra,
+            )
+            try:
+                self._commit(vinfo)
+                return vinfo
+            except ConcurrentWriteError:
+                if attempt == 9:
+                    raise
+
+    def materialize_rename(self) -> VersionInfo:
+        """Rewrite the snapshot with logical column names and clear the
+        mapping — the explicit rewrite that re-enables DML after
+        :meth:`rename_column`.  Validates that every CHECK constraint
+        still analyzes against the new names (constraints bind to the
+        names they were written with; a constraint referencing the old
+        name must be dropped and re-added)."""
+        info = self._resolve()
+        m = self._column_map_of(info)
+        if not m:
+            return info
+        df = self.read()  # logical names
+        for name, expr in self.constraints().items():
+            try:
+                # select, not filter: Spark 4's hidden-output resolution
+                # lets a FILTER see the pre-rename child columns through
+                # the projection, which would mask the stale reference;
+                # .schema forces analysis
+                df.select(F.expr(expr)).schema
+            except Exception:
+                raise ValueError(
+                    f"constraint {name!r} ({expr}) references a renamed "
+                    "column; drop_constraint and re-add it under the new "
+                    "name before materializing"
+                ) from None
+        stats_cols = None
+        if info.extra.get("stats"):
+            stats_cols = sorted(
+                {m.get(c, c) for s in info.extra["stats"].values() for c in s}
+            )
+        part_logical = [m.get(p, p) for p in info.partition_by]
+        return self.write(
+            df,
+            mode="overwrite",
+            partition_by=part_logical or None,
+            operation="MATERIALIZE RENAME",
+            stats_cols=stats_cols,
+        )
+
     def read(self, version: int | None = None, timestamp: float | None = None) -> DataFrame:
         """Latest or time-travel scan (utils/delta_ops.py:132-164).
         Applies pending merge-on-read delete tombstones (see
-        :meth:`delete` with ``mode="merge-on-read"``)."""
+        :meth:`delete` with ``mode="merge-on-read"``) and presents
+        logical column names when a rename mapping is pending."""
         info = self._resolve(version, timestamp)
-        return self._read_with_deletes(info, info.units)
+        return self._apply_column_map(self._read_with_deletes(info, info.units), info)
 
     def _prune_units(
         self, info: VersionInfo, pred: dict[str, tuple]
@@ -516,6 +670,10 @@ class VersionedTable:
         scanning the table. ``self.last_scan`` records kept/skipped
         counts for observability."""
         info = self._resolve(version, timestamp)
+        # predicates arrive under logical names; stats are keyed by the
+        # physical names the units carry
+        inv = {l: p for p, l in self._column_map_of(info).items()}
+        pred = {inv.get(c, c): b for c, b in pred.items()}
         kept, skipped = self._prune_units(info, pred)
         self.last_scan = {"kept": len(kept), "skipped": len(skipped)}
         if kept:
@@ -530,7 +688,7 @@ class VersionedTable:
                 df = df.filter(F.col(col) >= F.lit(lo))
             if hi is not None:
                 df = df.filter(F.col(col) <= F.lit(hi))
-        return df
+        return self._apply_column_map(df, info)
 
     def _conform_types(self, df: DataFrame) -> DataFrame:
         """Cast NullType columns to their type in the full snapshot.
@@ -576,7 +734,7 @@ class VersionedTable:
         pays a small read tax until then)."""
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unsupported delete mode {mode!r}")
-        info = self._resolve()
+        info = self._require_no_column_map("delete")
         part_cols = info.partition_by
         if mode == "merge-on-read":
             mor = list(info.extra.get("mor_deletes", []))
@@ -691,7 +849,7 @@ class VersionedTable:
         in both modes."""
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unsupported update mode {mode!r}")
-        info = self._resolve()
+        info = self._require_no_column_map("update")
         df = self.read()
         if mode == "merge-on-read":
             matched = df.filter(F.expr(f"coalesce(({condition}), false)"))
@@ -758,8 +916,18 @@ class VersionedTable:
         the driver. This is the downstream-sync primitive: consumers
         re-apply the feed as a MERGE instead of re-reading the table.
         """
-        old = self.read(version=from_version)
-        new = self.read(version=to_version)
+        # Both snapshots share physical storage names; presenting BOTH
+        # under the to-version's logical map makes the feed rename-
+        # transparent (Delta-CDF-with-column-mapping semantics: change
+        # rows carry the names of the version you query at).
+        info_old = self._resolve(from_version)
+        info_new = self._resolve(to_version)
+        old = self._apply_column_map(
+            self._read_with_deletes(info_old, info_old.units), info_new
+        )
+        new = self._apply_column_map(
+            self._read_with_deletes(info_new, info_new.units), info_new
+        )
         cols = new.columns
         keys = keys or [cols[0]]
         payload = [c for c in cols if c not in keys]
@@ -831,6 +999,7 @@ class VersionedTable:
             "units_with_stats": len([u for u in info.units if u in stats]),
             "stats_columns": sorted({c for s in stats.values() for c in s}),
             "pending_mor_deletes": len(info.extra.get("mor_deletes", [])),
+            "column_mapping": self._column_map_of(info),
         }
 
     # --------------------------------------------------------- restore
@@ -848,6 +1017,8 @@ class VersionedTable:
                 xtra["stats"] = target.extra["stats"]
             if target.extra.get("mor_deletes"):
                 xtra["mor_deletes"] = target.extra["mor_deletes"]
+            if target.extra.get("column_map"):
+                xtra["column_map"] = target.extra["column_map"]
             info = VersionInfo(
                 version=self.latest_version() + 1,
                 timestamp=time.time(),
@@ -898,7 +1069,10 @@ class VersionedTable:
         stats — OPTIMIZE must not silently degrade a skipping-enabled
         table into an always-scan one."""
         info = self._resolve()
-        df = self.read()
+        # read PHYSICALLY (tombstones applied, logical map NOT): the
+        # rewritten units must keep storage names so a pending rename
+        # mapping stays valid across OPTIMIZE
+        df = self._read_with_deletes(info, info.units)
         if not info.partition_by:
             df = df.coalesce(target_files)
         new_units = self._write_units(df, info.partition_by or None)
@@ -914,6 +1088,8 @@ class VersionedTable:
             )
             if stats:
                 xtra["stats"] = stats
+        if info.extra.get("column_map"):
+            xtra["column_map"] = info.extra["column_map"]
         # Pin the expected head (info.version + 1): compaction is a
         # read-modify-write, so if any writer committed since the
         # snapshot read, this commit must FAIL (ConcurrentWriteError)
@@ -1004,7 +1180,7 @@ class VersionedTable:
         """
         if not self.exists():
             return self.write(source, mode="overwrite", operation="MERGE", extra=extra)
-        info = self._resolve()
+        info = self._require_no_column_map("merge")
         cols = self.read().columns
         update_columns = update_columns or [
             c for c in cols if c not in keys and c in source.columns

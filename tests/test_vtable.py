@@ -743,3 +743,109 @@ def test_sync_changes_replays_cdf_downstream(spark, tmp_table_path):
     assert sorted(map(tuple, dst.read().select("id", "v").collect())) == sorted(
         map(tuple, src.read().select("id", "v").collect())
     )
+
+
+# ---------------------------------------------------------------- rename
+
+
+def test_rename_column_metadata_only(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": i, "v": float(i)} for i in range(5)]), mode="overwrite")
+    files_before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(tmp_table_path) for f in fs if f.endswith(".parquet")
+    }
+    t.rename_column("v", "value")
+    # zero data IO: the parquet file set is byte-identical
+    files_after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(tmp_table_path) for f in fs if f.endswith(".parquet")
+    }
+    assert files_before == files_after
+    assert set(t.read().columns) == {"id", "value"}
+    assert t.read().agg(F.sum("value")).first()[0] == 10.0
+    # time travel BEFORE the rename shows the old name
+    assert set(t.read(version=0).columns) == {"id", "v"}
+    assert t.detail()["column_mapping"] == {"v": "value"}
+    # rename back to the physical name clears the map
+    t.rename_column("value", "v")
+    assert t.detail()["column_mapping"] == {}
+
+
+def test_rename_then_append_and_compact_and_restore(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1, "v": 1.0}]), mode="overwrite")
+    t.rename_column("v", "value")
+    # appends arrive under the LOGICAL name and survive the rename
+    t.write(_mk(spark, [{"id": 2, "value": 2.0}]), mode="append")
+    got = {(r.id, r.value) for r in t.read().collect()}
+    assert got == {(1, 1.0), (2, 2.0)}
+    # OPTIMIZE keeps the mapping valid
+    t.compact()
+    assert set(t.read().columns) == {"id", "value"}
+    assert {(r.id, r.value) for r in t.read().collect()} == got
+    # restore of a mapped version carries the map
+    mapped_v = t.latest_version()
+    t.materialize_rename()
+    t.restore(mapped_v)
+    assert set(t.read().columns) == {"id", "value"}
+
+
+def test_rename_guards(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    df = _mk(spark, [{"id": 1, "v": 1.0, "p": "a"}])
+    t.write(df, mode="overwrite", partition_by=["p"])
+    with pytest.raises(ValueError, match="partition column"):
+        t.rename_column("p", "part")
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("v", "id")
+    t.delete("id = 999", mode="merge-on-read")
+    with pytest.raises(ValueError, match="tombstones"):
+        t.rename_column("v", "value")
+    t.compact()  # materializes the tombstone
+    t.rename_column("v", "value")
+    # DML refuses while the mapping is pending, with a pointer
+    for op in (
+        lambda: t.delete("id = 1"),
+        lambda: t.update({"value": "value + 1"}),
+        lambda: t.merge(_mk(spark, [{"id": 1, "value": 9.0, "p": "a"}]), keys=["id"]),
+    ):
+        with pytest.raises(ValueError, match="materialize_rename"):
+            op()
+
+
+def test_materialize_rename_reenables_dml(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": i, "v": float(i)} for i in range(4)]), mode="overwrite")
+    t.rename_column("v", "value")
+    t.materialize_rename()
+    assert t.detail()["column_mapping"] == {}
+    t.delete("value >= 3")
+    t.update({"value": "value * 10"}, "id = 1")
+    got = {(r.id, r.value) for r in t.read().collect()}
+    assert got == {(0, 0.0), (1, 10.0), (2, 2.0)}
+
+
+def test_materialize_rename_rejects_stale_constraint(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1, "v": 1.0}]), mode="overwrite")
+    t.add_constraint("v_pos", "v > 0")
+    t.rename_column("v", "value")
+    with pytest.raises(ValueError, match="v_pos"):
+        t.materialize_rename()
+    t.drop_constraint("v_pos")
+    t.materialize_rename()
+    assert set(t.read().columns) == {"id", "value"}
+
+
+def test_changes_across_rename_use_query_version_names(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1, "v": 1.0}, {"id": 2, "v": 2.0}]), mode="overwrite")
+    t.rename_column("v", "value")
+    t.write(_mk(spark, [{"id": 3, "value": 3.0}]), mode="append")
+    ch = t.changes(0, keys=["id"])
+    assert set(ch.columns) == {"id", "value", "_change_type"}
+    got = {(r.id, r._change_type) for r in ch.collect()}
+    assert got == {(3, "insert")}
