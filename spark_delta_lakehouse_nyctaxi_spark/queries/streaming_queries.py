@@ -241,6 +241,61 @@ def q_stream_stream_left_join(spark, sf_dir):
     )
 
 
+@register(
+    "q_stream_stream_full_join",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         wm AS (SELECT least((SELECT MAX(click_ts) FROM c),
+                             (SELECT MAX(view_ts) FROM v))
+                       - INTERVAL 30 MINUTE AS w)
+    SELECT c.click_id, v.view_id, c.user_id, c.click_ts, v.view_ts
+    FROM c JOIN v ON c.user_id = v.user_id
+     AND v.view_ts BETWEEN c.click_ts - INTERVAL 10 MINUTE AND c.click_ts
+    UNION ALL
+    SELECT c.click_id, CAST(NULL AS BIGINT), c.user_id, c.click_ts,
+           CAST(NULL AS TIMESTAMP)
+    FROM c
+    WHERE NOT EXISTS (
+            SELECT 1 FROM v
+            WHERE v.user_id = c.user_id
+              AND v.view_ts BETWEEN c.click_ts - INTERVAL 10 MINUTE
+                                AND c.click_ts)
+      AND c.click_ts < (SELECT w FROM wm)
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), v.view_id, v.user_id,
+           CAST(NULL AS TIMESTAMP), v.view_ts
+    FROM v
+    WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = v.user_id
+              AND v.view_ts BETWEEN c.click_ts - INTERVAL 10 MINUTE
+                                AND c.click_ts)
+      AND v.view_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+    """,
+    doc="Watermarked stream-stream FULL OUTER join — completes the "
+        "streaming join-type matrix (inner/left/full). Null-padded "
+        "rows emit only when the watermark proves no future match can "
+        "arrive; the two sides evict asymmetrically: an unmatched "
+        "click is final once the watermark passes click_ts, but an "
+        "unmatched view can still be matched by clicks up to "
+        "view_ts + 10min (the time-range condition), so its "
+        "null-padded row emits only when the watermark passes "
+        "view_ts + 10min. The oracle = batch inner join ∪ both "
+        "unmatched tails below their respective eviction bounds, with "
+        "the final global watermark = min(max click_ts, max view_ts) "
+        "- 30min delay. user_id column note: for null-padded VIEW "
+        "rows Spark emits the view's user id through the coalesced "
+        "output (see _stream_stream_join's full_outer select).",
+)
+def q_stream_stream_full_join(spark, sf_dir):
+    return _stream_stream_join(
+        spark, sf_dir, "full_outer", "q_stream_stream_full_join_out"
+    )
+
+
 def _stream_stream_join(spark, sf_dir, how, out_table):
     path = _staged_events(spark, sf_dir)
     clicks = (
@@ -265,7 +320,15 @@ def _stream_stream_join(spark, sf_dir, how, out_table):
         & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("view_ts") <= F.col("click_ts")),
         how,
-    ).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+    ).select(
+        "click_id",
+        "view_id",
+        # left/inner rows always carry the click's user_id; full-outer
+        # view-padded rows only have v_user — coalesce covers all shapes
+        F.coalesce("user_id", "v_user").alias("user_id"),
+        "click_ts",
+        "view_ts",
+    )
     run_available_now(joined, scratch_dir("ckpt_" + out_table), memory_table=out_table)
     return spark.table(out_table)
 
