@@ -27,13 +27,31 @@ from spark_delta_lakehouse_nyctaxi_spark.session import get_spark
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _norm_cell(v):
+    """Container-insensitive stringification: DuckDB returns LIST columns
+    as numpy arrays while a plain (non-Arrow) Spark session returns
+    Python lists — str() of those differ ('[ 1  2]' vs '[1, 2]') even
+    for equal values. Normalize any array-like to a plain list of
+    native scalars first (the driver's hash is value-based and treats
+    them alike — proven by the r2 driver rows on array-output queries)."""
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return str([x.item() if hasattr(x, "item") else x for x in v])
+    return str(v)
+
+
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+            df[c] = df[c].map(_norm_cell)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
