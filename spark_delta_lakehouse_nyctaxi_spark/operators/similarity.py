@@ -321,6 +321,137 @@ def assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(s, F.array_max(s)) - 1).cast("int")
 
 
+def dot_dec(a: Column, b: Column) -> Column:
+    """ORDER-INVARIANT dot product, returned as DOUBLE: each per-dim
+    double product (one IEEE op) is cast to DECIMAL(16,12) — tie-free,
+    so Spark and DuckDB round identically — then summed exactly.
+    Unlike :func:`dot`'s left fold, the result does not depend on
+    summation order, which is what lets an oracle recompute it with an
+    unordered SQL ``CAST(SUM(CAST(x*y AS DECIMAL(28,12))) AS DOUBLE)``
+    over an exploded (vector, dim) frame.  Used by the exactly-oracled
+    IVF pipeline (q_ann_ivf).
+
+    Implementation is the dsum scaled-long fold (a decimal accumulator
+    can't survive Spark's aggregate() merge-type rule — decimal
+    addition widens precision past 38 and precision-loss would shrink
+    the scale below 12): terms shift into integer 1e-12ths, the fold
+    adds longs, and the final /10^12 uses a DECIMAL(20,0) dividend so
+    the quotient keeps scale ≥ 12 exactly (a (28,0) dividend would
+    precision-adjust to scale 10 and round).  Bounds: |x·y| < 10^4 per
+    term (ANSI cast fails loudly beyond), Σ < 9.2e6 — embedding-scale
+    data sits orders of magnitude inside both."""
+    factor = 10**12
+    terms = F.zip_with(
+        a,
+        b,
+        lambda x, y: (
+            (x.cast("double") * y.cast("double")).cast("decimal(16,12)") * F.lit(factor)
+        ).cast("long"),
+    )
+    total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (total.cast("decimal(20,0)") / F.lit(factor)).cast("double")
+
+
+def _dec_sq_norm(vs: list[float]):
+    """Python replica of ``SUM(CAST(x*x AS DECIMAL(28,12)))`` over a
+    literal vector: the product is one IEEE double op, the cast a
+    tie-free half-up quantize — bit-identical to both engines' casts,
+    so centroid-norm constants computed driver-side match the oracle's
+    CTE-derived values exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-12)
+    return sum(Decimal(x * x).quantize(q, rounding=ROUND_HALF_UP) for x in vs)
+
+
+def _exact_cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """Per-centroid assignment scores in the engine-reproducible form:
+    ``CAST(dot_dec(v,c) AS DOUBLE) − float(Σdec(c_i²))/2`` — the same
+    argmin-L2 ranking as :func:`_cell_scores`, but every cross-dim sum
+    is exact decimal arithmetic, so the scores (and therefore cell
+    assignments and probe orders) are bit-identical no matter which
+    engine or row order computes them."""
+    return F.array(
+        *[
+            dot_dec(vec, _lit_vec(c)) - F.lit(float(_dec_sq_norm(c)) / 2.0)
+            for c in centroids
+        ]
+    )
+
+
+def assign_cell_exact(vec: Column, centroids: list[list[float]]) -> Column:
+    """:func:`assign_cell` on the decimal-exact scores (oracle path).
+    Expression form — fine for a handful of centroids; the IVF
+    pipeline uses :func:`exact_cell_scores_frame` instead (16 fold
+    expressions per row defeat whole-stage codegen: measured 75s vs
+    ~2s for the frame form at sf0.01)."""
+    s = _exact_cell_scores(vec, centroids)
+    return (F.array_position(s, F.array_max(s)) - 1).cast("int")
+
+
+def exact_cell_scores_frame(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(``id``, ``cid``, ``s``) for every vector × centroid — the FRAME
+    form of :func:`_exact_cell_scores`: explode dims once, join the
+    broadcast (cid, dim, value) centroid frame, and hash-aggregate the
+    scaled-long terms.  Identical values to the expression form (same
+    tie-free DECIMAL(16,12) rounding, exact long sums, same /10^12
+    reconstruction), but the whole computation is joins + one
+    map-side-combining aggregate — whole-stage-codegen arithmetic
+    instead of 16 interpreted higher-order folds per row.  This is also
+    exactly the shape the DuckDB oracle computes, and the shape a
+    100 TB k-means runs: |V|·k rows through one exchange."""
+    spark = corpus.sparkSession
+    factor = 10**12
+    crows = [
+        (cid, i + 1, float(x)) for cid, c in enumerate(centroids) for i, x in enumerate(c)
+    ]
+    cd = spark.createDataFrame(crows, "cid int, i int, cx double")
+    ch = spark.createDataFrame(
+        [(cid, float(_dec_sq_norm(c)) / 2.0) for cid, c in enumerate(centroids)],
+        "cid int, h2 double",
+    )
+    dims = corpus.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("p", "x")
+    ).select("id", (F.col("p") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    terms = dims.join(F.broadcast(cd), "i").select(
+        "id",
+        "cid",
+        ((F.col("x") * F.col("cx")).cast("decimal(16,12)") * F.lit(factor))
+        .cast("long")
+        .alias("t"),
+    )
+    agg = terms.groupBy("id", "cid").agg(F.sum("t").alias("t"))
+    dot = (F.col("t").cast("decimal(20,0)") / F.lit(factor)).cast("double")
+    return agg.join(F.broadcast(ch), "cid").select(
+        "id", "cid", (dot - F.col("h2")).alias("s")
+    )
+
+
+def exact_assignments(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_best: int = 1,
+) -> DataFrame:
+    """Top-``n_best`` cells per vector by the decimal-exact score
+    (``id``, ``cid``, ``rn``): n_best=1 is cell assignment, n_best=n is
+    the probe order prefix.  Ties break to the lower cid — identical to
+    assign_cell's first-max and the oracle's ORDER BY s DESC, cid."""
+    sf = exact_cell_scores_frame(corpus, centroids, id_col, vec_col)
+    w = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("cid"))
+    return (
+        sf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_best)
+        .select("id", "cid", "rn")
+    )
+
+
 def nearest_centroid(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -359,6 +490,7 @@ def ivf_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> list[list[float]]:
     """Deterministic Lloyd k-means for the IVF index.
 
@@ -373,9 +505,18 @@ def ivf_centroids(
     init, k·dim aggregate cells per iteration) — the corpus itself never
     does, so the loop scales to arbitrarily large vector tables.
     """
+    if exact:
+        # md5-derived init order — the hash DuckDB reproduces (xxhash64
+        # is Spark-only); everything downstream of init is then
+        # engine-reproducible via the decimal-exact assignment scores
+        from .dedup import md5_id
+
+        h = md5_id(F.col(id_col).cast("string"))
+    else:
+        h = F.xxhash64(F.col(id_col))
     init = (
-        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
-        .orderBy("h")
+        corpus.select(F.col(vec_col).alias("v"), h.alias("h"), F.col(id_col).alias("i"))
+        .orderBy("h", "i")  # id tiebreak: deterministic even under hash ties
         .limit(n_centroids)
         .collect()
     )
@@ -384,10 +525,20 @@ def ivf_centroids(
         return []  # empty corpus — caller decides (no cells to build)
     dim = len(centroids[0])
     for _ in range(iters):
-        cid = assign_cell(F.col(vec_col), centroids)
+        if exact:
+            assign = exact_assignments(corpus, centroids, id_col, vec_col).select(
+                "id", "cid"
+            )
+            exploded = corpus.select(
+                F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+            ).join(assign, "id")
+        else:
+            cid = assign_cell(F.col(vec_col), centroids)
+            exploded = corpus.select(
+                cid.alias("cid"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
         per_dim = (
-            corpus.select(cid.alias("cid"), F.posexplode(F.col(vec_col)).alias("pos", "x"))
-            .groupBy("cid", "pos")
+            exploded.groupBy("cid", "pos")
             .agg(
                 F.sum(F.col("x").cast("decimal(28,10)")).alias("s"),
                 F.count("*").alias("n"),
@@ -402,12 +553,12 @@ def ivf_centroids(
     return centroids
 
 
-def probe_order(vec: Column, centroids: list[list[float]]) -> Column:
+def probe_order(vec: Column, centroids: list[list[float]], exact: bool = False) -> Column:
     """Full probe order for a query vector: all cell ids ranked by
     assignment score descending (ties by cell id — deterministic).
     ``F.slice(probe_order(v), 1, n_probe)`` is the probe set ivf_topk
     uses."""
-    scores = _cell_scores(vec, centroids)
+    scores = (_exact_cell_scores if exact else _cell_scores)(vec, centroids)
     ranked = F.reverse(
         F.array_sort(
             F.zip_with(
@@ -498,6 +649,7 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their nearest-centroid cell;
     each query probes its ``n_probe`` best cells and scores exact cosine
@@ -505,15 +657,29 @@ def ivf_topk(
     cartesian product — per-query work drops from O(N) to
     O(N·n_probe/n_centroids) plus the O(k·d) assignment projection.
     Recall < 1.0 by design; verified rows-only + recall pytest."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        assign_cell(F.col(vec_col), centroids).alias("cell"),
-    )
-    probes = F.slice(probe_order(F.col("q_vec"), centroids), 1, n_probe)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).select("query_id", "q_vec", F.explode(probes).alias("cell"))
+    if exact:
+        cellmap = exact_assignments(corpus, centroids, id_col, vec_col).select(
+            F.col("id").alias("neighbor_id"), F.col("cid").alias("cell")
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ).join(cellmap, "neighbor_id")
+        qp = exact_assignments(
+            queries, centroids, id_col, vec_col, n_best=n_probe
+        ).select(F.col("id").alias("query_id"), F.col("cid").alias("cell"))
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).join(qp, "query_id")
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            assign_cell(F.col(vec_col), centroids).alias("cell"),
+        )
+        probes = F.slice(probe_order(F.col("q_vec"), centroids), 1, n_probe)
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).select("query_id", "q_vec", F.explode(probes).alias("cell"))
     scored = (
         F.broadcast(q)
         .join(c, "cell")

@@ -137,9 +137,9 @@ _PRIORITY: list[str] = [
     # paths (pytest-gated recall/parity; a driver row would record
     # no_oracle anyway) and the rest of the round-3 additions, cheap
     # first, for round 4 ---
+    "q_ann_ivf",
     "q_stream_dedup",
     "q_minhash_mllib",
-    "q_ann_ivf",
     "q_ann_ivf_tuned",
     "q_triangle_count",
     "q_importance_weights",

@@ -127,20 +127,119 @@ def q_ann_lsh(spark, sf_dir):
     return S.lsh_topk(emb, queries, _ann_planes(), k=5)
 
 
+# ---- q_ann_ivf value oracle -----------------------------------------
+# The full IVF pipeline — k-means init, two Lloyd iterations, cell
+# assignment, probe ranking, in-cell cosine top-k — re-derived in SQL.
+# Exactness rests on three legs: (1) md5-derived init order (engine-
+# reproducible, id tiebreak); (2) every cross-dimension / cross-row sum
+# is an exact decimal sum of tie-free-rounded double terms, so scores,
+# assignments, and centroid means are order-invariant and identical in
+# both engines (operators/similarity.py: dot_dec / _exact_cell_scores;
+# the centroid-norm constants are replicated driver-side with Python
+# Decimal quantize — same half-up, same tie-free argument); (3) final
+# in-cell cosines use the left-fold double accumulation _COS_SQL
+# mirrors. "Approximate" is only recall vs brute force — the OUTPUT is
+# a pure function of the data, so it value-checks bitwise.
+def _ivf_oracle_sql(n_centroids=16, iters=2, n_probe=4, k=5, n_queries=10) -> str:
+    dims = """
+    d AS (
+        SELECT vec_id, u.s.i AS i, CAST(u.s.x AS DOUBLE) AS x
+        FROM emb, unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) u(s)
+    )"""
+    parts = [
+        "WITH emb AS (SELECT vec_id, embedding FROM embeddings),",
+        dims + ",",
+        """
+    h AS (SELECT vec_id,
+                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+          FROM emb),
+    c0 AS (
+        SELECT r.rn - 1 AS cid, d.i, d.x
+        FROM (SELECT vec_id, row_number() OVER (ORDER BY hh, vec_id) AS rn
+              FROM h QUALIFY rn <= %(K)d) r
+        JOIN d ON d.vec_id = r.vec_id
+    ),""" % {"K": n_centroids},
+    ]
+    for it in range(iters + 1):
+        cn = f"c{it}"
+        parts.append(f"""
+    s{it} AS (
+        SELECT d.vec_id, c.cid,
+               CAST(SUM(CAST(d.x * c.x AS DECIMAL(28,12))) AS DOUBLE)
+               - MAX(cn.h2) AS s
+        FROM d JOIN {cn} c USING (i)
+        JOIN (SELECT cid,
+                     CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) / 2.0 AS h2
+              FROM {cn} GROUP BY cid) cn ON cn.cid = c.cid
+        GROUP BY d.vec_id, c.cid
+    ),
+    a{it} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM s{it}
+        ) WHERE rn = 1
+    ),""")
+        if it < iters:
+            parts.append(f"""
+    m{it} AS (
+        SELECT a.cid, d.i,
+               CAST(SUM(CAST(d.x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS x
+        FROM d JOIN a{it} a USING (vec_id)
+        GROUP BY a.cid, d.i
+    ),
+    c{it + 1} AS (
+        SELECT c.cid, c.i, COALESCE(m.x, c.x) AS x
+        FROM {cn} c LEFT JOIN m{it} m ON m.cid = c.cid AND m.i = c.i
+    ),""")
+    cos = """
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+    parts.append(f"""
+    qprobe AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS pr
+            FROM s{iters} WHERE vec_id < {n_queries}
+        ) WHERE pr <= {n_probe}
+    ),
+    scored AS (
+        SELECT qp.query_id, cm.vec_id AS neighbor_id, {cos} AS cos_sim
+        FROM qprobe qp
+        JOIN a{iters} cm ON cm.cid = qp.cid AND cm.vec_id <> qp.query_id
+        JOIN emb a ON a.vec_id = qp.query_id
+        JOIN emb b ON b.vec_id = cm.vec_id
+    )
+    SELECT query_id, neighbor_id, sim_rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS sim_rank
+        FROM scored
+    ) WHERE sim_rank <= {k}""")
+    return "".join(parts)
+
+
 @register(
     "q_ann_ivf",
-    None,  # approximate recall by design → rows-only
+    _ivf_oracle_sql(),
     doc="IVF ANN (16-cell deterministic k-means index, 4-probe search): "
         "the clustered-index scale path — queries score only "
         "~n_probe/n_centroids of the corpus. Index build is two Lloyd "
         "iterations of pure DataFrame ops; only the k×dim centroid "
-        "matrix touches the driver.",
+        "matrix touches the driver. VALUE-ORACLED (upgraded from "
+        "rows-only in round 3): md5-derived init + decimal-exact "
+        "assignment scores and centroid means make the whole index "
+        "build and search a deterministic function of the data, "
+        "re-derived bitwise by an unrolled DuckDB CTE chain."
 )
 def q_ann_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2)
+    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2, exact=True)
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ivf_topk(emb, queries, centroids, n_probe=4, k=5)
+    return S.ivf_topk(emb, queries, centroids, n_probe=4, k=5, exact=True)
 
 
 @register(

@@ -997,3 +997,37 @@ def test_importance_weights_favor_target_language(spark):
     rows = w.groupBy("lang").agg(F.avg("dsir_weight").alias("m")).collect()
     means = {r.lang: r.m for r in rows}
     assert means["en"] > means["zh"]
+
+
+def test_exact_ivf_frame_matches_expression_scores(spark):
+    """The frame form (exploded join + scaled-long aggregate) must
+    produce bit-identical assignment scores to the per-row expression
+    form — they share the tie-free DECIMAL(16,12) term rounding and
+    exact long sums, differing only in execution shape."""
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(40)
+    cents = S.ivf_centroids(emb, n_centroids=4, iters=1, exact=True)
+    frame = {
+        (r.id, r.cid): r.s
+        for r in S.exact_cell_scores_frame(emb, cents).collect()
+    }
+    expr_rows = emb.select(
+        F.col("vec_id").alias("id"),
+        S._exact_cell_scores(F.col("embedding"), cents).alias("ss"),
+    ).collect()
+    expr = {(r.id, cid): s for r in expr_rows for cid, s in enumerate(r.ss)}
+    assert frame == expr and frame
+
+
+def test_exact_ivf_recall_close_to_default_pipeline(spark):
+    """The md5/decimal-exact IVF must behave like the xxhash64/double
+    pipeline: same index quality on the testdata (both find most
+    brute-force neighbors at 4 probes)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = {(r.query_id, r.neighbor_id) for r in S.brute_force_topk(emb, q, k=3).collect()}
+    cents = S.ivf_centroids(emb, n_centroids=8, iters=2, exact=True)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, q, cents, n_probe=4, k=3, exact=True).collect()
+    }
+    assert len(truth & got) / len(truth) >= 0.6
