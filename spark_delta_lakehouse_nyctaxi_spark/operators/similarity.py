@@ -578,6 +578,7 @@ def ivf_probe_recall_curve(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> list[tuple[int, float]]:
     """Exact recall@k of IVF search as a function of ``n_probe``, in ONE
     distributed pass (NOTES.md round-2 item: probe-count autotuning).
@@ -595,22 +596,44 @@ def ivf_probe_recall_curve(
     corpus itself never does, same discipline as :func:`ivf_centroids`.
     """
     truth = brute_force_topk(corpus, queries, k, id_col, vec_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        probe_order(F.col(vec_col), centroids).alias("probes"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        assign_cell(F.col(vec_col), centroids).alias("cell"),
-    )
-    ranks = (
-        truth.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select(F.array_position(F.col("probes"), F.col("cell")).alias("cell_rank"))
-        .groupBy("cell_rank")
-        .count()
-        .collect()
-    )
+    if exact:
+        q = exact_assignments(
+            queries, centroids, id_col, vec_col, n_best=len(centroids)
+        ).select(
+            F.col("id").alias("q_query_id"), "cid", F.col("rn").alias("cell_rank")
+        )
+        c = exact_assignments(corpus, centroids, id_col, vec_col).select(
+            F.col("id").alias("neighbor_id"), F.col("cid").alias("cell")
+        )
+        ranks = (
+            truth.join(c, "neighbor_id")
+            .join(
+                q,
+                (F.col("query_id") == F.col("q_query_id"))
+                & (F.col("cell") == F.col("cid")),
+            )
+            .select("cell_rank")
+            .groupBy("cell_rank")
+            .count()
+            .collect()
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            probe_order(F.col(vec_col), centroids).alias("probes"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            assign_cell(F.col(vec_col), centroids).alias("cell"),
+        )
+        ranks = (
+            truth.join(F.broadcast(q), "query_id")
+            .join(c, "neighbor_id")
+            .select(F.array_position(F.col("probes"), F.col("cell")).alias("cell_rank"))
+            .groupBy("cell_rank")
+            .count()
+            .collect()
+        )
     by_rank = {int(r.cell_rank): int(r["count"]) for r in ranks}
     total = sum(by_rank.values())
     curve, seen = [], 0
@@ -628,13 +651,14 @@ def tune_n_probe(
     target_recall: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> int:
     """Smallest ``n_probe`` whose measured recall@k on the tuning sample
     meets ``target_recall`` (falls back to probing every cell). The
     recall curve is monotone, so the first crossing is the optimum —
     probing more cells past it only buys latency."""
     for n, recall in ivf_probe_recall_curve(
-        corpus, queries, centroids, k, id_col, vec_col
+        corpus, queries, centroids, k, id_col, vec_col, exact=exact
     ):
         if recall >= target_recall:
             return n

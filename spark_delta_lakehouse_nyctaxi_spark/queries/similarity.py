@@ -141,6 +141,9 @@ def q_ann_lsh(spark, sf_dir):
 # mirrors. "Approximate" is only recall vs brute force — the OUTPUT is
 # a pure function of the data, so it value-checks bitwise.
 def _ivf_oracle_sql(n_centroids=16, iters=2, n_probe=4, k=5, n_queries=10) -> str:
+    """n_probe=None generates the AUTOTUNED variant (q_ann_ivf_tuned):
+    the probe count becomes a scalar derived in-SQL from the measured
+    recall curve, mirroring operators.similarity.tune_n_probe."""
     dims = """
     d AS (
         SELECT vec_id, u.s.i AS i, CAST(u.s.x AS DOUBLE) AS x
@@ -198,13 +201,50 @@ def _ivf_oracle_sql(n_centroids=16, iters=2, n_probe=4, k=5, n_queries=10) -> st
     / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
     """
+    if n_probe is None:
+        # autotuned: recall curve over the tuning sample (ids 10..29)
+        # from brute-force ground truth + exact cell ranks; n_probe =
+        # first n with recall@k >= 0.9 (fallback: every cell)
+        parts.append(f"""
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {cos} DESC, b.vec_id) AS rk
+            FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id >= 10 AND a.vec_id < 30
+        ) WHERE rk <= {k}
+    ),
+    prank AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS pr
+        FROM s{iters} WHERE vec_id >= 10 AND vec_id < 30
+    ),
+    ranks AS (
+        SELECT pr.pr AS cell_rank
+        FROM truth t
+        JOIN a{iters} cm ON cm.vec_id = t.neighbor_id
+        JOIN prank pr ON pr.vec_id = t.query_id AND pr.cid = cm.cid
+    ),
+    curve AS (
+        SELECT n.n,
+               CAST(COUNT(*) FILTER (WHERE r.cell_rank <= n.n) AS DOUBLE)
+               / COUNT(*) AS rec
+        FROM range(1, {n_centroids} + 1) n(n), ranks r GROUP BY n.n
+    ),
+    nprobe AS (
+        SELECT COALESCE(MIN(n), {n_centroids}) AS np FROM curve WHERE rec >= 0.9
+    ),""")
+        probe_bound = "(SELECT np FROM nprobe)"
+    else:
+        probe_bound = str(n_probe)
     parts.append(f"""
     qprobe AS (
         SELECT vec_id AS query_id, cid FROM (
             SELECT vec_id, cid,
                    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS pr
             FROM s{iters} WHERE vec_id < {n_queries}
-        ) WHERE pr <= {n_probe}
+        ) WHERE pr <= {probe_bound}
     ),
     scored AS (
         SELECT qp.query_id, cm.vec_id AS neighbor_id, {cos} AS cos_sim
@@ -244,22 +284,28 @@ def q_ann_ivf(spark, sf_dir):
 
 @register(
     "q_ann_ivf_tuned",
-    None,  # probe count is data-dependent → rows-only (recall pytest)
-    doc="IVF ANN with autotuned probe count (NOTES.md round-2 item): the "
-        "full recall@k-vs-n_probe curve is measured in ONE distributed "
-        "pass over a held-out tuning sample (a true neighbor is found "
-        "iff its cell is probed, so per-pair cell ranks give recall for "
-        "every n_probe at once), then the search runs with the smallest "
-        "n_probe meeting 90% recall — latency is bought back wherever "
-        "the index is good instead of hard-coding a probe count.",
+    _ivf_oracle_sql(n_probe=None),
+    doc="IVF ANN with autotuned probe count: the full recall@k-vs-"
+        "n_probe curve is measured in ONE distributed pass over a "
+        "held-out tuning sample (a true neighbor is found iff its cell "
+        "is probed, so per-pair cell ranks give recall for every "
+        "n_probe at once), then the search runs with the smallest "
+        "n_probe meeting 90% recall. VALUE-ORACLED (upgraded from "
+        "rows-only in round 3): under the exact IVF pipeline the "
+        "ground truth, the recall curve, the chosen n_probe, and the "
+        "final search are all deterministic — the oracle re-derives "
+        "the entire tuning loop in SQL and picks the probe bound as a "
+        "scalar subquery."
 )
 def q_ann_ivf_tuned(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2)
+    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2, exact=True)
     tune_sample = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 30))
-    n_probe = S.tune_n_probe(emb, tune_sample, centroids, k=5, target_recall=0.9)
+    n_probe = S.tune_n_probe(
+        emb, tune_sample, centroids, k=5, target_recall=0.9, exact=True
+    )
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ivf_topk(emb, queries, centroids, n_probe=n_probe, k=5)
+    return S.ivf_topk(emb, queries, centroids, n_probe=n_probe, k=5, exact=True)
 
 
 @register(
