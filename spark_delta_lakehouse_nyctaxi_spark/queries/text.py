@@ -754,19 +754,23 @@ def q_importance_weights(spark, sf_dir):
         .filter(F.col("w") != "")
         .select("doc_id", "lang", (md5_id("w") % 64).alias("b"))
     )
+    from pyspark.sql.window import Window
+
     counts = feat.groupBy("b").agg(
         F.count("*").alias("c_s"),
         F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
     )
-    tot = counts.agg(
-        F.sum("c_s").cast("long").alias("n_s"), F.sum("c_t").cast("long").alias("n_t")
+    # corpus totals as a global window over the 64-bucket counts frame
+    # (a crossJoin with a 1-row aggregate plans a cartesian node —
+    # harmless at 64×1 but it trips the no-cartesian plan audit)
+    wall = Window.partitionBy()
+    counts = counts.withColumn("n_s", F.sum("c_s").over(wall).cast("long")).withColumn(
+        "n_t", F.sum("c_t").over(wall).cast("long")
     )
     ratio = (
         (F.col("c_t") + 1).cast("double") / (F.col("n_t") + 64)
     ) / ((F.col("c_s") + 1).cast("double") / (F.col("n_s") + 64))
-    model = counts.crossJoin(F.broadcast(tot)).select(
-        "b", ratio.cast("decimal(28,12)").alias("r")
-    )
+    model = counts.select("b", ratio.cast("decimal(28,12)").alias("r"))
     return (
         feat.join(F.broadcast(model), "b")
         .groupBy("doc_id")
