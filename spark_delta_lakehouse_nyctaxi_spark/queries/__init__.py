@@ -143,7 +143,10 @@ _PRIORITY: list[str] = [
     "q_ann_ivf_tuned",
     "q_triangle_count",
     "q_importance_weights",
+    "q_variant_extract",
+    "q_lateral_topk",
     "q_stream_stream_full_join",
+    "q_month_spine",
     "q_segment_dedup",
     "q_shuffle_shards",
     "q_token_budget",

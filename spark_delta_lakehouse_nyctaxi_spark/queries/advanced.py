@@ -520,3 +520,129 @@ def q_cohort_retention(spark, sf_dir):
     return activity.groupBy("cohort", "week_offset").agg(
         F.count("*").alias("n_active")
     )
+
+
+@register(
+    "q_lateral_topk",
+    """
+    SELECT n_name, c_custkey, c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) top
+    """,
+    doc="Correlated LATERAL subquery (SQL:1999 lateral derived table, "
+        "Spark 3.2+/4 syntax): top-2 customers per nation by account "
+        "balance, expressed as a per-row dependent subquery instead of "
+        "a window + filter. Catalyst decorrelates it into a "
+        "rank-per-group plan — same execution as the window form, but "
+        "the SQL surface matters for users migrating DuckDB/Postgres "
+        "lateral queries. Tie-broken on custkey; value-oracled.",
+)
+def q_lateral_topk(spark, sf_dir):
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer_v")
+    return spark.sql(
+        """
+        SELECT n_name, c_custkey, c_acctbal
+        FROM lat_nation_v n, LATERAL (
+            SELECT c_custkey, c_acctbal FROM lat_customer_v c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) top
+        """
+    )
+
+
+@register(
+    "q_month_spine",
+    f"""
+    WITH RECURSIVE months(m) AS (
+        SELECT CAST(date_trunc('month', CAST(MIN(o_orderdate) AS DATE)) AS DATE)
+        FROM orders
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < (SELECT CAST(date_trunc('month', CAST(MAX(o_orderdate) AS DATE)) AS DATE)
+                   FROM orders)
+    ),
+    rev AS (
+        SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+               COUNT(*) AS n_orders,
+               {dsum_sql('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT months.m AS month,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(revenue, 0.0) AS revenue
+    FROM months LEFT JOIN rev ON rev.m = months.m
+    """,
+    doc="Recursive CTE month spine (Spark 4 WITH RECURSIVE, UNION ALL "
+        "form): generate every month between the first and last order "
+        "date, then left-join monthly revenue so empty months surface "
+        "as zeros — the gap-filling calendar every reporting pipeline "
+        "needs (a bare GROUP BY silently drops gap months). The "
+        "recursion is acyclic and bounded by the data's date range; "
+        "identical SQL runs on both engines.",
+)
+def q_month_spine(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("spine_orders_v")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE months(m) AS (
+            SELECT CAST(date_trunc('month', CAST(MIN(o_orderdate) AS DATE)) AS DATE)
+            FROM spine_orders_v
+            UNION ALL
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+            WHERE m < (SELECT CAST(date_trunc('month', CAST(MAX(o_orderdate) AS DATE)) AS DATE)
+                       FROM spine_orders_v)
+        ),
+        rev AS (
+            SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+                   COUNT(*) AS n_orders,
+                   {dsum_sql('o_totalprice')} AS revenue
+            FROM spine_orders_v GROUP BY 1
+        )
+        SELECT months.m AS month,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(revenue, 0.0) AS revenue
+        FROM months LEFT JOIN rev ON rev.m = months.m
+        """
+    )
+
+
+@register(
+    "q_variant_extract",
+    """
+    SELECT o_orderkey AS id, o_custkey AS cust_key,
+           o_totalprice AS balance, o_orderstatus AS status
+    FROM orders
+    """,
+    doc="Spark 4 VARIANT round trip: rows serialize to JSON, parse into "
+        "the semi-structured VARIANT type (binary-encoded, "
+        "shredding-friendly — the Spark-4 answer to schemaless columns "
+        "at scale), and typed variant_get path extraction recovers "
+        "every field. The oracle is the relational identity — the "
+        "value check certifies the whole serialize→parse→extract loop "
+        "including exact double round-trips (shortest-repr JSON "
+        "floats).",
+)
+def q_variant_extract(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_custkey").alias("key"),
+                F.col("o_totalprice").alias("bal"),
+            ).alias("cust"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    v = F.parse_json(j)
+    return o.select(v.alias("v")).select(
+        F.variant_get(F.col("v"), "$.id", "bigint").alias("id"),
+        F.variant_get(F.col("v"), "$.cust.key", "bigint").alias("cust_key"),
+        F.variant_get(F.col("v"), "$.cust.bal", "double").alias("balance"),
+        F.variant_get(F.col("v"), "$.status", "string").alias("status"),
+    )

@@ -49,6 +49,8 @@ def test_oracle_keys_subset_of_queries():
         "q_table_dml",
         "q_stream_incremental_agg",
         "q_bucketed_join",
+        "q_lateral_topk",
+        "q_month_spine",
     ],
 )
 def test_stateful_queries_tolerate_double_invocation(spark, name):
