@@ -600,3 +600,54 @@ def q_column_rename(spark, sf_dir):
         .groupBy(F.col("o_orderstatus").alias("status"))
         .agg(F.count("*").alias("n_orders"), dsum("price").alias("total_price"))
     )
+
+
+@register(
+    "q_stream_pysource",
+    """
+    SELECT CAST(r.range AS BIGINT) AS i,
+           ('0x' || substr(md5(CAST(r.range AS VARCHAR)), 1, 15))::BIGINT % 1000 AS v
+    FROM range(300) r
+    """,
+    doc="STREAMING custom Python DataSource (Spark 4 "
+        "SimpleDataSourceStreamReader — sources/pysource.py): a "
+        "synthetic offset-tracked feed drained through a real "
+        "checkpointed streaming query into a memory sink. The rows are "
+        "a pure function of the offset range (md5-derived payloads), "
+        "so the oracle re-derives the exact expected table — the value "
+        "check certifies offset planning, micro-batch delivery, and "
+        "exactly-once accumulation end-to-end.",
+)
+def q_stream_pysource(spark, sf_dir):
+    import time as _time
+    import uuid as _uuid
+
+    from ..sources.pysource import CounterStreamDataSource
+
+    spark.dataSource.register(CounterStreamDataSource)
+    tbl = f"pysrc_stream_{_uuid.uuid4().hex[:8]}"
+    sdf = (
+        spark.readStream.format("counter_stream")
+        .option("total", "300")
+        .option("batch", "100")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir("ckpt_pysrc"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(tbl).count() >= 300:
+                break
+            _time.sleep(0.3)
+        else:
+            raise TimeoutError("counter_stream did not deliver 300 rows in 120s")
+    finally:
+        q.stop()
+    return spark.table(tbl)
