@@ -344,3 +344,23 @@ def test_outlier_iqr_broadcasts_fences(spark):
     df = q("q_outlier_iqr", spark)
     assert P.uses_broadcast_join(df)
     assert "SortMergeJoin" not in P.explain_str(df)
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Triangle enumeration is two equi-joins over the oriented edge
+    list — never an all-pairs product."""
+    assert not P.has_cartesian(q("q_triangle_count", spark))
+
+
+def test_importance_weights_broadcast_model_no_cartesian(spark):
+    """The 64-bucket DSIR model joins back broadcast; totals come from
+    a global window over the grouped frame, not a crossJoin."""
+    df = q("q_importance_weights", spark)
+    assert not P.has_cartesian(df)
+    assert P.uses_broadcast_join(df)
+
+
+def test_ann_lsh_bucket_join_no_cartesian(spark):
+    """The LSH scale path must plan a bucket equi-join, never the
+    brute-force product (q_ann_bruteforce's by-design cartesian)."""
+    assert not P.has_cartesian(q("q_ann_lsh", spark))

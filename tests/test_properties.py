@@ -435,3 +435,93 @@ def test_mor_table_matches_python_model(spark, tmp_path, ops):
             t.compact()
         got = sorted((r.id, r.v) for r in t.read().collect())
         assert got == sorted(model.items()), f"diverged after {op}({arg})"
+
+
+RENAME_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 3)),
+        st.tuples(st.just("mor_delete"), st.integers(0, 60)),
+        st.tuples(st.just("cow_delete"), st.integers(0, 60)),
+        st.tuples(st.just("mor_update"), st.integers(0, 60)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("rename"), st.just(0)),
+        st.tuples(st.just("materialize"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@given(ops=RENAME_OPS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_rename_interleaves_with_mor_model(spark, tmp_path, ops):
+    """Model-based check of column mapping × the rest of the DML
+    machinery: any sequence of appends (under the CURRENT logical
+    name), MoR/CoW deletes, MoR updates, compactions, metadata-only
+    renames, and materializations either (a) refuses with the
+    documented ValueError (rename over pending tombstones, DML over a
+    pending map) leaving the table untouched, or (b) leaves the row
+    set identical to a plain Python dict model under the current
+    logical column name.  Mapping state is read back from detail()
+    rather than re-modeled, so the test also pins that observability
+    surface."""
+    import uuid as _uuid
+
+    import pytest as _pytest
+
+    from spark_delta_lakehouse_nyctaxi_spark.sources.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / f"r{_uuid.uuid4().hex[:6]}"))
+    batches = {
+        b: [(b * 100 + j, (7 * j + 13 * b) % 61) for j in range(8)] for b in range(4)
+    }
+    t.write(spark.createDataFrame(batches[0], "id long, v long"), mode="overwrite")
+    model = {i: v for i, v in batches[0]}
+    cur = "v"  # current logical name of the value column
+    next_base = 1000
+    for op, arg in ops:
+        pending_mor = t.detail()["pending_mor_deletes"] > 0
+        mapped = bool(t.detail()["column_mapping"])
+        if op == "append":
+            rows = [(i + next_base, v) for i, v in batches[arg]]
+            next_base += 1000
+            t.write(
+                spark.createDataFrame(rows, f"id long, {cur} long"), mode="append"
+            )
+            model.update(dict(rows))
+        elif op in ("mor_delete", "cow_delete"):
+            mode = "merge-on-read" if op == "mor_delete" else "copy-on-write"
+            if mapped:
+                with _pytest.raises(ValueError, match="materialize_rename"):
+                    t.delete(f"{cur} > {arg}", mode=mode)
+            else:
+                t.delete(f"{cur} > {arg}", mode=mode)
+                model = {i: v for i, v in model.items() if not v > arg}
+        elif op == "mor_update":
+            if mapped:
+                with _pytest.raises(ValueError, match="materialize_rename"):
+                    t.update({cur: f"{cur} + 1"}, condition=f"{cur} < {arg}",
+                             mode="merge-on-read")
+            else:
+                t.update({cur: f"{cur} + 1"}, condition=f"{cur} < {arg}",
+                         mode="merge-on-read")
+                model = {i: (v + 1 if v < arg else v) for i, v in model.items()}
+        elif op == "rename":
+            new = "w" if cur == "v" else "v"
+            if pending_mor:
+                with _pytest.raises(ValueError, match="tombstones"):
+                    t.rename_column(cur, new)
+            else:
+                t.rename_column(cur, new)
+                cur = new
+        elif op == "materialize":
+            t.materialize_rename()
+        else:
+            t.compact()
+        got = sorted((r["id"], r[cur]) for r in t.read().collect())
+        assert got == sorted(model.items()), f"diverged after {op}({arg})"
+        assert set(t.read().columns) == {"id", cur}
