@@ -651,3 +651,33 @@ def q_stream_pysource(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(tbl)
+
+
+@register(
+    "q_table_clone",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    doc="Hard-link SHALLOW CLONE round trip: snapshot the even-key "
+        "orders, clone the table (zero data copy — every parquet file "
+        "hard-linked, O(files) driver time, no Spark job), then DELETE "
+        "and APPEND on the ORIGINAL. The clone must still read exactly "
+        "the snapshot — the oracle recomputes that state relationally, "
+        "so the value check certifies clone isolation. Unlike Delta's "
+        "shallow clone, vacuuming either side cannot break the other "
+        "(links keep inodes alive).",
+)
+def q_table_clone(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = VersionedTable(spark, scratch_dir("clonesrc"))
+    t.write(orders.filter(F.col("o_orderkey") % 2 == 0), mode="overwrite")
+    clone = t.clone(scratch_dir("clonedst"))
+    # mutate the ORIGINAL after cloning — the clone must not see it
+    t.delete("o_totalprice > 100000.0")
+    t.write(
+        orders.filter(F.col("o_orderkey") % 2 == 1).limit(10), mode="append"
+    )
+    return clone.read()

@@ -849,3 +849,58 @@ def test_changes_across_rename_use_query_version_names(spark, tmp_table_path):
     assert set(ch.columns) == {"id", "value", "_change_type"}
     got = {(r.id, r._change_type) for r in ch.collect()}
     assert got == {(3, "insert")}
+
+
+# ----------------------------------------------------------------- clone
+
+
+def test_shallow_clone_is_independent_and_zero_copy(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": i, "v": float(i)} for i in range(6)]), mode="overwrite")
+    t.write(_mk(spark, [{"id": 10, "v": 10.0}]), mode="append")
+    c = t.clone(tmp_table_path + "_clone")
+    assert c.read().count() == 7
+    assert c.latest_version() == 0
+    # hard links, not copies: same inode for every cloned parquet file
+    import os as _os
+
+    src_inodes = {
+        f: _os.stat(_os.path.join(r, f)).st_ino
+        for r, _, fs in _os.walk(tmp_table_path) for f in fs if f.endswith(".parquet")
+    }
+    dst_inodes = {
+        f: _os.stat(_os.path.join(r, f)).st_ino
+        for r, _, fs in _os.walk(tmp_table_path + "_clone")
+        for f in fs if f.endswith(".parquet")
+    }
+    assert dst_inodes and all(src_inodes[f] == ino for f, ino in dst_inodes.items())
+    # divergence: writes to one side never show on the other
+    t.delete("id >= 3")
+    c.write(_mk(spark, [{"id": 99, "v": 99.0}]), mode="append")
+    assert t.read().count() == 3
+    assert c.read().count() == 8
+    # vacuuming the ORIGINAL cannot break the clone (inodes survive)
+    t.compact()
+    t.vacuum(retain_last=1)
+    assert c.read().count() == 8
+
+
+def test_clone_carries_constraints_stats_and_mapping(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(
+        _mk(spark, [{"id": i, "v": float(i + 1)} for i in range(4)]),
+        mode="overwrite",
+        stats_cols=["id"],
+    )
+    t.add_constraint("v_pos", "v > 0")
+    t.rename_column("v", "value")
+    c = t.clone(tmp_table_path + "_clone2")
+    assert set(c.read().columns) == {"id", "value"}
+    assert c.detail()["column_mapping"] == {"v": "value"}
+    assert c.detail()["units_with_stats"] == c.detail()["num_units"]
+    assert c.constraints() == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="violat"):
+        c.write(_mk(spark, [{"id": 9, "value": -1.0}]), mode="append")
+    # cloning onto an existing table refuses
+    with pytest.raises(ValueError, match="already has a table"):
+        t.clone(tmp_table_path + "_clone2")
