@@ -147,6 +147,7 @@ _PRIORITY: list[str] = [
     "q_lateral_topk",
     "q_stream_pysource",
     "q_table_clone",
+    "q_generated_column",
     "q_stream_stream_full_join",
     "q_month_spine",
     "q_segment_dedup",

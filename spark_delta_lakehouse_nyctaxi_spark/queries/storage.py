@@ -681,3 +681,32 @@ def q_table_clone(spark, sf_dir):
         orders.filter(F.col("o_orderkey") % 2 == 1).limit(10), mode="append"
     )
     return clone.read()
+
+
+@register(
+    "q_generated_column",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS price_band
+    FROM orders
+    """,
+    doc="Generated column (Delta GENERATED ALWAYS AS analog) round "
+        "trip: register price_band = floor(o_totalprice/50000), write "
+        "half the rows WITHOUT the column (it is computed), append the "
+        "other half WITH it precomputed (it is validated in the same "
+        "fused aggregate as CHECK constraints — a wrong value rejects "
+        "the commit). The oracle recomputes the expression "
+        "relationally over all rows.",
+)
+def q_generated_column(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = VersionedTable(spark, scratch_dir("gencol"))
+    band = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    t.write(
+        orders.filter(F.col("o_orderkey") % 2 == 0).withColumn("price_band", band),
+        mode="overwrite",
+    )
+    t.add_generated_column("price_band", "CAST(floor(o_totalprice / 50000.0) AS BIGINT)")
+    # the appender omits the column — the table computes it
+    t.write(orders.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    return t.read()

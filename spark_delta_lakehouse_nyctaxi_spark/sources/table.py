@@ -203,13 +203,76 @@ class VersionedTable:
             json.dump(cons, f)
         os.replace(tmp, self._constraints_path)
 
+    # ------------------------------------------------- generated cols
+
+    @property
+    def _generated_path(self) -> str:
+        return os.path.join(self._vlog, "_generated.json")
+
+    def generated_columns(self) -> dict[str, str]:
+        """Registered generated columns (Delta ``GENERATED ALWAYS AS``
+        analog): column name → SQL expression over the other columns."""
+        if not os.path.exists(self._generated_path):
+            return {}
+        with open(self._generated_path) as f:
+            return json.load(f)
+
+    def add_generated_column(self, name: str, expr: str) -> None:
+        """Register ``name`` as GENERATED ALWAYS AS ``expr``.
+
+        Enforcement (Delta semantics) on every checked write path:
+        a frame MISSING the column gets it computed (write/append); a
+        frame CARRYING the column must match the expression exactly
+        (null-safe equality) or the commit is rejected — so an UPDATE
+        or MERGE can never silently break the invariant.  Registering
+        over EXISTING data requires the column to already be present
+        and consistent (validated here); backfill by rewriting first
+        if it is absent."""
+        if self.exists():
+            cols = self.read().columns
+            if name not in cols:
+                raise ValueError(
+                    f"column {name!r} does not exist; backfill it (e.g. "
+                    "rewrite with the expression) before registering"
+                )
+            bad = (
+                self.read()
+                .filter(F.expr(f"NOT ({name} <=> ({expr}))"))
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot register generated column {name!r}: {bad} "
+                    f"existing rows do not match ({expr})"
+                )
+        gen = self.generated_columns()
+        gen[name] = expr
+        os.makedirs(self._vlog, exist_ok=True)
+        tmp = self._generated_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(gen, f)
+        os.replace(tmp, self._generated_path)
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Compute any MISSING generated columns on an incoming frame
+        (present ones are validated by :meth:`_check_constraints`)."""
+        for name, expr in self.generated_columns().items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        return df
+
     def _check_constraints(self, df: DataFrame, what: str) -> None:
         """Validate incoming rows against every CHECK constraint in ONE
         pass (all violation counts in a single aggregate, the DQ
         framework's fused-check discipline) BEFORE any data lands — a
         rejected commit leaves no new version and no orphan units that
-        vacuum would have to collect."""
-        cons = self.constraints()
+        vacuum would have to collect.  Generated-column equations ride
+        in the same fused aggregate as implicit constraints, so UPDATE
+        and MERGE cannot break them either."""
+        cons = dict(self.constraints())
+        for name, expr in self.generated_columns().items():
+            if name in df.columns:
+                cons[f"__generated_{name}"] = f"{name} <=> ({expr})"
         if not cons:
             return
         names = list(cons)
@@ -353,6 +416,9 @@ class VersionedTable:
         unconditionally, etl/bronze_job.py:78)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
+        # compute missing generated columns BEFORE the append schema
+        # comparison (an appender may legitimately omit them)
+        df = self._apply_generated(df)
         prev = self._versions()
         if mode == "append" and prev:
             partition_by = partition_by or prev[-1].partition_by
@@ -1083,13 +1149,16 @@ class VersionedTable:
             extra=xtra,
         )
         dest._commit(info)
-        cons = self.constraints()
-        if cons:
-            os.makedirs(dest._vlog, exist_ok=True)
-            tmp = dest._constraints_path + f".{uuid.uuid4().hex}.tmp"
-            with open(tmp, "w") as f:
-                json.dump(cons, f)
-            os.replace(tmp, dest._constraints_path)
+        for side, dest_path_ in (
+            (self.constraints(), dest._constraints_path),
+            (self.generated_columns(), dest._generated_path),
+        ):
+            if side:
+                os.makedirs(dest._vlog, exist_ok=True)
+                tmp = dest_path_ + f".{uuid.uuid4().hex}.tmp"
+                with open(tmp, "w") as f:
+                    json.dump(side, f)
+                os.replace(tmp, dest_path_)
         return dest
 
     # ---------------------------------------------------------- vacuum

@@ -904,3 +904,45 @@ def test_clone_carries_constraints_stats_and_mapping(spark, tmp_table_path):
     # cloning onto an existing table refuses
     with pytest.raises(ValueError, match="already has a table"):
         t.clone(tmp_table_path + "_clone2")
+
+
+# ------------------------------------------------------- generated cols
+
+
+def test_generated_column_computed_validated_and_unbreakable(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(
+        _mk(spark, [{"id": i, "v": float(i), "v2": float(i) * 2} for i in range(4)]),
+        mode="overwrite",
+    )
+    # register over existing CONSISTENT data
+    t.add_generated_column("v2", "v * 2")
+    # appender may omit the column — it is computed
+    t.write(_mk(spark, [{"id": 10, "v": 5.0}]), mode="append")
+    assert {(r.id, r.v2) for r in t.read().collect()} >= {(10, 10.0)}
+    # appender carrying a WRONG value is rejected atomically
+    n = t.read().count()
+    with pytest.raises(ValueError, match="violation"):
+        t.write(_mk(spark, [{"id": 11, "v": 1.0, "v2": 99.0}]), mode="append")
+    assert t.read().count() == n
+    # UPDATE cannot break the invariant either (same fused check)
+    with pytest.raises(ValueError, match="violation"):
+        t.update({"v": "v + 1"}, condition="id = 10")
+    # ...unless it maintains it
+    t.update({"v": "v + 1", "v2": "(v + 1) * 2"}, condition="id = 10")
+    assert {(r.id, r.v, r.v2) for r in t.read().filter("id = 10").collect()} == {
+        (10, 6.0, 12.0)
+    }
+
+
+def test_generated_column_registration_guards(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1, "v": 2.0, "bad": 0.0}]), mode="overwrite")
+    with pytest.raises(ValueError, match="backfill"):
+        t.add_generated_column("missing", "v * 2")
+    with pytest.raises(ValueError, match="do not match"):
+        t.add_generated_column("bad", "v * 2")
+    # clone carries the registration
+    t.add_generated_column("bad", "0.0")
+    c = t.clone(tmp_table_path + "_gc")
+    assert c.generated_columns() == {"bad": "0.0"}
