@@ -148,6 +148,8 @@ _PRIORITY: list[str] = [
     "q_stream_pysource",
     "q_table_clone",
     "q_generated_column",
+    "q_listagg",
+    "q_higher_order",
     "q_stream_stream_full_join",
     "q_month_spine",
     "q_segment_dedup",

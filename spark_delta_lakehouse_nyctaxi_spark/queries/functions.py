@@ -434,3 +434,69 @@ def q_ewma_pandas(spark, sf_dir):
         "user_id", "ts", "event_id", "value"
     )
     return ewma_by_group(ev, "user_id", ["ts", "event_id"], "value", alpha=0.2)
+
+
+@register(
+    "q_listagg",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="Ordered string aggregation — Spark 4's LISTAGG ... WITHIN "
+        "GROUP (SQL:2016) mirrored by DuckDB string_agg(ORDER BY). The "
+        "explicit WITHIN GROUP order (unique-key tiebroken) is what "
+        "makes a concatenation aggregate deterministic at all — an "
+        "unordered listagg is partitioning-dependent and could never "
+        "value-check.",
+)
+def q_listagg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.expr(
+            "listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderkey)"
+        ).alias("statuses"),
+    )
+
+
+@register(
+    "q_higher_order",
+    """
+    WITH arrs AS (
+        SELECT l_orderkey,
+               list_sort(list(l_quantity)) AS q
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(q) AS n_items,
+           list_sum(q) AS total_qty,
+           len(list_filter(q, x -> x > 40.0)) AS n_over_40,
+           len(list_filter(q, x -> x > 40.0)) > 0 AS any_over_40,
+           len(list_filter(q, x -> NOT (x > 0.0))) = 0 AS all_positive
+    FROM arrs
+    """,
+    doc="Higher-order array functions (§2.8 surface: transform / filter "
+        "/ exists / forall / aggregate) over per-order quantity arrays. "
+        "The arrays are sorted first so the fold order is identical in "
+        "both engines (Spark's aggregate() left fold vs DuckDB "
+        "list_sum — same-order parity, the _COS_SQL discipline); "
+        "quantities are integer-valued doubles so every sum is exact "
+        "regardless.",
+)
+def q_higher_order(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    arrs = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("q")
+    )
+    over40 = F.filter(F.col("q"), lambda x: x > 40.0)
+    return arrs.select(
+        "l_orderkey",
+        F.size("q").alias("n_items"),
+        F.aggregate(F.col("q"), F.lit(0.0), lambda acc, x: acc + x).alias("total_qty"),
+        F.size(over40).alias("n_over_40"),
+        F.exists(F.col("q"), lambda x: x > 40.0).alias("any_over_40"),
+        F.forall(F.col("q"), lambda x: x > 0.0).alias("all_positive"),
+    )
