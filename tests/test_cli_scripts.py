@@ -124,3 +124,24 @@ def test_time_travel_cli_history_read_restore(cli, monkeypatch, spark, table_pat
     t = VersionedTable(spark, table_path)
     assert t.read().count() == 100
     assert t.history()[0]["operation"] == "RESTORE"
+
+
+def test_clone_cli(cli, monkeypatch, spark, table_path, capsys, tmp_path):
+    mod = cli("clone_table")
+    dest = str(tmp_path / "cloned")
+    monkeypatch.setattr(
+        sys, "argv", ["clone_table.py", "--path", table_path, "--dest", dest]
+    )
+    assert mod.main() == 0
+    out = capsys.readouterr().out
+    assert "hard-linked" in out
+    from spark_delta_lakehouse_nyctaxi_spark.sources.table import VersionedTable
+
+    src_n = VersionedTable(spark, table_path).read().count()
+    assert VersionedTable(spark, dest).read().count() == src_n
+    # refuses an occupied destination
+    monkeypatch.setattr(
+        sys, "argv", ["clone_table.py", "--path", table_path, "--dest", dest]
+    )
+    with pytest.raises(ValueError, match="already has a table"):
+        mod.main()
