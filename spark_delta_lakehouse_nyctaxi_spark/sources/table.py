@@ -555,6 +555,17 @@ class VersionedTable:
         if not m:
             return df
         inv = {l: p for p, l in m.items()}
+        out = [inv.get(c, c) for c in df.columns]
+        if len(set(out)) != len(out):
+            # e.g. physical v is mapped to logical "value" and a
+            # merge-schema append introduces a NEW column literally
+            # named "v" — storing both would collide in the files
+            dup = sorted({c for c in out if out.count(c) > 1})
+            raise ValueError(
+                f"append column(s) {dup} collide with the physical "
+                "name(s) of renamed column(s); materialize_rename() "
+                "first or pick different names"
+            )
         return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
 
     def _require_no_column_map(self, op: str) -> VersionInfo:

@@ -946,3 +946,18 @@ def test_generated_column_registration_guards(spark, tmp_table_path):
     t.add_generated_column("bad", "0.0")
     c = t.clone(tmp_table_path + "_gc")
     assert c.generated_columns() == {"bad": "0.0"}
+
+
+def test_rename_append_collision_with_physical_name_refused(spark, tmp_table_path):
+    """merge-schema append introducing a column named like a
+    renamed-away PHYSICAL name must refuse — storing both would
+    collide in the parquet files."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1, "v": 1.0}]), mode="overwrite")
+    t.rename_column("v", "value")
+    with pytest.raises(ValueError, match="collide"):
+        t.write(
+            _mk(spark, [{"id": 2, "value": 2.0, "v": 9.0}]),
+            mode="append",
+            merge_schema=True,
+        )
