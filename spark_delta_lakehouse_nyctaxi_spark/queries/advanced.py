@@ -619,9 +619,9 @@ def q_month_spine(spark, sf_dir):
         ),
         months(m) AS (
             SELECT CAST(y + (k - 1) * INTERVAL 1 MONTH AS DATE)
-            FROM years, (SELECT explode(sequence(1, 12)) AS k), bounds
+            FROM years LATERAL VIEW explode(sequence(1, 12)) t AS k
             WHERE CAST(y + (k - 1) * INTERVAL 1 MONTH AS DATE)
-                  BETWEEN bounds.lo AND bounds.hi
+                  BETWEEN (SELECT lo FROM bounds) AND (SELECT hi FROM bounds)
         ),
         rev AS (
             SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
