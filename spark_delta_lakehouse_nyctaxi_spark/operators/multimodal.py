@@ -3,12 +3,17 @@
 North-star extension: treat media as opaque ``binary`` payload columns
 with typed metadata structs, processed by Arrow-batched ``mapInPandas``
 pipelines. The Spark-side plumbing — schema, partitioning, UDF
-signatures, batch shapes — is real and tested; the actual codec calls
-are STUBBED behind deterministic fakes (PIL/librosa/ffmpeg are not in
-this container). Each stub raises ``NotImplementedError`` when
-``real=True`` is requested, and otherwise derives deterministic
-pseudo-features from the payload bytes so the distributed pipeline is
-exercisable end-to-end.
+signatures, batch shapes — is real and tested.
+
+Codecs (round 3): WAV (RIFF/PCM16) and BMP (24-bit uncompressed)
+decode FOR REAL via the pure-Python parsers below — no external
+libraries needed — and ``extract_features(real=True)`` computes
+statistics over the actual decoded samples/pixels (value-oracled by
+q_multimodal_real_codecs). Compressed formats (png/jpeg/mp4) still
+need the absent PIL/librosa/ffmpeg: their paths raise
+``NotImplementedError``, and the ``real=False`` stub derives
+deterministic pseudo-features from payload bytes so those pipelines
+stay exercisable end-to-end.
 
 Scale notes: mapInPandas streams Arrow record batches — constant
 memory per task regardless of table size; payloads never pass through
@@ -94,6 +99,119 @@ def synth_media_table(spark: SparkSession, n: int = 64, partitions: int = 4) -> 
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions)
 
 
+# --------------------------------------------------------------------
+# REAL codecs — pure-Python/numpy, no external libraries.
+#
+# The container has no PIL/librosa/ffmpeg, but two real production
+# formats need none: WAV (RIFF chunks + raw PCM) and BMP (fixed headers
+# + padded bottom-up rows) are struct parsing.  These upgrade the
+# "codecs stubbed" gap for audio/image: extract_features(real=True)
+# decodes ACTUAL sample/pixel data for them, and only compressed
+# formats (png/jpeg/mp4) still raise NotImplementedError.
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Minimal PCM16 mono WAV writer (RIFF + fmt + data chunks)."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL PCM16 mono WAV decoder: walks the RIFF chunk list (chunks
+    may appear in any order, sizes are padded to even offsets per the
+    spec), validates the fmt chunk, returns float64 samples."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, _rate, _bps, _align, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(f"only PCM16 mono supported, got {fmt}")
+    return np.frombuffer(data, dtype="<i2").astype(np.float64)
+
+
+def encode_bmp(pixels) -> bytes:
+    """Minimal 24-bit BMP writer from a 2-D grayscale array (each gray
+    value replicated into BGR).  Rows are stored BOTTOM-UP and padded
+    to 4-byte boundaries — the part every hand-rolled reader gets
+    wrong, pinned by the round-trip test with a non-multiple-of-4
+    width."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = b"".join(
+        np.repeat(px[r], 3).tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL 24-bit uncompressed BMP decoder: parses the file and info
+    headers, honors the pixel-array offset, un-pads and re-flips the
+    bottom-up rows, returns the blue channel as a float64 (h, w)
+    array (the writer stores gray replicated across BGR)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    hsize, w, h, _planes, bpp, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed supported, got bpp={bpp} comp={comp}")
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    out = np.empty((h, w), dtype=np.float64)
+    for r in range(h):
+        start = offset + (h - 1 - r) * stride
+        row = np.frombuffer(payload[start : start + row_bytes], dtype=np.uint8)
+        out[r] = row[0::3].astype(np.float64)  # blue channel
+    return out
+
+
+def decode_real(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: RIFF→WAV samples, BM→BMP pixels
+    (flattened row-major).  Compressed formats need the absent
+    PIL/ffmpeg and raise."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload).ravel()
+    raise NotImplementedError(
+        "compressed formats (png/jpeg/mp4) need PIL/ffmpeg — absent in "
+        "this container; WAV and BMP decode for real"
+    )
+
+
 def _fake_decode(payload: bytes, out_elems: int) -> np.ndarray:
     """STUB decoder: deterministic pseudo-pixels/samples from payload
     bytes. Replace with PIL/librosa/ffmpeg in a full environment."""
@@ -106,12 +224,44 @@ def extract_features(
     df: DataFrame, batch_hint: int = 1024, real: bool = False
 ) -> DataFrame:
     """Per-media feature rows (long format) via Arrow-batched
-    mapInPandas. ``real=True`` would dispatch to actual codecs."""
+    mapInPandas.
+
+    ``real=True`` decodes ACTUAL media: WAV (PCM16) and BMP (24-bit)
+    via the pure-Python codecs above — per-item decode (payloads are
+    variable-length), numpy statistics per signal; compressed formats
+    raise NotImplementedError (PIL/ffmpeg absent).  ``real=False``
+    keeps the deterministic stub (fixed-length tiled bytes, fully
+    batch-vectorized)."""
     if real:
-        raise NotImplementedError(
-            "real codecs (PIL/librosa/ffmpeg) are not available in this "
-            "container; the Spark plumbing is identical — swap _fake_decode."
-        )
+
+        def gen_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            rows = []
+            for pdf in batches:
+                for mid, kind, p in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]
+                ):
+                    sig = decode_real(bytes(p))
+                    n = sig.size
+                    sv = sig.sum()
+                    ss = (sig * sig).sum()
+                    p25, p50, p75 = np.percentile(sig, [25, 50, 75])
+                    feats = {
+                        "mean": sv / n,
+                        "std": float(np.sqrt((ss - sv * sv / n) / n)),
+                        "min": float(sig.min()),
+                        "max": float(sig.max()),
+                        "p25": float(p25),
+                        "p50": float(p50),
+                        "p75": float(p75),
+                        "energy": ss / n,
+                    }
+                    rows.extend((int(mid), kind, k, float(v)) for k, v in feats.items())
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "feature", "value"]
+                )
+
+        return df.mapInPandas(gen_real, FEATURES_SCHEMA)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

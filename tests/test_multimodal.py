@@ -49,8 +49,13 @@ def test_frame_sampling_flatmap(media):
 
 
 def test_real_codecs_gated(media):
-    with pytest.raises(NotImplementedError):
-        M.extract_features(media, real=True)
+    # real=True now DECODES WAV/BMP payloads for real (see
+    # test_wav/bmp_codec_* below); the synthetic corpus here carries
+    # sha256 junk, so the per-payload dispatch raises at EXECUTION for
+    # unsupported formats — and resize/frames stay eagerly gated
+    # (compressed formats need PIL/ffmpeg).
+    with pytest.raises(Exception, match="PIL|ffmpeg"):
+        M.extract_features(media, real=True).collect()
     with pytest.raises(NotImplementedError):
         M.resize_images(media, 8, 8, real=True)
     with pytest.raises(NotImplementedError):
@@ -71,3 +76,34 @@ def test_asof_join_semantics(spark):
     # lid=1: ties at equal ts match (inclusive); lid=2: latest prior;
     # lid=3: no prior right row → nulls
     assert got == {1: ("x", 10), 2: ("y", 15), 3: (None, None)}
+
+
+def test_wav_codec_round_trip_and_validation():
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    s = (np.arange(777) * 13 % 4001) - 2000
+    assert (M.decode_wav(M.encode_wav(s)) == s).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav(b"nope" * 10)
+    # stereo/8-bit fmt refused
+    bad = bytearray(M.encode_wav(s))
+    bad[22] = 2  # channels = 2
+    with pytest.raises(ValueError, match="PCM16 mono"):
+        M.decode_wav(bytes(bad))
+
+
+def test_bmp_codec_round_trip_incl_row_padding():
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    # width 33 → 99-byte rows padded to 100: the padding/bottom-up flip
+    # is exactly what a naive reader breaks on
+    px = (np.arange(33 * 7).reshape(7, 33) * 5 % 256).astype("uint8")
+    assert (M.decode_bmp(M.encode_bmp(px)) == px).all()
+    with pytest.raises(ValueError, match="BMP"):
+        M.decode_bmp(b"XX" + b"\x00" * 60)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        M.decode_real(b"\x89PNG....")
