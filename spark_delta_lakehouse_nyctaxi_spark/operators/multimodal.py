@@ -322,9 +322,30 @@ RESIZED_SCHEMA = StructType(
 
 def resize_images(df: DataFrame, width: int, height: int, real: bool = False) -> DataFrame:
     """Resize pipeline (images only): mapInPandas, payload → payload.
-    STUB: fake-decodes then re-packs bytes at the target pixel count."""
+
+    ``real=True`` performs an ACTUAL nearest-neighbor resize for BMP
+    payloads (decode → index-map → re-encode; no PIL needed — pure
+    numpy indexing); other formats raise.  ``real=False`` keeps the
+    deterministic stub (fake-decode then re-pack bytes)."""
     if real:
-        raise NotImplementedError("real resize needs PIL; stubbed deterministically")
+
+        def gen_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    px = decode_bmp(bytes(p))  # raises for non-BMP
+                    sh, sw = px.shape
+                    # nearest-neighbor index map (floor(i*src/dst))
+                    ri = (np.arange(height) * sh) // height
+                    ci = (np.arange(width) * sw) // width
+                    out = px[np.ix_(ri, ci)].astype(np.uint8)
+                    rows.append((int(mid), encode_bmp(out), width, height))
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["media_id", "payload", "width", "height"]
+                    )
+
+        return df.filter(F.col("kind") == "image").mapInPandas(gen_real, RESIZED_SCHEMA)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -56,8 +56,11 @@ def test_real_codecs_gated(media):
     # (compressed formats need PIL/ffmpeg).
     with pytest.raises(Exception, match="PIL|ffmpeg"):
         M.extract_features(media, real=True).collect()
-    with pytest.raises(NotImplementedError):
-        M.resize_images(media, 8, 8, real=True)
+    # real resize works for BMP payloads; the sha256-junk corpus fails
+    # at decode time (see test_real_bmp_resize_nearest_neighbor for
+    # the working path)
+    with pytest.raises(Exception, match="BMP"):
+        M.resize_images(media, 8, 8, real=True).collect()
     with pytest.raises(NotImplementedError):
         M.sample_frames(media, real=True)
 
@@ -107,3 +110,27 @@ def test_bmp_codec_round_trip_incl_row_padding():
         M.decode_bmp(b"XX" + b"\x00" * 60)
     with pytest.raises(NotImplementedError, match="PIL"):
         M.decode_real(b"\x89PNG....")
+
+
+def test_real_bmp_resize_nearest_neighbor(spark):
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    px = (np.arange(32 * 32).reshape(32, 32) % 256).astype("uint8")
+    rows = [
+        (
+            1,
+            "image",
+            bytearray(M.encode_bmp(px)),
+            {"width": 32, "height": 32, "sample_rate": None,
+             "duration_s": None, "format": "bmp"},
+        )
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.resize_images(media, 8, 8, real=True).collect()
+    assert len(out) == 1 and out[0].width == 8 and out[0].height == 8
+    got = M.decode_bmp(bytes(out[0].payload))
+    # nearest-neighbor: output pixel (r, c) = source (r*32//8, c*32//8)
+    want = px[np.ix_((np.arange(8) * 32) // 8, (np.arange(8) * 32) // 8)]
+    assert (got == want).all()
