@@ -5,15 +5,17 @@ with typed metadata structs, processed by Arrow-batched ``mapInPandas``
 pipelines. The Spark-side plumbing — schema, partitioning, UDF
 signatures, batch shapes — is real and tested.
 
-Codecs (round 3): WAV (RIFF/PCM16) and BMP (24-bit uncompressed)
-decode FOR REAL via the pure-Python parsers below — no external
-libraries needed — and ``extract_features(real=True)`` computes
-statistics over the actual decoded samples/pixels (value-oracled by
-q_multimodal_real_codecs). Compressed formats (png/jpeg/mp4) still
-need the absent PIL/librosa/ffmpeg: their paths raise
+Codecs (round 3): WAV (RIFF/PCM16), BMP (24-bit uncompressed), and
+compressed grayscale PNG (stdlib zlib inflate, CRC-validated chunks,
+all five scanline filters) decode FOR REAL via the pure-Python parsers
+below — no external libraries needed — and
+``extract_features(real=True)`` computes statistics over the actual
+decoded samples/pixels (value-oracled by q_multimodal_real_codecs);
+``resize_images(real=True)`` nearest-neighbor-resizes BMPs. Only
+JPEG/video still need the absent PIL/ffmpeg: those paths raise
 ``NotImplementedError``, and the ``real=False`` stub derives
-deterministic pseudo-features from payload bytes so those pipelines
-stay exercisable end-to-end.
+deterministic pseudo-features from payload bytes so every pipeline
+stays exercisable end-to-end.
 
 Scale notes: mapInPandas streams Arrow record batches — constant
 memory per task regardless of table size; payloads never pass through
@@ -198,6 +200,137 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return out
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels, filter_cycle: bool = True) -> bytes:
+    """Minimal 8-bit GRAYSCALE PNG writer (color type 0, no interlace).
+
+    ``filter_cycle=True`` applies a DIFFERENT filter per row (cycling
+    None/Sub/Up/Average/Paeth) — deliberately, so a round trip through
+    :func:`decode_png` exercises every unfilter path, not just the
+    trivial one."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int16)
+    for r in range(h):
+        row = px[r].astype(np.int16)
+        f = (r % 5) if filter_cycle else 0
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            filt = row - np.concatenate(([0], row[:-1]))
+        elif f == 2:  # Up
+            filt = row - prev
+        elif f == 3:  # Average
+            filt = row - (np.concatenate(([0], row[:-1])) + prev) // 2
+        else:  # Paeth
+            left = np.concatenate(([0], row[:-1]))
+            upleft = np.concatenate(([0], prev[:-1]))
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, upleft)],
+                dtype=np.int16,
+            )
+            filt = row - pred
+        raw.append(f)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decoder for 8-bit grayscale, non-interlaced images:
+    validates the signature and every chunk CRC, inflates the IDAT
+    stream with stdlib zlib, and reverses all five scanline filters
+    (None/Sub/Up/Average/Paeth). Color/palette/interlaced PNGs raise —
+    those plus JPEG genuinely need PIL."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if (depth, color, interlace) != (8, 0, 0):
+        raise ValueError(
+            f"only 8-bit grayscale non-interlaced supported, got "
+            f"depth={depth} color={color} interlace={interlace}"
+        )
+    raw = zlib.decompress(bytes(idat))
+    out = np.empty((h, w), dtype=np.int16)
+    stride = w + 1
+    prev = np.zeros(w, dtype=np.int16)
+    for r in range(h):
+        f = raw[r * stride]
+        line = np.frombuffer(raw[r * stride + 1 : (r + 1) * stride], np.uint8).astype(
+            np.int16
+        )
+        if f == 0:
+            row = line
+        elif f == 2:
+            row = (line + prev) % 256
+        elif f in (1, 3, 4):
+            row = np.empty(w, dtype=np.int16)
+            left = upleft = 0
+            for c in range(w):
+                up = int(prev[c])
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, upleft)
+                row[c] = (int(line[c]) + pred) % 256
+                left, upleft = int(row[c]), up
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        out[r] = row
+        prev = row
+    return out.astype(np.float64)
+
+
 def decode_real(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes: RIFF→WAV samples, BM→BMP pixels
     (flattened row-major).  Compressed formats need the absent
@@ -206,9 +339,11 @@ def decode_real(payload: bytes) -> np.ndarray:
         return decode_wav(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload).ravel()
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload).ravel()
     raise NotImplementedError(
-        "compressed formats (png/jpeg/mp4) need PIL/ffmpeg — absent in "
-        "this container; WAV and BMP decode for real"
+        "jpeg/mp4 need PIL/ffmpeg — absent in this container; WAV, BMP "
+        "and grayscale PNG decode for real"
     )
 
 

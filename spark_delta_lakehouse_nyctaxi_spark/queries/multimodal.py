@@ -137,7 +137,14 @@ _REAL_CODECS_ORACLE = """
                     AS DOUBLE) AS v
         FROM range(16) m(m), range(1024) i(i)
     ),
-    sig AS (SELECT * FROM wav UNION ALL SELECT * FROM bmp),
+    png AS (
+        SELECT m.m + 48 AS media_id,
+               CAST(((m.m + 48) * 13 + (i.i // 32) * 17 + (i.i % 32) * 3) % 256
+                    AS DOUBLE) AS v
+        FROM range(16) m(m), range(1024) i(i)
+    ),
+    sig AS (SELECT * FROM wav UNION ALL SELECT * FROM bmp
+            UNION ALL SELECT * FROM png),
     agg AS (
         SELECT media_id,
                SUM(v) AS s, SUM(v * v) AS ss,
@@ -165,14 +172,16 @@ _REAL_CODECS_ORACLE = """
     "q_multimodal_real_codecs",
     _REAL_CODECS_ORACLE,
     doc="REAL media decode (round-3 upgrade of the 'codecs stubbed' "
-        "gap): genuine PCM16 WAV files and 24-bit BMPs — built from "
-        "closed-form signals — decoded by the pure-Python RIFF/BMP "
-        "parsers (operators/multimodal.py:decode_wav/decode_bmp) "
+        "gap): genuine PCM16 WAV files, 24-bit BMPs, AND compressed "
+        "grayscale PNGs (stdlib zlib inflate + all five scanline "
+        "filters, CRC-validated chunks) — built from closed-form "
+        "signals, decoded by the pure-Python parsers "
+        "(operators/multimodal.py:decode_wav/decode_bmp/decode_png) "
         "inside Arrow-batched mapInPandas, statistics value-oracled "
-        "against the generation formulas. Chunk walking, fmt "
-        "validation, row padding, and the bottom-up flip are all load-"
-        "bearing: any parsing bug changes the stats and fails the "
-        "gate. Compressed formats (png/mp4) still require PIL/ffmpeg.",
+        "against the generation formulas. Chunk walking, fmt/CRC "
+        "validation, row padding/unfiltering, and the bottom-up flip "
+        "are all load-bearing: any parsing bug changes the stats and "
+        "fails the gate. Only JPEG/video remain gated on PIL/ffmpeg.",
 )
 def q_multimodal_real_codecs(spark, sf_dir):
     import numpy as np
@@ -200,6 +209,18 @@ def q_multimodal_real_codecs(spark, sf_dir):
                 bytearray(M.encode_bmp(px)),
                 {"width": 32, "height": 32, "sample_rate": None,
                  "duration_s": None, "format": "bmp"},
+            )
+        )
+    for m in range(48, 64):
+        r, c = np.divmod(np.arange(1024), 32)
+        px = ((m * 13 + r * 17 + c * 3) % 256).astype("uint8").reshape(32, 32)
+        rows.append(
+            (
+                m,
+                "image",
+                bytearray(M.encode_png(px)),  # filter-cycled: all 5 unfilter paths
+                {"width": 32, "height": 32, "sample_rate": None,
+                 "duration_s": None, "format": "png"},
             )
         )
     media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)

@@ -134,3 +134,20 @@ def test_real_bmp_resize_nearest_neighbor(spark):
     # nearest-neighbor: output pixel (r, c) = source (r*32//8, c*32//8)
     want = px[np.ix_((np.arange(8) * 32) // 8, (np.arange(8) * 32) // 8)]
     assert (got == want).all()
+
+
+def test_png_codec_round_trip_all_filters_and_validation():
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    # 11 rows with filter_cycle → every filter type (0-4) exercised ≥ 2×
+    px = (np.arange(33 * 11).reshape(11, 33) * 7 % 256).astype("uint8")
+    assert (M.decode_png(M.encode_png(px)) == px).all()
+    # CRC corruption detected
+    bad = bytearray(M.encode_png(px))
+    bad[40] ^= 0xFF  # inside IDAT
+    with pytest.raises(Exception, match="CRC|error"):
+        M.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="PNG"):
+        M.decode_png(b"\x89PNX" + b"\x00" * 40)
