@@ -11,8 +11,10 @@ all five scanline filters) decode FOR REAL via the pure-Python parsers
 below — no external libraries needed — and
 ``extract_features(real=True)`` computes statistics over the actual
 decoded samples/pixels (value-oracled by q_multimodal_real_codecs);
-``resize_images(real=True)`` nearest-neighbor-resizes BMPs. Only
-JPEG/video still need the absent PIL/ffmpeg: those paths raise
+``resize_images(real=True)`` nearest-neighbor-resizes BMPs;
+``sample_frames(real=True)`` parses uncompressed AVI containers and
+samples by the stream's own frame rate. Only JPEG and compressed
+video still need the absent PIL/ffmpeg: those paths raise
 ``NotImplementedError``, and the ``real=False`` stub derives
 deterministic pseudo-features from payload bytes so every pipeline
 stays exercisable end-to-end.
@@ -331,6 +333,99 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.astype(np.float64)
 
 
+def _dib_body(px: np.ndarray) -> bytes:
+    """Bottom-up padded BGR rows — shared by BMP files and AVI 'DIB '
+    frames (the format is literally a headerless BMP body)."""
+    h, w = px.shape
+    pad = (-(w * 3)) % 4
+    return b"".join(
+        np.repeat(px[r], 3).tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+
+
+def encode_avi(frames, fps: int = 4) -> bytes:
+    """Minimal uncompressed AVI writer: RIFF('AVI ') with an hdrl LIST
+    (avih + one 'vids'/'DIB ' stream) and a movi LIST of '00db' raw
+    DIB frames.  Grayscale input, one frame per (h, w) plane."""
+    import struct
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w = fr.shape
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    frame_bytes = len(_dib_body(fr[0]))
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0, 1,
+        frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                                        frame_bytes, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", _dib_body(fr[i])) for i in range(n)))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes):
+    """REAL uncompressed-AVI parser: walks the RIFF tree, reads the
+    stream format (24-bit DIB required) and frame rate from the
+    headers, and decodes every '00db' frame body (bottom-up padded BGR
+    rows — a headerless BMP).  Returns (frames, fps) with frames a
+    float64 (n, h, w) array.  Compressed fourccs raise."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = fps = None
+    frames = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h, fps
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (sz,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + sz]
+            if cid == b"LIST":
+                walk(body[4:])
+            elif cid == b"strh":
+                if body[:4] == b"vids" and body[4:8] not in (b"DIB ", b"\x00\x00\x00\x00"):
+                    raise ValueError(f"compressed video fourcc {body[4:8]!r} needs ffmpeg")
+                # fourcc(8) + flags(4) + prio(2) + lang(2) +
+                # initframes(4) → dwScale at offset 20, dwRate at 24
+                scale, rate = struct.unpack("<II", body[20:28])
+                fps = rate // max(scale, 1)
+            elif cid == b"strf":
+                _sz, w_, h_, _planes, bpp, comp = struct.unpack("<IiiHHI", body[:20])
+                if bpp != 24 or comp != 0:
+                    raise ValueError("only 24-bit uncompressed DIB frames supported")
+                w, h = w_, h_
+            elif cid == b"00db":
+                frames.append(body)
+            pos += 8 + sz + (sz & 1)
+
+    walk(payload[12:])
+    if w is None or fps is None or not frames:
+        raise ValueError("missing stream headers or frames")
+    stride = w * 3 + ((-(w * 3)) % 4)
+    out = np.empty((len(frames), h, w), dtype=np.float64)
+    for i, body in enumerate(frames):
+        for r in range(h):
+            start = (h - 1 - r) * stride
+            row = np.frombuffer(body[start : start + w * 3], dtype=np.uint8)
+            out[i, r] = row[0::3].astype(np.float64)
+    return out, fps
+
+
 def decode_real(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes: RIFF→WAV samples, BM→BMP pixels
     (flattened row-major).  Compressed formats need the absent
@@ -510,9 +605,31 @@ FRAMES_SCHEMA = StructType(
 
 def sample_frames(df: DataFrame, every_s: float = 1.0, real: bool = False) -> DataFrame:
     """Frame sampling (videos only): one output row per sampled frame —
-    a mapInPandas flat-map (rows out > rows in)."""
+    a mapInPandas flat-map (rows out > rows in).
+
+    ``real=True`` parses GENUINE uncompressed AVI payloads
+    (:func:`decode_avi` — RIFF tree walk, stream headers, raw DIB
+    frames) and samples every ``every_s`` seconds using the
+    container's own frame rate; ``frame_idx`` is the ORIGINAL frame
+    number.  Compressed fourccs raise (they need ffmpeg)."""
     if real:
-        raise NotImplementedError("real frame sampling needs ffmpeg; stubbed")
+
+        def gen_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    frames, fps = decode_avi(bytes(p))
+                    step = max(1, int(every_s * fps))
+                    for idx in range(0, frames.shape[0], step):
+                        rows.append(
+                            (int(mid), idx, frames[idx].astype(np.uint8).tobytes())
+                        )
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["media_id", "frame_idx", "frame"]
+                    )
+
+        return df.filter(F.col("kind") == "video").mapInPandas(gen_real, FRAMES_SCHEMA)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -151,6 +151,7 @@ _PRIORITY: list[str] = [
     "q_listagg",
     "q_higher_order",
     "q_multimodal_real_codecs",
+    "q_multimodal_real_frames",
     "q_stream_stream_full_join",
     "q_month_spine",
     "q_segment_dedup",

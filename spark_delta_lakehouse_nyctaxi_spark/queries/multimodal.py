@@ -225,3 +225,70 @@ def q_multimodal_real_codecs(spark, sf_dir):
         )
     media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
     return M.extract_features(media, real=True).select("media_id", "feature", "value")
+
+
+# Real VIDEO frame sampling: genuine uncompressed AVI containers (RIFF
+# tree, stream headers carrying the frame rate, raw DIB frame bodies)
+# built from closed-form pixels; sample_frames(real=True) parses them
+# and samples by the container's own fps.  The oracle re-derives the
+# sampled frame set (step = every_s * fps from the headers the parser
+# must read correctly) and each frame's mean pixel — a wrong stride,
+# a missed bottom-up flip, or a misread rate changes the result.
+_REAL_FRAMES_ORACLE = """
+    WITH params AS (SELECT m.m AS media_id, 8 + m.m % 5 AS nf FROM range(12) m(m)),
+    sampled AS (
+        SELECT media_id, CAST(f.f AS BIGINT) AS frame_idx
+        FROM params, range(0, 12, 2) f(f)
+        WHERE f.f < nf
+    ),
+    vals AS (
+        SELECT s.media_id, s.frame_idx,
+               CAST((s.media_id * 19 + s.frame_idx * 23 + i.i) % 256 AS DOUBLE) AS v
+        FROM sampled s, range(1024) i(i)
+    )
+    SELECT media_id, frame_idx, SUM(v) / 1024.0 AS mean_pixel
+    FROM vals GROUP BY media_id, frame_idx
+"""
+
+
+@register(
+    "q_multimodal_real_frames",
+    _REAL_FRAMES_ORACLE,
+    doc="REAL video-container frame sampling: genuine uncompressed AVI "
+        "files (RIFF tree + stream headers + raw DIB frames) parsed by "
+        "the pure-Python decoder, sampled at every_s=0.5 using the "
+        "container's OWN frame rate (4 fps → every 2nd frame). The "
+        "oracle re-derives the sampled frame set and per-frame mean "
+        "pixels from the closed-form generator — header parsing, the "
+        "bottom-up row flip, and the rate math are all load-bearing. "
+        "Compressed video still needs ffmpeg.",
+)
+def q_multimodal_real_frames(spark, sf_dir):
+    import numpy as np
+
+    rows = []
+    for m in range(12):
+        nf = 8 + m % 5
+        f, i = np.meshgrid(np.arange(nf), np.arange(1024), indexing="ij")
+        px = ((m * 19 + f * 23 + i) % 256).astype("uint8").reshape(nf, 32, 32)
+        rows.append(
+            (
+                m,
+                "video",
+                bytearray(M.encode_avi(px, fps=4)),
+                {"width": 32, "height": 32, "sample_rate": None,
+                 "duration_s": nf / 4.0, "format": "avi"},
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+    frames = M.sample_frames(media, every_s=0.5, real=True)
+    mean_expr = (
+        "aggregate(sequence(1, 1024), CAST(0 AS BIGINT), "
+        "(acc, i) -> acc + CAST(conv(hex(substring(frame, i, 1)), 16, 10) AS BIGINT))"
+        " / 1024.0D"
+    )
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.expr(mean_expr).alias("mean_pixel"),
+    )

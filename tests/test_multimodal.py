@@ -61,8 +61,8 @@ def test_real_codecs_gated(media):
     # the working path)
     with pytest.raises(Exception, match="BMP"):
         M.resize_images(media, 8, 8, real=True).collect()
-    with pytest.raises(NotImplementedError):
-        M.sample_frames(media, real=True)
+    with pytest.raises(Exception, match="AVI"):
+        M.sample_frames(media, real=True).collect()
 
 
 def test_asof_join_semantics(spark):
@@ -151,3 +151,33 @@ def test_png_codec_round_trip_all_filters_and_validation():
         M.decode_png(bytes(bad))
     with pytest.raises(ValueError, match="PNG"):
         M.decode_png(b"\x89PNX" + b"\x00" * 40)
+
+
+def test_avi_codec_round_trip_and_real_sampling(spark):
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    fr = (np.arange(6 * 7 * 33).reshape(6, 7, 33) * 3 % 256).astype("uint8")
+    out, fps = M.decode_avi(M.encode_avi(fr, fps=4))
+    assert fps == 4 and (out == fr).all()
+    with pytest.raises(ValueError, match="AVI"):
+        M.decode_avi(b"RIFFxxxxWAVE")
+    # real sampling honors the container's own frame rate
+    rows = [
+        (
+            7,
+            "video",
+            bytearray(M.encode_avi(fr, fps=4)),
+            {"width": 33, "height": 7, "sample_rate": None,
+             "duration_s": 1.5, "format": "avi"},
+        )
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = sorted(
+        (r.frame_idx, bytes(r.frame))
+        for r in M.sample_frames(media, every_s=0.5, real=True).collect()
+    )
+    # every_s * fps = 2 → original frame ids 0, 2, 4
+    assert [i for i, _ in got] == [0, 2, 4]
+    assert got[1][1] == fr[2].tobytes()
