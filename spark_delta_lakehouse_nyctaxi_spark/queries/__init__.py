@@ -138,8 +138,6 @@ _PRIORITY: list[str] = [
     # no_oracle anyway) and the rest of the round-3 additions, cheap
     # first, for round 4 ---
     "q_ann_ivf",
-    "q_stream_dedup",
-    "q_minhash_mllib",
     "q_ann_ivf_tuned",
     "q_triangle_count",
     "q_importance_weights",
@@ -154,6 +152,9 @@ _PRIORITY: list[str] = [
     "q_multimodal_real_frames",
     "q_stream_stream_full_join",
     "q_month_spine",
+    # rows-only (driver records no_oracle; sorted after all value checks)
+    "q_stream_dedup",
+    "q_minhash_mllib",
     "q_segment_dedup",
     "q_shuffle_shards",
     "q_token_budget",
