@@ -525,3 +525,56 @@ def test_rename_interleaves_with_mor_model(spark, tmp_path, ops):
         got = sorted((r["id"], r[cur]) for r in t.read().collect())
         assert got == sorted(model.items()), f"diverged after {op}({arg})"
         assert set(t.read().columns) == {"id", cur}
+
+
+@given(
+    h=st.integers(1, 9),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_image_codecs_round_trip_any_shape(h, w, seed):
+    """BMP and PNG round-trip for ARBITRARY shapes and pixel values —
+    odd widths exercise BMP row padding; ≥5 rows exercise every PNG
+    scanline filter (the encoder cycles them)."""
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w)).astype("uint8")
+    assert (M.decode_bmp(M.encode_bmp(px)) == px).all()
+    assert (M.decode_png(M.encode_png(px)) == px).all()
+
+
+@given(
+    n=st.integers(1, 2000),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_codec_round_trip_any_signal(n, seed):
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, size=n).astype(np.int64)
+    assert (M.decode_wav(M.encode_wav(s)) == s).all()
+
+
+@given(
+    n=st.integers(1, 6),
+    h=st.integers(1, 8),
+    w=st.integers(1, 17),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_avi_codec_round_trip_any_shape(n, h, w, seed):
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(seed)
+    fr = rng.randint(0, 256, size=(n, h, w)).astype("uint8")
+    out, fps = M.decode_avi(M.encode_avi(fr, fps=7))
+    assert fps == 7 and (out == fr).all()
