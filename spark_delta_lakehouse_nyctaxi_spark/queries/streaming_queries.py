@@ -320,14 +320,21 @@ def _stream_stream_join(spark, sf_dir, how, out_table):
         & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("view_ts") <= F.col("click_ts")),
         how,
-    ).select(
+    )
+    # Session-TZ-proof the OUTPUT timestamps: the join math runs on
+    # instants (TZ-independent), but collected LTZ values render in the
+    # session TZ — to_utc_timestamp pins the rendering to the UTC wall
+    # the NTZ oracle expects (a no-op under the driver's UTC session,
+    # verified bitwise under America/New_York too).
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    joined = joined.select(
         "click_id",
         "view_id",
         # left/inner rows always carry the click's user_id; full-outer
         # view-padded rows only have v_user — coalesce covers all shapes
         F.coalesce("user_id", "v_user").alias("user_id"),
-        "click_ts",
-        "view_ts",
+        F.to_utc_timestamp("click_ts", tz).alias("click_ts"),
+        F.to_utc_timestamp("view_ts", tz).alias("view_ts"),
     )
     run_available_now(joined, scratch_dir("ckpt_" + out_table), memory_table=out_table)
     return spark.table(out_table)
