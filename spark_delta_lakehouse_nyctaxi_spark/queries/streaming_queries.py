@@ -14,8 +14,14 @@ from . import register
 
 # Streaming watermarks require TIMESTAMP (LTZ) event time — NTZ is
 # rejected by withWatermark. The staged parquet's NTZ micros are read
-# under the declared LTZ schema; with the session pinned to UTC the
-# wall-clock values are identical to the batch/oracle view.
+# under the declared LTZ schema.  Round 3 made the query OUTPUTS
+# session-TZ-proof: the streaming math runs on instants, and _utc_out /
+# the join select pin the collected rendering to the UTC wall the NTZ
+# oracles expect — every windowed/join/dedup query now verifies bitwise
+# under both UTC and America/New_York sessions.  The one residual
+# UTC-session assumption is q_stream_sessionize_state (the
+# applyInPandasWithState timeout path mixes pandas-naive and LTZ
+# views of event time); the driver pins UTC, where it is exact.
 _SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
 
@@ -25,6 +31,20 @@ def _staged_events(spark, sf_dir: str) -> str:
         "overwrite"
     ).parquet(path)
     return path
+
+
+def _utc_out(spark, df, *ts_cols):
+    """Pin LTZ output timestamps to their UTC wall regardless of the
+    session timezone (same rendering fix as the stream-stream joins:
+    the streaming math runs on instants; only the collected rendering
+    is session-dependent). No-op under the driver's UTC session."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    return df.select(
+        *[
+            F.to_utc_timestamp(c, tz).alias(c) if c in ts_cols else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 @register(
@@ -55,7 +75,7 @@ def q_stream_window(spark, sf_dir):
     run_available_now(
         agg, scratch_dir("ckpt_win"), memory_table="q_stream_window_out", output_mode="complete"
     )
-    return spark.table("q_stream_window_out")
+    return _utc_out(spark, spark.table("q_stream_window_out"), "window_start")
 
 
 @register(
@@ -160,7 +180,11 @@ def q_stream_dedup_det(spark, sf_dir):
         )
 
     run_available_now(sdf, scratch_dir("ckpt_dd_det"), foreach_batch=sink)
-    return tbl.read().select("event_id", "ts", "user_id", "event_type", "value")
+    return _utc_out(
+        spark,
+        tbl.read().select("event_id", "ts", "user_id", "event_type", "value"),
+        "ts",
+    )
 
 
 @register(
@@ -177,7 +201,7 @@ def q_stream_dedup(spark, sf_dir):
     run_available_now(
         deduped, scratch_dir("ckpt_dd"), memory_table="q_stream_dedup_out"
     )
-    return spark.table("q_stream_dedup_out")
+    return _utc_out(spark, spark.table("q_stream_dedup_out"), "ts")
 
 
 @register(
@@ -410,7 +434,7 @@ def q_stream_window_append(spark, sf_dir):
         memory_table="q_stream_window_append_out",
         output_mode="append",
     )
-    return spark.table("q_stream_window_append_out")
+    return _utc_out(spark, spark.table("q_stream_window_append_out"), "window_start")
 
 
 @register(
@@ -447,7 +471,7 @@ def q_stream_sliding_window(spark, sf_dir):
         memory_table="q_stream_sliding_window_out",
         output_mode="complete",
     )
-    return spark.table("q_stream_sliding_window_out")
+    return _utc_out(spark, spark.table("q_stream_sliding_window_out"), "window_start")
 
 
 @register(
@@ -553,4 +577,4 @@ def q_stream_session_window(spark, sf_dir):
         memory_table="q_stream_session_window_out",
         output_mode="complete",
     )
-    return spark.table("q_stream_session_window_out")
+    return _utc_out(spark, spark.table("q_stream_session_window_out"), "session_start", "session_end")
