@@ -17,11 +17,12 @@ from . import register
 # under the declared LTZ schema.  Round 3 made the query OUTPUTS
 # session-TZ-proof: the streaming math runs on instants, and _utc_out /
 # the join select pin the collected rendering to the UTC wall the NTZ
-# oracles expect — every windowed/join/dedup query now verifies bitwise
-# under both UTC and America/New_York sessions.  The one residual
-# UTC-session assumption is q_stream_sessionize_state (the
-# applyInPandasWithState timeout path mixes pandas-naive and LTZ
-# views of event time); the driver pins UTC, where it is exact.
+# oracles expect — and streaming/stateful.py localizes the
+# session-naive pandas timestamps applyInPandasWithState delivers back
+# to true UTC epoch before comparing against GroupState's UTC-millis
+# watermark/timeout APIs.  EVERY streaming query — windows, joins,
+# dedup, stateful sessionization — now verifies bitwise under both UTC
+# and America/New_York sessions.
 _SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
 
@@ -125,8 +126,13 @@ def q_stream_sessionize_state(spark, sf_dir):
     run_available_now(
         sessions, scratch_dir("ckpt_sess"), memory_table="q_stream_sessionize_state_out"
     )
-    return spark.table("q_stream_sessionize_state_out").select(
-        "user_id", "session_start", "session_end", "n_events"
+    return _utc_out(
+        spark,
+        spark.table("q_stream_sessionize_state_out").select(
+            "user_id", "session_start", "session_end", "n_events"
+        ),
+        "session_start",
+        "session_end",
     )
 
 

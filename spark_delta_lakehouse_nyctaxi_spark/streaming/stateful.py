@@ -49,6 +49,22 @@ STATE_SCHEMA = "start long, end long, n long"
 _COLS = ["user_id", "start", "end", "n", "closed_by"]
 
 
+#: session timezone of the driver that built the query — set by
+#: :func:`sessionize_with_state` before the UDF ships to workers.
+#: applyInPandasWithState delivers timestamps as SESSION-TZ-NAIVE
+#: pandas values, while GroupState watermark/timeout APIs speak true
+#: UTC epoch millis; localizing through this zone reconciles them, so
+#: the timeout math is exact under ANY session timezone (a plain
+#: .astype(int64) was only correct under UTC).
+_SESSION_TZ = "UTC"
+
+
+def _ts_to_utc_us(series: pd.Series) -> list[int]:
+    if series.dt.tz is None:
+        series = series.dt.tz_localize(_SESSION_TZ)
+    return (series.dt.tz_convert("UTC").astype("int64") // 1_000).tolist()
+
+
 def _fold_sessions(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -65,7 +81,7 @@ def _fold_sessions(
 
     events = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     # pandas datetime64[ns] → int64 is NANOseconds; state/output are µs.
-    ts_us = (events["ts"].astype("int64") // 1_000).tolist()
+    ts_us = _ts_to_utc_us(events["ts"])
     types = events["event_type"].tolist()
 
     if state.exists:
@@ -108,6 +124,8 @@ def sessionize_with_state(
     Input must be a streaming DataFrame."""
     from pyspark.sql import functions as F
 
+    global _SESSION_TZ
+    _SESSION_TZ = events.sparkSession.conf.get("spark.sql.session.timeZone")
     out = (
         events.withWatermark("ts", watermark_delay)
         .groupBy("user_id")
