@@ -152,6 +152,7 @@ _PRIORITY: list[str] = [
     "q_multimodal_real_frames",
     "q_stream_stream_full_join",
     "q_month_spine",
+    "q_rfm_segmentation",
     # rows-only (driver records no_oracle; sorted after all value checks)
     "q_stream_dedup",
     "q_minhash_mllib",

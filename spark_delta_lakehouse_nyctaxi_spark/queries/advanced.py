@@ -672,3 +672,51 @@ def q_variant_extract(spark, sf_dir):
         F.variant_get(F.col("v"), "$.cust.bal", "double").alias("balance"),
         F.variant_get(F.col("v"), "$.status", "string").alias("status"),
     )
+
+
+@register(
+    "q_rfm_segmentation",
+    f"""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               COUNT(*) AS frequency,
+               {dsum_sql('o_totalprice')} AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, frequency, monetary,
+           NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)  AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, o_custkey)   AS m_quartile
+    FROM rfm
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+        "quartiles) — the classic marketing-analytics scoring shape: "
+        "one grouped pass builds the per-customer profile, three NTILE "
+        "windows rank it. Every ORDER BY carries the custkey "
+        "tiebreaker, which is what makes quartile boundaries "
+        "deterministic and value-checkable; monetary uses the exact "
+        "decimal sum. At scale the profile aggregate is the only "
+        "data-sized shuffle — the windows run over |customers| rows.",
+)
+def q_rfm_segmentation(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    return rfm.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m_quartile"),
+    )
