@@ -153,6 +153,8 @@ _PRIORITY: list[str] = [
     "q_stream_stream_full_join",
     "q_month_spine",
     "q_rfm_segmentation",
+    "q_basket_pairs",
+    "q_winsorized_stats",
     # rows-only (driver records no_oracle; sorted after all value checks)
     "q_stream_dedup",
     "q_minhash_mllib",

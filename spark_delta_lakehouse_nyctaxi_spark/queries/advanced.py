@@ -720,3 +720,88 @@ def q_rfm_segmentation(spark, sf_dir):
         .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
         .alias("m_quartile"),
     )
+
+
+@register(
+    "q_basket_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Market-basket co-occurrence (frequent itemsets, k=2): part "
+        "pairs bought together in the same order with support ≥ 2. "
+        "Items are deduped per order first (a part twice in one order "
+        "is one basket membership); the pair join is keyed on the "
+        "order — O(Σ items_per_order²), never cross-order — and the "
+        "ordered part keys emit each pair once. The a-priori support "
+        "filter is where scale lives: at 100 TB you'd prune items "
+        "below min-support BEFORE pairing (same bound the LSH "
+        "hot-bucket cap enforces).",
+)
+def q_basket_pairs(spark, sf_dir):
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "q_winsorized_stats",
+    f"""
+    WITH fences AS (
+        SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders
+    )
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(
+               least(greatest(o_totalprice, fences.lo), fences.hi)
+           AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) AS winsorized_mean
+    FROM orders, fences
+    GROUP BY o_orderstatus
+    """,
+    doc="Winsorized robust mean: clamp order totals at the global "
+        "P5/P95 fences (exact linear-interpolated percentiles — the "
+        "established percentile()/quantile_cont parity), then a "
+        "decimal-exact grouped mean of the clamped values. The robust-"
+        "statistics companion to the IQR outlier gate: outliers are "
+        "capped, not dropped. Fences are a 1-row broadcast; the clamp "
+        "is a pure projection.",
+)
+def q_winsorized_stats(spark, sf_dir):
+    from .aggregates import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    f_row = o.agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    ).first()
+    clamped = F.least(
+        F.greatest(F.col("o_totalprice"), F.lit(f_row.lo)), F.lit(f_row.hi)
+    )
+    return (
+        o.select(F.col("o_orderstatus").alias("status"), clamped.alias("w"))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (dsum("w") / F.count("*")).alias("winsorized_mean"),
+        )
+    )
