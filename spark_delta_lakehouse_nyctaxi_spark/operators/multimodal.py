@@ -465,8 +465,12 @@ def extract_features(
     if real:
 
         def gen_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            rows = []
+            # one output frame PER INPUT BATCH (constant memory per
+            # task, like resize_images' gen_real) — accumulating across
+            # all batches of a partition grows with partition size
+            # (round-3 advisor item)
             for pdf in batches:
+                rows = []
                 for mid, kind, p in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"]
                 ):
@@ -486,10 +490,10 @@ def extract_features(
                         "energy": ss / n,
                     }
                     rows.extend((int(mid), kind, k, float(v)) for k, v in feats.items())
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["media_id", "kind", "feature", "value"]
-                )
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["media_id", "kind", "feature", "value"]
+                    )
 
         return df.mapInPandas(gen_real, FEATURES_SCHEMA)
 

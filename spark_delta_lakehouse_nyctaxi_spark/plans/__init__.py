@@ -52,6 +52,29 @@ def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in explain_str(df)
 
 
+def single_partition_windows(df: DataFrame) -> int:
+    """Number of Window operators fed by an ``Exchange SinglePartition``
+    — the unpartitioned-window scale-killer (all rows through one task).
+    Global aggregates legitimately use SinglePartition exchanges over
+    one-row-per-partition partials, so the gate is Window-specific: a
+    Window (or WindowGroupLimit) line whose subtree starts with a
+    single-partition exchange within the next few plan lines."""
+    import re
+
+    plan = explain_str(df, "simple")
+    lines = plan.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if re.search(r"\bWindow(GroupLimit)?\b", line):
+            for nxt in lines[i + 1 : i + 5]:
+                if "Exchange SinglePartition" in nxt:
+                    hits += 1
+                    break
+                if re.search(r"\bExchange hashpartitioning|\bWindow\b", nxt):
+                    break
+    return hits
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Distinct whole-stage-codegen stages: `*(N)` markers in simple
     mode (formatted mode hides them under AQE wrappers)."""

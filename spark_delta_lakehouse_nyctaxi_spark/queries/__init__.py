@@ -62,109 +62,37 @@ from . import subqueries  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 
 
-# Round-3 rotation (updated mid-round).  The driver verifies ~50
-# registry entries per round
-# in order; CORRECTNESS_r01 ∪ CORRECTNESS_r02 covers 99 of the 148
-# registered queries, leaving exactly 49 without a driver row (all 49
-# pass the local strict oracle check — tools/check_oracle.py — so the
-# residual risk is driver-environment drift only; VERDICT.md round-2
-# item 1 says to retire it).  Those 49 fill the first slots this round:
-# value-oracled queries first (cheapest families early), rows-only
-# checks last within the tranche.  New round-3 queries slot in right
-# after, reachable if the budget stretches; every r1/r2-verified query
-# sorts last in original registration order.
+# Round-4 rotation.  The driver verifies ~50 registry entries per round
+# in order.  CORRECTNESS_r01 ∪ r02 ∪ r03 covers 147 of the 186 registered
+# queries; the 39 without a driver row (all locally strict-checked; 37
+# value-oracled + 2 fundamentally rows-only) fill this round's window,
+# led by the two round-3 driver defects now fixed:
+#   - q_simhash: oracle HUGEINT→float64 precision trap — final SUM now
+#     CAST AS BIGINT (VERDICT r3 item 1);
+#   - q_embedding_quantize: raw array<int> crashed the driver
+#     canonicalizer — now array_join/array_to_string on both engines
+#     (VERDICT r3 item 2).
+# The 37 never-checked oracled queries follow, cheap families first and
+# q_pagerank (multi-iteration graph + DuckDB CTE chain) last so the
+# driver's time budget reaches the cheap rows first.  All rows-only
+# queries (approx sketches, arrival-order stream dedup, MLlib-internal
+# hashing) sort permanently BELOW the 50-slot cap — a driver row for
+# them can only record `no_oracle` (VERDICT r3 item 8); each has an
+# oracled deterministic companion above the cap.  New round-4 queries
+# slot in between, reachable if the budget stretches.
 _PRIORITY: list[str] = [
-    # --- the 49 queries with no driver CORRECTNESS row yet (r1 ∪ r2) ---
-    # subquery shapes
-    "q_scalar_subquery",
-    "q_in_subquery",
-    "q_not_exists_subquery",
-    # text / LLM-pipeline ops (round-1 tail + round-2 additions)
-    "q_lang_id",
-    "q_token_count_bpe",
-    "q_rolling_fingerprint",
-    "q_udtf_chunks",
-    "q_pack_sequences",
-    "q_corpus_stats",
-    "q_repetition_profile",
-    "q_pii_scrub",
-    "q_contamination",
-    "q_decontaminate",
-    "q_tfidf_topk",
-    "q_embedding_quantize",
-    # UDF / pandas / arrow surface
-    "q_zscore_pandas",
-    "q_weighted_mean_udaf",
-    "q_arrow_normalize",
-    "q_cogroup_asof",
-    # reshaping + manual-moment aggregates
-    "q_unpivot",
-    "q_pivot_multi",
-    "q_fuzzy_match",
-    "q_corr_manual",
-    "q_stddev_manual",
-    "q_map_struct",
-    "q_array_agg",
-    # storage / layout tail
-    "q_scan_json",
-    "q_scan_orc",
-    "q_scan_pysource",
-    "q_scan_text",
-    "q_scan_binary",
-    "q_partition_pruning",
-    "q_incremental",
-    "q_incremental_agg",
-    "q_range_layout",
-    "q_zorder_layout",
-    # remaining streaming shapes (value-oracled)
-    "q_stream_window_append",
-    "q_stream_sliding_window",
-    "q_stream_session_window",
-    "q_stream_sessionize_state",
-    "q_stream_stream_left_join",
-    "q_stream_static_join",
-    # value-oracled as of round 3 (was rows-only)
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_ann_lsh",
-    "q_minhash_lsh",
+    # --- round-3 driver defects, fixed this round (items 1+2) ---
     "q_simhash",
-    # new round-3 storage/join features (value-oracled, plan-certified)
-    "q_column_rename",
-    "q_bucketed_join",
-    "q_tpch_q1",
-    # --- below the 50-slot driver cap: still-rows-only approximate
-    # paths (pytest-gated recall/parity; a driver row would record
-    # no_oracle anyway) and the rest of the round-3 additions, cheap
-    # first, for round 4 ---
-    "q_ann_ivf",
-    "q_ann_ivf_tuned",
-    "q_triangle_count",
-    "q_importance_weights",
+    "q_embedding_quantize",
+    # --- the 37 value-oracled queries with no driver row yet ---
     "q_variant_extract",
     "q_lateral_topk",
-    "q_stream_pysource",
-    "q_table_clone",
-    "q_generated_column",
     "q_listagg",
     "q_higher_order",
-    "q_multimodal_real_codecs",
-    "q_multimodal_real_frames",
-    "q_stream_stream_full_join",
     "q_month_spine",
-    "q_rfm_segmentation",
     "q_basket_pairs",
     "q_winsorized_stats",
-    # rows-only (driver records no_oracle; sorted after all value checks)
-    "q_stream_dedup",
-    "q_minhash_mllib",
-    "q_segment_dedup",
-    "q_shuffle_shards",
-    "q_token_budget",
-    "q_mixture_weights",
-    "q_embedding_centroids",
-    "q_curation_funnel",
-    "q_stats_skipping",
+    "q_rfm_segmentation",  # r3 judge scale fix: distributed_ntile
     "q_outlier_iqr",
     "q_resample_ffill",
     "q_ewma_pandas",
@@ -174,13 +102,51 @@ _PRIORITY: list[str] = [
     "q_markov_transitions",
     "q_event_funnel",
     "q_cohort_retention",
+    "q_importance_weights",
+    "q_shuffle_shards",
+    "q_token_budget",
+    "q_mixture_weights",
+    "q_curation_funnel",
+    "q_segment_dedup",
+    "q_embedding_centroids",
+    "q_triangle_count",
+    "q_ann_ivf",
+    "q_ann_ivf_tuned",
+    "q_stats_skipping",
+    "q_table_clone",
+    "q_generated_column",
+    "q_column_rename",
     "q_mor_delete",
     "q_cdf_sync",
-    # most expensive new check (multi-iteration graph + DuckDB CTE
-    # chain) sorts last in the tranche so the driver's time budget
-    # reaches the cheap rows first
+    "q_multimodal_real_codecs",
+    "q_multimodal_real_frames",
+    "q_stream_pysource",
+    "q_stream_stream_full_join",
     "q_pagerank",
-    # --- r1/r2 driver-green queries follow in registration order ---
+    # --- new round-4 queries slot here (slots 40-50); until they land,
+    # headline driver-green queries pad the window so the rows-only
+    # block below can never enter the first 50 ---
+    "q_minhash_lsh",
+    "q_ann_lsh",
+    "q_tpch_q1",
+    "q_tpch_q5",
+    "q_dedup_exact",
+    "q_agg_daily",
+    "q_join_multi",
+    "q_null_profile",
+    "q_window_rank",
+    "q_topk",
+    "q_sessionize",
+    # --- below the 50-slot driver cap ---
+    # rows-only (a driver row records only `no_oracle`; kept out of the
+    # window per VERDICT r3 item 8 — each is pytest-gated and has an
+    # oracled deterministic companion)
+    "q_stream_dedup",
+    "q_minhash_mllib",
+    "q_approx_quantiles",
+    "q_approx_distinct",
+    "q_freq_items",
+    # --- r1/r2/r3 driver-green queries follow in registration order ---
 ]
 
 

@@ -205,7 +205,12 @@ _SIMHASH_SQL = """
         GROUP BY doc_id, b
     )
     SELECT doc_id AS id,
-           SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+           -- CAST: DuckDB types SUM(BIGINT) as HUGEINT; pandas converts
+           -- HUGEINT -> float64 and 496/500 signatures exceed 2^53, so the
+           -- driver would hash rounded doubles against Spark's exact int64
+           -- (round-3 driver FAIL). BIGINT keeps the dtype exact end-to-end.
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+               AS simhash
     FROM votes GROUP BY doc_id
 """
 

@@ -303,11 +303,21 @@ def q_bucketed_join(spark, sf_dir):
         spark.table(cust_t).hint("merge"),
         F.col("o_custkey") == F.col("c_custkey"),
     )
-    if exchange_count(j) != 0:
-        raise AssertionError(
-            "bucketed join planned a shuffle — bucketing metadata was not used"
+    try:
+        if exchange_count(j) != 0:
+            raise AssertionError(
+                "bucketed join planned a shuffle — bucketing metadata was not used"
+            )
+        agg = j.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("segment_revenue"),
         )
-    return j.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_orders"),
-        dsum("o_totalprice").alias("segment_revenue"),
-    )
+        # materialize the |segments|-row aggregate BEFORE dropping the
+        # catalog entries, then hand back a local frame: repeated
+        # sweep/bench runs must not accumulate bj_* tables (round-3
+        # advisor item; the scratch data dirs already self-clean)
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        for t in (cust_t, ord_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return spark.createDataFrame(rows, schema)

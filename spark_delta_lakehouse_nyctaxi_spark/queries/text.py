@@ -461,8 +461,9 @@ def q_tfidf_topk(spark, sf_dir):
     )
     SELECT e.vec_id,
            s.scale,
-           list_transform(e.embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * s.scale + 0.5) AS INT)) AS q_vec
+           array_to_string(list_transform(e.embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * s.scale + 0.5) AS INT)), ',')
+               AS q_vec
     FROM embeddings e JOIN scaled s USING (vec_id)
     """,
     doc="Symmetric int8 embedding quantization (per-vector scale = "
@@ -470,7 +471,10 @@ def q_tfidf_topk(spark, sf_dir):
         "vector corpus at 100 TB needs before indexing. Pure array "
         "projection, zero shuffle. Rounding is floor(x*scale + 0.5) on "
         "BOTH engines (library round() half-even/half-away semantics "
-        "differ; floor is exact IEEE everywhere).",
+        "differ; floor is exact IEEE everywhere). q_vec is emitted as a "
+        "comma-joined string on BOTH engines: the driver canonicalizer "
+        "sorts columns via pandas and crashes on raw list cells "
+        "(round-3 driver ERR — unhashable type: 'list').",
 )
 def q_embedding_quantize(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -486,9 +490,12 @@ def q_embedding_quantize(spark, sf_dir):
     return scaled.select(
         "vec_id",
         "scale",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("int"),
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("int"),
+            ),
+            ",",
         ).alias("q_vec"),
     )
 

@@ -179,8 +179,17 @@ class VersionedTable:
         data satisfies it (Delta semantics: adding a constraint scans
         the table once and fails if any current row violates). A row
         violates when the expression evaluates to FALSE; NULL passes
-        (SQL CHECK semantics)."""
+        (SQL CHECK semantics).
+
+        Refused while a metadata-only rename is pending: append-time
+        enforcement (:meth:`_check_constraints`) evaluates expressions
+        on the PHYSICAL-named frame — which is correct for constraints
+        registered when logical == physical (physical names are stable
+        data identities across later renames), but an expression
+        validated here against the LOGICAL view would bind to a
+        different (or missing) column at append time."""
         if self.exists():
+            self._require_no_column_map("add_constraint")
             bad = self.read().filter(F.expr(f"({expr}) IS FALSE")).count()
             if bad:
                 raise ValueError(
@@ -202,6 +211,17 @@ class VersionedTable:
         with open(tmp, "w") as f:
             json.dump(cons, f)
         os.replace(tmp, self._constraints_path)
+
+    def drop_generated_column(self, name: str) -> None:
+        """Unregister a generated column (the data column stays; only
+        the ALWAYS-AS enforcement is dropped) — the drop-and-re-add
+        path the rename guards point at."""
+        gen = self.generated_columns()
+        gen.pop(name, None)
+        tmp = self._generated_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(gen, f)
+        os.replace(tmp, self._generated_path)
 
     # ------------------------------------------------- generated cols
 
@@ -227,8 +247,14 @@ class VersionedTable:
         or MERGE can never silently break the invariant.  Registering
         over EXISTING data requires the column to already be present
         and consistent (validated here); backfill by rewriting first
-        if it is absent."""
+        if it is absent.
+
+        Refused while a metadata-only rename is pending, for the same
+        reason as :meth:`add_constraint`: write-path enforcement runs
+        on physical names, so an expression validated against the
+        logical view would mis-bind after :meth:`_to_physical`."""
         if self.exists():
+            self._require_no_column_map("add_generated_column")
             cols = self.read().columns
             if name not in cols:
                 raise ValueError(
@@ -626,6 +652,29 @@ class VersionedTable:
                     f"{old!r} is a partition column — its physical name "
                     "is baked into the directory layout; rewrite instead"
                 )
+            # A generated column (or an expression input of one) being
+            # renamed breaks the append path immediately: appends that
+            # omit the generated column compute F.expr(expr) on the
+            # LOGICAL frame, where the old name no longer resolves (and
+            # a renamed generated column would be re-computed under its
+            # old name alongside the new one). Guided error instead of
+            # the opaque AnalysisException (round-3 advisor item).
+            gen = self.generated_columns()
+            if old in gen:
+                raise ValueError(
+                    f"{old!r} is a generated column; drop_generated_column "
+                    "and re-register it under the new name after renaming"
+                )
+            renamed_probe = self.read().withColumnRenamed(old, new)
+            for gname, gexpr in gen.items():
+                try:
+                    renamed_probe.select(F.expr(gexpr)).schema
+                except Exception:
+                    raise ValueError(
+                        f"generated column {gname!r} ({gexpr}) references "
+                        f"{old!r}; drop_generated_column and re-add it "
+                        "under the new name before renaming"
+                    ) from None
             phys = physical[logical.index(old)]
             m.pop(phys, None)
             if new != phys:
@@ -673,6 +722,19 @@ class VersionedTable:
                     f"constraint {name!r} ({expr}) references a renamed "
                     "column; drop_constraint and re-add it under the new "
                     "name before materializing"
+                ) from None
+        # Generated columns get the same guided validation (round-3
+        # advisor item): after materialization the logical names are the
+        # storage names, so an expression referencing a pre-rename name
+        # would fail opaquely inside _apply_generated on the next append.
+        for name, expr in self.generated_columns().items():
+            try:
+                df.select(F.expr(expr)).schema
+            except Exception:
+                raise ValueError(
+                    f"generated column {name!r} ({expr}) references a "
+                    "renamed column; drop_generated_column and re-add it "
+                    "under the new name before materializing"
                 ) from None
         stats_cols = None
         if info.extra.get("stats"):
@@ -1132,7 +1194,17 @@ class VersionedTable:
         skipping stats, and pending rename mapping; pending
         merge-on-read tombstones are carried too (they reference the
         cloned units by identical relative paths).  CHECK constraints
-        are copied — they are table metadata, not data.
+        and generated columns are copied — they are table metadata, not
+        data, and (like Delta) they are UNVERSIONED: the source's
+        CURRENT definitions apply.  For a version-pinned clone the
+        current metadata may postdate the snapshot, so the cloned data
+        is validated against each copied definition (one fused scan,
+        same as :meth:`add_constraint`); definitions the snapshot does
+        not satisfy — violated, or referencing columns absent at that
+        version — are NOT copied, and the dropped names are recorded in
+        the clone's version-0 ``extra["dropped_metadata"]`` (round-3
+        advisor item: a clone must never carry a constraint its own
+        data was never validated against).
         """
         src = self._resolve(version)
         dest = VersionedTable(self.spark, dest_path)
@@ -1146,7 +1218,45 @@ class VersionedTable:
                 os.makedirs(tgt, exist_ok=True)
                 for fn in files:
                     os.link(os.path.join(root, fn), os.path.join(tgt, fn))
+        cons = self.constraints()
+        gen = self.generated_columns()
+        dropped: list[str] = []
+        latest = self._versions()[-1].version
+        if version is not None and src.version != latest and (cons or gen):
+            # Current metadata may postdate this snapshot — keep only
+            # definitions the cloned data actually satisfies.  Analysis
+            # failures (columns absent at that version) drop outright;
+            # the survivors share ONE fused violation-count scan.
+            snap = self._apply_column_map(
+                self._read_with_deletes(src, src.units), src
+            )
+            checks: dict[str, str] = {}
+            for name, expr in cons.items():
+                checks[f"c:{name}"] = f"({expr}) IS FALSE"
+            for name, expr in gen.items():
+                checks[f"g:{name}"] = f"NOT ({name} <=> ({expr}))"
+            analyzable: dict[str, str] = {}
+            for key, pred in checks.items():
+                try:
+                    snap.select(F.expr(pred)).schema
+                    analyzable[key] = pred
+                except Exception:
+                    dropped.append(key)
+            if analyzable:
+                keys = list(analyzable)
+                counts = snap.agg(
+                    *[
+                        F.sum(F.expr(analyzable[k]).cast("long")).alias(f"k{i}")
+                        for i, k in enumerate(keys)
+                    ]
+                ).first()
+                dropped += [k for i, k in enumerate(keys) if counts[f"k{i}"]]
+            for key in dropped:
+                kind, name = key.split(":", 1)
+                (cons if kind == "c" else gen).pop(name, None)
         xtra: dict = {"cloned_from": self.path, "source_version": src.version}
+        if dropped:
+            xtra["dropped_metadata"] = sorted(dropped)
         for k in ("stats", "mor_deletes", "column_map"):
             if src.extra.get(k):
                 xtra[k] = src.extra[k]
@@ -1161,8 +1271,8 @@ class VersionedTable:
         )
         dest._commit(info)
         for side, dest_path_ in (
-            (self.constraints(), dest._constraints_path),
-            (self.generated_columns(), dest._generated_path),
+            (cons, dest._constraints_path),
+            (gen, dest._generated_path),
         ):
             if side:
                 os.makedirs(dest._vlog, exist_ok=True)

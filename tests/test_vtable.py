@@ -961,3 +961,84 @@ def test_rename_append_collision_with_physical_name_refused(spark, tmp_table_pat
             mode="append",
             merge_schema=True,
         )
+
+
+# ------------------------- round-4 advisor items: rename/clone metadata
+
+
+def test_constraint_and_generated_registration_refused_while_rename_pending(
+    spark, tmp_table_path
+):
+    """add_constraint/add_generated_column validate against the LOGICAL
+    view but append-time enforcement binds PHYSICAL names — registering
+    while a metadata-only rename is pending would validate one column
+    and enforce another (round-3 advisor medium). Both refuse."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(
+        _mk(spark, [{"id": 1, "v": 2.0, "v2": 4.0}]), mode="overwrite"
+    )
+    t.rename_column("v", "value")
+    with pytest.raises(ValueError, match="materialize_rename"):
+        t.add_constraint("pos", "value > 0")
+    with pytest.raises(ValueError, match="materialize_rename"):
+        t.add_generated_column("v2", "value * 2")
+    # materializing clears the mapping and re-enables both
+    t.materialize_rename()
+    t.add_constraint("pos", "value > 0")
+    t.add_generated_column("v2", "value * 2")
+    with pytest.raises(ValueError, match="violation"):
+        t.write(_mk(spark, [{"id": 2, "value": -1.0}]), mode="append")
+
+
+def test_rename_guards_generated_columns(spark, tmp_table_path):
+    """Renaming a generated column, or an input of its expression,
+    breaks the append path (F.expr on the logical frame) — guided
+    errors at rename time instead of an opaque AnalysisException."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1, "v": 2.0, "v2": 4.0}]), mode="overwrite")
+    t.add_generated_column("v2", "v * 2")
+    with pytest.raises(ValueError, match="drop_generated_column"):
+        t.rename_column("v", "value")  # expression input
+    with pytest.raises(ValueError, match="drop_generated_column"):
+        t.rename_column("v2", "double_v")  # the generated column itself
+    # unrelated renames still work
+    t.rename_column("id", "pk")
+    assert set(t.read().columns) == {"pk", "v", "v2"}
+    # the guided path: drop, rename, re-register under the new name
+    t.materialize_rename()
+    t.drop_generated_column("v2")
+    t.rename_column("v", "value")
+    t.materialize_rename()
+    t.add_generated_column("v2", "value * 2")
+    t.write(_mk(spark, [{"pk": 2, "value": 5.0}]), mode="append")
+    assert {(r.pk, r.v2) for r in t.read().collect()} == {(1, 4.0), (2, 10.0)}
+
+
+def test_version_pinned_clone_validates_copied_metadata(spark, tmp_table_path):
+    """Constraint/generated metadata is unversioned; a version-pinned
+    clone must not carry definitions its snapshot violates or cannot
+    analyze (round-3 advisor item)."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1, "v": -5.0}]), mode="overwrite")  # v0
+    # evolve: overwrite with positive values + a new column, then
+    # constrain against the NEW state only
+    t.write(
+        _mk(spark, [{"id": 1, "v": 3.0, "w": 6.0}]), mode="overwrite"
+    )  # v1
+    t.add_constraint("v_pos", "v > 0")
+    t.add_constraint("w_known", "w IS NOT NULL")
+    t.add_generated_column("w", "v * 2")
+    # latest clone carries everything
+    c_latest = t.clone(tmp_table_path + "_latest")
+    assert set(c_latest.constraints()) == {"v_pos", "w_known"}
+    assert c_latest.generated_columns() == {"w": "v * 2"}
+    # version-0 clone: v_pos is VIOLATED by the old data; w-based
+    # definitions don't even analyze (column absent at v0)
+    c_v0 = t.clone(tmp_table_path + "_v0", version=0)
+    assert c_v0.constraints() == {}
+    assert c_v0.generated_columns() == {}
+    dropped = c_v0._versions()[0].extra["dropped_metadata"]
+    assert set(dropped) == {"c:v_pos", "c:w_known", "g:w"}
+    # the clone's data is usable and append is unconstrained
+    c_v0.write(_mk(spark, [{"id": 2, "v": -1.0}]), mode="append")
+    assert c_v0.read().count() == 2

@@ -104,6 +104,25 @@ def compare(
                 )
         if bad:
             return False, "dtype-class mismatch — " + "; ".join(bad)
+        # The driver canonicalizer sort_values() crashes on unhashable
+        # list/ndarray cells (round-3 q_embedding_quantize ERR); our
+        # _norm_cell stringification masks that locally. Under the
+        # default strict gate, any raw container cell is a FAIL — emit
+        # array_join/array_to_string on both engines instead.
+        import numpy as np
+
+        for frame, side in ((sdf, "spark"), (odf, "oracle")):
+            for c in s_cols:
+                if frame[c].dtype == object:
+                    nn = frame[c].dropna()
+                    if len(nn) and isinstance(
+                        nn.iloc[0], (list, tuple, np.ndarray)
+                    ):
+                        return False, (
+                            f"col {c} ({side}): raw container cells — the "
+                            "driver canonicalizer cannot sort these; "
+                            "stringify (array_join / array_to_string)"
+                        )
     s, o = norm_frame(sdf), norm_frame(odf)
     max_float_diff = 0.0
     for c in s.columns:
@@ -131,10 +150,14 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument(
         "--strict-dtypes",
-        action="store_true",
-        help="also fail on cross-class dtype mismatches (int vs float, "
-        "etc.) that the driver's representation-sensitive hash would flag "
-        "even when values are equal",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="fail on cross-class dtype mismatches (int vs float, etc.) "
+        "that the driver's representation-sensitive hash would flag even "
+        "when values are equal. DEFAULT ON since round 4: the round-3 "
+        "q_simhash driver FAIL was exactly an oracle HUGEINT->float64 "
+        "trap this gate catches and the old int64-cast compare masked. "
+        "Use --no-strict-dtypes only for exploratory diffing",
     )
     ap.add_argument(
         "--plain",
