@@ -5,19 +5,20 @@ with typed metadata structs, processed by Arrow-batched ``mapInPandas``
 pipelines. The Spark-side plumbing — schema, partitioning, UDF
 signatures, batch shapes — is real and tested.
 
-Codecs (round 3): WAV (RIFF/PCM16), BMP (24-bit uncompressed), and
+Codecs (rounds 3-4): WAV (RIFF/PCM16), BMP (24-bit uncompressed),
 compressed grayscale PNG (stdlib zlib inflate, CRC-validated chunks,
-all five scanline filters) decode FOR REAL via the pure-Python parsers
-below — no external libraries needed — and
-``extract_features(real=True)`` computes statistics over the actual
-decoded samples/pixels (value-oracled by q_multimodal_real_codecs);
+all five scanline filters), uncompressed AVI, and baseline grayscale
+JPEG (standard Annex-K huffman tables, byte stuffing, DCT — round 4)
+decode FOR REAL via the pure-Python parsers below — no external
+libraries needed — and ``extract_features(real=True)`` computes
+statistics over the actual decoded samples/pixels (value-oracled by
+q_multimodal_real_codecs / q_multimodal_jpeg);
 ``resize_images(real=True)`` nearest-neighbor-resizes BMPs;
 ``sample_frames(real=True)`` parses uncompressed AVI containers and
-samples by the stream's own frame rate. Only JPEG and compressed
-video still need the absent PIL/ffmpeg: those paths raise
-``NotImplementedError``, and the ``real=False`` stub derives
-deterministic pseudo-features from payload bytes so every pipeline
-stays exercisable end-to-end.
+samples by the stream's own frame rate. Only compressed video still
+needs the absent ffmpeg: that path raises ``NotImplementedError``,
+and the ``real=False`` stub derives deterministic pseudo-features
+from payload bytes so every pipeline stays exercisable end-to-end.
 
 Scale notes: mapInPandas streams Arrow record batches — constant
 memory per task regardless of table size; payloads never pass through
@@ -271,7 +272,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     validates the signature and every chunk CRC, inflates the IDAT
     stream with stdlib zlib, and reverses all five scanline filters
     (None/Sub/Up/Average/Paeth). Color/palette/interlaced PNGs raise —
-    those plus JPEG genuinely need PIL."""
+    those genuinely need PIL (JPEG has its own decoder below)."""
     import struct
     import zlib
 
@@ -426,19 +427,383 @@ def decode_avi(payload: bytes):
     return out, fps
 
 
+# --------------------------------------------------------------- JPEG
+# Baseline JFIF, grayscale (one component), pure Python/numpy — the
+# round-3 "last codec gap". Encoder and decoder share the standard
+# Annex-K luminance Huffman tables, but the decoder reads its tables
+# from the file's DHT segments, so any spec-compliant baseline
+# grayscale JPEG decodes — not just our own. Progressive (SOF2),
+# color (>1 component), 12-bit, and restart-interval streams raise
+# with honest messages.
+
+
+def _zigzag_pairs() -> list[tuple[int, int]]:
+    pairs = []
+    for d in range(15):
+        rng = range(d, -1, -1) if d % 2 == 0 else range(0, d + 1)
+        for u in rng:
+            v = d - u
+            if u < 8 and v < 8:
+                pairs.append((u, v))
+    return pairs
+
+
+_ZZ = _zigzag_pairs()
+_ZZ_U = np.array([u for u, _ in _ZZ])
+_ZZ_V = np.array([v for _, v in _ZZ])
+
+# Standard luminance tables (ITU-T T.81 Annex K) — BITS is the count of
+# codes per length 1..16, VALS the symbols in code order.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A,
+    *range(0x16, 0x1B), *range(0x25, 0x2B), *range(0x34, 0x3B),
+    *range(0x43, 0x4B), *range(0x53, 0x5B), *range(0x63, 0x6B),
+    *range(0x73, 0x7B), *range(0x83, 0x8B), *range(0x92, 0x9B),
+    *range(0xA2, 0xAB), *range(0xB2, 0xBB), *range(0xC2, 0xCB),
+    *range(0xD2, 0xDB), 0xE1, *range(0xE2, 0xEB), 0xF1,
+    *range(0xF2, 0xFB),
+]
+assert len(_JPEG_AC_VALS) == sum(_JPEG_AC_BITS) == 162
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    d = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    d[0, :] = np.sqrt(1.0 / 8.0)
+    return d
+
+
+def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol → (canonical code, length)."""
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol — for bit-serial canonical decoding."""
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _huff_encode_table(bits, vals).items()
+    }
+
+
+def _jpeg_category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if not length:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.cur = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF data byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in entropy stream"
+                        if nxt is not None
+                        else "truncated entropy stream"
+                    )
+            self.cur = b
+            self.n = 8
+        self.n -= 1
+        return (self.cur >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def encode_jpeg(pixels, quant: int = 1) -> bytes:
+    """Minimal baseline JFIF writer for 8-bit GRAYSCALE images.
+
+    ``quant`` is a flat quantization step for all 64 coefficients —
+    the default 1 keeps the stream near-lossless (the only loss is
+    DCT-coefficient rounding), which is what makes the round trip
+    value-certifiable: constant blocks reconstruct bit-exactly and any
+    block's max pixel error is bounded by quant-step arithmetic.
+    Edge-replicate pads to 8×8 blocks; standard Annex-K Huffman
+    tables; byte stuffing; no restart intervals."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    hb, wb = -(-h // 8), -(-w // 8)
+    padded = (
+        np.pad(px, ((0, hb * 8 - h), (0, wb * 8 - w)), mode="edge").astype(
+            np.float64
+        )
+        - 128.0
+    )
+    d = _dct_matrix()
+    blocks = padded.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ux,ijxy,vy->ijuv", d, blocks, d)
+    q = np.round(coefs / float(quant)).astype(np.int64)
+    zz = q.reshape(-1, 8, 8)[:, _ZZ_U, _ZZ_V]  # (nblocks, 64) zigzag
+
+    dc_codes = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in zz:
+        diff = int(blk[0]) - prev_dc
+        prev_dc = int(blk[0])
+        s = _jpeg_category(diff)
+        c, ln = dc_codes[s]
+        bw.write(c, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        nz = np.nonzero(blk[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        run = 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, ln = ac_codes[0xF0]  # ZRL
+                bw.write(c, ln)
+                run -= 16
+            s = _jpeg_category(v)
+            c, ln = ac_codes[(run << 4) | s]
+            bw.write(c, ln)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            c, ln = ac_codes[0x00]  # EOB
+            bw.write(c, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qtab = np.full(64, int(quant), dtype=np.uint8)  # already zigzag-flat
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + qtab.tobytes())
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+    )
+    out += seg(
+        0xFFC4,
+        b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return out + bytes(bw.out) + b"\xff\xd9"  # EOI
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """REAL baseline-JPEG decoder (grayscale): parses the marker
+    stream, builds Huffman tables from the file's own DHT segments,
+    entropy-decodes DC differences + AC run-lengths with byte
+    unstuffing, dequantizes, dezigzags, inverse-DCTs and unpads.
+    Returns float64 (h, w). Progressive / color / 12-bit / restart
+    streams raise — honestly out of scope, not silently wrong."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    sof = None
+    comp_spec = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                qtabs[tq] = np.frombuffer(
+                    body[b + 1 : b + 65], dtype=np.uint8
+                ).astype(np.float64)
+                b += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(
+                    bits, vals
+                )
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if nc != 1:
+                raise ValueError(
+                    "color JPEG (multi-component) not supported — "
+                    "grayscale baseline only"
+                )
+            sof = (h, w)
+            comp_spec = (body[6], body[7], body[8])  # id, sampling, tq
+            if body[7] != 0x11:
+                raise ValueError("subsampling not supported for grayscale")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"SOF{marker - 0xC0} (progressive/extended) not supported — "
+                "baseline (SOF0) only"
+            )
+        elif marker == 0xDD:  # DRI
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("single-component scan expected")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            # entropy data runs to the next real marker (EOI)
+            data_start = pos + 2 + ln
+            end = payload.rfind(b"\xff\xd9")
+            if end < 0:
+                raise ValueError("missing EOI")
+            scan = (td, ta, payload[data_start:end])
+            break
+        pos += 2 + ln
+    if sof is None or scan is None or comp_spec is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w = sof
+    qt = qtabs.get(comp_spec[2])
+    if qt is None:
+        raise ValueError("missing quant table")
+    td, ta, data = scan
+    dc_tab, ac_tab = dc_tabs.get(td), ac_tabs.get(ta)
+    if dc_tab is None or ac_tab is None:
+        raise ValueError("missing Huffman table(s)")
+
+    br = _BitReader(data)
+
+    def read_symbol(tab) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            sym = tab.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+    hb, wb = -(-h // 8), -(-w // 8)
+    nblocks = hb * wb
+    zz = np.zeros((nblocks, 64), dtype=np.float64)
+    pred = 0
+    for i in range(nblocks):
+        s = read_symbol(dc_tab)
+        diff = extend(br.bits(s), s) if s else 0
+        pred += diff
+        zz[i, 0] = pred
+        k = 1
+        while k < 64:
+            rs = read_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            zz[i, k] = extend(br.bits(s), s)
+            k += 1
+    coefs = np.zeros((nblocks, 8, 8))
+    coefs[:, _ZZ_U, _ZZ_V] = zz * qt[None, :]
+    d = _dct_matrix()
+    # IDCT: out[x,y] = Σ_{u,v} d[u,x] · C[u,v] · d[v,y]
+    spatial = np.einsum("ux,iuv,vy->ixy", d, coefs, d) + 128.0
+    px = np.clip(np.round(spatial), 0, 255)
+    full = (
+        px.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+    )
+    return full[:h, :w].astype(np.float64)
+
+
+_JPEG_SIG = b"\xff\xd8"
+
+
 def decode_real(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: RIFF→WAV samples, BM→BMP pixels
-    (flattened row-major).  Compressed formats need the absent
-    PIL/ffmpeg and raise."""
+    """Dispatch on magic bytes: RIFF→WAV samples, BM→BMP pixels,
+    PNG/JPEG→grayscale pixels (flattened row-major).  Compressed video
+    still needs the absent ffmpeg and raises."""
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload).ravel()
     if payload[:8] == _PNG_SIG:
         return decode_png(payload).ravel()
+    if payload[:2] == _JPEG_SIG:
+        return decode_jpeg(payload).ravel()
     raise NotImplementedError(
-        "jpeg/mp4 need PIL/ffmpeg — absent in this container; WAV, BMP "
-        "and grayscale PNG decode for real"
+        "compressed video needs ffmpeg — absent in this container; WAV, "
+        "BMP, grayscale PNG and baseline grayscale JPEG decode for real"
     )
 
 
@@ -456,11 +821,12 @@ def extract_features(
     """Per-media feature rows (long format) via Arrow-batched
     mapInPandas.
 
-    ``real=True`` decodes ACTUAL media: WAV (PCM16) and BMP (24-bit)
-    via the pure-Python codecs above — per-item decode (payloads are
-    variable-length), numpy statistics per signal; compressed formats
-    raise NotImplementedError (PIL/ffmpeg absent).  ``real=False``
-    keeps the deterministic stub (fixed-length tiled bytes, fully
+    ``real=True`` decodes ACTUAL media: WAV (PCM16), BMP (24-bit),
+    grayscale PNG and baseline grayscale JPEG via the pure-Python
+    codecs above — per-item decode (payloads are variable-length),
+    numpy statistics per signal; compressed video raises
+    NotImplementedError (ffmpeg absent).  ``real=False`` keeps the
+    deterministic stub (fixed-length tiled bytes, fully
     batch-vectorized)."""
     if real:
 

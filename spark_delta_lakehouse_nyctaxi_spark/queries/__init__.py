@@ -123,7 +123,14 @@ _PRIORITY: list[str] = [
     "q_stream_pysource",
     "q_stream_stream_full_join",
     "q_pagerank",
-    # --- new round-4 queries slot here (slots 40-50); until they land,
+    # --- new round-4 queries (slots 40+) ---
+    # sketch-guarantee certificates: value-oracled boolean envelopes for
+    # the three fundamentally-approximate sketches (VERDICT r3 item 8)
+    "q_approx_quantiles_bound",
+    "q_approx_distinct_bound",
+    "q_heavy_hitters",
+    # pure-Python baseline JPEG codec (VERDICT r3 item 7 closed)
+    "q_multimodal_jpeg",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

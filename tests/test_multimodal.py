@@ -108,8 +108,10 @@ def test_bmp_codec_round_trip_incl_row_padding():
     assert (M.decode_bmp(M.encode_bmp(px)) == px).all()
     with pytest.raises(ValueError, match="BMP"):
         M.decode_bmp(b"XX" + b"\x00" * 60)
-    with pytest.raises(NotImplementedError, match="PIL"):
-        M.decode_real(b"\x89PNG....")
+    # unrecognized magic still raises honestly (only compressed video
+    # remains gated now that JPEG decodes for real)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        M.decode_real(b"\x00\x01\x02\x03....")
 
 
 def test_real_bmp_resize_nearest_neighbor(spark):
@@ -181,3 +183,51 @@ def test_avi_codec_round_trip_and_real_sampling(spark):
     # every_s * fps = 2 → original frame ids 0, 2, 4
     assert [i for i, _ in got] == [0, 2, 4]
     assert got[1][1] == fr[2].tobytes()
+
+
+def test_jpeg_codec_round_trip_bounds_and_validation():
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    # flat image: DC-only blocks reconstruct bit-exactly at quant=1
+    for v in (0, 127, 255):
+        px = np.full((24, 40), v, dtype=np.uint8)
+        assert (M.decode_jpeg(M.encode_jpeg(px)) == v).all()
+    # textured (non-multiple-of-8 dims → edge-replicate padding + unpad)
+    px = (np.arange(29 * 37).reshape(29, 37) * 7 % 256).astype("uint8")
+    dec = M.decode_jpeg(M.encode_jpeg(px))
+    assert dec.shape == (29, 37)
+    assert np.abs(dec - px).max() <= 1.5  # quant=1 envelope (measured 1.0)
+    # coarser quantization: error scales with the step, stream shrinks
+    dec8 = M.decode_jpeg(M.encode_jpeg(px, quant=8))
+    assert np.abs(dec8 - px).max() <= 8.0
+    assert len(M.encode_jpeg(px, quant=8)) < len(M.encode_jpeg(px))
+    # validation: magic, progressive SOF, color, restart intervals
+    with pytest.raises(ValueError, match="SOI"):
+        M.decode_jpeg(b"\x89PNG" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="baseline"):
+        M.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    enc = bytearray(M.encode_jpeg(px))
+    sof = enc.find(b"\xff\xc0")
+    bad = bytearray(enc)
+    bad[sof + 9] = 3  # pretend 3 components
+    with pytest.raises(ValueError, match="color"):
+        M.decode_jpeg(bytes(bad))
+    # dispatch: FFD8 magic reaches the JPEG decoder
+    assert M.decode_real(bytes(enc)).shape == (29 * 37,)
+
+
+def test_jpeg_stuffing_and_dc_chain():
+    """A mid-gray image whose DC coefficients produce 0xFF bytes in the
+    entropy stream exercises byte stuffing; 16+ blocks exercise the DC
+    difference chain across block rows."""
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+    enc = M.encode_jpeg(px)
+    assert b"\xff\x00" in enc  # stuffing actually happened
+    assert np.abs(M.decode_jpeg(enc) - px).max() <= 1.5

@@ -578,3 +578,26 @@ def test_avi_codec_round_trip_any_shape(n, h, w, seed):
     fr = rng.randint(0, 256, size=(n, h, w)).astype("uint8")
     out, fps = M.decode_avi(M.encode_avi(fr, fps=7))
     assert fps == 7 and (out == fr).all()
+
+
+@given(
+    h=st.integers(1, 48),
+    w=st.integers(1, 48),
+    seed=st.integers(0, 10_000),
+    quant=st.sampled_from([1, 2, 4]),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_codec_bounded_error_any_shape(h, w, seed, quant):
+    """Baseline-JPEG round trip for arbitrary shapes: output shape is
+    exact and max pixel error stays within the quantization envelope
+    (flat quant table q → per-coefficient rounding error ≤ q/2 →
+    worst-case pixel error < 4q at the IDCT, observed ≤ 1.5q)."""
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    dec = M.decode_jpeg(M.encode_jpeg(px, quant=quant))
+    assert dec.shape == (h, w)
+    assert np.abs(dec - px).max() <= 4.0 * quant
