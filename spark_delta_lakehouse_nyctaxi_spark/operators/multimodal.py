@@ -344,12 +344,19 @@ def _dib_body(px: np.ndarray) -> bytes:
     )
 
 
-def encode_avi(frames, fps: int = 4) -> bytes:
-    """Minimal uncompressed AVI writer: RIFF('AVI ') with an hdrl LIST
-    (avih + one 'vids'/'DIB ' stream) and a movi LIST of '00db' raw
-    DIB frames.  Grayscale input, one frame per (h, w) plane."""
+def encode_avi(frames, fps: int = 4, codec: str = "DIB ") -> bytes:
+    """Minimal AVI writer: RIFF('AVI ') with an hdrl LIST (avih + one
+    'vids' stream) and a movi LIST of frames.  Grayscale input, one
+    frame per (h, w) plane.
+
+    ``codec="DIB "`` (default) stores raw uncompressed DIB bodies in
+    '00db' chunks; ``codec="MJPG"`` stores each frame as a complete
+    baseline-JFIF image (:func:`encode_jpeg`) in '00dc' chunks — real
+    Motion-JPEG, the standard intra-frame compressed AVI format."""
     import struct
 
+    if codec not in ("DIB ", "MJPG"):
+        raise ValueError(f"unsupported codec {codec!r}")
     fr = np.asarray(frames, dtype=np.uint8)
     n, h, w = fr.shape
 
@@ -359,38 +366,48 @@ def encode_avi(frames, fps: int = 4) -> bytes:
     def lst(kind: bytes, data: bytes) -> bytes:
         return chunk(b"LIST", kind + data)
 
-    frame_bytes = len(_dib_body(fr[0]))
+    if codec == "MJPG":
+        bodies = [encode_jpeg(fr[i]) for i in range(n)]
+        cid, bi_comp = b"00dc", struct.unpack("<I", b"MJPG")[0]
+    else:
+        bodies = [_dib_body(fr[i]) for i in range(n)]
+        cid, bi_comp = b"00db", 0
+    frame_bytes = max(len(b) for b in bodies)
     avih = struct.pack(
         "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0, 1,
         frame_bytes, w, h, 0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
-                                        frame_bytes, 0, 0, 0)
+        b"vids" + codec.encode("ascii")
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                      frame_bytes, 0, 0, 0)
         + struct.pack("<4H", 0, 0, w, h)
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, bi_comp, frame_bytes, 2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", _dib_body(fr[i])) for i in range(n)))
+    movi = lst(b"movi", b"".join(chunk(cid, b) for b in bodies))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_avi(payload: bytes):
-    """REAL uncompressed-AVI parser: walks the RIFF tree, reads the
-    stream format (24-bit DIB required) and frame rate from the
-    headers, and decodes every '00db' frame body (bottom-up padded BGR
-    rows — a headerless BMP).  Returns (frames, fps) with frames a
-    float64 (n, h, w) array.  Compressed fourccs raise."""
+    """REAL AVI parser: walks the RIFF tree, reads the stream format
+    and frame rate from the headers, and decodes every frame body —
+    raw '00db' DIB chunks (bottom-up padded BGR rows — a headerless
+    BMP) or, since round 4, '00dc' Motion-JPEG chunks via the
+    pure-Python :func:`decode_jpeg` (intra-frame compressed video
+    without ffmpeg).  Returns (frames, fps) with frames a float64
+    (n, h, w) array.  Inter-frame codecs (H.264 etc.) raise."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = fps = None
+    mjpg = False
     frames = []
 
     def walk(buf: bytes) -> None:
-        nonlocal w, h, fps
+        nonlocal w, h, fps, mjpg
         pos = 0
         while pos + 8 <= len(buf):
             cid = buf[pos : pos + 4]
@@ -399,31 +416,47 @@ def decode_avi(payload: bytes):
             if cid == b"LIST":
                 walk(body[4:])
             elif cid == b"strh":
-                if body[:4] == b"vids" and body[4:8] not in (b"DIB ", b"\x00\x00\x00\x00"):
-                    raise ValueError(f"compressed video fourcc {body[4:8]!r} needs ffmpeg")
+                fourcc = body[4:8]
+                if body[:4] == b"vids":
+                    if fourcc == b"MJPG":
+                        mjpg = True
+                    elif fourcc not in (b"DIB ", b"\x00\x00\x00\x00"):
+                        raise ValueError(
+                            f"inter-frame video codec {fourcc!r} needs ffmpeg"
+                        )
                 # fourcc(8) + flags(4) + prio(2) + lang(2) +
                 # initframes(4) → dwScale at offset 20, dwRate at 24
                 scale, rate = struct.unpack("<II", body[20:28])
                 fps = rate // max(scale, 1)
             elif cid == b"strf":
                 _sz, w_, h_, _planes, bpp, comp = struct.unpack("<IiiHHI", body[:20])
-                if bpp != 24 or comp != 0:
-                    raise ValueError("only 24-bit uncompressed DIB frames supported")
+                if comp == struct.unpack("<I", b"MJPG")[0]:
+                    mjpg = True
+                elif bpp != 24 or comp != 0:
+                    raise ValueError("only 24-bit DIB or MJPG frames supported")
                 w, h = w_, h_
-            elif cid == b"00db":
-                frames.append(body)
+            elif cid in (b"00db", b"00dc"):
+                frames.append((cid, body))
             pos += 8 + sz + (sz & 1)
 
     walk(payload[12:])
     if w is None or fps is None or not frames:
         raise ValueError("missing stream headers or frames")
-    stride = w * 3 + ((-(w * 3)) % 4)
     out = np.empty((len(frames), h, w), dtype=np.float64)
-    for i, body in enumerate(frames):
-        for r in range(h):
-            start = (h - 1 - r) * stride
-            row = np.frombuffer(body[start : start + w * 3], dtype=np.uint8)
-            out[i, r] = row[0::3].astype(np.float64)
+    stride = w * 3 + ((-(w * 3)) % 4)
+    for i, (cid, body) in enumerate(frames):
+        if mjpg or cid == b"00dc":
+            dec = decode_jpeg(bytes(body))
+            if dec.shape != (h, w):
+                raise ValueError(
+                    f"MJPG frame {i} is {dec.shape}, headers say {(h, w)}"
+                )
+            out[i] = dec
+        else:
+            for r in range(h):
+                start = (h - 1 - r) * stride
+                row = np.frombuffer(body[start : start + w * 3], dtype=np.uint8)
+                out[i, r] = row[0::3].astype(np.float64)
     return out, fps
 
 

@@ -129,8 +129,12 @@ _PRIORITY: list[str] = [
     "q_approx_quantiles_bound",
     "q_approx_distinct_bound",
     "q_heavy_hitters",
-    # pure-Python baseline JPEG codec (VERDICT r3 item 7 closed)
+    # pure-Python baseline JPEG codec (VERDICT r3 item 7 closed) + the
+    # Motion-JPEG AVI it unlocks (compressed video without ffmpeg)
     "q_multimodal_jpeg",
+    "q_multimodal_mjpeg",
+    # Delta GENERATED ALWAYS AS IDENTITY analog
+    "q_identity_column",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

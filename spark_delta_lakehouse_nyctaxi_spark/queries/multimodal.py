@@ -391,3 +391,73 @@ def q_multimodal_jpeg(spark, sf_dir):
                 yield pd.DataFrame(out, columns=["media_id", "feature", "value"])
 
     return media.mapInPandas(gen, "media_id long, feature string, value double")
+
+
+# REAL compressed-video decode: Motion-JPEG AVI (round 4 — closes the
+# "compressed video needs ffmpeg" gap for the intra-frame case).
+# Payloads are genuine MJPG AVIs: RIFF tree + 'MJPG' stream headers +
+# one complete baseline-JFIF image per '00dc' chunk, decoded frame by
+# frame through the pure-Python JPEG decoder. Frames are FLAT (DC-only
+# blocks reconstruct bit-exactly), so the sampled frame means are
+# EXACT and the oracle re-derives them from the generation formula —
+# the huffman tables, byte unstuffing, fourcc/biCompression parsing,
+# frame chunk walk, and the container's own fps all load-bearing.
+_MJPEG_ORACLE = """
+    WITH params AS (SELECT m.m AS media_id, 6 + m.m % 4 AS nf FROM range(10) m(m)),
+    sampled AS (
+        SELECT media_id, CAST(f.f AS BIGINT) AS frame_idx
+        FROM params, range(0, 9, 2) f(f)
+        WHERE f.f < nf
+    )
+    SELECT media_id, frame_idx,
+           CAST((media_id * 19 + frame_idx * 23 + 40) % 251 AS DOUBLE)
+               AS mean_pixel
+    FROM sampled
+"""
+
+
+@register(
+    "q_multimodal_mjpeg",
+    _MJPEG_ORACLE,
+    doc="REAL compressed-video decode without ffmpeg: genuine "
+        "Motion-JPEG AVI containers ('MJPG' fourcc, one baseline-JFIF "
+        "image per '00dc' chunk) parsed by the pure-Python AVI walker "
+        "and per-frame JPEG decoder, sampled at every_s=0.5 by the "
+        "container's OWN frame rate. Flat frames reconstruct "
+        "bit-exactly, so the sampled means are value-oracled against "
+        "the generation formula. Inter-frame codecs (H.264 …) remain "
+        "honestly gated.",
+)
+def q_multimodal_mjpeg(spark, sf_dir):
+    import numpy as np
+
+    rows = []
+    for m in range(10):
+        nf = 6 + m % 4
+        fr = np.stack(
+            [
+                np.full((32, 32), (m * 19 + f * 23 + 40) % 251, dtype=np.uint8)
+                for f in range(nf)
+            ]
+        )
+        rows.append(
+            (
+                m,
+                "video",
+                bytearray(M.encode_avi(fr, fps=4, codec="MJPG")),
+                {"width": 32, "height": 32, "sample_rate": None,
+                 "duration_s": nf / 4.0, "format": "mjpeg-avi"},
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+    frames = M.sample_frames(media, every_s=0.5, real=True)
+    mean_expr = (
+        "aggregate(sequence(1, 1024), CAST(0 AS BIGINT), "
+        "(acc, i) -> acc + CAST(conv(hex(substring(frame, i, 1)), 16, 10) AS BIGINT))"
+        " / 1024.0D"
+    )
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.expr(mean_expr).alias("mean_pixel"),
+    )

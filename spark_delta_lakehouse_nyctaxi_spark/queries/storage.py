@@ -710,3 +710,40 @@ def q_generated_column(spark, sf_dir):
     # the appender omits the column — the table computes it
     t.write(orders.filter(F.col("o_orderkey") % 2 == 1), mode="append")
     return t.read()
+
+
+@register(
+    "q_identity_column",
+    """
+    WITH b1 AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 = 1
+    ),
+    b2 AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 = 2
+    )
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+    FROM b1
+    UNION ALL
+    SELECT o_orderkey, o_custkey,
+           (SELECT COUNT(*) FROM b1)
+               + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+    FROM b2
+    """,
+    doc="Identity column (Delta GENERATED ALWAYS AS IDENTITY analog, "
+        "round 4): the table allocates monotonically increasing ids on "
+        "every write that omits the column — assignment runs through "
+        "the distributed global_row_number pattern (range exchange + "
+        "offset cumsum, no single-partition window), the watermark "
+        "carries across commits, and explicit supply is refused. Two "
+        "appends of disjoint order slices; the oracle reproduces the "
+        "deterministic lexicographic allocation with ROW_NUMBER plus "
+        "the first batch's count as the second batch's offset.",
+)
+def q_identity_column(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    t = VersionedTable(spark, scratch_dir("identity"))
+    t.add_identity_column("row_id", start=1, step=1)
+    t.write(orders.filter(F.col("o_orderkey") % 7 == 1), mode="overwrite")
+    t.write(orders.filter(F.col("o_orderkey") % 7 == 2), mode="append")
+    return t.read()

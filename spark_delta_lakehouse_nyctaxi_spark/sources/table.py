@@ -223,6 +223,103 @@ class VersionedTable:
             json.dump(gen, f)
         os.replace(tmp, self._generated_path)
 
+    # ------------------------------------------------ identity columns
+
+    @property
+    def _identity_path(self) -> str:
+        return os.path.join(self._vlog, "_identity.json")
+
+    def identity_columns(self) -> dict[str, dict]:
+        """Registered identity columns (Delta ``GENERATED ALWAYS AS
+        IDENTITY`` analog): name → {start, step, watermark}. The
+        watermark is the next value to allocate; like Delta, failed
+        commits may leave gaps (ranges are reserved before the write),
+        and the watermark file is not OCC-protected."""
+        if not os.path.exists(self._identity_path):
+            return {}
+        with open(self._identity_path) as f:
+            return json.load(f)
+
+    def add_identity_column(
+        self, name: str, start: int = 1, step: int = 1
+    ) -> None:
+        """Register ``name`` as GENERATED ALWAYS AS IDENTITY
+        (START WITH ``start`` INCREMENT BY ``step``).
+
+        Delta parity: identity columns can only be defined at table
+        creation (``ALTER TABLE`` cannot add one), so this refuses on
+        a table that already has data. Every write path that omits the
+        column gets values assigned via the scale-safe
+        ``global_row_number`` pattern (range exchange + offset cumsum
+        — never a single-partition window); supplying explicit values
+        is rejected (ALWAYS semantics). Unlike Delta's arbitrary
+        allocation, assignment order is the lexicographic order of the
+        incoming batch's other columns — deterministic, hence
+        value-oracle-able."""
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        if self.exists():
+            raise ValueError(
+                "identity columns can only be defined before the first "
+                "write (Delta parity: ALTER TABLE cannot add IDENTITY)"
+            )
+        ids = self.identity_columns()
+        ids[name] = {"start": int(start), "step": int(step), "watermark": int(start)}
+        os.makedirs(self._vlog, exist_ok=True)
+        tmp = self._identity_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(ids, f)
+        os.replace(tmp, self._identity_path)
+
+    def _reserve_identity_range(self, name: str, n: int) -> int:
+        """Advance the watermark by ``n`` steps and return the range
+        start (reserved BEFORE the data lands — failed commits leave
+        gaps, exactly like Delta identity)."""
+        ids = self.identity_columns()
+        spec = ids[name]
+        first = spec["watermark"]
+        spec["watermark"] = first + spec["step"] * n
+        tmp = self._identity_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(ids, f)
+        os.replace(tmp, self._identity_path)
+        return first
+
+    def _assign_identity(
+        self, df: DataFrame, name: str, spec: dict, only_null: bool = False
+    ) -> DataFrame:
+        """Assign identity values to ``df`` (or, with ``only_null``, to
+        its NULL-``name`` rows — the MERGE insert arm). Distributed:
+        one range exchange over the incoming BATCH (not the table) via
+        global_row_number; the per-partition counts it collects are the
+        only driver metadata."""
+        from ..operators.indexing import global_row_number
+
+        step = spec["step"]
+        order_cols = [c for c in df.columns if c != name]
+        if only_null:
+            todo = df.filter(F.col(name).isNull()).drop(name)
+            keep = df.filter(F.col(name).isNotNull())
+        else:
+            todo, keep = df, None
+        n = todo.count()
+        if n == 0:
+            return df
+        first = self._reserve_identity_range(name, n)
+        assigned = (
+            global_row_number(todo, order_cols, out_col="__ident_idx")
+            .withColumn(
+                name,
+                (F.lit(first) + (F.col("__ident_idx") - 1) * F.lit(step)).cast(
+                    "long"
+                ),
+            )
+            .drop("__ident_idx")
+        )
+        if keep is None:
+            return assigned
+        return keep.unionByName(assigned)
+
     # ------------------------------------------------- generated cols
 
     @property
@@ -428,6 +525,7 @@ class VersionedTable:
         extra: dict | None = None,
         merge_schema: bool = False,
         stats_cols: list[str] | None = None,
+        _identity_supplied_ok: bool = False,
     ) -> VersionInfo:
         """Reference parity: write_*_delta (etl/bronze_job.py:60-91) —
         modes overwrite/append, optional partitionBy.
@@ -445,6 +543,16 @@ class VersionedTable:
         # compute missing generated columns BEFORE the append schema
         # comparison (an appender may legitimately omit them)
         df = self._apply_generated(df)
+        for name, spec in self.identity_columns().items():
+            if name in df.columns:
+                if not _identity_supplied_ok:
+                    raise ValueError(
+                        f"column {name!r} is GENERATED ALWAYS AS IDENTITY "
+                        "and cannot be supplied; omit it and values are "
+                        "assigned automatically"
+                    )
+            else:
+                df = self._assign_identity(df, name, spec)
         prev = self._versions()
         if mode == "append" and prev:
             partition_by = partition_by or prev[-1].partition_by
@@ -665,6 +773,12 @@ class VersionedTable:
                     f"{old!r} is a generated column; drop_generated_column "
                     "and re-register it under the new name after renaming"
                 )
+            if old in self.identity_columns():
+                raise ValueError(
+                    f"{old!r} is a GENERATED ALWAYS AS IDENTITY column; "
+                    "its allocation metadata is keyed by name — renaming "
+                    "it is not supported"
+                )
             renamed_probe = self.read().withColumnRenamed(old, new)
             for gname, gexpr in gen.items():
                 try:
@@ -748,6 +862,7 @@ class VersionedTable:
             partition_by=part_logical or None,
             operation="MATERIALIZE RENAME",
             stats_cols=stats_cols,
+            _identity_supplied_ok=True,  # internal rewrite keeps ids
         )
 
     def read(self, version: int | None = None, timestamp: float | None = None) -> DataFrame:
@@ -988,6 +1103,12 @@ class VersionedTable:
         in both modes."""
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unsupported update mode {mode!r}")
+        bad_ident = set(set_exprs) & set(self.identity_columns())
+        if bad_ident:
+            raise ValueError(
+                f"column(s) {sorted(bad_ident)} are GENERATED ALWAYS AS "
+                "IDENTITY and cannot be updated"
+            )
         info = self._require_no_column_map("update")
         df = self.read()
         if mode == "merge-on-read":
@@ -1273,6 +1394,10 @@ class VersionedTable:
         for side, dest_path_ in (
             (cons, dest._constraints_path),
             (gen, dest._generated_path),
+            # identity metadata clones verbatim: the current watermark is
+            # ≥ every id in ANY snapshot, so a version-pinned clone can
+            # never re-allocate an existing value
+            (self.identity_columns(), dest._identity_path),
         ):
             if side:
                 os.makedirs(dest._vlog, exist_ok=True)
@@ -1423,6 +1548,24 @@ class VersionedTable:
         carried over by reference (no IO). New source partitions land in
         the rewrite automatically.
         """
+        idents = self.identity_columns()
+        ident_in_source = set(idents) & set(source.columns)
+        if ident_in_source:
+            raise ValueError(
+                f"column(s) {sorted(ident_in_source)} are GENERATED ALWAYS "
+                "AS IDENTITY; the merge source cannot supply them (match "
+                "on a natural key instead — inserted rows are assigned "
+                "fresh values)"
+            )
+        for bad in (
+            set(idents) & set(update_columns or []),
+            set(idents) & set(update_exprs or {}),
+        ):
+            if bad:
+                raise ValueError(
+                    f"identity column(s) {sorted(bad)} cannot be merge "
+                    "update targets"
+                )
         if not self.exists():
             return self.write(source, mode="overwrite", operation="MERGE", extra=extra)
         info = self._require_no_column_map("merge")
@@ -1496,6 +1639,13 @@ class VersionedTable:
         merged = joined.select(*merged_cols)
         if not insert_unmatched:
             merged = joined.filter(~s_only).select(*merged_cols)
+
+        # Inserted rows (source-only, so their identity slot is NULL —
+        # the source is barred from carrying it above) get fresh values;
+        # matched/carried rows keep theirs.
+        for name, spec in idents.items():
+            if name in cols:
+                merged = self._assign_identity(merged, name, spec, only_null=True)
 
         self._check_constraints(merged, "MERGE")
         new_units = self._write_units(merged, part_cols or None)

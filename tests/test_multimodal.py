@@ -231,3 +231,45 @@ def test_jpeg_stuffing_and_dc_chain():
     enc = M.encode_jpeg(px)
     assert b"\xff\x00" in enc  # stuffing actually happened
     assert np.abs(M.decode_jpeg(enc) - px).max() <= 1.5
+
+
+def test_mjpeg_avi_round_trip_and_gating(spark):
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    # flat frames exact, textured bounded, DIB path untouched
+    flat = np.stack(
+        [np.full((16, 24), (i * 31 + 9) % 251, dtype=np.uint8) for i in range(5)]
+    )
+    out, fps = M.decode_avi(M.encode_avi(flat, fps=4, codec="MJPG"))
+    assert fps == 4 and (out == flat).all()
+    rng = np.random.default_rng(3)
+    tex = rng.integers(0, 256, (4, 16, 24)).astype(np.uint8)
+    out2, _ = M.decode_avi(M.encode_avi(tex, fps=2, codec="MJPG"))
+    assert np.abs(out2 - tex).max() <= 1.5
+    # inter-frame codecs still refuse with a guided message
+    bad = bytearray(M.encode_avi(tex, codec="MJPG"))
+    i = bad.find(b"MJPG")
+    bad[i : i + 4] = b"H264"
+    with pytest.raises(ValueError, match="ffmpeg"):
+        M.decode_avi(bytes(bad))
+    with pytest.raises(ValueError, match="codec"):
+        M.encode_avi(tex, codec="H264")
+    # real frame sampling over an MJPG container honors its frame rate
+    rows = [
+        (
+            3,
+            "video",
+            bytearray(M.encode_avi(flat, fps=4, codec="MJPG")),
+            {"width": 24, "height": 16, "sample_rate": None,
+             "duration_s": 1.25, "format": "mjpeg-avi"},
+        )
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = sorted(
+        (r.frame_idx, bytes(r.frame))
+        for r in M.sample_frames(media, every_s=0.5, real=True).collect()
+    )
+    assert [i for i, _ in got] == [0, 2, 4]
+    assert got[1][1] == flat[2].tobytes()

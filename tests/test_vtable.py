@@ -1042,3 +1042,64 @@ def test_version_pinned_clone_validates_copied_metadata(spark, tmp_table_path):
     # the clone's data is usable and append is unconstrained
     c_v0.write(_mk(spark, [{"id": 2, "v": -1.0}]), mode="append")
     assert c_v0.read().count() == 2
+
+
+# ---------------------------------------------- identity columns (r4)
+
+
+def test_identity_column_assignment_and_guards(spark, tmp_table_path):
+    """GENERATED ALWAYS AS IDENTITY: values auto-assigned on write and
+    append (continuing the watermark), explicit supply / update /
+    rename refused, definition only before first write."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.add_identity_column("row_id", start=100, step=10)
+    t.write(_mk(spark, [{"k": "b"}, {"k": "a"}, {"k": "c"}]), mode="overwrite")
+    got = {(r.k, r.row_id) for r in t.read().collect()}
+    # lexicographic assignment order over the other columns
+    assert got == {("a", 100), ("b", 110), ("c", 120)}
+    t.write(_mk(spark, [{"k": "z"}, {"k": "y"}]), mode="append")
+    got = {(r.k, r.row_id) for r in t.read().collect()}
+    assert got == {("a", 100), ("b", 110), ("c", 120), ("y", 130), ("z", 140)}
+    # ALWAYS semantics: explicit values rejected
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS IDENTITY"):
+        t.write(_mk(spark, [{"k": "q", "row_id": 999}]), mode="append")
+    with pytest.raises(ValueError, match="cannot be updated"):
+        t.update({"row_id": "0"}, condition="k = 'a'")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.rename_column("row_id", "id2")
+    # cannot define on a table with data
+    with pytest.raises(ValueError, match="before the first write"):
+        t.add_identity_column("other")
+
+
+def test_identity_column_merge_and_clone(spark, tmp_table_path):
+    t = VersionedTable(spark, tmp_table_path)
+    t.add_identity_column("row_id")
+    t.write(
+        _mk(spark, [{"k": "a", "v": 1.0}, {"k": "b", "v": 2.0}]),
+        mode="overwrite",
+    )
+    # merge on the natural key: matched row updates v and KEEPS its id,
+    # inserted row gets the next id
+    t.merge(
+        _mk(spark, [{"k": "b", "v": 20.0}, {"k": "c", "v": 3.0}]),
+        keys=["k"],
+    )
+    got = {(r.k, r.v, r.row_id) for r in t.read().collect()}
+    assert got == {("a", 1.0, 1), ("b", 20.0, 2), ("c", 3.0, 3)}
+    # source carrying the identity column refuses
+    with pytest.raises(ValueError, match="natural key"):
+        t.merge(_mk(spark, [{"k": "d", "v": 4.0, "row_id": 9}]), keys=["k"])
+    with pytest.raises(ValueError, match="update targets"):
+        t.merge(
+            _mk(spark, [{"k": "a", "v": 5.0}]),
+            keys=["k"],
+            update_exprs={"row_id": "0"},
+        )
+    # clone carries the allocation watermark: appends to the clone
+    # continue, never collide
+    c = t.clone(tmp_table_path + "_idc")
+    c.write(_mk(spark, [{"k": "d", "v": 4.0}]), mode="append")
+    assert {(r.k, r.row_id) for r in c.read().collect()} == {
+        ("a", 1), ("b", 2), ("c", 3), ("d", 4)
+    }
