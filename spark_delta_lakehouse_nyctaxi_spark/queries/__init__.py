@@ -135,6 +135,10 @@ _PRIORITY: list[str] = [
     "q_multimodal_mjpeg",
     # Delta GENERATED ALWAYS AS IDENTITY analog
     "q_identity_column",
+    # grouped OLS via exact decimal normal equations
+    "q_linear_regression",
+    # bloom-filter equality skipping (point-lookup complement of stats)
+    "q_bloom_skipping",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

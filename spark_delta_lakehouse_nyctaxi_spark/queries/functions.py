@@ -221,6 +221,129 @@ def q_corr_manual(spark, sf_dir):
 
 
 @register(
+    "q_linear_regression",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(22,2)))
+                    AS DECIMAL(16,2)) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2)))
+                    AS DECIMAL(16,2)) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(22,4)))
+                    AS DECIMAL(21,4)) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(22,4))) AS DECIMAL(22,4)) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(22,4)))
+                    AS DECIMAL(21,4)) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    w AS (
+        -- widths ≥ 19 force DuckDB's int128 decimal storage (int64
+        -- operands overflow in multiplication); every product below is
+        -- kept ≤ combined width 38 so it stays an EXACT decimal — a
+        -- wider product silently falls back to double multiply there
+        SELECT l_returnflag,
+               CAST(n AS DECIMAL(16,0)) AS n,
+               CAST(sx AS DECIMAL(19,2)) AS sx,
+               CAST(sy AS DECIMAL(19,2)) AS sy,
+               -- sy·sxx / sx·sxy need (19,2)×(19,4) = 38 (width 19 ⇒
+               -- int128 storage — an int64 operand overflows in
+               -- multiplication); their (38,6) difference stays an
+               -- exact DECIMAL(38,6). sxx ≤ n·50² and sxy ≤
+               -- n·50·110000 both fit (19,4) at any test SF
+               CAST(sxx AS DECIMAL(19,4)) AS sxx,
+               CAST(syy AS DECIMAL(22,4)) AS syy,
+               CAST(sxy AS DECIMAL(19,4)) AS sxy
+        FROM s
+    )
+    ,
+    d AS (
+        -- decimal→double is only engine-identical at SCALE 0: DuckDB
+        -- converts int128→double then divides by 10^scale (two
+        -- roundings) while Spark single-rounds, so any scale>0 value
+        -- past 2^53 units can differ in the last ulp. Every moment
+        -- combination is therefore rounded to scale 0 IN EXACT DECIMAL
+        -- first — round(), not a cast: DuckDB's scale-reducing decimal
+        -- cast TRUNCATES where Spark's rounds half-up — and only then
+        -- converted (a single correct rounding on both engines; the
+        -- dropped fraction is ≤ 1e-15 relative, below the quotients'
+        -- ulp).
+        SELECT l_returnflag, n,
+               CAST(round(n * sxy - sx * sy, 0)  AS DOUBLE) AS num,
+               CAST(round(n * sxx - sx * sx, 0)  AS DOUBLE) AS den,
+               CAST(round(n * syy - sy * sy, 0)  AS DOUBLE) AS den2,
+               CAST(round(sy * sxx - sx * sxy, 0) AS DOUBLE) AS inum
+        FROM w
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           num / den AS slope,
+           inum / den AS intercept,
+           (num * num) / (den * den2) AS r2
+    FROM d
+    """,
+    doc="Grouped OLS linear regression (extendedprice ~ quantity per "
+        "return flag) from exact decimal moment sums — the normal-"
+        "equation closed form with the q_corr_manual discipline, "
+        "hardened: all moment algebra stays in exact decimals (every "
+        "product ≤ precision 38 on Spark AND ≤ combined width 38 on "
+        "int128 operands in DuckDB), and every decimal→double "
+        "conversion goes through round(x, 0) first — scale-0 is the "
+        "only decimal→double shape both engines single-round "
+        "identically (DuckDB divides by 10^scale after the int128 "
+        "conversion, double-rounding any scale>0 value past 2^53 "
+        "units). One map-side-combining aggregate per group is the "
+        "only shuffle — the scale path for per-segment model fitting "
+        "(built-in regr_slope is fp-order-dependent).",
+)
+def q_linear_regression(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("decimal(10,0)").alias("n0"),
+        F.sum(qty.cast("decimal(22,2)")).cast("decimal(16,2)").alias("sx0"),
+        F.sum(price.cast("decimal(22,2)")).cast("decimal(16,2)").alias("sy0"),
+        F.sum((qty * qty).cast("decimal(22,4)")).cast("decimal(21,4)").alias("sxx0"),
+        F.sum((price * price).cast("decimal(22,4)")).cast("decimal(22,4)").alias("syy0"),
+        F.sum((qty * price).cast("decimal(22,4)")).cast("decimal(21,4)").alias("sxy0"),
+    ).select(
+        # Spark-side widths: every product ≤ precision 38 so the exact
+        # decimal algebra never hits allowPrecisionLoss rounding —
+        # n(15)·sxy(19)+1 = 35, sy(16,2)·sxx(19,4)+1 = 36, and the
+        # (37,4)−(33,4) differences land exactly on 38
+        "l_returnflag",
+        F.col("n0").cast("decimal(15,0)").alias("n"),
+        F.col("sx0").cast("decimal(16,2)").alias("sx"),
+        F.col("sy0").cast("decimal(16,2)").alias("sy"),
+        F.col("sxx0").cast("decimal(19,4)").alias("sxx"),
+        F.col("syy0").cast("decimal(22,4)").alias("syy"),
+        F.col("sxy0").cast("decimal(19,4)").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # every moment combination is rounded to SCALE 0 in exact decimal
+    # before the double conversion — the only decimal→double shape both
+    # engines single-round identically (see the oracle comment; F.round
+    # on decimals is HALF_UP = DuckDB round()'s half-away for every
+    # sign)
+    num = F.round(n * sxy - sx * sy, 0).cast("double")
+    den = F.round(n * sxx - sx * sx, 0).cast("double")
+    den2 = F.round(n * syy - sy * sy, 0).cast("double")
+    inum = F.round(sy * sxx - sx * sxy, 0).cast("double")
+    slope = num / den
+    intercept = inum / den
+    r2 = (num * num) / (den * den2)
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+@register(
     "q_grouping_sets",
     f"""
     SELECT l_returnflag, l_linestatus,

@@ -747,3 +747,37 @@ def q_identity_column(spark, sf_dir):
     t.write(orders.filter(F.col("o_orderkey") % 7 == 1), mode="overwrite")
     t.write(orders.filter(F.col("o_orderkey") % 7 == 2), mode="append")
     return t.read()
+
+
+@register(
+    "q_bloom_skipping",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders WHERE o_custkey = 7
+    """,
+    doc="Bloom-filter data skipping (Delta/Parquet bloom index analog, "
+        "round 4) — the POINT-LOOKUP complement of range stats: four "
+        "hash-disjoint appends each store a per-unit 4096-bit bloom "
+        "over o_custkey in the manifest (write(bloom_cols=...); "
+        "appends inherit the bloom columns), and an equality scan "
+        "probes the value's 5 xxhash64 bit positions against each "
+        "bitset — value-free units never reach the file listing, no "
+        "range clustering required. The query RAISES unless ≥ 2 units "
+        "were provably skipped, so the value check certifies the "
+        "pruning engaged. min/max stats cannot skip here (every unit "
+        "spans the full custkey range — that is the point).",
+)
+def q_bloom_skipping(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t = VersionedTable(spark, scratch_dir("bloom"))
+    # hash-partitioned batches: custkey ranges OVERLAP fully across
+    # units (min/max useless) but each custkey lands in exactly one
+    for i in range(4):
+        batch = orders.filter(F.col("o_custkey") % 4 == i).coalesce(1)
+        t.write(batch, mode="append" if i else "overwrite", bloom_cols=["o_custkey"])
+    out = t.scan(eq={"o_custkey": 7})
+    if t.last_scan["skipped"] < 2:
+        raise AssertionError(f"bloom skipping ineffective: {t.last_scan}")
+    return out

@@ -516,6 +516,101 @@ class VersionedTable:
             }
         return stats
 
+    # Bloom filter parameters: m bits / k hashes sized for ~500 distinct
+    # values per unit at ~1% false-positive rate; a false positive only
+    # costs reading a unit that range stats alone would have read anyway.
+    _BLOOM_M, _BLOOM_K = 4096, 5
+
+    def _collect_blooms(
+        self, new_units: list[str], bloom_cols: list[str], partitioned: bool
+    ) -> dict:
+        """Per-unit bloom filters for equality skipping (the Delta/
+        Parquet bloom-filter-index analog, kept in the manifest like
+        stats). ONE Spark job per column: every non-null value hashes to
+        k = 5 positions in an m = 4096-bit set via JVM xxhash64 (seeded
+        0..k-1 — engine-stable), positions deduplicate distributed, and
+        only the ≤ m distinct positions per unit reach the driver, which
+        packs them into a hex-encoded bitset."""
+        from urllib.parse import unquote, urlparse
+
+        if not new_units:
+            return {}
+        m, k = self._BLOOM_M, self._BLOOM_K
+        roots = sorted({u.split("/", 1)[0] for u in new_units})
+        by_dir_col: dict[tuple[str, str], set[int]] = {}
+        for root in roots:
+            base = os.path.join(self._data, root)
+            reader = self.spark.read
+            if partitioned:
+                reader = reader.option("basePath", base)
+            df = reader.parquet(base)
+            for c in bloom_cols:
+                if c not in df.columns:
+                    continue
+                # hash the CANONICAL STRING form: xxhash64 is type-
+                # sensitive and the probe side builds values from
+                # literals whose Spark type (int) can differ from the
+                # column's (bigint) — strings make build and probe agree
+                # for every primitive type
+                pos = F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col(c).cast("string"), F.lit(i)),
+                            F.lit(m),
+                        ).cast("int")
+                        for i in range(k)
+                    ]
+                )
+                rows = (
+                    df.filter(F.col(c).isNotNull())
+                    .select(
+                        F.regexp_replace(
+                            F.input_file_name(), "/[^/]*$", ""
+                        ).alias("_dir"),
+                        F.explode(pos).alias("p"),
+                    )
+                    .distinct()
+                    .groupBy("_dir")
+                    .agg(F.collect_set("p").alias("ps"))
+                    .collect()
+                )
+                for r in rows:
+                    d = unquote(urlparse(r["_dir"]).path)
+                    by_dir_col.setdefault((d, c), set()).update(r["ps"])
+        blooms: dict = {}
+        for u in new_units:
+            abs_u = os.path.abspath(os.path.join(self._data, u))
+            for c in bloom_cols:
+                bits = by_dir_col.get((abs_u, c))
+                if bits is None:
+                    continue
+                arr = bytearray(m // 8)
+                for p in bits:
+                    arr[p >> 3] |= 1 << (p & 7)
+                blooms.setdefault(u, {})[c] = bytes(arr).hex()
+        return blooms
+
+    def _bloom_probe_positions(self, eq: dict) -> dict[str, list[int]]:
+        """k hash positions per probed value — ONE tiny Spark job (the
+        probe must use the same JVM xxhash64 the build used)."""
+        m, k = self._BLOOM_M, self._BLOOM_K
+        exprs = []
+        cols = list(eq)
+        for i, c in enumerate(cols):
+            exprs.append(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.lit(eq[c]).cast("string"), F.lit(j)),
+                            F.lit(m),
+                        ).cast("int")
+                        for j in range(k)
+                    ]
+                ).alias(f"p{i}")
+            )
+        row = self.spark.range(1).select(*exprs).first()
+        return {c: list(row[f"p{i}"]) for i, c in enumerate(cols)}
+
     def write(
         self,
         df: DataFrame,
@@ -525,6 +620,7 @@ class VersionedTable:
         extra: dict | None = None,
         merge_schema: bool = False,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
         _identity_supplied_ok: bool = False,
     ) -> VersionInfo:
         """Reference parity: write_*_delta (etl/bronze_job.py:60-91) —
@@ -577,6 +673,17 @@ class VersionedTable:
             if stats_cols
             else {}
         )
+        if mode == "append" and prev and bloom_cols is None:
+            # appends inherit the table's bloom columns (like stats,
+            # skipping metadata must not silently stop at a commit)
+            prev_blooms = prev[-1].extra.get("blooms", {})
+            inherited = sorted({c for b in prev_blooms.values() for c in b})
+            bloom_cols = inherited or None
+        new_blooms = (
+            self._collect_blooms(new_units, bloom_cols, bool(partition_by))
+            if bloom_cols
+            else {}
+        )
         # Optimistic commit: the data units above are immutable and
         # uuid-named, so on a version conflict only the manifest needs
         # rebuilding against the refreshed snapshot (blind writes
@@ -584,12 +691,14 @@ class VersionedTable:
         for attempt in range(10):
             units = new_units
             stats = new_stats
+            blooms = new_blooms
             if mode == "append" and prev:
                 units = prev[-1].units + new_units
                 # Carry the carried units' stats: skipping metadata is
                 # per-unit and units are immutable, so prior stats stay
                 # valid verbatim. Units with no stats simply never skip.
                 stats = {**prev[-1].extra.get("stats", {}), **new_stats}
+                blooms = {**prev[-1].extra.get("blooms", {}), **new_blooms}
             xtra = dict(extra or {})
             if mode == "append" and prev and prev[-1].extra.get("mor_deletes"):
                 # pending merge-on-read tombstones stay scoped to the
@@ -600,6 +709,8 @@ class VersionedTable:
                 xtra["column_map"] = prev[-1].extra["column_map"]
             if stats:
                 xtra["stats"] = stats
+            if blooms:
+                xtra["blooms"] = blooms
             info = VersionInfo(
                 version=(prev[-1].version + 1 if prev else 0),
                 timestamp=time.time(),
@@ -908,9 +1019,10 @@ class VersionedTable:
 
     def scan(
         self,
-        pred: dict[str, tuple],
+        pred: dict[str, tuple] | None = None,
         version: int | None = None,
         timestamp: float | None = None,
+        eq: dict | None = None,
     ) -> DataFrame:
         """Stats-skipping scan — the Delta data-skipping analog: range
         predicates are checked against the per-unit min/max collected at
@@ -922,13 +1034,47 @@ class VersionedTable:
         clustered ingest (time-ordered appends, range/Z-order layout)
         makes this the difference between scanning one unit and
         scanning the table. ``self.last_scan`` records kept/skipped
-        counts for observability."""
+        counts for observability.
+
+        ``eq`` adds EQUALITY predicates ``{col: value}`` pruned through
+        per-unit bloom filters (``write(bloom_cols=...)``) — the
+        point-lookup complement of range stats: a unit is skipped when
+        any of the value's k bit positions is absent from its bitset
+        (provably value-free; false positives only cost a read), plus
+        the min/max check when range stats also cover the column. Both
+        predicate kinds re-apply as row filters."""
+        pred = dict(pred or {})
+        eq = dict(eq or {})
         info = self._resolve(version, timestamp)
         # predicates arrive under logical names; stats are keyed by the
         # physical names the units carry
         inv = {l: p for p, l in self._column_map_of(info).items()}
         pred = {inv.get(c, c): b for c, b in pred.items()}
-        kept, skipped = self._prune_units(info, pred)
+        eq = {inv.get(c, c): v for c, v in eq.items()}
+        # equality bounds participate in range pruning too
+        range_pred = dict(pred)
+        for c, v in eq.items():
+            range_pred.setdefault(c, (v, v))
+        kept, skipped = self._prune_units(info, range_pred)
+        if eq and kept:
+            probes = self._bloom_probe_positions(eq)
+            blooms = info.extra.get("blooms", {})
+            survivors = []
+            for u in kept:
+                ub = blooms.get(u, {})
+                drop = False
+                for c, positions in probes.items():
+                    hx = ub.get(c)
+                    if hx is None:
+                        continue  # no bloom for this unit/col: keep
+                    bits = bytes.fromhex(hx)
+                    if any(
+                        not (bits[p >> 3] >> (p & 7)) & 1 for p in positions
+                    ):
+                        drop = True
+                        break
+                (skipped if drop else survivors).append(u)
+            kept = survivors
         self.last_scan = {"kept": len(kept), "skipped": len(skipped)}
         if kept:
             df = self._read_with_deletes(info, kept)
@@ -942,6 +1088,8 @@ class VersionedTable:
                 df = df.filter(F.col(col) >= F.lit(lo))
             if hi is not None:
                 df = df.filter(F.col(col) <= F.lit(hi))
+        for col, v in eq.items():
+            df = df.filter(F.col(col) == F.lit(v))
         return self._apply_column_map(df, info)
 
     def _conform_types(self, df: DataFrame) -> DataFrame:
@@ -1258,6 +1406,12 @@ class VersionedTable:
             "num_units": len(info.units),
             "units_with_stats": len([u for u in info.units if u in stats]),
             "stats_columns": sorted({c for s in stats.values() for c in s}),
+            "units_with_blooms": len(
+                [u for u in info.units if u in info.extra.get("blooms", {})]
+            ),
+            "bloom_columns": sorted(
+                {c for b in info.extra.get("blooms", {}).values() for c in b}
+            ),
             "pending_mor_deletes": len(info.extra.get("mor_deletes", [])),
             "column_mapping": self._column_map_of(info),
         }
@@ -1458,6 +1612,17 @@ class VersionedTable:
             )
             if stats:
                 xtra["stats"] = stats
+        if info.extra.get("blooms"):
+            # OPTIMIZE must not degrade equality skipping either —
+            # rebuild blooms for the columns the snapshot tracked
+            bloom_cols = sorted(
+                {c for b in info.extra["blooms"].values() for c in b}
+            )
+            nb = self._collect_blooms(
+                new_units, bloom_cols, bool(info.partition_by)
+            )
+            if nb:
+                xtra["blooms"] = nb
         if info.extra.get("column_map"):
             xtra["column_map"] = info.extra["column_map"]
         # Pin the expected head (info.version + 1): compaction is a
