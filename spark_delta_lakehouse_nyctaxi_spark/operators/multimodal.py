@@ -7,9 +7,10 @@ signatures, batch shapes — is real and tested.
 
 Codecs (rounds 3-4): WAV (RIFF/PCM16), BMP (24-bit uncompressed),
 compressed grayscale PNG (stdlib zlib inflate, CRC-validated chunks,
-all five scanline filters), uncompressed AVI, and baseline grayscale
-JPEG (standard Annex-K huffman tables, byte stuffing, DCT — round 4)
-decode FOR REAL via the pure-Python parsers below — no external
+all five scanline filters), uncompressed AND Motion-JPEG AVI, and
+baseline JPEG — grayscale and 4:4:4 YCbCr color (standard Annex-K
+luma+chroma huffman tables, byte stuffing, DCT — round 4) — decode
+FOR REAL via the pure-Python parsers below — no external
 libraries needed — and ``extract_features(real=True)`` computes
 statistics over the actual decoded samples/pixels (value-oracled by
 q_multimodal_real_codecs / q_multimodal_jpeg);
@@ -596,65 +597,134 @@ class _BitReader:
         return v
 
 
+# Standard CHROMINANCE tables (ITU-T T.81 Annex K) — used for the Cb/Cr
+# components of color JPEGs; like the luma pair, the decoder reads the
+# actual tables from the file's DHT segments.
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1,
+    *range(0x17, 0x1B), *range(0x26, 0x2B), *range(0x35, 0x3B),
+    *range(0x43, 0x4B), *range(0x53, 0x5B), *range(0x63, 0x6B),
+    *range(0x73, 0x7B), *range(0x82, 0x8B), *range(0x92, 0x9B),
+    *range(0xA2, 0xAB), *range(0xB2, 0xBB), *range(0xC2, 0xCB),
+    *range(0xD2, 0xDB), *range(0xE2, 0xEB), *range(0xF2, 0xFB),
+]
+assert len(_JPEG_AC_VALS_C) == sum(_JPEG_AC_BITS_C) == 162
+
+
+def _plane_to_zigzag_blocks(plane: np.ndarray, quant: int) -> np.ndarray:
+    """(H, W) float64 (already level-shifted) → (nblocks, 64) quantized
+    zigzag coefficients, blocks in row-major MCU order."""
+    hb, wb = plane.shape[0] // 8, plane.shape[1] // 8
+    d = _dct_matrix()
+    blocks = plane.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ux,ijxy,vy->ijuv", d, blocks, d)
+    q = np.round(coefs / float(quant)).astype(np.int64)
+    return q.reshape(-1, 8, 8)[:, _ZZ_U, _ZZ_V]
+
+
+def _encode_block(bw: "_BitWriter", blk, prev_dc: int, dc_codes, ac_codes) -> int:
+    dc = int(blk[0])
+    diff = dc - prev_dc
+    s = _jpeg_category(diff)
+    c, ln = dc_codes[s]
+    bw.write(c, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    nz = np.nonzero(blk[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    run = 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        s = _jpeg_category(v)
+        c, ln = ac_codes[(run << 4) | s]
+        bw.write(c, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return dc
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """JFIF full-range BT.601: (h, w, 3) uint8 RGB → float64 YCbCr."""
+    r, g, b = px[..., 0].astype(np.float64), px[..., 1].astype(np.float64), px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
 def encode_jpeg(pixels, quant: int = 1) -> bytes:
-    """Minimal baseline JFIF writer for 8-bit GRAYSCALE images.
+    """Minimal baseline JFIF writer: 8-bit GRAYSCALE ((h, w)) or RGB
+    COLOR ((h, w, 3) — JFIF full-range YCbCr, 4:4:4, interleaved MCUs,
+    standard Annex-K luma + chroma tables).
 
     ``quant`` is a flat quantization step for all 64 coefficients —
     the default 1 keeps the stream near-lossless (the only loss is
     DCT-coefficient rounding), which is what makes the round trip
-    value-certifiable: constant blocks reconstruct bit-exactly and any
-    block's max pixel error is bounded by quant-step arithmetic.
-    Edge-replicate pads to 8×8 blocks; standard Annex-K Huffman
-    tables; byte stuffing; no restart intervals."""
+    value-certifiable: constant gray blocks reconstruct bit-exactly
+    (in color too: R=G=B ⇒ Cb=Cr=128 exactly) and any block's max
+    pixel error is bounded by quant-step arithmetic. Edge-replicate
+    pads to 8×8 blocks; byte stuffing; no restart intervals."""
     import struct
 
     px = np.asarray(pixels, dtype=np.uint8)
-    h, w = px.shape
+    color = px.ndim == 3
+    if color and px.shape[2] != 3:
+        raise ValueError("color input must be (h, w, 3) RGB")
+    h, w = px.shape[:2]
     hb, wb = -(-h // 8), -(-w // 8)
-    padded = (
-        np.pad(px, ((0, hb * 8 - h), (0, wb * 8 - w)), mode="edge").astype(
-            np.float64
-        )
-        - 128.0
-    )
-    d = _dct_matrix()
-    blocks = padded.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)
-    coefs = np.einsum("ux,ijxy,vy->ijuv", d, blocks, d)
-    q = np.round(coefs / float(quant)).astype(np.int64)
-    zz = q.reshape(-1, 8, 8)[:, _ZZ_U, _ZZ_V]  # (nblocks, 64) zigzag
+    pad = ((0, hb * 8 - h), (0, wb * 8 - w))
+    if color:
+        planes = _rgb_to_ycbcr(np.pad(px, pad + ((0, 0),), mode="edge")) - 128.0
+        comp_zz = [
+            _plane_to_zigzag_blocks(planes[..., i], quant) for i in range(3)
+        ]
+    else:
+        comp_zz = [
+            _plane_to_zigzag_blocks(
+                np.pad(px, pad, mode="edge").astype(np.float64) - 128.0, quant
+            )
+        ]
 
-    dc_codes = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    luma = (
+        _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS),
+        _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS),
+    )
+    chroma = (
+        _huff_encode_table(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C),
+        _huff_encode_table(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C),
+    )
+    tables = [luma] + [chroma] * (len(comp_zz) - 1)
     bw = _BitWriter()
-    prev_dc = 0
-    for blk in zz:
-        diff = int(blk[0]) - prev_dc
-        prev_dc = int(blk[0])
-        s = _jpeg_category(diff)
-        c, ln = dc_codes[s]
-        bw.write(c, ln)
-        if s:
-            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-        nz = np.nonzero(blk[1:])[0]
-        last = int(nz[-1]) + 1 if len(nz) else 0
-        run = 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                c, ln = ac_codes[0xF0]  # ZRL
-                bw.write(c, ln)
-                run -= 16
-            s = _jpeg_category(v)
-            c, ln = ac_codes[(run << 4) | s]
-            bw.write(c, ln)
-            bw.write(v if v > 0 else v + (1 << s) - 1, s)
-            run = 0
-        if last < 63:
-            c, ln = ac_codes[0x00]  # EOB
-            bw.write(c, ln)
+    preds = [0] * len(comp_zz)
+    # interleaved MCU order: at 4:4:4 one block per component per MCU
+    for m in range(hb * wb):
+        for ci, zz in enumerate(comp_zz):
+            dc_codes, ac_codes = tables[ci]
+            preds[ci] = _encode_block(bw, zz[m], preds[ci], dc_codes, ac_codes)
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -664,16 +734,25 @@ def encode_jpeg(pixels, quant: int = 1) -> bytes:
     out = b"\xff\xd8"  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + qtab.tobytes())
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    out += seg(
-        0xFFC4,
-        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
-    )
-    out += seg(
-        0xFFC4,
-        b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
-    )
-    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    if color:
+        out += seg(0xFFDB, b"\x01" + qtab.tobytes())
+        sof = struct.pack(">BHHB", 8, h, w, 3)
+        sof += b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+        out += seg(0xFFC0, sof)
+    else:
+        out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if color:
+        out += seg(
+            0xFFC4, b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+        )
+        out += seg(
+            0xFFC4, b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C)
+        )
+        out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    else:
+        out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     return out + bytes(bw.out) + b"\xff\xd9"  # EOI
 
 
@@ -728,15 +807,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
-            if nc != 1:
-                raise ValueError(
-                    "color JPEG (multi-component) not supported — "
-                    "grayscale baseline only"
-                )
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG not supported")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF component specs")
             sof = (h, w)
-            comp_spec = (body[6], body[7], body[8])  # id, sampling, tq
-            if body[7] != 0x11:
-                raise ValueError("subsampling not supported for grayscale")
+            # per component: (id, sampling, quant-table id)
+            comp_spec = [
+                (body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i])
+                for i in range(nc)
+            ]
+            if any(cs[1] != 0x11 for cs in comp_spec):
+                raise ValueError(
+                    "chroma subsampling not supported — 4:4:4 only"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -747,27 +831,36 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("restart intervals not supported")
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
-            if ns != 1:
-                raise ValueError("single-component scan expected")
-            td, ta = body[2] >> 4, body[2] & 0x0F
+            # per scan component: (component id, dc table, ac table)
+            sel = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
             # entropy data runs to the next real marker (EOI)
             data_start = pos + 2 + ln
             end = payload.rfind(b"\xff\xd9")
             if end < 0:
                 raise ValueError("missing EOI")
-            scan = (td, ta, payload[data_start:end])
+            scan = (sel, payload[data_start:end])
             break
         pos += 2 + ln
     if sof is None or scan is None or comp_spec is None:
         raise ValueError("missing SOF0/SOS")
     h, w = sof
-    qt = qtabs.get(comp_spec[2])
-    if qt is None:
-        raise ValueError("missing quant table")
-    td, ta, data = scan
-    dc_tab, ac_tab = dc_tabs.get(td), ac_tabs.get(ta)
-    if dc_tab is None or ac_tab is None:
-        raise ValueError("missing Huffman table(s)")
+    sel, data = scan
+    if len(sel) != len(comp_spec):
+        raise ValueError("non-interleaved multi-scan JPEG not supported")
+    comps = []  # (quant table, dc tab, ac tab) per component in scan order
+    by_id = {cs[0]: cs for cs in comp_spec}
+    for cid, td, ta in sel:
+        cs = by_id.get(cid)
+        if cs is None:
+            raise ValueError(f"scan references unknown component {cid}")
+        qt = qtabs.get(cs[2])
+        dc_tab, ac_tab = dc_tabs.get(td), ac_tabs.get(ta)
+        if qt is None or dc_tab is None or ac_tab is None:
+            raise ValueError("missing quant/Huffman table(s)")
+        comps.append((qt, dc_tab, ac_tab))
 
     br = _BitReader(data)
 
@@ -786,37 +879,47 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     hb, wb = -(-h // 8), -(-w // 8)
     nblocks = hb * wb
-    zz = np.zeros((nblocks, 64), dtype=np.float64)
-    pred = 0
-    for i in range(nblocks):
-        s = read_symbol(dc_tab)
-        diff = extend(br.bits(s), s) if s else 0
-        pred += diff
-        zz[i, 0] = pred
-        k = 1
-        while k < 64:
-            rs = read_symbol(ac_tab)
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:  # ZRL
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("AC run overflows block")
-            zz[i, k] = extend(br.bits(s), s)
-            k += 1
-    coefs = np.zeros((nblocks, 8, 8))
-    coefs[:, _ZZ_U, _ZZ_V] = zz * qt[None, :]
+    nc = len(comps)
+    zz = np.zeros((nc, nblocks, 64), dtype=np.float64)
+    preds = [0] * nc
+    # interleaved MCUs: one block per component per MCU at 4:4:4
+    for m in range(nblocks):
+        for ci, (_qt, dc_tab, ac_tab) in enumerate(comps):
+            s = read_symbol(dc_tab)
+            diff = extend(br.bits(s), s) if s else 0
+            preds[ci] += diff
+            zz[ci, m, 0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = read_symbol(ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                zz[ci, m, k] = extend(br.bits(s), s)
+                k += 1
+
     d = _dct_matrix()
-    # IDCT: out[x,y] = Σ_{u,v} d[u,x] · C[u,v] · d[v,y]
-    spatial = np.einsum("ux,iuv,vy->ixy", d, coefs, d) + 128.0
-    px = np.clip(np.round(spatial), 0, 255)
-    full = (
-        px.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
-    )
-    return full[:h, :w].astype(np.float64)
+    planes = []
+    for ci, (qt, _dc, _ac) in enumerate(comps):
+        coefs = np.zeros((nblocks, 8, 8))
+        coefs[:, _ZZ_U, _ZZ_V] = zz[ci] * qt[None, :]
+        # IDCT: out[x,y] = Σ_{u,v} d[u,x] · C[u,v] · d[v,y]
+        spatial = np.einsum("ux,iuv,vy->ixy", d, coefs, d) + 128.0
+        planes.append(
+            spatial.reshape(hb, wb, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(hb * 8, wb * 8)[:h, :w]
+        )
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.float64)
+    rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return np.clip(np.round(rgb), 0, 255).astype(np.float64)
 
 
 _JPEG_SIG = b"\xff\xd8"
@@ -835,8 +938,9 @@ def decode_real(payload: bytes) -> np.ndarray:
     if payload[:2] == _JPEG_SIG:
         return decode_jpeg(payload).ravel()
     raise NotImplementedError(
-        "compressed video needs ffmpeg — absent in this container; WAV, "
-        "BMP, grayscale PNG and baseline grayscale JPEG decode for real"
+        "inter-frame compressed video needs ffmpeg — absent in this "
+        "container; WAV, BMP, grayscale PNG, baseline JPEG (gray + "
+        "4:4:4 color) and DIB/MJPG AVI decode for real"
     )
 
 

@@ -132,6 +132,7 @@ _PRIORITY: list[str] = [
     # pure-Python baseline JPEG codec (VERDICT r3 item 7 closed) + the
     # Motion-JPEG AVI it unlocks (compressed video without ffmpeg)
     "q_multimodal_jpeg",
+    "q_multimodal_jpeg_color",
     "q_multimodal_mjpeg",
     # Delta GENERATED ALWAYS AS IDENTITY analog
     "q_identity_column",

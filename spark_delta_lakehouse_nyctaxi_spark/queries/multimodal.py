@@ -461,3 +461,111 @@ def q_multimodal_mjpeg(spark, sf_dir):
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.expr(mean_expr).alias("mean_pixel"),
     )
+
+
+# COLOR JPEG (round 4): 3-component 4:4:4 YCbCr baseline — interleaved
+# MCUs, per-component DC predictors, luma AND chroma Annex-K tables,
+# two quant tables, full-range BT.601 color conversion. Flat colors
+# reconstruct bit-exactly (DC-only planes + analytic YCbCr inverse), so
+# per-channel means are oracled by the closed-form RGB generator;
+# textured media carry the measured error envelope as a certificate
+# (per-plane ±1 IDCT rounding amplifies through the 1.772·Cb term).
+_JPEG_COLOR_ORACLE = """
+    WITH flat AS (
+        SELECT m.m AS media_id,
+               CAST((m.m * 37 + 11) % 256 AS DOUBLE) AS r,
+               CAST((m.m * 59 + 83) % 256 AS DOUBLE) AS g,
+               CAST((m.m * 23 + 171) % 256 AS DOUBLE) AS b
+        FROM range(12) m(m)
+    )
+    SELECT media_id, channel, mean_value FROM (
+        SELECT media_id, 'r' AS channel, r AS mean_value FROM flat
+        UNION ALL SELECT media_id, 'g', g FROM flat
+        UNION ALL SELECT media_id, 'b', b FROM flat
+        UNION ALL
+        SELECT m.m + 12 AS media_id, 'max_err_le_4' AS channel,
+               1.0 AS mean_value
+        FROM range(12) m(m)
+    )
+"""
+
+
+@register(
+    "q_multimodal_jpeg_color",
+    _JPEG_COLOR_ORACLE,
+    doc="REAL COLOR JPEG decode, pure Python: baseline 4:4:4 YCbCr "
+        "JFIF files (interleaved MCUs, separate luma/chroma huffman + "
+        "quant tables, BT.601 full-range conversion) encoded from "
+        "closed-form RGB images and decoded inside mapInPandas. Flat "
+        "colors round-trip bit-exactly — per-channel means oracled "
+        "against the generator — and textured media certify the "
+        "error envelope. Chroma-subsampled and progressive streams "
+        "still refuse honestly.",
+)
+def q_multimodal_jpeg_color(spark, sf_dir):
+    import numpy as np
+
+    rows = []
+    for m in range(12):
+        rgb = ((m * 37 + 11) % 256, (m * 59 + 83) % 256, (m * 23 + 171) % 256)
+        px = np.zeros((24, 32, 3), dtype=np.uint8)
+        px[:] = rgb
+        rows.append(
+            (
+                m,
+                "image",
+                bytearray(M.encode_jpeg(px)),
+                {"width": 32, "height": 24, "sample_rate": None,
+                 "duration_s": None, "format": "jpeg"},
+            )
+        )
+    r, c = np.divmod(np.arange(24 * 32), 32)
+    for m in range(12, 24):
+        px = np.stack(
+            [
+                ((m * 7 + r * 13 + c * 3) % 256),
+                ((m * 11 + r * 5 + c * 17) % 256),
+                ((m * 3 + r * 19 + c * 7) % 256),
+            ],
+            axis=-1,
+        ).astype("uint8").reshape(24, 32, 3)
+        rows.append(
+            (
+                m,
+                "image",
+                bytearray(M.encode_jpeg(px)),
+                {"width": 32, "height": 24, "sample_rate": None,
+                 "duration_s": None, "format": "jpeg"},
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                dec = M.decode_jpeg(bytes(payload))  # (24, 32, 3)
+                if mid < 12:
+                    for i, ch in enumerate("rgb"):
+                        out.append((mid, ch, float(dec[..., i].mean())))
+                else:
+                    rr, cc = np.divmod(np.arange(24 * 32), 32)
+                    ref = np.stack(
+                        [
+                            ((mid * 7 + rr * 13 + cc * 3) % 256),
+                            ((mid * 11 + rr * 5 + cc * 17) % 256),
+                            ((mid * 3 + rr * 19 + cc * 7) % 256),
+                        ],
+                        axis=-1,
+                    ).reshape(24, 32, 3)
+                    err = float(np.abs(dec - ref).max())
+                    out.append((mid, "max_err_le_4", 1.0 if err <= 4.0 else 0.0))
+            if out:
+                yield pd.DataFrame(out, columns=["media_id", "channel", "mean_value"])
+
+    return media.mapInPandas(
+        gen, "media_id long, channel string, mean_value double"
+    )

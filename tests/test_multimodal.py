@@ -211,8 +211,8 @@ def test_jpeg_codec_round_trip_bounds_and_validation():
     enc = bytearray(M.encode_jpeg(px))
     sof = enc.find(b"\xff\xc0")
     bad = bytearray(enc)
-    bad[sof + 9] = 3  # pretend 3 components
-    with pytest.raises(ValueError, match="color"):
+    bad[sof + 9] = 3  # claims 3 components but carries specs for 1
+    with pytest.raises(ValueError, match="truncated SOF"):
         M.decode_jpeg(bytes(bad))
     # dispatch: FFD8 magic reaches the JPEG decoder
     assert M.decode_real(bytes(enc)).shape == (29 * 37,)
@@ -273,3 +273,37 @@ def test_mjpeg_avi_round_trip_and_gating(spark):
     )
     assert [i for i, _ in got] == [0, 2, 4]
     assert got[1][1] == flat[2].tobytes()
+
+
+def test_jpeg_color_round_trip_and_validation():
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    # flat colors (DC-only planes) reconstruct exactly — including the
+    # YCbCr→RGB inverse
+    for rgb in ((0, 0, 0), (255, 255, 255), (200, 30, 90), (7, 255, 128)):
+        c = np.zeros((16, 24, 3), dtype=np.uint8)
+        c[:] = rgb
+        assert (M.decode_jpeg(M.encode_jpeg(c)) == c).all(), rgb
+    # arbitrary color content stays within the quant=1 envelope
+    c = rng.integers(0, 256, (21, 35, 3)).astype(np.uint8)
+    dec = M.decode_jpeg(M.encode_jpeg(c))
+    assert dec.shape == (21, 35, 3)
+    # per-plane IDCT error (±1) amplifies through the chroma inverse
+    # (1.772·Cb term) — measured ≤ 3 on noise
+    assert np.abs(dec - c).max() <= 4.0
+    # grayscale path unchanged
+    g = rng.integers(0, 256, (15, 17)).astype(np.uint8)
+    assert np.abs(M.decode_jpeg(M.encode_jpeg(g)) - g).max() <= 1.5
+    # malformed color shapes refused
+    with pytest.raises(ValueError, match="RGB"):
+        M.encode_jpeg(np.zeros((8, 8, 4), dtype=np.uint8))
+    # chroma-subsampled streams refused honestly (flip a sampling byte)
+    enc = bytearray(M.encode_jpeg(c))
+    sof = enc.find(b"\xff\xc0")
+    # FFC0 len(2) prec(1) h(2) w(2) nc(1) → comp1 id at +10, sampling +11
+    enc[sof + 11] = 0x22  # Y sampling 2x2 => 4:2:0
+    with pytest.raises(ValueError, match="4:4:4|subsampling"):
+        M.decode_jpeg(bytes(enc))
