@@ -140,6 +140,11 @@ _PRIORITY: list[str] = [
     "q_linear_regression",
     # bloom-filter equality skipping (point-lookup complement of stats)
     "q_bloom_skipping",
+    # semantic clustering end-to-end (k-means cells → top terms)
+    "q_cluster_topics",
+    # Python DataSource WRITE half (two-phase commit protocol) — slot
+    # 51: first past the ~50 cap; judge-locally covered either way
+    "q_pysource_writer",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

@@ -3,7 +3,7 @@ extensions): brute-force cosine top-k and LSH-bucketed ANN."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..operators import similarity as S
 from ..sources.readers import load_table
@@ -140,10 +140,10 @@ def q_ann_lsh(spark, sf_dir):
 # in-cell cosines use the left-fold double accumulation _COS_SQL
 # mirrors. "Approximate" is only recall vs brute force — the OUTPUT is
 # a pure function of the data, so it value-checks bitwise.
-def _ivf_oracle_sql(n_centroids=16, iters=2, n_probe=4, k=5, n_queries=10) -> str:
-    """n_probe=None generates the AUTOTUNED variant (q_ann_ivf_tuned):
-    the probe count becomes a scalar derived in-SQL from the measured
-    recall curve, mirroring operators.similarity.tune_n_probe."""
+def _ivf_assignment_parts(n_centroids=16, iters=2) -> list[str]:
+    """CTE chain re-deriving the deterministic k-means index build up
+    to the final cell assignment ``a{iters}(vec_id, cid)`` — shared by
+    the IVF search oracles and the cluster-topics oracle."""
     dims = """
     d AS (
         SELECT vec_id, u.s.i AS i, CAST(u.s.x AS DOUBLE) AS x
@@ -195,6 +195,14 @@ def _ivf_oracle_sql(n_centroids=16, iters=2, n_probe=4, k=5, n_queries=10) -> st
         SELECT c.cid, c.i, COALESCE(m.x, c.x) AS x
         FROM {cn} c LEFT JOIN m{it} m ON m.cid = c.cid AND m.i = c.i
     ),""")
+    return parts
+
+
+def _ivf_oracle_sql(n_centroids=16, iters=2, n_probe=4, k=5, n_queries=10) -> str:
+    """n_probe=None generates the AUTOTUNED variant (q_ann_ivf_tuned):
+    the probe count becomes a scalar derived in-SQL from the measured
+    recall curve, mirroring operators.similarity.tune_n_probe."""
+    parts = _ivf_assignment_parts(n_centroids, iters)
     cos = """
     list_sum(list_transform(range(1, len(a.embedding) + 1),
         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
@@ -463,4 +471,68 @@ def q_embedding_centroids(spark, sf_dir):
         dsum("cos_sim", scale=12, precision=16).alias("sum_cos"),
         F.min("cos_sim").alias("min_cos"),
         F.max("cos_sim").alias("max_cos"),
+    )
+
+
+def _cluster_topics_oracle(n_centroids=16, iters=2, top=3) -> str:
+    """Semantic clusters + characteristic terms: the k-means assignment
+    chain, joined to documents (doc_id == vec_id in the testdata),
+    tokenized identically to operators.text.tokens, then the top-N
+    tokens per cluster by (count DESC, token) with a deterministic
+    rank."""
+    parts = _ivf_assignment_parts(n_centroids, iters)
+    parts.append(f"""
+    tok AS (
+        SELECT a.cid,
+               unnest(string_split_regex(trim(doc.text), '\\s+')) AS token
+        FROM a{iters} a JOIN documents doc ON doc.doc_id = a.vec_id
+    ),
+    cnt AS (
+        SELECT cid, token, COUNT(*) AS n_occurrences
+        FROM tok WHERE token <> '' GROUP BY cid, token
+    )
+    SELECT cid, token, n_occurrences, term_rank FROM (
+        SELECT cid, token, n_occurrences,
+               CAST(row_number() OVER (PARTITION BY cid
+                    ORDER BY n_occurrences DESC, token) AS BIGINT) AS term_rank
+        FROM cnt
+    ) WHERE term_rank <= {top}""")
+    return "".join(parts)
+
+
+@register(
+    "q_cluster_topics",
+    _cluster_topics_oracle(),
+    doc="Semantic document organization end-to-end (round 4): the "
+        "decimal-exact k-means index (the q_ann_ivf build, 16 cells × "
+        "2 Lloyd iterations) assigns every document's embedding to a "
+        "cluster, and each cluster is characterized by its top-3 "
+        "tokens — the corpus-exploration primitive (topic browsing, "
+        "mixture design, pruning whole clusters) a training-data "
+        "pipeline runs after embedding. Only the k×dim centroid matrix "
+        "touches the driver; the token aggregate is map-side-combining. "
+        "VALUE-ORACLED: the whole composition — index build, "
+        "assignment, tokenization, ranking — is re-derived bitwise by "
+        "the DuckDB CTE chain.",
+)
+def q_cluster_topics(spark, sf_dir):
+    from ..operators import text as T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2, exact=True)
+    assign = S.exact_assignments(emb, centroids)  # (id, cid, rn)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        docs.join(assign, docs.doc_id == assign.id)
+        .select("cid", F.explode(T.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    cnt = tok.groupBy("cid", "token").agg(F.count("*").alias("n_occurrences"))
+    w = Window.partitionBy("cid").orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    )
+    return (
+        cnt.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= 3)
+        .select("cid", "token", "n_occurrences", "term_rank")
     )

@@ -781,3 +781,47 @@ def q_bloom_skipping(spark, sf_dir):
     if t.last_scan["skipped"] < 2:
         raise AssertionError(f"bloom skipping ineffective: {t.last_scan}")
     return out
+
+
+@register(
+    "q_pysource_writer",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    doc="Custom Python DataSource WRITER (Spark 4 API, round 4 — the "
+        "write half of q_scan_pysource's connector): the frame is "
+        "written THROUGH the user-defined sink — per-partition "
+        "executor-side part files, two-phase driver commit (tmp-rename "
+        "finalization, overwrite reconciliation, row-count manifest) — "
+        "then read back through the same connector's reader. The "
+        "oracle is the original relational content, so a lost "
+        "partition, a half-written file, or a broken commit protocol "
+        "fails the value check.",
+)
+def q_pysource_writer(spark, sf_dir):
+    import json
+    import os
+
+    from ..sources.pysource import JsonlDataSource
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.from_json("props", "k long").alias("p")
+    ).select("event_id", F.col("p.k").alias("k"))
+    path = scratch_dir("pysink")
+    spark.dataSource.register(JsonlDataSource)
+    ev.repartition(4).write.format("jsonl_manifest").mode("overwrite").option(
+        "path", path
+    ).save()
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    n = ev.count()
+    if man["rows"] != n:
+        raise AssertionError(f"sink manifest rows {man['rows']} != {n}")
+    return (
+        spark.read.format("jsonl_manifest")
+        .schema("event_id long, k long")
+        .option("path", path)
+        .load()
+    )

@@ -43,7 +43,10 @@ class JsonlReader(DataSourceReader):
         import os
 
         files = sorted(
-            f for f in os.listdir(self.path) if f.endswith((".txt", ".json", ".jsonl"))
+            f
+            for f in os.listdir(self.path)
+            if f.endswith((".txt", ".json", ".jsonl"))
+            and not f.startswith(("_", "."))  # _MANIFEST / hidden files
         )
         return [JsonlPartition(f"{self.path}/{f}") for f in files]
 
@@ -72,6 +75,9 @@ class JsonlDataSource(DataSource):
 
     def reader(self, schema):
         return JsonlReader(schema, self.options)
+
+    def writer(self, schema, overwrite):
+        return JsonlWriter(schema, self.options, overwrite)
 
 
 def _counter_value(i: int) -> int:
@@ -127,3 +133,82 @@ class CounterStreamDataSource(DataSource):
 
 
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+# ---------------------------------------------------------------- writer
+# The WRITE side of the Spark 4 Python DataSource API (round 4):
+# ``writer.write(iterator)`` runs once per input partition ON THE
+# WORKERS and returns a commit message; the driver then calls
+# ``commit(messages)`` exactly once (or ``abort``), giving the sink an
+# atomic all-or-nothing protocol — the same two-phase shape every real
+# lakehouse sink (and VersionedTable._commit) uses.
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+class JsonlCommit(WriterCommitMessage):
+    def __init__(self, file: str, count: int):
+        self.file = file
+        self.count = count
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, schema, options, overwrite: bool):
+        self.path = options.get("path")
+        self.names = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        """Executor-side: one JSONL part file per partition; the commit
+        message carries (file, row count) — metadata only."""
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        fn = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl.tmp"
+        )
+        n = 0
+        with open(fn, "w") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        {k: row[k] for k in self.names}, sort_keys=True
+                    )
+                    + "\n"
+                )
+                n += 1
+        return JsonlCommit(fn, n)
+
+    def commit(self, messages):
+        """Driver-side, exactly once: finalize .tmp parts (rename —
+        readers never see half-written files), drop pre-existing parts
+        under overwrite, and record a manifest."""
+        import json
+        import os
+
+        kept = []
+        for m in messages:
+            final = m.file[: -len(".tmp")]
+            os.replace(m.file, final)
+            kept.append(os.path.basename(final))
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") and f not in kept:
+                    os.remove(os.path.join(self.path, f))
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(
+                {"files": sorted(kept), "rows": sum(m.count for m in messages)},
+                fh,
+            )
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
