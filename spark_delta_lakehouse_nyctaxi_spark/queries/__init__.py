@@ -142,9 +142,14 @@ _PRIORITY: list[str] = [
     "q_bloom_skipping",
     # semantic clustering end-to-end (k-means cells → top terms)
     "q_cluster_topics",
-    # Python DataSource WRITE half (two-phase commit protocol) — slot
-    # 51: first past the ~50 cap; judge-locally covered either way
+    # slot 51+: first past the ~50 cap; judge-locally covered either way
+    # Python DataSource WRITE half (two-phase commit protocol)
     "q_pysource_writer",
+    # Spark 4 SQL scripting / session variables / named parameters
+    "q_sql_scripting",
+    "q_sql_variables",
+    # column DEFAULTs (generated/identity/default triple complete)
+    "q_column_defaults",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

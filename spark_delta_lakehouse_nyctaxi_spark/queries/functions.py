@@ -623,3 +623,90 @@ def q_higher_order(spark, sf_dir):
         F.exists(F.col("q"), lambda x: x > 40.0).alias("any_over_40"),
         F.forall(F.col("q"), lambda x: x > 0.0).alias("all_positive"),
     )
+
+
+@register(
+    "q_sql_scripting",
+    """
+    SELECT CAST(SUM(CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+                AS BIGINT) AS weighted_priority_count,
+           COUNT(*) AS n_orders
+    FROM orders
+    """,
+    doc="Spark 4 SQL SCRIPTING (BEGIN…END, DECLARE, WHILE, IF, SET): a "
+        "compound statement loops over the five order-priority classes, "
+        "binding the loop variable into each iteration's aggregate and "
+        "accumulating i·count(priority i). The oracle collapses the "
+        "loop into Σ digit(o_orderpriority) — a broken loop bound, a "
+        "stale variable, or a mis-bound iteration produces a different "
+        "total. Control flow runs on the driver; every per-iteration "
+        "aggregate is a full distributed job.",
+)
+def q_sql_scripting(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_script_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE i INT DEFAULT 1;
+          DECLARE weighted BIGINT DEFAULT 0;
+          DECLARE total BIGINT DEFAULT 0;
+          WHILE i <= 5 DO
+            SET weighted = weighted + i * (
+              SELECT COUNT(*) FROM orders_script_v
+              WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) = i
+            );
+            SET i = i + 1;
+          END WHILE;
+          SET total = (SELECT COUNT(*) FROM orders_script_v);
+          SELECT weighted AS weighted_priority_count, total AS n_orders;
+        END
+        """
+    )
+
+
+@register(
+    "q_sql_variables",
+    f"""
+    WITH avg_price AS (
+        SELECT {dsum_sql('o_totalprice')} / COUNT(*) AS cutoff FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_above,
+           {dsum_sql('o_totalprice')} AS revenue_above
+    FROM orders, avg_price
+    WHERE o_totalprice > cutoff AND o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    """,
+    doc="Spark 4 session variables + parameterized SQL: DECLARE a "
+        "session variable, SET VAR it from a scalar subquery (the "
+        "decimal-exact mean price), then reference it alongside a "
+        "NAMED PARAMETER MARKER (:excluded, bound via spark.sql args) "
+        "in the aggregate. The oracle inlines both — wrong variable "
+        "state or broken parameter binding changes every row.",
+)
+def q_sql_variables(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_var_v")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_cutoff DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        """
+        SET VAR price_cutoff = (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders_var_v
+        )
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_above,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE)
+                   AS revenue_above
+        FROM orders_var_v
+        WHERE o_totalprice > price_cutoff AND o_orderstatus <> :excluded
+        GROUP BY o_orderstatus
+        """,
+        args={"excluded": "P"},
+    )

@@ -825,3 +825,46 @@ def q_pysource_writer(spark, sf_dir):
         .option("path", path)
         .load()
     )
+
+
+@register(
+    "q_column_defaults",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus
+                ELSE 'UNREVIEWED' END AS review_status,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2.0
+                ELSE o_totalprice END AS adj_price
+    FROM orders
+    """,
+    doc="Column DEFAULTs (Delta ALTER TABLE ... SET DEFAULT analog, "
+        "round 4 — completing the generated/identity/default column "
+        "triple): even-keyed rows are written WITH explicit values "
+        "(pass through untouched), odd-keyed rows omit both columns "
+        "and get the registered defaults — one literal, one "
+        "row-dependent expression (a superset of Delta's "
+        "constant-foldable defaults). The oracle inlines the CASE per "
+        "row; a default leaking onto explicit rows or vice versa "
+        "flips values.",
+)
+def q_column_defaults(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t = VersionedTable(spark, scratch_dir("defaults"))
+    even = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderstatus").alias("review_status"),
+        (F.col("o_totalprice") * 2.0).alias("adj_price"),
+    )
+    t.write(even, mode="overwrite")
+    t.add_column_default("review_status", "'UNREVIEWED'")
+    t.add_column_default("adj_price", "o_totalprice")
+    t.write(
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        mode="append",
+    )
+    return t.read()

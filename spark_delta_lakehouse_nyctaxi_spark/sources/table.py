@@ -223,6 +223,72 @@ class VersionedTable:
             json.dump(gen, f)
         os.replace(tmp, self._generated_path)
 
+    # -------------------------------------------------- column defaults
+
+    @property
+    def _defaults_path(self) -> str:
+        return os.path.join(self._vlog, "_defaults.json")
+
+    def column_defaults(self) -> dict[str, str]:
+        """Registered column DEFAULTs (Delta ``ALTER TABLE ... SET
+        DEFAULT`` analog): column name → SQL expression evaluated for
+        rows of any WRITE that omits the column. Unlike generated
+        columns, a writer MAY supply explicit values (DEFAULT fills
+        gaps, ALWAYS-AS enforces); unlike Delta, defaults here apply
+        only to writes after registration — existing rows are
+        untouched and read back as stored."""
+        if not os.path.exists(self._defaults_path):
+            return {}
+        with open(self._defaults_path) as f:
+            return json.load(f)
+
+    def add_column_default(self, name: str, expr: str) -> None:
+        """Register ``name DEFAULT expr``. The expression may reference
+        other columns of the incoming row (a superset of Delta, whose
+        defaults must be literal/constant-foldable). Validated by
+        analysis against the current schema; refused while a rename
+        mapping is pending (write-path evaluation binds physical
+        names, same argument as add_constraint)."""
+        if self.exists():
+            self._require_no_column_map("add_column_default")
+            probe = self.read()
+            if name not in probe.columns:
+                raise ValueError(
+                    f"column {name!r} does not exist; defaults attach to "
+                    "existing columns (add the column via a merge_schema "
+                    "append first)"
+                )
+            try:
+                probe.select(F.expr(expr)).schema
+            except Exception:
+                raise ValueError(
+                    f"default expression ({expr}) does not analyze "
+                    "against the table schema"
+                ) from None
+        dfl = self.column_defaults()
+        dfl[name] = expr
+        os.makedirs(self._vlog, exist_ok=True)
+        tmp = self._defaults_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(dfl, f)
+        os.replace(tmp, self._defaults_path)
+
+    def drop_column_default(self, name: str) -> None:
+        dfl = self.column_defaults()
+        dfl.pop(name, None)
+        tmp = self._defaults_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(dfl, f)
+        os.replace(tmp, self._defaults_path)
+
+    def _apply_defaults(self, df: DataFrame) -> DataFrame:
+        """Fill MISSING default columns on an incoming frame (cheap
+        projection; explicit values pass through untouched)."""
+        for name, expr in self.column_defaults().items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        return df
+
     # ------------------------------------------------ identity columns
 
     @property
@@ -636,8 +702,9 @@ class VersionedTable:
         unconditionally, etl/bronze_job.py:78)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
-        # compute missing generated columns BEFORE the append schema
-        # comparison (an appender may legitimately omit them)
+        # compute missing default + generated columns BEFORE the append
+        # schema comparison (an appender may legitimately omit them)
+        df = self._apply_defaults(df)
         df = self._apply_generated(df)
         for name, spec in self.identity_columns().items():
             if name in df.columns:
@@ -1495,8 +1562,24 @@ class VersionedTable:
                     os.link(os.path.join(root, fn), os.path.join(tgt, fn))
         cons = self.constraints()
         gen = self.generated_columns()
+        dfl = self.column_defaults()
         dropped: list[str] = []
         latest = self._versions()[-1].version
+        if version is not None and src.version != latest and dfl:
+            # defaults carry no data invariant (they apply to FUTURE
+            # writes) — drop only those that no longer analyze against
+            # the snapshot schema
+            snap0 = self._apply_column_map(
+                self._read_with_deletes(src, src.units), src
+            )
+            for name, expr in list(dfl.items()):
+                try:
+                    snap0.select(F.expr(expr)).schema
+                    if name not in snap0.columns:
+                        raise ValueError(name)
+                except Exception:
+                    dropped.append(f"d:{name}")
+                    dfl.pop(name, None)
         if version is not None and src.version != latest and (cons or gen):
             # Current metadata may postdate this snapshot — keep only
             # definitions the cloned data actually satisfies.  Analysis
@@ -1548,6 +1631,7 @@ class VersionedTable:
         for side, dest_path_ in (
             (cons, dest._constraints_path),
             (gen, dest._generated_path),
+            (dfl, dest._defaults_path),
             # identity metadata clones verbatim: the current watermark is
             # ≥ every id in ANY snapshot, so a version-pinned clone can
             # never re-allocate an existing value
@@ -1563,13 +1647,37 @@ class VersionedTable:
 
     # ---------------------------------------------------------- vacuum
 
-    def vacuum(self, retain_last: int = 2, dry_run: bool = False) -> list[str]:
-        """Remove commit dirs no longer referenced by the last
-        ``retain_last`` versions (utils/delta_ops.py:65-104 analog;
-        version-count-based so tests are deterministic)."""
+    def vacuum(
+        self,
+        retain_last: int = 2,
+        dry_run: bool = False,
+        retain_hours: float | None = None,
+    ) -> list[str]:
+        """Remove commit dirs no longer referenced by the retained
+        versions (utils/delta_ops.py:65-104 analog).
+
+        ``retain_last`` keeps the newest N versions (count-based, so
+        tests are deterministic). ``retain_hours`` is the Delta
+        ``VACUUM ... RETAIN n HOURS`` analog: additionally keeps every
+        version whose commit timestamp is within the window, so time
+        travel inside the retention horizon keeps working; the latest
+        version is always kept. When both are given, a version is
+        retained if EITHER rule keeps it."""
         vs = self._versions()
+        if retain_hours is None:
+            # count-based only; retain_last=0 keeps everything (legacy)
+            keep: list = list(vs[-retain_last:]) if retain_last else list(vs)
+        else:
+            # time window (+ optional count floor); retain_last=0 means
+            # no count-based retention here, the window alone decides —
+            # but the head always survives
+            keep = list(vs[-retain_last:]) if retain_last else []
+            cutoff = time.time() - retain_hours * 3600.0
+            keep += [v for v in vs if v.timestamp >= cutoff]
+            if vs and not keep:
+                keep = [vs[-1]]
         keep_roots: set[str] = set()
-        for v in vs[-retain_last:] if retain_last else vs:
+        for v in keep:
             for u in v.units:
                 keep_roots.add(u.split("/", 1)[0])
         removed = []

@@ -1151,3 +1151,63 @@ def test_bloom_filter_equality_skipping(spark, tmp_table_path):
     d2 = t.detail()
     assert d2["units_with_blooms"] == d2["num_units"]
     assert t.scan(eq={"k": 105}).count() == 1
+
+
+def test_vacuum_retain_hours(spark, tmp_table_path):
+    """Time-based retention (Delta VACUUM ... RETAIN n HOURS analog):
+    versions inside the window stay time-travelable; retain_last=0 +
+    retain_hours=0 keeps only the head's units."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(_mk(spark, [{"id": 1}]), mode="overwrite")  # v0
+    t.write(_mk(spark, [{"id": 2}]), mode="overwrite")  # v1 (fresh units)
+    t.write(_mk(spark, [{"id": 3}]), mode="overwrite")  # v2
+    # everything is seconds old → a 1h window retains all commit dirs
+    assert t.vacuum(retain_last=0, retain_hours=1.0, dry_run=True) == []
+    assert t.read(version=0).count() == 1  # time travel intact
+    # zero-hour window with no count-based floor: only the head survives
+    removed = t.vacuum(retain_last=0, retain_hours=0.0)
+    assert len(removed) == 2
+    assert t.read().count() == 1 and t.read().first().id == 3
+
+
+def test_column_defaults(spark, tmp_table_path):
+    """Column DEFAULTs (Delta SET DEFAULT analog): writes that omit the
+    column get the expression, explicit values pass through, guards
+    refuse unknown columns / broken expressions / pending renames."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(
+        _mk(spark, [{"id": 1, "status": "new", "score": 5.0}]),
+        mode="overwrite",
+    )
+    t.add_column_default("status", "'pending'")
+    t.add_column_default("score", "CAST(id AS DOUBLE) * 10.0")  # row-dependent
+    t.write(_mk(spark, [{"id": 2}]), mode="append")  # both defaulted
+    t.write(
+        _mk(spark, [{"id": 3, "status": "done", "score": 1.0}]), mode="append"
+    )  # explicit wins
+    got = {(r.id, r.status, r.score) for r in t.read().collect()}
+    assert got == {
+        (1, "new", 5.0), (2, "pending", 20.0), (3, "done", 1.0)
+    }
+    with pytest.raises(ValueError, match="does not exist"):
+        t.add_column_default("nope", "1")
+    with pytest.raises(ValueError, match="analyze"):
+        t.add_column_default("status", "missing_col + 1")
+    t.rename_column("score", "points")
+    with pytest.raises(ValueError, match="materialize_rename"):
+        t.add_column_default("status", "'x'")
+    # drop + clone carry
+    t2 = VersionedTable(spark, tmp_table_path + "_src2")
+    t2.write(_mk(spark, [{"id": 1, "v": 1.0}]), mode="overwrite")  # v0
+    t2.write(_mk(spark, [{"id": 1, "v": 1.0, "w": 2.0}]), mode="overwrite")  # v1
+    t2.add_column_default("w", "v + 1.0")
+    c_latest = t2.clone(tmp_table_path + "_dfl")
+    assert c_latest.column_defaults() == {"w": "v + 1.0"}
+    c_latest.write(_mk(spark, [{"id": 2, "v": 3.0}]), mode="append")
+    assert {(r.id, r.w) for r in c_latest.read().collect()} == {(1, 2.0), (2, 4.0)}
+    # version-pinned clone: w absent at v0 → default dropped + recorded
+    c_v0 = t2.clone(tmp_table_path + "_dflv0", version=0)
+    assert c_v0.column_defaults() == {}
+    assert "d:w" in c_v0._versions()[0].extra["dropped_metadata"]
+    t2.drop_column_default("w")
+    assert t2.column_defaults() == {}
