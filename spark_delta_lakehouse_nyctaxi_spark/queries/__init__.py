@@ -150,6 +150,8 @@ _PRIORITY: list[str] = [
     "q_sql_variables",
     # column DEFAULTs (generated/identity/default triple complete)
     "q_column_defaults",
+    # BM25 lexical retrieval (RAG-side complement of the ANN paths)
+    "q_bm25_search",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

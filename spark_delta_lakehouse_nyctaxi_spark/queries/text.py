@@ -786,3 +786,120 @@ def q_importance_weights(spark, sf_dir):
             (F.sum("r").cast("double") / F.count("*")).alias("dsir_weight"),
         )
     )
+
+
+# ---- BM25 ranked retrieval ------------------------------------------
+# The classic IR scoring operator a retrieval-augmented pipeline needs.
+# Engine-exactness discipline: idf is the RATIONAL Robertson form
+# (N - df + 0.5)/(df + 0.5) WITHOUT the logarithm (Math.log and libm
+# may differ in the last ulp — same reason q_lm_score is log-free), the
+# per-(doc,term) score is one double expression tree identical on both
+# engines, and the over-terms sum goes through the decimal-cast
+# discipline so it is order-invariant.
+_BM25_TERMS = ["stream", "join", "filter"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tok WHERE t IN ('stream', 'join', 'filter')
+        GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * (CAST(dl.len AS DOUBLE) / stats.avgdl)))
+               AS s
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (t), stats
+    ),
+    total AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS bm25
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, rank FROM (
+        SELECT doc_id, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+                   AS rank
+        FROM total
+    ) WHERE rank <= 20
+"""
+
+
+@register(
+    "q_bm25_search",
+    _BM25_SQL,
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed term query "
+        "— the lexical-search operator of a RAG/retrieval pipeline, "
+        "complementing the embedding ANN paths. Log-free rational "
+        "Robertson idf (same monotone ordering; Math.log/libm differ "
+        "in final ulps), one identical double expression tree per "
+        "(doc, term) on both engines, decimal-cast over-terms sum "
+        "(order-invariant), deterministic top-20 with doc_id "
+        "tiebreak. Shuffles: token tf aggregate + doc-length "
+        "aggregate + the final rank — df and corpus stats are "
+        "term-count-sized broadcasts.",
+)
+def q_bm25_search(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("t").isin(_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b * (F.col("len").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    total = scored.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(28,12)")).cast("double").alias("bm25")
+    )
+    # TakeOrderedAndProject first (scale-safe top-k — per-partition
+    # heaps, no global sort), THEN the rank window over the k=20
+    # surviving rows: its single-partition exchange moves 20 rows —
+    # bounded metadata, allowlisted in the registry-wide window gate
+    top = total.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "bm25", "rank"
+    )

@@ -376,6 +376,8 @@ _SINGLE_PARTITION_WINDOW_ALLOWLIST = {
     "q_mixture_weights",      # |sources|-row grouped frame (queries/text.py)
     "q_importance_weights",   # 64-bucket DSIR model (operators/sampling.py)
 }
+# (q_bm25_search's rank window sits AFTER .limit(20) — the plan shows no
+# single-partition window exchange at all, so no allowlist entry needed.)
 
 
 def test_no_single_partition_windows_registry_wide(spark):
