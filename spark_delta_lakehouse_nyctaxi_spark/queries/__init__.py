@@ -152,6 +152,9 @@ _PRIORITY: list[str] = [
     "q_column_defaults",
     # BM25 lexical retrieval (RAG-side complement of the ANN paths)
     "q_bm25_search",
+    # Gopher quality rules + canonical text normalization
+    "q_gopher_rules",
+    "q_text_normalize",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

@@ -903,3 +903,122 @@ def q_bm25_search(spark, sf_dir):
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "bm25", "rank"
     )
+
+
+# ---- Gopher quality rules -------------------------------------------
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@register(
+    "q_gopher_rules",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               text
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, w -> strlen(w))) AS sum_len,
+               len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS n_alpha_words,
+               len(list_intersect(list_distinct(toks),
+                   ['the','be','to','of','and','that','have','with']))
+                   AS n_stopwords,
+               len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+           (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+               AS ok_mean_word_len,
+           (CAST(n_symbols AS DOUBLE) / n_words <= 0.1) AS ok_symbol_ratio,
+           (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8) AS ok_alpha_frac,
+           (n_stopwords >= 2) AS ok_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+            AND (CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
+            AND (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+            AND (n_stopwords >= 2)) AS gopher_pass
+    FROM m
+    """,
+    doc="Gopher quality rules (Rae et al. 2021 §A1.1 — the canonical "
+        "pretraining quality filter): word-count bounds, mean word "
+        "length 3-10, symbol-to-word ratio (# / ellipsis) ≤ 0.1, "
+        "≥ 80% words containing an alphabetic character, ≥ 2 distinct "
+        "required stopwords. Pure JVM array/regex expressions, one "
+        "pass, zero shuffle; every ratio compares ints cast to double "
+        "in the same expression tree on both engines.",
+)
+def q_gopher_rules(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    n_symbols = F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), F.lit(0)))
+    ok_wc = (n_words >= 50) & (n_words <= 100000)
+    mwl = sum_len.cast("double") / n_words
+    ok_mwl = (mwl >= 3.0) & (mwl <= 10.0)
+    ok_sym = (n_symbols.cast("double") / n_words) <= 0.1
+    ok_alpha = (n_alpha.cast("double") / n_words) >= 0.8
+    ok_stop = n_stop >= 2
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_frac"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
+    )
+
+
+@register(
+    "q_text_normalize",
+    """
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT doc_id, norm,
+           (norm <> text) AS changed,
+           md5(norm) AS norm_fp
+    FROM n
+    """,
+    doc="Canonical text normalization (the cleaning step before exact "
+        "dedup): lowercase → non-alphanumerics to spaces → whitespace "
+        "collapse → trim, with an md5 fingerprint of the normal form "
+        "(what normalized exact-dedup keys on). Pure JVM string "
+        "expressions, zero shuffle; identical regex semantics on both "
+        "engines for these character-class patterns.",
+)
+def q_text_normalize(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm"),
+        (norm != F.col("text")).alias("changed"),
+        F.md5(norm).alias("norm_fp"),
+    )
