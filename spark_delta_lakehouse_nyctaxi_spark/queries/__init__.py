@@ -155,6 +155,8 @@ _PRIORITY: list[str] = [
     # Gopher quality rules + canonical text normalization
     "q_gopher_rules",
     "q_text_normalize",
+    # quality-aware dedup survivor policy (keep the best duplicate)
+    "q_dedup_best_quality",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

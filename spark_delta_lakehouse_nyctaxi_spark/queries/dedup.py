@@ -597,3 +597,66 @@ def q_minhash_mllib(spark, sf_dir):
             (F.lit(1.0) - F.col("jaccard_dist")).alias("jaccard_sim"),
         )
     )
+
+
+@register(
+    "q_dedup_best_quality",
+    f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    quality AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    survivors AS (
+        SELECT cluster_id, doc_id AS keep_id FROM (
+            SELECT c.cluster_id, c.doc_id, q.n_tokens,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                        ORDER BY q.n_tokens DESC, c.doc_id) AS rn
+            FROM clusters c JOIN quality q USING (doc_id)
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.lang, d.source, q.n_tokens
+    FROM documents d
+    JOIN quality q USING (doc_id)
+    LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    LEFT JOIN survivors s ON s.cluster_id = c.cluster_id
+    WHERE c.doc_id IS NULL OR d.doc_id = s.keep_id
+    """,
+    doc="Quality-aware dedup survivor selection (round 4): within each "
+        "near-dup cluster KEEP THE BEST DOCUMENT — most tokens, id "
+        "tiebreak — instead of q_dedup_canonical's min-id convention. "
+        "This is the policy real curation uses (the longest/cleanest "
+        "duplicate usually carries the most signal). The cluster map "
+        "joins broadcast (tiny vs the corpus); the per-cluster argmax "
+        "is a window over cluster-sized frames, and unclustered docs "
+        "pass through untouched.",
+)
+def q_dedup_best_quality(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators import text as T
+
+    df = load_table(spark, sf_dir, "documents")
+    pairs = _prefix_jaccard_pairs(df, threshold=0.1)
+    clusters = D.duplicate_clusters(pairs.select("id_a", "id_b"))
+    quality = df.select("doc_id", T.token_count("text").alias("n_tokens"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("id")
+    )
+    survivors = (
+        clusters.join(quality, clusters.id == quality.doc_id)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("id").alias("keep_id"))
+    )
+    out = (
+        df.join(quality, "doc_id")
+        .join(F.broadcast(clusters), F.col("doc_id") == clusters.id, "left")
+        .join(F.broadcast(survivors), "cluster_id", "left")
+        .filter(
+            F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("keep_id"))
+        )
+    )
+    return out.select("doc_id", "lang", "source", "n_tokens")
