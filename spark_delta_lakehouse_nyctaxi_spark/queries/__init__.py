@@ -157,6 +157,8 @@ _PRIORITY: list[str] = [
     "q_text_normalize",
     # quality-aware dedup survivor policy (keep the best duplicate)
     "q_dedup_best_quality",
+    # Delta overwrite+replaceWhere (idempotent selective backfill)
+    "q_replace_where",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

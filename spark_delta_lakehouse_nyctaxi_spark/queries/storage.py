@@ -868,3 +868,33 @@ def q_column_defaults(spark, sf_dir):
         mode="append",
     )
     return t.read()
+
+
+@register(
+    "q_replace_where",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'F'
+                THEN o_totalprice * 0.5 ELSE o_totalprice END AS price
+    FROM orders
+    """,
+    doc="Delta overwrite+replaceWhere analog (round 4): the idempotent "
+        "backfill — status-'F' rows are atomically replaced with a "
+        "repriced frame while every other row (and its units, carried "
+        "BY REFERENCE via the file-level matched-file scan) is "
+        "untouched; incoming rows outside the predicate reject the "
+        "whole commit. The oracle applies the replacement relationally. "
+        "The status partitioning makes the carry observable: only the "
+        "'F' partition is rewritten.",
+)
+def q_replace_where(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price")
+    )
+    t = VersionedTable(spark, scratch_dir("replwhere"))
+    t.write(orders, mode="overwrite", partition_by=["o_orderstatus"])
+    repriced = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", (F.col("price") * 0.5).alias("price")
+    )
+    t.replace_where(repriced, "o_orderstatus = 'F'")
+    return t.read()

@@ -1273,6 +1273,11 @@ class VersionedTable:
         xtra: dict = {"condition": condition}
         if carried_stats:
             xtra["stats"] = carried_stats
+        carried_blooms = {
+            u: b for u, b in info.extra.get("blooms", {}).items() if u in carried_set
+        }
+        if carried_blooms:
+            xtra["blooms"] = carried_blooms
         # pending merge-on-read tombstones stay live on carried units
         # (their rows were NOT materialized); rewritten units are clean
         carried_mor = [
@@ -1287,6 +1292,103 @@ class VersionedTable:
             timestamp=time.time(),
             operation="DELETE",
             mode=None,
+            units=carried + new_units,
+            partition_by=list(part_cols or []),
+            extra=xtra,
+        )
+        self._commit(vinfo)
+        return vinfo
+
+    def replace_where(
+        self, df: DataFrame, condition: str
+    ) -> VersionInfo:
+        """Delta ``overwrite`` + ``replaceWhere`` analog: atomically
+        replace exactly the rows matching ``condition`` with ``df`` —
+        the idiomatic idempotent backfill ("rewrite this day/segment")
+        that full overwrite (loses everything else) and append
+        (duplicates on retry) both get wrong.
+
+        Delta semantics throughout: every incoming row must satisfy the
+        predicate (else the commit is rejected before any data lands);
+        existing rows where the predicate is NULL survive. Units with
+        no matching rows — proven by the same file-level matched-file
+        scan DELETE uses, so it works partitioned or not — are carried
+        BY REFERENCE with their skipping stats, blooms, and pending
+        merge-on-read tombstones intact; only matching units are
+        rewritten. Defaults / generated / identity columns apply to the
+        incoming frame exactly as in :meth:`write`."""
+        from urllib.parse import unquote, urlparse
+
+        info = self._require_no_column_map("replace_where")
+        df = self._apply_defaults(df)
+        df = self._apply_generated(df)
+        for name, spec in self.identity_columns().items():
+            if name in df.columns:
+                raise ValueError(
+                    f"column {name!r} is GENERATED ALWAYS AS IDENTITY "
+                    "and cannot be supplied; omit it"
+                )
+            df = self._assign_identity(df, name, spec)
+        existing = set(self.read().columns)
+        if set(df.columns) != existing:
+            raise ValueError(
+                f"replace_where schema mismatch: incoming "
+                f"{sorted(set(df.columns))} vs table {sorted(existing)}"
+            )
+        n_bad = df.filter(f"NOT coalesce(({condition}), false)").count()
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} incoming rows do not satisfy the replaceWhere "
+                f"predicate ({condition}); Delta semantics reject the "
+                "whole commit"
+            )
+        self._check_constraints(df, "REPLACE WHERE")
+        part_cols = info.partition_by
+        matched_files = {
+            unquote(urlparse(r["_f"]).path)
+            for r in self.read()
+            .filter(condition)
+            .select(F.input_file_name().alias("_f"))
+            .distinct()
+            .collect()
+        }
+        touched, carried = [], []
+        for u in info.units:
+            prefix = os.path.abspath(os.path.join(self._data, u)) + os.sep
+            (touched if any(f.startswith(prefix) for f in matched_files)
+             else carried).append(u)
+        keep_pred = f"NOT coalesce(({condition}), false)"
+        new_units: list[str] = []
+        if touched:
+            kept = self._conform_types(
+                self._read_with_deletes(info, touched)
+            ).filter(keep_pred)
+            new_units += self._write_units(kept, part_cols or None)
+        new_units += self._write_units(df, part_cols or None)
+        carried_set = set(carried)
+        xtra: dict = {"condition": condition}
+        carried_stats = {
+            u: s for u, s in info.extra.get("stats", {}).items() if u in carried_set
+        }
+        if carried_stats:
+            xtra["stats"] = carried_stats
+        carried_blooms = {
+            u: b for u, b in info.extra.get("blooms", {}).items() if u in carried_set
+        }
+        if carried_blooms:
+            xtra["blooms"] = carried_blooms
+        carried_mor = [
+            {"pred": d["pred"], "units": scoped}
+            for d in info.extra.get("mor_deletes", [])
+            if (scoped := [u for u in d["units"] if u in carried_set])
+        ]
+        if carried_mor:
+            xtra["mor_deletes"] = carried_mor
+        vinfo = VersionInfo(
+            version=info.version + 1,
+            timestamp=time.time(),
+            operation="REPLACE WHERE",
+            mode="overwrite",
             units=carried + new_units,
             partition_by=list(part_cols or []),
             extra=xtra,
@@ -1932,6 +2034,11 @@ class VersionedTable:
         }
         if carried_stats:
             xtra["stats"] = carried_stats
+        carried_blooms = {
+            u: b for u, b in info.extra.get("blooms", {}).items() if u in carried_set
+        }
+        if carried_blooms:
+            xtra["blooms"] = carried_blooms
         carried_mor = [
             {"pred": d["pred"], "units": scoped}
             for d in info.extra.get("mor_deletes", [])

@@ -1211,3 +1211,45 @@ def test_column_defaults(spark, tmp_table_path):
     assert "d:w" in c_v0._versions()[0].extra["dropped_metadata"]
     t2.drop_column_default("w")
     assert t2.column_defaults() == {}
+
+
+def test_replace_where(spark, tmp_table_path):
+    """replaceWhere: atomic selective overwrite — matching rows
+    replaced, non-matching untouched (NULL-predicate rows survive),
+    untouched units carried by reference with their stats, incoming
+    rows outside the predicate reject the whole commit."""
+    t = VersionedTable(spark, tmp_table_path)
+    t.write(
+        _mk(
+            spark,
+            [{"day": d, "id": 10 * d + i, "v": float(d)} for d in (1, 2, 3) for i in range(3)]
+            + [{"day": None, "id": 99, "v": 0.0}],
+        ).repartition(3, "day"),
+        mode="overwrite",
+        partition_by=["day"],
+        stats_cols=["id"],
+    )
+    n_units_before = t.detail()["num_units"]
+    # idempotent backfill of day 2 with fresh values
+    t.replace_where(
+        _mk(spark, [{"day": 2, "id": 20 + i, "v": 99.0} for i in range(2)]),
+        "day = 2",
+    )
+    got = {(r.day, r.id, r.v) for r in t.read().collect()}
+    assert {(2, 20, 99.0), (2, 21, 99.0)} <= got
+    assert (1, 10, 1.0) in got and (3, 31, 3.0) in got
+    assert (None, 99, 0.0) in got  # NULL-predicate row survives
+    assert len([g for g in got if g[0] == 2]) == 2
+    # out-of-predicate incoming rows reject atomically
+    before = t.latest_version()
+    with pytest.raises(ValueError, match="do not satisfy"):
+        t.replace_where(_mk(spark, [{"day": 5, "id": 1, "v": 1.0}]), "day = 2")
+    assert t.latest_version() == before
+    # untouched partitions carried by reference with stats
+    d = t.detail()
+    assert d["units_with_stats"] >= n_units_before - 1
+    # time travel to the pre-replace snapshot still works
+    assert len([r for r in t.read(version=0).collect() if r.day == 2]) == 3
+    # schema mismatch refused
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.replace_where(_mk(spark, [{"day": 2, "id": 1}]), "day = 2")
