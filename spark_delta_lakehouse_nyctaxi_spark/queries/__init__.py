@@ -159,6 +159,8 @@ _PRIORITY: list[str] = [
     "q_dedup_best_quality",
     # Delta overwrite+replaceWhere (idempotent selective backfill)
     "q_replace_where",
+    # Python DataSource filter pushdown (connector surface complete)
+    "q_pysource_pushdown",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

@@ -898,3 +898,43 @@ def q_replace_where(spark, sf_dir):
     )
     t.replace_where(repriced, "o_orderstatus = 'F'")
     return t.read()
+
+
+@register(
+    "q_pysource_pushdown",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 2
+      AND event_id < 5000
+    """,
+    doc="Python DataSource FILTER PUSHDOWN (Spark 4.1 pushFilters — "
+        "completing the connector surface: batch reader with partition "
+        "planning, streaming reader, two-phase writer, and now "
+        "pushdown): the comparison predicates are accepted by the "
+        "connector and evaluated INSIDE its read loop; because "
+        "accepted filters are not returned to Spark, nothing "
+        "re-applies them — so the value check certifies the connector "
+        "genuinely filtered (a claimed-but-ignored filter leaks rows "
+        "and fails the hash).",
+)
+def q_pysource_pushdown(spark, sf_dir):
+    from ..sources.pysource import JsonlPushdownDataSource
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.from_json("props", "k long").alias("p")
+    )
+    path = scratch_dir("pushdown")
+    ev.select(
+        F.to_json(F.struct("event_id", F.col("p.k").alias("k"))).alias("j")
+    ).coalesce(4).write.mode("overwrite").text(path)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(JsonlPushdownDataSource)
+    return (
+        spark.read.format("jsonl_manifest_fp")
+        .schema("event_id long, k long")
+        .option("path", path)
+        .load()
+        .filter((F.col("k") >= 2) & (F.col("event_id") < 5000))
+    )

@@ -38,6 +38,10 @@ class JsonlReader(DataSourceReader):
     def __init__(self, schema, options):
         self.schema = schema
         self.path = options.get("path")
+        self.filters: list = []
+
+    def _row_passes(self, d: dict) -> bool:
+        return True  # base reader: no pushdown (see JsonlPushdownReader)
 
     def partitions(self):
         import os
@@ -60,7 +64,71 @@ class JsonlReader(DataSourceReader):
                 if not line:
                     continue
                 d = json.loads(line)
+                if not self._row_passes(d):
+                    continue  # pushed-down filter handled HERE
                 yield tuple(d.get(n) for n in names)
+
+
+class JsonlPushdownReader(JsonlReader):
+    """JsonlReader + Spark 4.1 connector-side FILTER PUSHDOWN.
+
+    A SEPARATE subclass because merely IMPLEMENTING pushFilters makes
+    Spark raise unless ``spark.sql.python.filterPushdown.enabled`` is
+    set — the base connector must keep working in vanilla sessions.
+    Accepted comparison filters are evaluated INSIDE ``read()`` and NOT
+    returned, so Spark does not re-apply them: the value oracle of
+    q_pysource_pushdown therefore certifies the connector really
+    filters (claiming a filter and ignoring it would leak rows and
+    fail the hash)."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        remaining = []
+        for f in filters:
+            if (
+                isinstance(
+                    f,
+                    (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                     LessThanOrEqual),
+                )
+                and len(f.attribute) == 1
+            ):
+                self.filters.append(f)
+            else:
+                remaining.append(f)
+        return remaining
+
+    def _row_passes(self, d: dict) -> bool:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in self.filters:
+            v = d.get(f.attribute[0])
+            if v is None:
+                return False  # comparisons never match NULL
+            if isinstance(f, EqualTo) and not v == f.value:
+                return False
+            if isinstance(f, GreaterThan) and not v > f.value:
+                return False
+            if isinstance(f, GreaterThanOrEqual) and not v >= f.value:
+                return False
+            if isinstance(f, LessThan) and not v < f.value:
+                return False
+            if isinstance(f, LessThanOrEqual) and not v <= f.value:
+                return False
+        return True
 
 
 class JsonlDataSource(DataSource):
@@ -78,6 +146,18 @@ class JsonlDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return JsonlWriter(schema, self.options, overwrite)
+
+
+class JsonlPushdownDataSource(JsonlDataSource):
+    """Pushdown-enabled variant (requires
+    spark.sql.python.filterPushdown.enabled=true)."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_manifest_fp"
+
+    def reader(self, schema):
+        return JsonlPushdownReader(schema, self.options)
 
 
 def _counter_value(i: int) -> int:

@@ -1031,3 +1031,58 @@ def test_exact_ivf_recall_close_to_default_pipeline(spark):
         for r in S.ivf_topk(emb, q, cents, n_probe=4, k=3, exact=True).collect()
     }
     assert len(truth & got) / len(truth) >= 0.6
+
+
+def test_pysource_pushdown_contract_is_load_bearing(spark, tmp_path):
+    """Spark must NOT re-apply filters the connector accepted — so the
+    q_pysource_pushdown value oracle genuinely certifies connector-side
+    filtering. Proven by a deliberately broken reader that claims the
+    filters but ignores them: its rows LEAK."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from spark_delta_lakehouse_nyctaxi_spark.sources.pysource import (
+        JsonlPushdownDataSource,
+        JsonlPushdownReader,
+    )
+
+    d = tmp_path / "push"
+    d.mkdir()
+    with open(d / "part.jsonl", "w") as fh:
+        for i in range(10):
+            fh.write(json.dumps({"event_id": i, "k": i % 3}) + "\n")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    spark.dataSource.register(JsonlPushdownDataSource)
+    good = (
+        spark.read.format("jsonl_manifest_fp")
+        .schema("event_id long, k long")
+        .option("path", str(d))
+        .load()
+        .filter(F.col("k") == 1)
+    )
+    assert sorted(r.event_id for r in good.collect()) == [1, 4, 7]
+
+    class BrokenReader(JsonlPushdownReader):
+        def _row_passes(self, _d):
+            return True  # claims the filters, never applies them
+
+    class BrokenDataSource(JsonlPushdownDataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_manifest_broken"
+
+        def reader(self, schema):
+            return BrokenReader(schema, self.options)
+
+    spark.dataSource.register(BrokenDataSource)
+    leaked = (
+        spark.read.format("jsonl_manifest_broken")
+        .schema("event_id long, k long")
+        .option("path", str(d))
+        .load()
+        .filter(F.col("k") == 1)
+    )
+    # all 10 rows come back: Spark did not re-apply the accepted filter
+    assert leaked.count() == 10
