@@ -161,6 +161,8 @@ _PRIORITY: list[str] = [
     "q_replace_where",
     # Python DataSource filter pushdown (connector surface complete)
     "q_pysource_pushdown",
+    # Spark 4 SQL pipe syntax
+    "q_sql_pipe_syntax",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

@@ -710,3 +710,39 @@ def q_sql_variables(spark, sf_dir):
         """,
         args={"excluded": "P"},
     )
+
+
+@register(
+    "q_sql_pipe_syntax",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {dsum_sql('l_extendedprice')} AS revenue
+    FROM lineitem
+    WHERE l_quantity > 10
+    GROUP BY l_returnflag
+    HAVING COUNT(*) > 100
+    """,
+    doc="Spark 4 SQL PIPE syntax (|> operators — the linear query "
+        "notation): FROM … |> WHERE … |> AGGREGATE … GROUP BY … "
+        "|> WHERE over the aggregate (pipe HAVING). Same decimal-exact "
+        "revenue sum as everywhere; the oracle is the classic "
+        "SELECT/WHERE/GROUP BY/HAVING form, certifying the pipe "
+        "pipeline plans the identical computation.",
+)
+def q_sql_pipe_syntax(spark, sf_dir):
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe_v"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_pipe_v
+        |> WHERE l_quantity > 10
+        |> AGGREGATE COUNT(*) AS n_rows,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2)))
+                          AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        |> WHERE n_rows > 100
+        |> SELECT l_returnflag, n_rows, revenue
+        """
+    )
