@@ -163,6 +163,9 @@ _PRIORITY: list[str] = [
     "q_pysource_pushdown",
     # Spark 4 SQL pipe syntax
     "q_sql_pipe_syntax",
+    # behavioral-trajectory top-k + lexicon sentiment (paper-corpus nods)
+    "q_trajectory_similarity",
+    "q_sentiment_lexicon",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

@@ -810,3 +810,123 @@ def q_winsorized_stats(spark, sf_dir):
             (dsum("w") / F.count("*")).alias("winsorized_mean"),
         )
     )
+
+
+@register(
+    "q_trajectory_similarity",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               substr(string_agg(substr(event_type, 1, 1), ''
+                      ORDER BY ts, event_id), 1, 50) AS s
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT q.user_id AS query_user, c.user_id AS candidate_user,
+               CAST(levenshtein(q.s, c.s) AS BIGINT) AS edit_dist
+        FROM seq q JOIN seq c ON q.user_id < 10 AND c.user_id <> q.user_id
+    )
+    SELECT query_user, candidate_user, edit_dist, sim_rank FROM (
+        SELECT query_user, candidate_user, edit_dist,
+               CAST(row_number() OVER (PARTITION BY query_user
+                    ORDER BY edit_dist, candidate_user) AS BIGINT) AS sim_rank
+        FROM scored
+    ) WHERE sim_rank <= 5
+    """,
+    doc="Top-k behavioral-trajectory similarity (REPOSE-style "
+        "trajectory top-k search, re-expressed relationally): each "
+        "user's event stream becomes an ordered type-character "
+        "sequence (deterministic (ts, event_id) order), 10 query "
+        "users score against every other user by edit distance over "
+        "the 50-event prefix, top-5 each with tiebreaks. The query "
+        "side broadcasts (10 rows); candidate sequences build in one "
+        "grouped aggregate; per-query ranking partitions on the query "
+        "user. Levenshtein parity was proven by q_fuzzy_match. At "
+        "100 TB the candidate side would be length-blocked "
+        "(|len diff| bounds edit distance) — here the query set is "
+        "the bound.",
+)
+def q_trajectory_similarity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.substring(
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("e")), lambda s: s["ch"]),
+                    "",
+                ),
+                1,
+                50,
+            ).alias("s")
+        )
+    )
+    q = seqs.filter(F.col("user_id") < 10).select(
+        F.col("user_id").alias("query_user"), F.col("s").alias("qs")
+    )
+    scored = (
+        seqs.join(F.broadcast(q), F.col("user_id") != F.col("query_user"))
+        .select(
+            "query_user",
+            F.col("user_id").alias("candidate_user"),
+            F.levenshtein("qs", "s").cast("long").alias("edit_dist"),
+        )
+    )
+    w = Window.partitionBy("query_user").orderBy("edit_dist", "candidate_user")
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= 5)
+        .select("query_user", "candidate_user", "edit_dist", "sim_rank")
+    )
+
+
+@register(
+    "q_sentiment_lexicon",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id,
+               COUNT(*) FILTER (WHERE t IN ('fast', 'big')) AS n_pos,
+               COUNT(*) FILTER (WHERE t IN ('slow', 'small', 'error')) AS n_neg
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_pos, n_neg,
+           CAST(n_pos - n_neg AS DOUBLE) / NULLIF(n_pos + n_neg, 0)
+               AS polarity
+    FROM cnt
+    """,
+    doc="Lexicon-based sentiment polarity (the classic Spark-at-scale "
+        "text workload, cf. large-scale Twitter sentiment on Spark): "
+        "positive/negative lexicon hit counts per document in one "
+        "conditional aggregate, polarity = (pos−neg)/(pos+neg) with "
+        "NULL where the lexicon never fires. One shuffle on doc_id; "
+        "counts exact, one double division in the same tree on both "
+        "engines.",
+)
+def q_sentiment_lexicon(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators import text as T
+
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("t"))
+    cnt = tok.groupBy("doc_id").agg(
+        F.count(F.when(F.col("t").isin("fast", "big"), 1)).alias("n_pos"),
+        F.count(F.when(F.col("t").isin("slow", "small", "error"), 1)).alias("n_neg"),
+    )
+    return cnt.select(
+        "doc_id",
+        "n_pos",
+        "n_neg",
+        F.try_divide(
+            (F.col("n_pos") - F.col("n_neg")).cast("double"),
+            F.nullif(F.col("n_pos") + F.col("n_neg"), F.lit(0)),
+        ).alias("polarity"),
+    )
