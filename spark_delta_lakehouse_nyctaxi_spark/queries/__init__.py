@@ -166,6 +166,8 @@ _PRIORITY: list[str] = [
     # behavioral-trajectory top-k + lexicon sentiment (paper-corpus nods)
     "q_trajectory_similarity",
     "q_sentiment_lexicon",
+    # Spark's injected runtime bloom-filter join (plan-gated)
+    "q_bloom_join",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

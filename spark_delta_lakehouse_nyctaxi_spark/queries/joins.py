@@ -321,3 +321,70 @@ def q_bucketed_join(spark, sf_dir):
         for t in (cust_t, ord_t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_bloom_join",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_items,
+           {dsum_sql('l_extendedprice')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    doc="Runtime BLOOM-FILTER JOIN (Spark's injected row-level runtime "
+        "filter, round 4): with broadcast disabled (the 100 TB case "
+        "where the dim side is too big to broadcast but selective), "
+        "the optimizer builds a bloom filter over the filtered orders "
+        "keys and pushes bloom_filter_might_contain onto the lineitem "
+        "scan — probe-side rows that cannot match are dropped BEFORE "
+        "the shuffle, the same IO/network win the manifest-level bloom "
+        "skipping gives at unit granularity. The query RAISES unless "
+        "the executed plan carries the injected filter, so the value "
+        "check also certifies the optimization engaged. Session confs "
+        "are restored after materialization.",
+)
+def q_bloom_join(spark, sf_dir):
+    from ..plans import explain_str
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey", "o_orderstatus")
+        agg = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_items"),
+                dsum("l_extendedprice").alias("revenue"),
+            )
+        )
+        if "bloom_filter" not in explain_str(agg).lower():
+            raise AssertionError(
+                "runtime bloom filter was not injected into the join plan"
+            )
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema)
