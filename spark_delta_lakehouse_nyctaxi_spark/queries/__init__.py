@@ -168,6 +168,8 @@ _PRIORITY: list[str] = [
     "q_sentiment_lexicon",
     # Spark's injected runtime bloom-filter join (plan-gated)
     "q_bloom_join",
+    # cross-corpus incremental ingestion dedup (admission verdicts)
+    "q_incremental_dedup",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

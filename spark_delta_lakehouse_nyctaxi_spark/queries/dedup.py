@@ -660,3 +660,114 @@ def q_dedup_best_quality(spark, sf_dir):
         )
     )
     return out.select("doc_id", "lang", "source", "n_tokens")
+
+
+@register(
+    "q_incremental_dedup",
+    f"""
+    WITH {_PAIRS_CORE_SQL},
+    cls AS (
+        SELECT doc_id, source,
+               CAST(substr(source, 4) AS INT) >= 15 AS is_new,
+               md5(text) AS fp
+        FROM documents
+    ),
+    exact_cross AS (
+        SELECT DISTINCT b.doc_id FROM cls b
+        JOIN cls c ON b.is_new AND NOT c.is_new AND b.fp = c.fp
+    ),
+    batch_rank AS (
+        SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM cls WHERE is_new
+    ),
+    near_cross AS (
+        SELECT p.id_a AS doc_id FROM pairs p
+        JOIN cls a ON a.doc_id = p.id_a AND a.is_new
+        JOIN cls b ON b.doc_id = p.id_b AND NOT b.is_new
+        UNION
+        SELECT p.id_b FROM pairs p
+        JOIN cls b ON b.doc_id = p.id_b AND b.is_new
+        JOIN cls a ON a.doc_id = p.id_a AND NOT a.is_new
+    )
+    SELECT c.doc_id, c.source,
+           CASE WHEN ec.doc_id IS NOT NULL THEN 'dup_exact'
+                WHEN br.rn > 1 THEN 'dup_batch'
+                WHEN nc.doc_id IS NOT NULL THEN 'dup_near'
+                ELSE 'admitted' END AS status
+    FROM cls c
+    LEFT JOIN exact_cross ec ON ec.doc_id = c.doc_id
+    LEFT JOIN batch_rank br ON br.doc_id = c.doc_id
+    LEFT JOIN near_cross nc ON nc.doc_id = c.doc_id
+    WHERE c.is_new
+    """,
+    doc="Cross-corpus INCREMENTAL ingestion dedup (round 4 — the "
+        "admission gate every continuously-growing corpus runs): an "
+        "incoming batch (sources 15-19) is checked against the "
+        "existing corpus (sources 0-14) for exact duplicates "
+        "(fingerprint semi-join), against itself (min-id survivor "
+        "within the batch), and for near-duplicates against the "
+        "corpus (the adaptive shingle-Jaccard pair stage, ≥ 0.1), "
+        "emitting a per-document admission verdict with a precedence-"
+        "ordered reason. At 100 TB the corpus side is a fingerprint/"
+        "signature INDEX, not a rescan — exactly the shape here: only "
+        "fingerprints and shingle signatures of the corpus join the "
+        "batch.",
+)
+def q_incremental_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        (F.substring("source", 4, 10).cast("int") >= 15).alias("is_new"),
+        fingerprint("text").alias("fp"),
+    )
+    batch = docs.filter("is_new")
+    corpus = docs.filter("NOT is_new")
+    exact_cross = (
+        batch.join(
+            corpus.select("fp").distinct().withColumnRenamed("fp", "cfp"),
+            F.col("fp") == F.col("cfp"),
+            "inner",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("dup_exact", F.lit(True))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    batch_rank = batch.select(
+        "doc_id", F.row_number().over(w).alias("rn")
+    )
+    pairs = _prefix_jaccard_pairs(
+        docs.select("doc_id", "text"), threshold=0.1
+    ).select("id_a", "id_b")
+    newness = docs.select("doc_id", "is_new")
+    na = newness.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "is_new", "new_a"
+    )
+    nb = newness.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "is_new", "new_b"
+    )
+    tagged = pairs.join(na, "id_a").join(nb, "id_b")
+    near_cross = (
+        tagged.filter("new_a AND NOT new_b").select(F.col("id_a").alias("doc_id"))
+        .union(tagged.filter("new_b AND NOT new_a").select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("dup_near", F.lit(True))
+    )
+    out = (
+        batch.join(F.broadcast(exact_cross), "doc_id", "left")
+        .join(batch_rank, "doc_id")
+        .join(F.broadcast(near_cross), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("dup_exact"), "dup_exact")
+            .when(F.col("rn") > 1, "dup_batch")
+            .when(F.col("dup_near"), "dup_near")
+            .otherwise("admitted")
+            .alias("status"),
+        )
+    )
+    return out
