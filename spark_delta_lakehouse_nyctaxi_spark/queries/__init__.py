@@ -170,6 +170,8 @@ _PRIORITY: list[str] = [
     "q_bloom_join",
     # cross-corpus incremental ingestion dedup (admission verdicts)
     "q_incremental_dedup",
+    # asymmetric containment pairs (subset-duplicate detection)
+    "q_containment_pairs",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

@@ -771,3 +771,55 @@ def q_incremental_dedup(spark, sf_dir):
         )
     )
     return out
+
+
+@register(
+    "q_containment_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id <> b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a AS contained_id, id_b AS container_id,
+           CAST(n_common AS DOUBLE) / sa.n_sh AS containment
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    WHERE CAST(n_common AS DOUBLE) / sa.n_sh >= 0.5
+    """,
+    doc="Shingle CONTAINMENT pairs (asymmetric Jaccard, |A∩B|/|A| ≥ "
+        "0.5): the measure that catches a document EMBEDDED in a "
+        "larger one — quote farms, boilerplate wrappers, concatenated "
+        "dumps — which symmetric Jaccard misses because the union "
+        "dilutes the overlap. Ordered pairs (contained, container); "
+        "same co-shingle equi-join backbone as the Jaccard path, "
+        "normalized by the contained side only. Integer-count ÷ "
+        "integer-count: one double division, engine-identical.",
+)
+def q_containment_pairs(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(df, "doc_id", "text", k=3).select(
+        F.col("id"), F.col("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.withColumnRenamed("id", "id_b")
+    inter = (
+        a.join(b, (a.shingle == b.shingle) & (F.col("id_a") != F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            (F.col("n_common").cast("double") / F.col("n_sh")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= 0.5)
+    )
+    return out
