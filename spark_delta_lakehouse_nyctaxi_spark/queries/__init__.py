@@ -172,6 +172,8 @@ _PRIORITY: list[str] = [
     "q_incremental_dedup",
     # asymmetric containment pairs (subset-duplicate detection)
     "q_containment_pairs",
+    # near-dup-safe contrastive negative sampling
+    "q_negative_sampling",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

@@ -823,3 +823,77 @@ def q_containment_pairs(spark, sf_dir):
         .filter(F.col("containment") >= 0.5)
     )
     return out
+
+
+@register(
+    "q_negative_sampling",
+    f"""
+    WITH {_PAIRS_CORE_SQL},
+    anchors AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 20),
+    near AS (
+        SELECT id_a AS x, id_b AS y FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    cand AS (
+        SELECT a.anchor_id, d.doc_id AS negative_id,
+               md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                   || CAST(d.doc_id AS VARCHAR)) AS h
+        FROM anchors a JOIN documents d ON d.doc_id <> a.anchor_id
+        LEFT JOIN near n ON n.x = a.anchor_id AND n.y = d.doc_id
+        WHERE n.x IS NULL
+    )
+    SELECT anchor_id, negative_id, neg_rank FROM (
+        SELECT anchor_id, negative_id,
+               CAST(row_number() OVER (PARTITION BY anchor_id
+                    ORDER BY h, negative_id) AS BIGINT) AS neg_rank
+        FROM cand
+    ) WHERE neg_rank <= 3
+    """,
+    doc="Deterministic contrastive NEGATIVE SAMPLING (the pair-"
+        "generation step of embedding/reranker training): for each of "
+        "20 anchor documents, 3 pseudo-uniform negatives chosen by "
+        "md5(anchor:candidate) rank — reproducible across runs and "
+        "engines, unlike rand() — with near-duplicates of the anchor "
+        "EXCLUDED via the exact Jaccard pair stage (a near-dup drawn "
+        "as a negative is a false negative that poisons contrastive "
+        "training). Anchors broadcast; at corpus scale the candidate "
+        "ranking would bucket by hash prefix instead of ranking all "
+        "candidates per anchor.",
+)
+def q_negative_sampling(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    pairs = _prefix_jaccard_pairs(docs, threshold=0.1).select("id_a", "id_b")
+    near = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    cand = (
+        docs.select(F.col("doc_id").alias("negative_id"))
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col("negative_id") != F.col("anchor_id"))
+        .join(
+            F.broadcast(near),
+            (F.col("x") == F.col("anchor_id")) & (F.col("y") == F.col("negative_id")),
+            "left_anti",
+        )
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("negative_id").cast("string"),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "negative_id")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= 3)
+        .select("anchor_id", "negative_id", "neg_rank")
+    )
