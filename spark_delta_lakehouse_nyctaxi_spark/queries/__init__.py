@@ -174,6 +174,8 @@ _PRIORITY: list[str] = [
     "q_containment_pairs",
     # near-dup-safe contrastive negative sampling
     "q_negative_sampling",
+    # int8-quantized similarity search (exact integer scoring)
+    "q_ann_quantized",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",
