@@ -176,6 +176,8 @@ _PRIORITY: list[str] = [
     "q_negative_sampling",
     # int8-quantized similarity search (exact integer scoring)
     "q_ann_quantized",
+    # frame-level audio DSP over real decoded PCM (VAD primitives)
+    "q_audio_frame_features",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

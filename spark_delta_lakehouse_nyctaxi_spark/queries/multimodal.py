@@ -569,3 +569,88 @@ def q_multimodal_jpeg_color(spark, sf_dir):
     return media.mapInPandas(
         gen, "media_id long, channel string, mean_value double"
     )
+
+
+# Frame-level audio DSP features over REAL decoded PCM (round 4): the
+# signal-processing step (VAD, loudness normalization, silence
+# trimming) an audio pipeline runs after decode. Frames of 256
+# samples; per-frame energy = Σs²/256 (integer sum < 2^53, /256 a pure
+# exponent shift — exact in float64) and zero crossings (integer
+# count of sign changes). The WAV files are genuine RIFF/PCM16 built
+# from the closed-form signal, so the oracle re-derives every frame
+# from the generation formula — a mis-parsed chunk, wrong frame
+# boundary, or off-by-one in the crossing count changes the values.
+_AUDIO_FRAMES_ORACLE = """
+    WITH sig AS (
+        SELECT m.m AS media_id, i.i AS idx,
+               CAST((m.m * 37 + i.i * 11) % 4001 - 2000 AS DOUBLE) AS s
+        FROM range(16) m(m), range(2048) i(i)
+    ),
+    framed AS (
+        SELECT media_id, CAST(idx // 256 AS BIGINT) AS frame_idx, idx, s,
+               lag(s) OVER (PARTITION BY media_id, idx // 256
+                            ORDER BY idx) AS prev
+        FROM sig
+    )
+    SELECT media_id, frame_idx,
+           SUM(s * s) / 256.0 AS energy,
+           CAST(COUNT(*) FILTER (WHERE prev IS NOT NULL AND prev * s < 0)
+                AS BIGINT) AS zero_crossings
+    FROM framed GROUP BY media_id, frame_idx
+"""
+
+
+@register(
+    "q_audio_frame_features",
+    _AUDIO_FRAMES_ORACLE,
+    doc="Frame-level audio features over REAL decoded WAV payloads "
+        "(256-sample frames → energy + zero-crossing rate — the VAD/"
+        "silence-trim primitives): genuine RIFF/PCM16 files decoded by "
+        "the pure-Python codec inside Arrow-batched mapInPandas, "
+        "per-frame statistics computed vectorized in numpy and "
+        "value-oracled against the closed-form generator. Integer "
+        "sample sums keep energy exact in float64.",
+)
+def q_audio_frame_features(spark, sf_dir):
+    import numpy as np
+
+    rows = []
+    for m in range(16):
+        i = np.arange(2048)
+        samples = (m * 37 + i * 11) % 4001 - 2000
+        rows.append(
+            (
+                m,
+                "audio",
+                bytearray(M.encode_wav(samples)),
+                {"width": None, "height": None, "sample_rate": 16000,
+                 "duration_s": 2048 / 16000.0, "format": "wav"},
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = M.decode_wav(bytes(payload)).astype(np.float64)
+                frames = s.reshape(-1, 256)
+                energy = (frames * frames).sum(axis=1) / 256.0
+                signs = frames[:, :-1] * frames[:, 1:]
+                zc = (signs < 0).sum(axis=1)
+                for fi in range(frames.shape[0]):
+                    out.append(
+                        (int(mid), fi, float(energy[fi]), int(zc[fi]))
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["media_id", "frame_idx", "energy", "zero_crossings"],
+                )
+
+    return media.mapInPandas(
+        gen,
+        "media_id long, frame_idx long, energy double, zero_crossings long",
+    )
