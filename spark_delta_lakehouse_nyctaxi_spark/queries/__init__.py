@@ -180,6 +180,8 @@ _PRIORITY: list[str] = [
     "q_audio_frame_features",
     # chunk → reassemble round-trip certificate (RAG chunk-store invariant)
     "q_chunk_reassembly",
+    # join-key skew diagnosis (the measure before q_join_salted's fix)
+    "q_skew_profile",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

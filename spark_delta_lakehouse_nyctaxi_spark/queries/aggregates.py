@@ -428,3 +428,62 @@ def q_histogram(spark, sf_dir):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "q_skew_profile",
+    """
+    WITH per_key AS (
+        SELECT l_orderkey, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+        SELECT CAST(MAX(n_rows) AS DOUBLE)
+                   / (CAST(SUM(n_rows) AS DOUBLE) / COUNT(*)) AS skew_factor,
+               COUNT(*) AS n_keys
+        FROM per_key
+    )
+    SELECT k.l_orderkey, k.n_rows, s.skew_factor, s.n_keys, r.heavy_rank
+    FROM (
+        SELECT l_orderkey, n_rows,
+               CAST(row_number() OVER (ORDER BY n_rows DESC, l_orderkey)
+                    AS BIGINT) AS heavy_rank
+        FROM per_key
+    ) r
+    JOIN per_key k USING (l_orderkey), stats s
+    WHERE r.heavy_rank <= 10
+    """,
+    doc="Join-key SKEW PROFILE — the diagnosis step before salting or "
+        "AQE skew-join tuning: per-key row counts for the hot join key "
+        "(lineitem.l_orderkey), the 10 heaviest keys, and the skew "
+        "factor max/mean. One map-side-combining aggregate; the rank "
+        "is a TakeOrdered-style top-10 over the per-key frame and the "
+        "scalar stats broadcast. The operational complement of "
+        "operators/skew.py's salted join (q_join_salted applies the "
+        "fix; this measures whether you need it).",
+)
+def q_skew_profile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("n_rows"))
+    stats = per_key.agg(
+        (
+            F.max("n_rows").cast("double")
+            / (F.sum("n_rows").cast("double") / F.count("*"))
+        ).alias("skew_factor"),
+        F.count("*").alias("n_keys"),
+    )
+    top = (
+        per_key.orderBy(F.col("n_rows").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .withColumn(
+            "heavy_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_rows").desc(), F.col("l_orderkey")))
+            .cast("long"),
+        )
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey", "n_rows", "skew_factor", "n_keys", "heavy_rank"
+    )
