@@ -182,6 +182,8 @@ _PRIORITY: list[str] = [
     "q_chunk_reassembly",
     # join-key skew diagnosis (the measure before q_join_salted's fix)
     "q_skew_profile",
+    # per-source corpus datasheet (governance summary)
+    "q_corpus_datasheet",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

@@ -1085,3 +1085,60 @@ def q_chunk_reassembly(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_corpus_datasheet",
+    """
+    WITH base AS (
+        SELECT doc_id, source, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               md5(text) AS fp
+        FROM documents
+    ),
+    fp_counts AS (
+        SELECT fp, COUNT(*) AS n_fp FROM base GROUP BY fp
+    )
+    SELECT b.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(b.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(b.n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           CAST(MIN(b.n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(b.n_tokens) AS BIGINT) AS max_tokens,
+           COUNT(DISTINCT b.lang) AS n_langs,
+           CAST(COUNT(*) FILTER (WHERE f.n_fp > 1) AS BIGINT)
+               AS n_exact_dup_docs
+    FROM base b JOIN fp_counts f USING (fp)
+    GROUP BY b.source
+    """,
+    doc="Per-source CORPUS DATASHEET (the 'datasheets for datasets' "
+        "governance summary a training-data release ships): document "
+        "and token counts, token-length envelope, language diversity, "
+        "and exact-duplicate exposure (docs whose fingerprint appears "
+        "more than once corpus-wide) — all in one grouped pass plus a "
+        "fingerprint frequency join. Integer stats exact; the one "
+        "ratio is a single double division.",
+)
+def q_corpus_datasheet(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    fp_counts = docs.groupBy("fp").agg(F.count("*").alias("n_fp"))
+    return (
+        docs.join(fp_counts, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count("*")).alias("mean_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum((F.col("n_fp") > 1).cast("long")).alias("n_exact_dup_docs"),
+        )
+    )
