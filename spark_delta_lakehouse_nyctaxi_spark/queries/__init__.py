@@ -184,6 +184,8 @@ _PRIORITY: list[str] = [
     "q_skew_profile",
     # per-source corpus datasheet (governance summary)
     "q_corpus_datasheet",
+    # exact distributed median (count-based selection, zero data movement)
+    "q_exact_median_distributed",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

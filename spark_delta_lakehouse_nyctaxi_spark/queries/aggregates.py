@@ -487,3 +487,38 @@ def q_skew_profile(spark, sf_dir):
     return top.crossJoin(F.broadcast(stats)).select(
         "l_orderkey", "n_rows", "skew_factor", "n_keys", "heavy_rank"
     )
+
+
+@register(
+    "q_exact_median_distributed",
+    """
+    WITH ordered AS (
+        SELECT o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice) AS rn,
+               COUNT(*) OVER () AS n
+        FROM orders
+    )
+    SELECT o_totalprice AS median_price,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+    FROM ordered WHERE rn = (n + 1) // 2
+    """,
+    doc="EXACT distributed median via iterative count-based selection "
+        "(operators/indexing.distributed_kth_smallest): binary search "
+        "on the integer cent grid, one COUNT(x ≤ mid) scan-aggregate "
+        "per step, ~log2(range) rounds, two scalars per round to the "
+        "driver and ZERO data movement — the selection algorithm for "
+        "a column too wide to sort and too skewed to trust a sketch. "
+        "The oracle is the order-statistics definition (lower median). "
+        "Complements q_percentile_exact (per-group in-buffer sort, "
+        "bounded groups) and q_approx_quantiles (sketch).",
+)
+def q_exact_median_distributed(spark, sf_dir):
+    from ..operators.indexing import distributed_kth_smallest
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    k = (n + 1) // 2
+    med = distributed_kth_smallest(orders, "o_totalprice", k, scale=2)
+    return spark.createDataFrame(
+        [(float(med), n)], "median_price double, n_rows long"
+    )
