@@ -186,6 +186,8 @@ _PRIORITY: list[str] = [
     "q_corpus_datasheet",
     # exact distributed median (count-based selection, zero data movement)
     "q_exact_median_distributed",
+    # cluster-aware leakage-safe split (near-dups never straddle splits)
+    "q_split_cluster_safe",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

@@ -897,3 +897,55 @@ def q_negative_sampling(spark, sf_dir):
         .filter(F.col("neg_rank") <= 3)
         .select("anchor_id", "negative_id", "neg_rank")
     )
+
+
+def _cluster_safe_split_sql() -> str:
+    from ..operators.sampling import split_case_sql
+
+    case = split_case_sql(
+        "split_key", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    keyed AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, split_key, {case} AS split
+    FROM keyed
+    """
+
+
+@register(
+    "q_split_cluster_safe",
+    _cluster_safe_split_sql(),
+    doc="CLUSTER-AWARE leakage-safe train/val/test split (the split "
+        "real dedup-aware pipelines need): hashing each document's "
+        "near-dup CLUSTER representative instead of its own id, so an "
+        "entire duplicate cluster lands in ONE split — a near-dup of a "
+        "training document can never leak into the test set. "
+        "Unclustered docs hash their own id. The cluster map "
+        "broadcasts; the split itself stays the shuffle-free md5-"
+        "threshold projection (q_sample_split's machinery) on the "
+        "cluster key.",
+)
+def q_split_cluster_safe(spark, sf_dir):
+    from ..operators.sampling import hash_split
+
+    df = load_table(spark, sf_dir, "documents")
+    pairs = _prefix_jaccard_pairs(df, threshold=0.1)
+    clusters = D.duplicate_clusters(pairs.select("id_a", "id_b"))
+    keyed = (
+        df.join(F.broadcast(clusters), df.doc_id == clusters.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
+        )
+    )
+    out = hash_split(
+        keyed,
+        "split_key",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )
+    return out.select("doc_id", "split_key", "split")
