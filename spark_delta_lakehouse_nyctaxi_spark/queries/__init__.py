@@ -188,6 +188,8 @@ _PRIORITY: list[str] = [
     "q_exact_median_distributed",
     # cluster-aware leakage-safe split (near-dups never straddle splits)
     "q_split_cluster_safe",
+    # LSH recall evaluation harness (measure before trusting at 100 TB)
+    "q_lsh_recall",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

@@ -949,3 +949,53 @@ def q_split_cluster_safe(spark, sf_dir):
         [("train", 0.8), ("val", 0.1), ("test", 0.1)],
     )
     return out.select("doc_id", "split_key", "split")
+
+
+@register(
+    "q_lsh_recall",
+    f"""
+    WITH exact0 AS (
+        WITH {_PAIRS_CORE_SQL}
+        SELECT id_a, id_b FROM pairs
+    ),
+    lsh0 AS (
+        {_MINHASH_LSH_SQL}
+    )
+    SELECT (SELECT COUNT(*) FROM exact0) AS n_exact,
+           (SELECT COUNT(*) FROM lsh0) AS n_lsh,
+           (SELECT COUNT(*) FROM exact0 e
+             JOIN lsh0 l ON e.id_a = l.id_a AND e.id_b = l.id_b) AS n_common,
+           CAST((SELECT COUNT(*) FROM exact0 e
+                 JOIN lsh0 l ON e.id_a = l.id_a AND e.id_b = l.id_b) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM exact0), 0) AS recall
+    """,
+    doc="MinHash-LSH RECALL EVALUATION — the measure-don't-guess "
+        "harness for the approximate dedup path: the LSH pipeline's "
+        "confirmed pairs are compared against the EXACT Jaccard pair "
+        "set at the same threshold, emitting pair counts and recall. "
+        "Both pipelines are deterministic (md5 hash family), so the "
+        "whole evaluation is value-oracled — this is how you decide "
+        "band/row parameters before trusting LSH on 100 TB. One "
+        "integer division at the end.",
+)
+def q_lsh_recall(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    exact = _prefix_jaccard_pairs(df, threshold=0.1).select("id_a", "id_b")
+    arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed="md5").persist()
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    sig = D.minhash_signatures_linear(sh, _MH_COEFFS)
+    cand = D.lsh_candidate_pairs_grouped(
+        sig, bands=8, max_bucket_size=1000, exact_keys=True
+    )
+    lsh = D.jaccard_pairs_from_arrays(arrs, cand, threshold=0.1).select(
+        "id_a", "id_b"
+    )
+    common = exact.join(lsh, ["id_a", "id_b"])
+    ne = exact.count()
+    nl = lsh.count()
+    nc = common.count()
+    rec = float(nc) / ne if ne else None
+    return df.sparkSession.createDataFrame(
+        [(ne, nl, nc, rec)],
+        "n_exact long, n_lsh long, n_common long, recall double",
+    )
