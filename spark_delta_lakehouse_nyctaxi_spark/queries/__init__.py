@@ -190,6 +190,8 @@ _PRIORITY: list[str] = [
     "q_split_cluster_safe",
     # LSH recall evaluation harness (measure before trusting at 100 TB)
     "q_lsh_recall",
+    # IVF ANN recall@5 vs brute-force ground truth
+    "q_ivf_recall",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

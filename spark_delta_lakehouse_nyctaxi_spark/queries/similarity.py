@@ -616,3 +616,58 @@ def q_ann_quantized(spark, sf_dir):
         .filter(F.col("sim_rank") <= 5)
         .select("query_id", "neighbor_id", "idot", "sim_rank")
     )
+
+
+@register(
+    "q_ivf_recall",
+    f"""
+    WITH truth AS (
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS_SQL} AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 10
+        )
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS sim_rank
+            FROM scored
+        ) WHERE sim_rank <= 5
+    ),
+    approx AS (
+        {_ivf_oracle_sql()}
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM truth t
+             JOIN approx a ON t.query_id = a.query_id
+                          AND t.neighbor_id = a.neighbor_id) AS n_hit,
+           CAST((SELECT COUNT(*) FROM truth t
+                 JOIN approx a ON t.query_id = a.query_id
+                              AND t.neighbor_id = a.neighbor_id) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth) AS recall_at_5
+    """,
+    doc="IVF ANN RECALL EVALUATION (the similarity-side companion of "
+        "q_lsh_recall): recall@5 of the 16-cell 4-probe IVF search "
+        "against brute-force ground truth over the same 10 queries. "
+        "Both sides are deterministic (decimal-exact k-means, tiebroken "
+        "ranks), so the evaluation itself value-checks bitwise — the "
+        "number you read before choosing n_probe for a 100 TB corpus "
+        "(q_ann_ivf_tuned automates the choice; this audits it).",
+)
+def q_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2, exact=True)
+    approx = S.ivf_topk(emb, queries, centroids, n_probe=4, k=5, exact=True).select(
+        "query_id", "neighbor_id"
+    )
+    n_truth = truth.count()
+    n_hit = truth.join(approx, ["query_id", "neighbor_id"]).count()
+    return spark.createDataFrame(
+        [(n_truth, n_hit, float(n_hit) / n_truth if n_truth else None)],
+        "n_truth long, n_hit long, recall_at_5 double",
+    )
