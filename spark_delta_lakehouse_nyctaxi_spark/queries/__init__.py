@@ -192,6 +192,9 @@ _PRIORITY: list[str] = [
     "q_lsh_recall",
     # IVF ANN recall@5 vs brute-force ground truth
     "q_ivf_recall",
+    # modern curation recipe v2 (gopher → normalized dedup →
+    # cluster-safe split → budgets, whole composition oracled)
+    "q_curation_pipeline_v2",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

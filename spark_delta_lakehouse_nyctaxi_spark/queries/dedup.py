@@ -999,3 +999,120 @@ def q_lsh_recall(spark, sf_dir):
         [(ne, nl, nc, rec)],
         "n_exact long, n_lsh long, n_common long, recall double",
     )
+
+
+def _curation_v2_sql() -> str:
+    from ..operators.sampling import split_case_sql
+
+    case = split_case_sql(
+        "split_key", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    feats AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    gopher AS (
+        SELECT doc_id, len(toks) AS n_tokens, norm
+        FROM feats
+        WHERE len(toks) BETWEEN 50 AND 100000
+          AND CAST(list_sum(list_transform(toks, w -> strlen(w))) AS DOUBLE)
+              / len(toks) BETWEEN 3.0 AND 10.0
+          AND CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS DOUBLE) / len(toks) >= 0.8
+    ),
+    survivors AS (
+        SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (PARTITION BY md5(norm)
+                                      ORDER BY doc_id) AS rn
+            FROM gopher
+        ) WHERE rn = 1
+    ),
+    keyed AS (
+        SELECT s.doc_id, s.n_tokens,
+               COALESCE(c.cluster_id, s.doc_id) AS split_key
+        FROM survivors s LEFT JOIN clusters c ON s.doc_id = c.doc_id
+    )
+    SELECT {case} AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM keyed
+    GROUP BY 1
+    """
+
+
+@register(
+    "q_curation_pipeline_v2",
+    _curation_v2_sql(),
+    doc="The MODERN curation recipe end-to-end, composing the round-4 "
+        "operators: Gopher quality gates (word count, mean word "
+        "length, alpha fraction) → NORMALIZED exact dedup (md5 of the "
+        "canonical text form, min-id survivor — catches casing/"
+        "punctuation twins plain fingerprints miss) → CLUSTER-AWARE "
+        "leakage-safe split (near-dup clusters from the exact Jaccard "
+        "stage hash as one unit) → per-split document and token "
+        "budgets. The successor of q_training_pipeline with the "
+        "round-4 ops swapped in; the whole composition value-checks "
+        "bitwise. One corpus-sized shuffle per stage, broadcast "
+        "cluster map, shuffle-free split.",
+)
+def q_curation_pipeline_v2(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators import text as T
+    from ..operators.sampling import hash_split
+
+    df = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_tokens = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    gopher = df.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.md5(norm).alias("norm_fp"),
+    ).filter(
+        (n_tokens >= 50)
+        & (n_tokens <= 100000)
+        & ((sum_len.cast("double") / n_tokens) >= 3.0)
+        & ((sum_len.cast("double") / n_tokens) <= 10.0)
+        & ((n_alpha.cast("double") / n_tokens) >= 0.8)
+    )
+    w = Window.partitionBy("norm_fp").orderBy("doc_id")
+    survivors = (
+        gopher.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    pairs = _prefix_jaccard_pairs(df, threshold=0.1)
+    clusters = D.duplicate_clusters(pairs.select("id_a", "id_b"))
+    keyed = (
+        survivors.join(F.broadcast(clusters), survivors.doc_id == clusters.id, "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
+        )
+    )
+    split = hash_split(
+        keyed, "split_key", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
