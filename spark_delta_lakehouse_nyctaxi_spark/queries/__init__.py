@@ -195,6 +195,8 @@ _PRIORITY: list[str] = [
     # modern curation recipe v2 (gopher → normalized dedup →
     # cluster-safe split → budgets, whole composition oracled)
     "q_curation_pipeline_v2",
+    # GROUP BY ALL (identical statement both engines)
+    "q_group_by_all",
     # headline driver-green queries pad the window so the rows-only
     # block below can never enter the first 50 ---
     "q_minhash_lsh",

@@ -746,3 +746,32 @@ def q_sql_pipe_syntax(spark, sf_dir):
         |> SELECT l_returnflag, n_rows, revenue
         """
     )
+
+
+@register(
+    "q_group_by_all",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ALL
+    """,
+    doc="GROUP BY ALL (the modern-SQL ergonomic both Spark 4 and "
+        "DuckDB resolve to every non-aggregate select item): the "
+        "oracle is the IDENTICAL statement text, certifying both "
+        "engines infer the same grouping keys. Decimal-exact revenue "
+        "as everywhere.",
+)
+def q_group_by_all(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders_gba_v
+        GROUP BY ALL
+        """
+    )
