@@ -601,3 +601,53 @@ def test_jpeg_codec_bounded_error_any_shape(h, w, seed, quant):
     dec = M.decode_jpeg(M.encode_jpeg(px, quant=quant))
     assert dec.shape == (h, w)
     assert np.abs(dec - px).max() <= 4.0 * quant
+
+
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=40, unique=False),
+    n_buckets=st.integers(1, 6),
+)
+@SETTINGS
+def test_distributed_ntile_matches_window_ntile(spark, vals, n_buckets):
+    """distributed_ntile's closed form must be bit-identical to the SQL
+    NTILE window function for ANY total order and bucket count."""
+    from pyspark.sql import Window
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators.indexing import (
+        distributed_ntile,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.nt
+        for r in distributed_ntile(
+            df, n_buckets, [F.col("v").desc(), F.col("id")], "nt"
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), F.col("id"))
+    want = {
+        r.id: r.nt
+        for r in df.withColumn("nt", F.ntile(n_buckets).over(w)).collect()
+    }
+    assert got == want
+
+
+@given(
+    cents=st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=40),
+    kfrac=st.floats(0.01, 0.99),
+)
+@SETTINGS
+def test_distributed_kth_smallest_matches_sorted_selection(spark, cents, kfrac):
+    """Count-based selection must return exactly the k-th smallest
+    element (2-decimal grid) for any multiset and any k."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.indexing import (
+        distributed_kth_smallest,
+    )
+
+    vals = [c / 100.0 for c in cents]
+    k = max(1, min(len(vals), int(round(kfrac * len(vals)))))
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = distributed_kth_smallest(df, "x", k, scale=2)
+    want = sorted(vals)[k - 1]
+    assert abs(got - want) < 1e-9, (got, want, k, sorted(vals))
