@@ -62,143 +62,56 @@ from . import subqueries  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 
 
-# Round-4 rotation.  The driver verifies ~50 registry entries per round
-# in order.  CORRECTNESS_r01 ∪ r02 ∪ r03 covers 147 of the 186 registered
-# queries; the 39 without a driver row (all locally strict-checked; 37
-# value-oracled + 2 fundamentally rows-only) fill this round's window,
-# led by the two round-3 driver defects now fixed:
-#   - q_simhash: oracle HUGEINT→float64 precision trap — final SUM now
-#     CAST AS BIGINT (VERDICT r3 item 1);
-#   - q_embedding_quantize: raw array<int> crashed the driver
-#     canonicalizer — now array_join/array_to_string on both engines
-#     (VERDICT r3 item 2).
-# The 37 never-checked oracled queries follow, cheap families first and
-# q_pagerank (multi-iteration graph + DuckDB CTE chain) last so the
-# driver's time budget reaches the cheap rows first.  All rows-only
-# queries (approx sketches, arrival-order stream dedup, MLlib-internal
-# hashing) sort permanently BELOW the 50-slot cap — a driver row for
-# them can only record `no_oracle` (VERDICT r3 item 8); each has an
-# oracled deterministic companion above the cap.  New round-4 queries
-# slot in between, reachable if the budget stretches.
+# Round-5 rotation.  The driver verifies ~50 registry entries per round
+# in order.  CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04 covers 194 of the 224
+# registered queries; the 30 without a driver row split into 28
+# value-oracled (all strict-checked locally and re-verified by the
+# round-4 judge: 28/28 bitwise) and 2 fundamentally rows-only
+# (q_stream_dedup arrival-order, q_minhash_mllib MLlib-internal
+# hashing) which stay permanently below the cap per VERDICT r3 item 8.
+# The 28 fill slots 1-28, cheap families first so the driver's time
+# budget reaches every row; new round-5 queries follow; driver-green
+# headliners pad the remaining slots so the rows-only block can never
+# enter the first 50.
 _PRIORITY: list[str] = [
-    # --- round-3 driver defects, fixed this round (items 1+2) ---
-    "q_simhash",
-    "q_embedding_quantize",
-    # --- the 37 value-oracled queries with no driver row yet ---
-    "q_variant_extract",
-    "q_lateral_topk",
-    "q_listagg",
-    "q_higher_order",
-    "q_month_spine",
-    "q_basket_pairs",
-    "q_winsorized_stats",
-    "q_rfm_segmentation",  # r3 judge scale fix: distributed_ntile
-    "q_outlier_iqr",
-    "q_resample_ffill",
-    "q_ewma_pandas",
-    "q_lm_score",
-    "q_drift_chisq",
-    "q_vocab_gini",
-    "q_markov_transitions",
-    "q_event_funnel",
-    "q_cohort_retention",
-    "q_importance_weights",
-    "q_shuffle_shards",
-    "q_token_budget",
-    "q_mixture_weights",
-    "q_curation_funnel",
-    "q_segment_dedup",
-    "q_embedding_centroids",
-    "q_triangle_count",
-    "q_ann_ivf",
-    "q_ann_ivf_tuned",
-    "q_stats_skipping",
-    "q_table_clone",
-    "q_generated_column",
-    "q_column_rename",
-    "q_mor_delete",
-    "q_cdf_sync",
-    "q_multimodal_real_codecs",
-    "q_multimodal_real_frames",
-    "q_stream_pysource",
-    "q_stream_stream_full_join",
-    "q_pagerank",
-    # --- new round-4 queries (slots 40+) ---
-    # sketch-guarantee certificates: value-oracled boolean envelopes for
-    # the three fundamentally-approximate sketches (VERDICT r3 item 8)
-    "q_approx_quantiles_bound",
-    "q_approx_distinct_bound",
-    "q_heavy_hitters",
-    # pure-Python baseline JPEG codec (VERDICT r3 item 7 closed) + the
-    # Motion-JPEG AVI it unlocks (compressed video without ffmpeg)
-    "q_multimodal_jpeg",
-    "q_multimodal_jpeg_color",
-    "q_multimodal_mjpeg",
-    # Delta GENERATED ALWAYS AS IDENTITY analog
-    "q_identity_column",
-    # grouped OLS via exact decimal normal equations
-    "q_linear_regression",
-    # bloom-filter equality skipping (point-lookup complement of stats)
-    "q_bloom_skipping",
-    # semantic clustering end-to-end (k-means cells → top terms)
-    "q_cluster_topics",
-    # slot 51+: first past the ~50 cap; judge-locally covered either way
-    # Python DataSource WRITE half (two-phase commit protocol)
-    "q_pysource_writer",
-    # Spark 4 SQL scripting / session variables / named parameters
+    # --- the 28 value-oracled queries with no driver row yet ---
+    # Spark 4 SQL surface (sub-second, identical statements both engines)
     "q_sql_scripting",
     "q_sql_variables",
-    # column DEFAULTs (generated/identity/default triple complete)
+    "q_sql_pipe_syntax",
+    "q_group_by_all",
+    # storage-engine surface
     "q_column_defaults",
-    # BM25 lexical retrieval (RAG-side complement of the ANN paths)
-    "q_bm25_search",
-    # Gopher quality rules + canonical text normalization
+    "q_replace_where",
+    "q_pysource_writer",
+    "q_pysource_pushdown",
+    "q_bloom_join",
+    # text / governance
     "q_gopher_rules",
     "q_text_normalize",
-    # quality-aware dedup survivor policy (keep the best duplicate)
-    "q_dedup_best_quality",
-    # Delta overwrite+replaceWhere (idempotent selective backfill)
-    "q_replace_where",
-    # Python DataSource filter pushdown (connector surface complete)
-    "q_pysource_pushdown",
-    # Spark 4 SQL pipe syntax
-    "q_sql_pipe_syntax",
-    # behavioral-trajectory top-k + lexicon sentiment (paper-corpus nods)
-    "q_trajectory_similarity",
     "q_sentiment_lexicon",
-    # Spark's injected runtime bloom-filter join (plan-gated)
-    "q_bloom_join",
-    # cross-corpus incremental ingestion dedup (admission verdicts)
-    "q_incremental_dedup",
-    # asymmetric containment pairs (subset-duplicate detection)
-    "q_containment_pairs",
-    # near-dup-safe contrastive negative sampling
-    "q_negative_sampling",
-    # int8-quantized similarity search (exact integer scoring)
-    "q_ann_quantized",
-    # frame-level audio DSP over real decoded PCM (VAD primitives)
-    "q_audio_frame_features",
-    # chunk → reassemble round-trip certificate (RAG chunk-store invariant)
-    "q_chunk_reassembly",
-    # join-key skew diagnosis (the measure before q_join_salted's fix)
-    "q_skew_profile",
-    # per-source corpus datasheet (governance summary)
     "q_corpus_datasheet",
-    # exact distributed median (count-based selection, zero data movement)
-    "q_exact_median_distributed",
-    # cluster-aware leakage-safe split (near-dups never straddle splits)
+    "q_skew_profile",
+    "q_chunk_reassembly",
+    "q_bm25_search",
+    # dedup family
+    "q_dedup_best_quality",
+    "q_incremental_dedup",
+    "q_containment_pairs",
     "q_split_cluster_safe",
-    # LSH recall evaluation harness (measure before trusting at 100 TB)
+    "q_negative_sampling",
+    # similarity family
+    "q_trajectory_similarity",
+    "q_ann_quantized",
     "q_lsh_recall",
-    # IVF ANN recall@5 vs brute-force ground truth
     "q_ivf_recall",
-    # modern curation recipe v2 (gopher → normalized dedup →
-    # cluster-safe split → budgets, whole composition oracled)
+    # misc operators
+    "q_audio_frame_features",
+    "q_exact_median_distributed",
+    # flagship last of the tranche (most expensive, ~7s cold)
     "q_curation_pipeline_v2",
-    # GROUP BY ALL (identical statement both engines)
-    "q_group_by_all",
-    # headline driver-green queries pad the window so the rows-only
-    # block below can never enter the first 50 ---
+    # --- new round-5 queries slot here (driver-reachable) ---
+    # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",
     "q_tpch_q1",
@@ -210,6 +123,17 @@ _PRIORITY: list[str] = [
     "q_window_rank",
     "q_topk",
     "q_sessionize",
+    "q_simhash",
+    "q_embedding_quantize",
+    "q_variant_extract",
+    "q_lateral_topk",
+    "q_listagg",
+    "q_higher_order",
+    "q_month_spine",
+    "q_rfm_segmentation",
+    "q_ann_ivf",
+    "q_stats_skipping",
+    "q_pagerank",
     # --- below the 50-slot driver cap ---
     # rows-only (a driver row records only `no_oracle`; kept out of the
     # window per VERDICT r3 item 8 — each is pytest-gated and has an
@@ -219,7 +143,7 @@ _PRIORITY: list[str] = [
     "q_approx_quantiles",
     "q_approx_distinct",
     "q_freq_items",
-    # --- r1/r2/r3 driver-green queries follow in registration order ---
+    # --- r1-r4 driver-green queries follow in registration order ---
 ]
 
 
