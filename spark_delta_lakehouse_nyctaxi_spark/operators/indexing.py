@@ -34,6 +34,65 @@ from pyspark import cloudpickle as _cloudpickle
 
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 
+# --- cache lifecycle (ADVICE r4) -------------------------------------
+# The ranged frame MUST stay cached until the assign pass materializes:
+# repartitionByRange samples boundaries with an RDD-id-derived seed, so
+# a recompute can move rows across partitions and invalidate the pinned
+# offsets. Unpersisting "when done" is therefore managed, not left to
+# the session: (a) a call that receives a previous call's result as
+# input unpersists that upstream cache as soon as its OWN cache is
+# fully materialized (the chain case — q_rfm_segmentation stacks three
+# ntile calls); (b) a small capped registry evicts the oldest cache
+# when later calls pile up, so sweeps/bench runs accumulate at most
+# _CACHE_CAP cached frames instead of one per call; (c) the assign
+# pass carries a per-partition row-count guard that RAISES if the
+# cached layout was ever lost and recomputed with drifted boundaries —
+# a loud error, never a silently wrong rank.
+_CACHE_ATTR = "_indexing_cache"
+_CACHE_CAP = 4
+_LIVE_CACHES: list = []
+# Each call tags its ranged plan with a unique constant column before
+# persisting: Spark's CacheManager dedupes persist() calls by
+# canonicalized plan equality, so two calls over identical input would
+# otherwise SHARE one InMemoryRelation — and evicting the older
+# registry entry would silently unpersist the younger call's cache out
+# from under its pinned offsets (caught by the in-task count guard).
+# The int32 constant run-length-encodes to ~nothing in the columnar
+# cache and is dropped from the output.
+_TAG_COL = "__indexing_cache_tag"
+_PID_COL = "__indexing_pid"
+_CALL_SEQ = 0
+
+
+def _next_tag() -> int:
+    global _CALL_SEQ
+    _CALL_SEQ += 1
+    return _CALL_SEQ
+
+
+def _safe_unpersist(cached) -> None:
+    try:
+        cached.unpersist()
+    except Exception:
+        pass  # session already stopped
+    try:
+        _LIVE_CACHES.remove(cached)
+    except ValueError:
+        pass
+
+
+def _adopt_cache(result: DataFrame, cached, upstream: DataFrame) -> None:
+    """After ``cached`` is fully materialized: release the upstream
+    input's cache (no longer needed — ours contains the data), register
+    ours, and hand the release handle to downstream chained calls."""
+    up = getattr(upstream, _CACHE_ATTR, None)
+    if up is not None:
+        _safe_unpersist(up)
+    _LIVE_CACHES.append(cached)
+    while len(_LIVE_CACHES) > _CACHE_CAP:
+        _safe_unpersist(_LIVE_CACHES[0])
+    setattr(result, _CACHE_ATTR, cached)
+
 
 def global_row_number(
     df: DataFrame,
@@ -43,51 +102,87 @@ def global_row_number(
 ) -> DataFrame:
     """Adds ``out_col`` = 1-based global rank of the row under
     ``order_cols`` (which must be a total order for determinism)."""
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Persist the ranged layout: the count pass and the index pass must
-    # see the SAME partition boundaries (and it saves the re-shuffle).
-    ranged = (
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .persist()
+    ranged, counts, offsets = _ranged_layout(
+        df, [F.col(c) for c in order_cols], num_partitions
     )
-
-    counts_schema = "pid int, cnt long"
-
-    def _count(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        total = sum(len(b) for b in it)
-        yield pd.DataFrame({"pid": [pid], "cnt": [total]})
-
-    counts = {r.pid: r.cnt for r in ranged.mapInPandas(_count, counts_schema).collect()}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
 
     from pyspark.sql.types import LongType, StructField, StructType
 
     # (StructType.add mutates in place — build a fresh copy instead of
     # appending to the DataFrame's live schema object.)
     out_schema = StructType(
-        list(ranged.schema.fields) + [StructField(out_col, LongType())]
+        [f for f in ranged.schema.fields if f.name not in (_TAG_COL, _PID_COL)]
+        + [StructField(out_col, LongType())]
     )
 
     def _index(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        pos = offsets.get(pid, 0)
+        seen: dict[int, int] = {}
         for b in it:
-            b = b.copy()
+            if not len(b):
+                continue
+            pid = int(b[_PID_COL].iloc[0])
+            b = b.drop(columns=[_TAG_COL, _PID_COL])
+            pos = offsets.get(pid, 0) + seen.get(pid, 0)
             b[out_col] = range(pos + 1, pos + 1 + len(b))
-            pos += len(b)
+            seen[pid] = seen.get(pid, 0) + len(b)
+            if seen[pid] > counts.get(pid, 0):
+                raise RuntimeError(
+                    "global_row_number: cached range layout was lost and "
+                    f"recomputed with drifted boundaries (partition {pid} "
+                    f"holds >{counts.get(pid, 0)} rows); re-run the operator"
+                )
             yield b
 
-    return ranged.mapInPandas(_index, out_schema)
+    result = ranged.mapInPandas(_index, out_schema)
+    _adopt_cache(result, ranged, df)
+    return result
+
+
+def _ranged_layout(df: DataFrame, exprs: list, num_partitions: int | None):
+    """Shared phase 1: range-exchange + in-partition sort, persisted,
+    with the partition id EMBEDDED as a data column. The embedded id —
+    not ``TaskContext.partitionId()`` — is what the later passes key
+    on: downstream operators (``union``, ``coalesce``) renumber task
+    partition ids, so the task id can differ from the ranged RDD's
+    partition id even on the first materialization (latent r4 bug in
+    the identity-merge path, caught by the drift guard). A data column
+    survives any renumbering, and once cached it is immutable data.
+    Returns (ranged, counts, offsets) where counts/offsets map embedded
+    pid → row count / cumulative offset (range partitions are ordered,
+    so offsets over sorted pids give the global rank base)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.withColumn(_TAG_COL, F.lit(_next_tag()))
+        .repartitionByRange(n, *exprs)
+        .sortWithinPartitions(*exprs)
+        .withColumn(_PID_COL, F.spark_partition_id())
+        .persist()
+    )
+
+    def _count(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        agg: dict[int, int] = {}
+        for b in it:
+            if len(b):
+                pid = int(b[_PID_COL].iloc[0])
+                agg[pid] = agg.get(pid, 0) + len(b)
+        import numpy as np
+
+        yield pd.DataFrame(
+            {
+                "pid": np.array(list(agg.keys()), dtype=np.int32),
+                "cnt": np.array(list(agg.values()), dtype=np.int64),
+            }
+        )
+
+    counts = {
+        int(r.pid): int(r.cnt)
+        for r in ranged.mapInPandas(_count, "pid int, cnt long").collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return ranged, counts, offsets
 
 
 def distributed_ntile(
@@ -114,56 +209,48 @@ def distributed_ntile(
     tiebreaker for determinism. All input columns are preserved, so
     calls chain to add several independent ntile columns join-free.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     exprs = [F.col(c) if isinstance(c, str) else c for c in order_exprs]
-    ranged = (
-        df.repartitionByRange(n, *exprs).sortWithinPartitions(*exprs).persist()
-    )
-
-    def _count(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        total = sum(len(b) for b in it)
-        yield pd.DataFrame({"pid": [pid], "cnt": [total]})
-
-    counts = {
-        r.pid: r.cnt
-        for r in ranged.mapInPandas(_count, "pid int, cnt long").collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    total = acc
+    ranged, counts, offsets = _ranged_layout(df, exprs, num_partitions)
+    total = sum(counts.values())
     q, rem = divmod(total, num_buckets)
     cut = rem * (q + 1)  # rank boundary below which buckets hold q+1 rows
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     out_schema = StructType(
-        list(ranged.schema.fields) + [StructField(out_col, IntegerType())]
+        [f for f in ranged.schema.fields if f.name not in (_TAG_COL, _PID_COL)]
+        + [StructField(out_col, IntegerType())]
     )
 
     def _assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
-        from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        pos = offsets.get(pid, 0)
+        seen: dict[int, int] = {}
         qd = max(q, 1)  # q == 0 => every rank is <= cut; avoid div-by-zero
         for b in it:
-            b = b.copy()
+            if not len(b):
+                continue
+            pid = int(b[_PID_COL].iloc[0])
+            b = b.drop(columns=[_TAG_COL, _PID_COL])
+            pos = offsets.get(pid, 0) + seen.get(pid, 0)
             r = np.arange(pos + 1, pos + 1 + len(b), dtype=np.int64)
             b[out_col] = np.where(
                 r <= cut,
                 (r + q) // (q + 1),  # ceil(r / (q+1))
                 rem + (r - cut + qd - 1) // qd,  # rem + ceil((r-cut) / q)
             ).astype(np.int32)
-            pos += len(b)
+            seen[pid] = seen.get(pid, 0) + len(b)
+            if seen[pid] > counts.get(pid, 0):
+                raise RuntimeError(
+                    "distributed_ntile: cached range layout was lost and "
+                    f"recomputed with drifted boundaries (partition {pid} "
+                    f"holds >{counts.get(pid, 0)} rows); re-run the operator"
+                )
             yield b
 
-    return ranged.mapInPandas(_assign, out_schema)
+    result = ranged.mapInPandas(_assign, out_schema)
+    _adopt_cache(result, ranged, df)
+    return result
 
 
 def distributed_kth_smallest(

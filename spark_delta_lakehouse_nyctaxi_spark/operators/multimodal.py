@@ -774,12 +774,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     sof = None
     comp_spec = None
     scan = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
+        # any number of 0xFF fill bytes may legally pad before a marker
+        # (ISO 10918-1 B.1.1.2); skip to the last 0xFF of the run
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x00:
+            raise ValueError(f"stuffed byte outside entropy data at {pos}")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers carry NO length field: TEM (0x01),
+            # RST0-7 (0xD0-0xD7), stray SOI (0xD8)
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated marker segment")
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT (possibly several tables per segment)

@@ -929,12 +929,29 @@ def q_pysource_pushdown(spark, sf_dir):
     ev.select(
         F.to_json(F.struct("event_id", F.col("p.k").alias("k"))).alias("j")
     ).coalesce(4).write.mode("overwrite").text(path)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(JsonlPushdownDataSource)
-    return (
-        spark.read.format("jsonl_manifest_fp")
-        .schema("event_id long, k long")
-        .option("path", path)
-        .load()
-        .filter((F.col("k") >= 2) & (F.col("event_id") < 5000))
-    )
+    # the pushdown conf is session-global and read at plan time — save
+    # and restore it around an in-query materialization (mirroring
+    # q_bloom_join, ADVICE r4) instead of leaking it into every later
+    # query of the sweep
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        saved = spark.conf.get(conf_key)
+    except Exception:
+        saved = None
+    spark.conf.set(conf_key, "true")
+    try:
+        spark.dataSource.register(JsonlPushdownDataSource)
+        out = (
+            spark.read.format("jsonl_manifest_fp")
+            .schema("event_id long, k long")
+            .option("path", path)
+            .load()
+            .filter((F.col("k") >= 2) & (F.col("event_id") < 5000))
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        if saved is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, saved)
+    return spark.createDataFrame(rows, schema)

@@ -656,18 +656,31 @@ class VersionedTable:
                 blooms.setdefault(u, {})[c] = bytes(arr).hex()
         return blooms
 
-    def _bloom_probe_positions(self, eq: dict) -> dict[str, list[int]]:
+    def _bloom_probe_positions(
+        self, eq: dict, schema=None
+    ) -> dict[str, list[int]]:
         """k hash positions per probed value — ONE tiny Spark job (the
-        probe must use the same JVM xxhash64 the build used)."""
+        probe must use the same JVM xxhash64 the build used).
+
+        The build side hashes the COLUMN value's string form, so the
+        probe literal must render identically: a Python ``7`` probed
+        against a double column would hash ``'7'`` vs the build's
+        ``'7.0'`` and mark every unit value-free. When ``schema`` (the
+        stored StructType) is given, the literal is first cast to the
+        column's data type so both sides stringify the same value."""
         m, k = self._BLOOM_M, self._BLOOM_K
+        types = {f.name: f.dataType for f in schema.fields} if schema else {}
         exprs = []
         cols = list(eq)
         for i, c in enumerate(cols):
+            lit = F.lit(eq[c])
+            if c in types:
+                lit = lit.cast(types[c])
             exprs.append(
                 F.array(
                     *[
                         F.pmod(
-                            F.xxhash64(F.lit(eq[c]).cast("string"), F.lit(j)),
+                            F.xxhash64(lit.cast("string"), F.lit(j)),
                             F.lit(m),
                         ).cast("int")
                         for j in range(k)
@@ -1124,7 +1137,12 @@ class VersionedTable:
             range_pred.setdefault(c, (v, v))
         kept, skipped = self._prune_units(info, range_pred)
         if eq and kept:
-            probes = self._bloom_probe_positions(eq)
+            # one-footer schema read so probe literals cast to the
+            # stored column types before stringifying (ADVICE r4: an
+            # int probe vs a double column rendered '7' vs '7.0' and
+            # silently skipped every matching unit)
+            stored = self._read_units(kept[:1], bool(info.partition_by)).schema
+            probes = self._bloom_probe_positions(eq, schema=stored)
             blooms = info.extra.get("blooms", {})
             survivors = []
             for u in kept:
@@ -1713,7 +1731,13 @@ class VersionedTable:
                 dropped += [k for i, k in enumerate(keys) if counts[f"k{i}"]]
             for key in dropped:
                 kind, name = key.split(":", 1)
-                (cons if kind == "c" else gen).pop(name, None)
+                # explicit dispatch: 'd:' keys from the defaults block
+                # share this list and must NOT pop a same-named
+                # generated column (ADVICE r4)
+                if kind == "c":
+                    cons.pop(name, None)
+                elif kind == "g":
+                    gen.pop(name, None)
         xtra: dict = {"cloned_from": self.path, "source_version": src.version}
         if dropped:
             xtra["dropped_metadata"] = sorted(dropped)

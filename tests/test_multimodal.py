@@ -218,6 +218,27 @@ def test_jpeg_codec_round_trip_bounds_and_validation():
     assert M.decode_real(bytes(enc)).shape == (29 * 37,)
 
 
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """ADVICE r4: spec-compliant streams may pad 0xFF fill bytes before
+    any marker (B.1.1.2) and carry standalone length-less markers (TEM
+    0x01); the walk must skip both instead of misparsing a bogus
+    2-byte length."""
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    px = (np.arange(16 * 16).reshape(16, 16) % 256).astype(np.uint8)
+    enc = M.encode_jpeg(px)
+    ref = M.decode_jpeg(enc)
+    # inject a 0xFF fill run + a TEM standalone marker after SOI
+    padded = enc[:2] + b"\xff\xff\xff" + b"\xff\x01" + enc[2:]
+    assert (M.decode_jpeg(padded) == ref).all()
+    # fill bytes immediately before an interior marker (DQT)
+    dqt = enc.index(b"\xff\xdb")
+    padded2 = enc[:dqt] + b"\xff\xff" + enc[dqt:]
+    assert (M.decode_jpeg(padded2) == ref).all()
+
+
 def test_jpeg_stuffing_and_dc_chain():
     """A mid-gray image whose DC coefficients produce 0xFF bytes in the
     entropy stream exercises byte stuffing; 16+ blocks exercise the DC

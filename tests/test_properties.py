@@ -633,6 +633,25 @@ def test_distributed_ntile_matches_window_ntile(spark, vals, n_buckets):
     assert got == want
 
 
+def test_global_row_number_survives_union_renumbering(spark):
+    """Latent r4 bug (exposed by the r5 drift guard): under a UNION the
+    task partition ids are renumbered, so keying offsets on
+    TaskContext.partitionId() mis-ranked any multi-partition batch in
+    the identity-merge path. Partition identity is now embedded in the
+    cached data; ranks must be exact under union with nonzero offsets,
+    and the cache-lifecycle attribute must be present for chain
+    release."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators import indexing as IX
+
+    big = spark.range(0, 500).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    out = IX.global_row_number(big, ["k"], out_col="rid", num_partitions=8)
+    assert getattr(out, IX._CACHE_ATTR, None) is not None
+    other = spark.createDataFrame([(-1, -1.0, 0)], "k long, v double, rid long")
+    un = other.unionByName(out)
+    got = sorted((r.k, r.rid) for r in un.collect() if r.k >= 0)
+    assert got == [(i, i + 1) for i in range(500)]
+
+
 @given(
     cents=st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=40),
     kfrac=st.floats(0.01, 0.99),

@@ -1153,6 +1153,31 @@ def test_bloom_filter_equality_skipping(spark, tmp_table_path):
     assert t.scan(eq={"k": 105}).count() == 1
 
 
+def test_bloom_probe_type_mismatch(spark, tmp_table_path):
+    """ADVICE r4 (medium): a probe literal whose Python type stringifies
+    differently from the stored column type (int 15 vs double column →
+    '15' vs '15.0') must still match — the probe now casts to the
+    stored type before hashing. Same for decimal-typed columns."""
+    t = VersionedTable(spark, tmp_table_path)
+    df = spark.createDataFrame(
+        [(float(i), i) for i in range(30)], "v double, k bigint"
+    ).coalesce(1)
+    t.write(df, mode="overwrite", bloom_cols=["v"])
+    # int probe against a double column: build hashed '15.0'
+    out = t.scan(eq={"v": 15}).collect()
+    assert [(r.v, r.k) for r in out] == [(15.0, 15)]
+    assert t.last_scan["kept"] == 1
+    # decimal(10,2) column probed with an int
+    t2 = VersionedTable(spark, tmp_table_path + "_dec")
+    ddf = spark.createDataFrame(
+        [(i, i) for i in range(30)], "k bigint, raw bigint"
+    ).selectExpr("k", "CAST(raw AS DECIMAL(10,2)) AS d").coalesce(1)
+    t2.write(ddf, mode="overwrite", bloom_cols=["d"])
+    out2 = t2.scan(eq={"d": 7}).collect()
+    assert [(r.k, str(r.d)) for r in out2] == [(7, "7.00")]
+    assert t2.last_scan["kept"] == 1
+
+
 def test_vacuum_retain_hours(spark, tmp_table_path):
     """Time-based retention (Delta VACUUM ... RETAIN n HOURS analog):
     versions inside the window stay time-travelable; retain_last=0 +
