@@ -216,7 +216,10 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def encode_png(pixels, filter_cycle: bool = True) -> bytes:
-    """Minimal 8-bit GRAYSCALE PNG writer (color type 0, no interlace).
+    """Minimal 8-bit PNG writer: GRAYSCALE (color type 0) for (h, w)
+    input, TRUECOLOR RGB (color type 2) for (h, w, 3) — no interlace.
+    Filters operate bytewise with the spec's bpp-offset "left" pixel,
+    so the same code path serves both color types.
 
     ``filter_cycle=True`` applies a DIFFERENT filter per row (cycling
     None/Sub/Up/Average/Paeth) — deliberately, so a round trip through
@@ -226,23 +229,29 @@ def encode_png(pixels, filter_cycle: bool = True) -> bytes:
     import zlib
 
     px = np.asarray(pixels, dtype=np.uint8)
-    h, w = px.shape
+    color = px.ndim == 3
+    if color and px.shape[2] != 3:
+        raise ValueError("color input must be (h, w, 3) RGB")
+    h, w = px.shape[:2]
+    bpp = 3 if color else 1
+    rows = px.reshape(h, w * bpp)
     raw = bytearray()
-    prev = np.zeros(w, dtype=np.int16)
+    zero = np.zeros(bpp, dtype=np.int16)
+    prev = np.zeros(w * bpp, dtype=np.int16)
     for r in range(h):
-        row = px[r].astype(np.int16)
+        row = rows[r].astype(np.int16)
+        left = np.concatenate((zero, row[:-bpp]))
         f = (r % 5) if filter_cycle else 0
         if f == 0:
             filt = row
         elif f == 1:  # Sub
-            filt = row - np.concatenate(([0], row[:-1]))
+            filt = row - left
         elif f == 2:  # Up
             filt = row - prev
         elif f == 3:  # Average
-            filt = row - (np.concatenate(([0], row[:-1])) + prev) // 2
+            filt = row - (left + prev) // 2
         else:  # Paeth
-            left = np.concatenate(([0], row[:-1]))
-            upleft = np.concatenate(([0], prev[:-1]))
+            upleft = np.concatenate((zero, prev[:-bpp]))
             pred = np.array(
                 [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, upleft)],
                 dtype=np.int16,
@@ -259,7 +268,7 @@ def encode_png(pixels, filter_cycle: bool = True) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if color else 0, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -269,11 +278,14 @@ def encode_png(pixels, filter_cycle: bool = True) -> bytes:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """REAL PNG decoder for 8-bit grayscale, non-interlaced images:
-    validates the signature and every chunk CRC, inflates the IDAT
-    stream with stdlib zlib, and reverses all five scanline filters
-    (None/Sub/Up/Average/Paeth). Color/palette/interlaced PNGs raise —
-    those genuinely need PIL (JPEG has its own decoder below)."""
+    """REAL PNG decoder for 8-bit grayscale (color type 0) AND
+    truecolor RGB (color type 2), non-interlaced: validates the
+    signature and every chunk CRC, inflates the IDAT stream with
+    stdlib zlib, and reverses all five scanline filters
+    (None/Sub/Up/Average/Paeth) bytewise with the spec's bpp-offset
+    "left" pixel. Returns float64 (h, w) for grayscale, (h, w, 3) for
+    color. Palette/alpha/16-bit/interlaced PNGs raise — honestly out
+    of scope, not silently wrong."""
     import struct
     import zlib
 
@@ -297,15 +309,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if (depth, color, interlace) != (8, 0, 0):
+    if depth != 8 or interlace != 0 or color not in (0, 2):
         raise ValueError(
-            f"only 8-bit grayscale non-interlaced supported, got "
+            f"only 8-bit gray/truecolor non-interlaced supported, got "
             f"depth={depth} color={color} interlace={interlace}"
         )
+    bpp = 3 if color == 2 else 1
     raw = zlib.decompress(bytes(idat))
-    out = np.empty((h, w), dtype=np.int16)
-    stride = w + 1
-    prev = np.zeros(w, dtype=np.int16)
+    nb = w * bpp
+    out = np.empty((h, nb), dtype=np.int16)
+    stride = nb + 1
+    prev = np.zeros(nb, dtype=np.int16)
     for r in range(h):
         f = raw[r * stride]
         line = np.frombuffer(raw[r * stride + 1 : (r + 1) * stride], np.uint8).astype(
@@ -316,23 +330,24 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif f == 2:
             row = (line + prev) % 256
         elif f in (1, 3, 4):
-            row = np.empty(w, dtype=np.int16)
-            left = upleft = 0
-            for c in range(w):
+            row = np.empty(nb, dtype=np.int16)
+            for c in range(nb):
+                left = int(row[c - bpp]) if c >= bpp else 0
                 up = int(prev[c])
                 if f == 1:
                     pred = left
                 elif f == 3:
                     pred = (left + up) // 2
                 else:
+                    upleft = int(prev[c - bpp]) if c >= bpp else 0
                     pred = _paeth(left, up, upleft)
                 row[c] = (int(line[c]) + pred) % 256
-                left, upleft = int(row[c]), up
         else:
             raise ValueError(f"unknown filter type {f}")
         out[r] = row
         prev = row
-    return out.astype(np.float64)
+    res = out.astype(np.float64)
+    return res.reshape(h, w, 3) if bpp == 3 else res
 
 
 def _dib_body(px: np.ndarray) -> bytes:
@@ -952,8 +967,8 @@ def decode_real(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload).ravel()
     raise NotImplementedError(
         "inter-frame compressed video needs ffmpeg — absent in this "
-        "container; WAV, BMP, grayscale PNG, baseline JPEG (gray + "
-        "4:4:4 color) and DIB/MJPG AVI decode for real"
+        "container; WAV, BMP, PNG (gray + truecolor RGB), baseline "
+        "JPEG (gray + 4:4:4 color) and DIB/MJPG AVI decode for real"
     )
 
 

@@ -111,6 +111,11 @@ _PRIORITY: list[str] = [
     # flagship last of the tranche (most expensive, ~7s cold)
     "q_curation_pipeline_v2",
     # --- new round-5 queries slot here (driver-reachable) ---
+    # truecolor PNG codec (lossless round trip, exact channel means)
+    "q_multimodal_png_color",
+    # tokenizer-training + collocation primitives
+    "q_bpe_merge_step",
+    "q_pmi_collocations",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -56,6 +56,22 @@ def dsum_sql(expr: str, scale: int = 2, precision: int = 22) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
 
 
+def attach_scalar(df, scalar_df):
+    """Attach a ONE-ROW aggregate frame (global stats, an average, a
+    normalization constant) to every row of ``df``.
+
+    This plans a BroadcastNestedLoopJoin whose build side is the 1-row
+    aggregate — O(N·1), the distributed equivalent of reading a scalar
+    subquery, NOT a data×data product (a constant-key equi-join does
+    not help: Catalyst folds ``lit(1)=lit(1)`` to ``true`` and plans
+    the same BNLJ). Callers MUST pass a frame that is 1 row by
+    construction (a global ``agg`` with no grouping); each registry
+    query using this helper is listed in the registry-wide
+    no-cartesian gate's bounded allowlist (tests/test_plans.py) citing
+    this contract."""
+    return df.crossJoin(F.broadcast(scalar_df))
+
+
 @register(
     "q_agg_daily",
     f"""
@@ -484,7 +500,7 @@ def q_skew_profile(spark, sf_dir):
             .cast("long"),
         )
     )
-    return top.crossJoin(F.broadcast(stats)).select(
+    return attach_scalar(top, stats).select(
         "l_orderkey", "n_rows", "skew_factor", "n_keys", "heavy_rank"
     )
 
@@ -502,15 +518,18 @@ def q_skew_profile(spark, sf_dir):
            CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
     FROM ordered WHERE rn = (n + 1) // 2
     """,
-    doc="EXACT distributed median via iterative count-based selection "
-        "(operators/indexing.distributed_kth_smallest): binary search "
-        "on the integer cent grid, one COUNT(x ≤ mid) scan-aggregate "
-        "per step, ~log2(range) rounds, two scalars per round to the "
-        "driver and ZERO data movement — the selection algorithm for "
-        "a column too wide to sort and too skewed to trust a sketch. "
-        "The oracle is the order-statistics definition (lower median). "
-        "Complements q_percentile_exact (per-group in-buffer sort, "
-        "bounded groups) and q_approx_quantiles (sketch).",
+    doc="EXACT distributed median via sketch-bracketed selection "
+        "(operators/indexing.distributed_kth_smallest, r5 redesign): "
+        "one percentile_approx sketch pass brackets the k-th value "
+        "within the GK rank guarantee, one banded groupBy pass "
+        "resolves the exact answer from the bracket histogram — TWO "
+        "full scans (the caller supplies the count) instead of the "
+        "former ~30-45-scan binary search, which survives only as the "
+        "guarantee-violation fallback. Still zero data sorting; the "
+        "bracket shuffle is ≤4N/accuracy rows. The oracle is the "
+        "order-statistics definition (lower median). Complements "
+        "q_percentile_exact (per-group in-buffer sort, bounded "
+        "groups) and q_approx_quantiles (sketch).",
 )
 def q_exact_median_distributed(spark, sf_dir):
     from ..operators.indexing import distributed_kth_smallest
@@ -518,7 +537,7 @@ def q_exact_median_distributed(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     n = orders.count()
     k = (n + 1) // 2
-    med = distributed_kth_smallest(orders, "o_totalprice", k, scale=2)
+    med = distributed_kth_smallest(orders, "o_totalprice", k, scale=2, total=n)
     return spark.createDataFrame(
         [(float(med), n)], "median_price double, n_rows long"
     )

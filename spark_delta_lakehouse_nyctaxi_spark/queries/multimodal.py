@@ -571,6 +571,92 @@ def q_multimodal_jpeg_color(spark, sf_dir):
     )
 
 
+# COLOR PNG (round 5): truecolor (color type 2) encode/decode closes
+# the last intra-repo codec asymmetry — PNG is lossless, so unlike the
+# JPEG color row every pixel round-trips bit-exactly for ARBITRARY
+# textured content, and the per-channel means are oracled against the
+# closed-form generator with zero error envelope. The encoder cycles
+# all five scanline filters (None/Sub/Up/Average/Paeth) row by row, so
+# a correct answer certifies every bytewise bpp-offset unfilter path.
+_PNG_COLOR_ORACLE = """
+    WITH px AS (
+        SELECT m.m AS media_id, r.r AS r, c.c AS c
+        FROM range(16) m(m), range(24) r(r), range(32) c(c)
+    )
+    SELECT media_id, channel, mean_value FROM (
+        SELECT media_id, 'r' AS channel,
+               SUM(CAST((media_id * 7 + r * 13 + c * 3) % 256 AS DOUBLE))
+                   / 768.0 AS mean_value
+        FROM px GROUP BY media_id
+        UNION ALL
+        SELECT media_id, 'g',
+               SUM(CAST((media_id * 11 + r * 5 + c * 17) % 256 AS DOUBLE))
+                   / 768.0
+        FROM px GROUP BY media_id
+        UNION ALL
+        SELECT media_id, 'b',
+               SUM(CAST((media_id * 3 + r * 19 + c * 7) % 256 AS DOUBLE))
+                   / 768.0
+        FROM px GROUP BY media_id
+    )
+"""
+
+
+@register(
+    "q_multimodal_png_color",
+    _PNG_COLOR_ORACLE,
+    doc="REAL TRUECOLOR PNG decode, pure Python (round 5 — closes the "
+        "color codec asymmetry left after r4's color JPEG): RGB images "
+        "from a closed-form generator are zlib-compressed through all "
+        "five cycling scanline filters, decoded inside mapInPandas "
+        "with bytewise bpp-offset unfiltering, and the bit-exact "
+        "lossless round trip is certified by exact per-channel means "
+        "(integer sums < 2^53, single IEEE division — no error "
+        "envelope needed, unlike the lossy JPEG row). "
+        "Palette/alpha/16-bit/interlaced PNGs still refuse honestly.",
+)
+def q_multimodal_png_color(spark, sf_dir):
+    import numpy as np
+
+    r, c = np.divmod(np.arange(24 * 32), 32)
+    rows = []
+    for m in range(16):
+        px = np.stack(
+            [
+                ((m * 7 + r * 13 + c * 3) % 256),
+                ((m * 11 + r * 5 + c * 17) % 256),
+                ((m * 3 + r * 19 + c * 7) % 256),
+            ],
+            axis=-1,
+        ).astype("uint8").reshape(24, 32, 3)
+        rows.append(
+            (
+                m,
+                "image",
+                bytearray(M.encode_png(px)),
+                {"width": 32, "height": 24, "sample_rate": None,
+                 "duration_s": None, "format": "png"},
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = M.decode_png(bytes(payload))  # (24, 32, 3) exact
+                for i, ch in enumerate("rgb"):
+                    out.append((int(mid), ch, float(dec[..., i].sum() / 768.0)))
+            if out:
+                yield pd.DataFrame(out, columns=["media_id", "channel", "mean_value"])
+
+    return media.mapInPandas(
+        gen, "media_id long, channel string, mean_value double"
+    )
+
+
 # Frame-level audio DSP features over REAL decoded PCM (round 4): the
 # signal-processing step (VAD, loudness normalization, silence
 # trimming) an audio pipeline runs after decode. Frames of 256

@@ -868,10 +868,10 @@ def q_bm25_search(spark, sf_dir):
     )
     dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
     k1, b = _BM25_K1, _BM25_B
+    from .aggregates import attach_scalar
+
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "t")
-        .crossJoin(F.broadcast(stats))
+        attach_scalar(tf.join(dl, "doc_id").join(F.broadcast(dfreq), "t"), stats)
         .select(
             "doc_id",
             (
@@ -1141,4 +1141,137 @@ def q_corpus_datasheet(spark, sf_dir):
             F.countDistinct("lang").alias("n_langs"),
             F.sum((F.col("n_fp") > 1).cast("long")).alias("n_exact_dup_docs"),
         )
+    )
+
+
+# ---- tokenizer-training + collocation primitives (round 5) ----------
+
+
+@register(
+    "q_bpe_merge_step",
+    r"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                      i -> substring(w, CAST(i AS INT), 2))) AS pair,
+               cnt
+        FROM wc WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 10
+    """,
+    doc="ONE BPE training iteration (the tokenizer-training primitive "
+        "behind every modern vocab): corpus → word frequencies "
+        "(map-side-combining hash agg — the vocabulary, not the "
+        "corpus, feeds the pair stage) → adjacent-symbol pair counts "
+        "weighted by word frequency (in-array transform, no "
+        "self-join) → arg-max merge candidates via TakeOrdered top-10 "
+        "(count DESC, pair ASC tiebreak). At 100 TB the word-count "
+        "agg is the only corpus-sized shuffle; the pair explosion "
+        "runs over distinct words only. Iterating = re-running with "
+        "the chosen merge applied; one exactly-oracled step "
+        "certifies the machinery.",
+)
+def q_bpe_merge_step(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(T.tokens("text"), lambda x: x != F.lit(""))
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    pairs = wc.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(10)
+    )
+
+
+@register(
+    "q_pmi_collocations",
+    r"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c_ab FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                   i -> [t[CAST(i AS INT)], t[CAST(i AS INT)+1]])) AS p
+            FROM toks WHERE len(t) >= 2
+        ) GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    uc AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS nu FROM uc),
+    totb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS nb FROM bg)
+    SELECT w1 || ' ' || w2 AS bigram, CAST(c_ab AS BIGINT) AS pair_count,
+           ((CAST(c_ab AS DOUBLE) / c1.c) * ((SELECT nu FROM tot) / c2.c))
+               * ((SELECT nu FROM tot) / (SELECT nb FROM totb)) AS pmi_ratio
+    FROM bg JOIN uc c1 ON c1.w = bg.w1 JOIN uc c2 ON c2.w = bg.w2
+    ORDER BY pmi_ratio DESC, bigram LIMIT 20
+    """,
+    doc="Top-20 bigram collocations by pointwise mutual information — "
+        "the corpus-analysis primitive for phrase mining and stop-pair "
+        "detection. PMI's log argument c(ab)·N²/(c(a)·c(b)·N_b) is "
+        "reported as the raw ratio (log is monotone, so the ranking "
+        "is identical and the value stays exactly comparable: every "
+        "factor is an IEEE division of exact integer counts in "
+        "identical association order on both engines). Global totals "
+        "attach as uncorrelated SCALAR SUBQUERIES — planned as "
+        "ScalarSubquery, not a BNLJ row-attach, so the query stays "
+        "out of the no-cartesian allowlist. Bigram and unigram "
+        "aggregates are map-side-combining; the vocab joins shuffle "
+        "only distinct bigrams; top-k is TakeOrdered. HAVING c_ab ≥ 2 "
+        "bounds the join input.",
+)
+def q_pmi_collocations(spark, sf_dir):
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "pmi_docs_v"
+    )
+    return spark.sql(
+        r"""
+        WITH toks AS (
+            SELECT filter(split(trim(text), '\\s+'), x -> x <> '') AS t
+            FROM pmi_docs_v
+        ),
+        bg AS (
+            SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c_ab FROM (
+                SELECT explode(transform(sequence(1, size(t)-1),
+                    i -> named_struct('w1', element_at(t, i),
+                                      'w2', element_at(t, i+1)))) AS p
+                FROM toks WHERE size(t) >= 2
+            ) GROUP BY p.w1, p.w2 HAVING COUNT(*) >= 2
+        ),
+        uc AS (
+            SELECT w, COUNT(*) AS c
+            FROM (SELECT explode(t) AS w FROM toks) GROUP BY w
+        ),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS nu FROM uc),
+        totb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS nb FROM bg)
+        SELECT concat(w1, ' ', w2) AS bigram, c_ab AS pair_count,
+               ((CAST(c_ab AS DOUBLE) / c1.c)
+                   * ((SELECT nu FROM tot) / c2.c))
+                   * ((SELECT nu FROM tot) / (SELECT nb FROM totb))
+                   AS pmi_ratio
+        FROM bg JOIN uc c1 ON c1.w = bg.w1 JOIN uc c2 ON c2.w = bg.w2
+        ORDER BY pmi_ratio DESC, bigram LIMIT 20
+        """
     )

@@ -565,8 +565,10 @@ def q_tpch_q22(spark, sf_dir):
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         (dsum("c_acctbal") / F.count("*")).alias("a")
     )
+    from .aggregates import attach_scalar
+
     return (
-        c.join(F.broadcast(avg_bal))
+        attach_scalar(c, avg_bal)
         .filter(F.col("c_acctbal") > F.col("a"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntry"))

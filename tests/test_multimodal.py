@@ -155,6 +155,41 @@ def test_png_codec_round_trip_all_filters_and_validation():
         M.decode_png(b"\x89PNX" + b"\x00" * 40)
 
 
+def test_png_truecolor_round_trip(spark):
+    """r5: truecolor (color type 2) PNG — lossless bit-exact round
+    trip through all five cycling filters with bpp-offset unfiltering,
+    plus honest refusal of unsupported color types."""
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (11, 33, 3)).astype(np.uint8)
+    enc = M.encode_png(px)
+    dec = M.decode_png(enc)
+    assert dec.shape == (11, 33, 3) and (dec == px).all()
+    assert (M.decode_png(M.encode_png(px, filter_cycle=False)) == px).all()
+    # gradient content (filter-friendly) also exact, and compresses
+    r, c = np.divmod(np.arange(16 * 24), 24)
+    grad = np.stack([(r * 3) % 256, (c * 5) % 256, (r + c) % 256], -1)
+    grad = grad.astype(np.uint8).reshape(16, 24, 3)
+    assert (M.decode_png(M.encode_png(grad)) == grad).all()
+    # decode_real dispatch ravels color pixels
+    assert M.decode_real(enc).shape == (11 * 33 * 3,)
+    # RGBA input refused at encode; palette color type refused at decode
+    with pytest.raises(ValueError, match="RGB"):
+        M.encode_png(np.zeros((4, 4, 4), dtype=np.uint8))
+    import struct as S
+    import zlib as Z
+    ihdr = S.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)  # palette type 3
+    chunk = lambda t, d: S.pack(">I", len(d)) + t + d + S.pack(
+        ">I", Z.crc32(t + d) & 0xFFFFFFFF
+    )
+    fake = M._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", Z.compress(b"\x00" * 20))
+    with pytest.raises(ValueError, match="truecolor"):
+        M.decode_png(fake)
+
+
 def test_avi_codec_round_trip_and_real_sampling(spark):
     import numpy as np
 

@@ -670,3 +670,48 @@ def test_distributed_kth_smallest_matches_sorted_selection(spark, cents, kfrac):
     got = distributed_kth_smallest(df, "x", k, scale=2)
     want = sorted(vals)[k - 1]
     assert abs(got - want) < 1e-9, (got, want, k, sorted(vals))
+
+
+def test_distributed_kth_smallest_scan_budget(spark, monkeypatch):
+    """r4 verdict item: the sketch-bracketed redesign must resolve in
+    ≤3 full passes over the column (2 with total supplied) on the
+    common path — not the old ~30-45-scan binary search. Passes are
+    counted as DataFrame actions (count/first/collect — AQE splits one
+    action into several Spark jobs, so job ids overcount); the
+    fallback path (tiny bracket_cap) must still be exact."""
+    from pyspark.sql import DataFrame
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators.indexing import (
+        distributed_kth_smallest,
+    )
+
+    actions = {"n": 0}
+    for meth in ("count", "first", "collect"):
+        orig = getattr(DataFrame, meth)
+
+        def wrapped(self, *a, _o=orig, **kw):
+            actions["n"] += 1
+            return _o(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, meth, wrapped)
+
+    vals = [((i * 2654435761) % 100_000) / 100.0 for i in range(5_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    want = sorted(vals)[2499]
+
+    actions["n"] = 0
+    got = distributed_kth_smallest(df, "x", 2500, scale=2, total=len(vals))
+    assert abs(got - want) < 1e-9
+    assert actions["n"] <= 2, "expected sketch + resolution passes only"
+
+    actions["n"] = 0
+    got = distributed_kth_smallest(df, "x", 2500, scale=2)
+    assert abs(got - want) < 1e-9
+    assert actions["n"] <= 3, "expected count + sketch + resolution"
+
+    # degenerate bracket_cap forces the binary-search fallback — must
+    # still return the exact answer
+    got = distributed_kth_smallest(
+        df, "x", 2500, scale=2, total=len(vals), bracket_cap=0
+    )
+    assert abs(got - want) < 1e-9
