@@ -116,6 +116,10 @@ _PRIORITY: list[str] = [
     # tokenizer-training + collocation primitives
     "q_bpe_merge_step",
     "q_pmi_collocations",
+    # pigeonhole-banded simhash pair search (zero false negatives ≤ r3)
+    "q_simhash_hamming_pairs",
+    # sliding 8-gram cross-doc duplicated-span coverage (Lee et al.)
+    "q_duplicate_span_coverage",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

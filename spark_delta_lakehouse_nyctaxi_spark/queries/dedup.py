@@ -229,6 +229,157 @@ def q_simhash(spark, sf_dir):
     return D.simhash(df, "doc_id", "text", bits=60, hash_fn="md5")
 
 
+
+
+@register(
+    "q_duplicate_span_coverage",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' '))
+                   AS fp
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+              FROM toks WHERE len(t) >= 8)
+    ),
+    shared AS (
+        SELECT fp FROM grams GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(s.fp) AS BIGINT) AS n_dup_grams,
+           CAST(COUNT(s.fp) AS DOUBLE) / COUNT(*) AS dup_coverage
+    FROM grams g LEFT JOIN shared s ON s.fp = g.fp
+    GROUP BY g.doc_id
+    """,
+    doc="Cross-document duplicated-SPAN coverage (the Lee et al. 2022 "
+        "'Deduplicating Training Data' exact-substring signal, on the "
+        "sliding 8-token-gram grid): every position's k-gram is "
+        "fingerprinted (md5 — engine-reproducible), grams appearing in "
+        "≥2 DISTINCT documents are 'shared', and each document reports "
+        "the fraction of its positions covered by shared grams — the "
+        "per-document score a curation pipeline thresholds to drop "
+        "boilerplate-heavy pages that exact and MinHash DOC-level "
+        "dedup both miss. Complements q_segment_dedup (disjoint "
+        "10-token blocks, within-corpus removal) with the sliding "
+        "any-alignment view. All equi-joins over fingerprints; gram "
+        "explosion is the same N·L shape as the shingle stage; no "
+        "all-pairs anywhere.",
+)
+def q_duplicate_span_coverage(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit("")
+        ).alias("t"),
+    ).filter(F.size("t") >= 8)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 7), "
+                "i -> md5(array_join(slice(t, i, 8), ' ')))"
+            )
+        ).alias("fp"),
+    )
+    shared = (
+        grams.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("m"))
+    )
+    return (
+        grams.join(shared, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("m").alias("n_dup_grams"),
+            (F.count("m").cast("double") / F.count("*")).alias("dup_coverage"),
+        )
+    )
+
+
+_SIMHASH_PAIRS_SQL = f"""
+    WITH sig AS ({_SIMHASH_SQL}),
+    bands AS (
+        SELECT id, CAST(b.b AS INT) AS band_idx,
+               (simhash >> (15 * CAST(b.b AS INT))) & 32767 AS band_val,
+               simhash
+        FROM sig CROSS JOIN range(4) b(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+               a.simhash AS sa, c.simhash AS sb
+        FROM bands a JOIN bands c
+          ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+         AND a.id < c.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "q_simhash_hamming_pairs",
+    _SIMHASH_PAIRS_SQL,
+    doc="SimHash near-dup PAIR SEARCH at Hamming radius 3 via the "
+        "pigeonhole banding trick (Manku/Jain/Sarma, WWW'07 — the "
+        "web-scale near-dup detector): the 60-bit signature splits "
+        "into 4 15-bit bands; any two signatures within Hamming "
+        "distance 3 agree EXACTLY on at least one band (4 bands, ≤3 "
+        "flipped bits), so candidates come from a band-value "
+        "EQUI-JOIN — never an all-pairs product — and the exact "
+        "bit_count(xor) filter keeps true pairs only. Completes the "
+        "simhash family: q_simhash emits signatures, this finds the "
+        "pairs, with ZERO false negatives inside the radius (unlike "
+        "MinHash-LSH\'s probabilistic recall, measured separately in "
+        "q_lsh_recall). At 100 TB the band join shuffles 4 rows per "
+        "doc; identical-signature cliques (exact dups) are the only "
+        "skew source and are bounded by upstream exact dedup.",
+)
+def q_simhash_hamming_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.simhash(docs, "doc_id", "text", bits=60, hash_fn="md5")
+    bands = sig.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
+    ).withColumn(
+        "band_val", F.expr("(simhash >> (15 * band_idx)) & 32767")
+    )
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.id") < F.col("c.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("c.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS INT)"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
 _PAIRS_CORE_SQL = f"""
 sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),

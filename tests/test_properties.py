@@ -633,6 +633,26 @@ def test_distributed_ntile_matches_window_ntile(spark, vals, n_buckets):
     assert got == want
 
 
+def test_indexing_chain_releases_upstream_cache(spark):
+    """ADVICE r4: chained indexing calls (the q_rfm shape) must not
+    accumulate one persisted frame per call for the session lifetime —
+    a downstream call releases its input's cache once its own layout
+    is materialized, and the capped registry bounds the rest."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators import indexing as IX
+
+    df = spark.range(0, 300).selectExpr("id AS k", "CAST(id % 7 AS DOUBLE) AS v")
+    s1 = IX.distributed_ntile(df, 4, [F.col("v"), F.col("k")], "b1")
+    c1 = getattr(s1, IX._CACHE_ATTR)
+    assert c1.storageLevel.useMemory  # live after call 1
+    s2 = IX.distributed_ntile(s1, 4, [F.col("v").desc(), F.col("k")], "b2")
+    # call 2 materialized its own layout and released call 1's cache
+    assert not c1.storageLevel.useMemory
+    assert getattr(s2, IX._CACHE_ATTR).storageLevel.useMemory
+    # the chained result still computes correctly off its own cache
+    rows = s2.collect()
+    assert len(rows) == 300 and {r.b1 for r in rows} == {1, 2, 3, 4}
+
+
 def test_global_row_number_survives_union_renumbering(spark):
     """Latent r4 bug (exposed by the r5 drift guard): under a UNION the
     task partition ids are renumbered, so keying offsets on
