@@ -114,3 +114,72 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") ->
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    max_hops: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop levels over a directed edge list; returns
+    (``node``, ``level``) for every node within ``max_hops`` of its
+    nearest source. ``sources`` is a 1-column (``node``) frame; when
+    omitted it defaults to the LOCAL-MINIMUM nodes — nodes with no
+    smaller-id neighbor. On a symmetric near-dup graph those are
+    exactly the keep-lowest-id canonical survivors (every component's
+    global min is one), so the default levels read as
+    "hops-from-canonical". Everything is derived in-frame (aggregates
+    and anti-joins), nothing is collected to the driver.
+
+    Pregel shape, same contract as :func:`pagerank`: each level is one
+    frontier⋈edges join (propagate) + a distinct (combine) + an
+    anti-join against the visited set (vertex state). Fixed
+    ``max_hops`` iterations — an empty frontier makes the remaining
+    joins no-ops, which costs less at scale than a per-level count()
+    action just to exit early. The visited frame is localCheckpointed
+    every ``checkpoint_every`` levels so lineage stays bounded (a
+    reliable checkpoint on a cluster).
+
+    Levels are exact shortest-hop distances (a node enters visited the
+    first level it is reachable), so the result is deterministic and
+    value-oracle-able against a level-capped recursive CTE taking
+    MIN(level) per node.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    if sources is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst")))
+            .distinct()
+        )
+        dominated = (
+            e.filter(F.col("src") < F.col("dst"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        sources = nodes.join(dominated, "node", "left_anti")
+    source = sources.select("node").withColumn("level", F.lit(0))
+    visited = source.localCheckpoint(eager=True)
+    frontier = visited
+    for level in range(1, max_hops + 1):
+        # alias both sides: frontier descends from e after level 1, and
+        # an unaliased self-referencing join condition is ambiguous
+        nxt = (
+            frontier.select("node")
+            .alias("f")
+            .join(e.alias("ee"), F.col("f.node") == F.col("ee.src"))
+            .select(F.col("ee.dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("level", F.lit(level))
+        )
+        visited = visited.union(nxt)
+        if level % checkpoint_every == 0 and level < max_hops:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

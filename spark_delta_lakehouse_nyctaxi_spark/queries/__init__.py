@@ -120,6 +120,16 @@ _PRIORITY: list[str] = [
     "q_simhash_hamming_pairs",
     # sliding 8-gram cross-doc duplicated-span coverage (Lee et al.)
     "q_duplicate_span_coverage",
+    # blocked levenshtein record linkage (block→verify, equi-join)
+    "q_fuzzy_join_blocked",
+    # one-pass decimal-exact Pearson correlation matrix
+    "q_corr_matrix",
+    # SemDeDup: cluster-scoped cosine dedup on the exact IVF index
+    "q_semantic_dedup",
+    # multi-source BFS hops-from-canonical over the near-dup graph
+    "q_bfs_levels",
+    # centered 7-day rolling median (order-statistic smoother)
+    "q_rolling_median",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -541,3 +541,133 @@ def q_exact_median_distributed(spark, sf_dir):
     return spark.createDataFrame(
         [(float(med), n)], "median_price double, n_rows long"
     )
+
+
+def _corr_pairs():
+    # (x, y) over the four numeric lineitem measures; short keys index
+    # the shared moment frame.
+    return [
+        ("q", "p", "l_quantity", "l_extendedprice"),
+        ("q", "d", "l_quantity", "l_discount"),
+        ("q", "t", "l_quantity", "l_tax"),
+        ("p", "d", "l_extendedprice", "l_discount"),
+        ("p", "t", "l_extendedprice", "l_tax"),
+        ("d", "t", "l_discount", "l_tax"),
+    ]
+
+
+def _corr_matrix_sql() -> str:
+    scaled = {
+        "q": "CAST(l_quantity * 100 AS DECIMAL(14,0))",
+        "p": "CAST(l_extendedprice * 100 AS DECIMAL(14,0))",
+        "d": "CAST(l_discount * 100 AS DECIMAL(14,0))",
+        "t": "CAST(l_tax * 100 AS DECIMAL(14,0))",
+    }
+    sums = ["CAST(COUNT(*) AS DECIMAL(15,0)) AS n"]
+    for k, e in scaled.items():
+        sums.append(f"CAST(SUM({e}) AS DECIMAL(16,0)) AS s_{k}")
+        sums.append(
+            f"CAST(SUM(CAST({e} AS DECIMAL(19,0)) * {e}) AS DECIMAL(22,0))"
+            f" AS s_{k}{k}"
+        )
+    for a, b, _, _ in _corr_pairs():
+        sums.append(
+            f"CAST(SUM(CAST({scaled[a]} AS DECIMAL(19,0)) * {scaled[b]}) "
+            f"AS DECIMAL(22,0)) AS s_{a}{b}"
+        )
+    rows = []
+    # CAST one factor of every sum*sum product to DECIMAL(19,0): with
+    # both sides at (16,0) DuckDB runs the multiply in int64 physical
+    # storage and overflows; width 19 forces int128. 19+16=35 <= 38 so
+    # the result type stays exact.
+    for a, b, xn, yn in _corr_pairs():
+        rows.append(
+            f"SELECT '{xn}' AS col_x, '{yn}' AS col_y, "
+            f"CAST(n AS BIGINT) AS n, "
+            f"CAST(n * s_{a}{b} - CAST(s_{a} AS DECIMAL(19,0)) * s_{b} "
+            f"AS DOUBLE) / "
+            f"(sqrt(CAST(n * s_{a}{a} - CAST(s_{a} AS DECIMAL(19,0)) * s_{a} "
+            f"AS DOUBLE)) * "
+            f"sqrt(CAST(n * s_{b}{b} - CAST(s_{b} AS DECIMAL(19,0)) * s_{b} "
+            f"AS DOUBLE))) AS corr "
+            f"FROM m"
+        )
+    return (
+        "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(rows)
+    )
+
+
+@register(
+    "q_corr_matrix",
+    _corr_matrix_sql(),
+    doc="Pairwise PEARSON CORRELATION matrix over the four numeric "
+        "lineitem measures in ONE map-side-combining pass: every "
+        "column is scaled to an exact integer decimal (x100 — "
+        "correlation is scale-invariant, and the inputs carry <= 2 "
+        "decimal digits so the cast is exact after FP noise rounds "
+        "away), all 15 moments (n, 4 sums, 4 sums of squares, 6 "
+        "cross-sums) accumulate in EXACT decimal algebra, and the six "
+        "correlations come out of the closed form n*sxy-sx*sy over "
+        "sqrt products. No ln() anywhere and sqrt is IEEE-exact, so "
+        "the oracle is bitwise (the same contract as "
+        "q_linear_regression's moments; see that docstring for the "
+        "decimal-width proof style). One scan, one 1-row aggregate, "
+        "6-row output: scale-free at 100 TB.",
+)
+def q_corr_matrix(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "q": "l_quantity",
+        "p": "l_extendedprice",
+        "d": "l_discount",
+        "t": "l_tax",
+    }
+    scaled = {
+        k: (F.col(c) * 100).cast("decimal(14,0)") for k, c in cols.items()
+    }
+    aggs = [F.count("*").cast("decimal(15,0)").alias("n")]
+    for k, e in scaled.items():
+        aggs.append(F.sum(e).cast("decimal(16,0)").alias(f"s_{k}"))
+        aggs.append(
+            F.sum(e.cast("decimal(19,0)") * e)
+            .cast("decimal(22,0)")
+            .alias(f"s_{k}{k}")
+        )
+    for a, b, _, _ in _corr_pairs():
+        aggs.append(
+            F.sum(scaled[a].cast("decimal(19,0)") * scaled[b])
+            .cast("decimal(22,0)")
+            .alias(f"s_{a}{b}")
+        )
+    m = li.agg(*aggs)
+    n = F.col("n")
+
+    def corr(a, b):
+        num = (n * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        den_a = (n * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+            "double"
+        )
+        den_b = (n * F.col(f"s_{b}{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        return num / (F.sqrt(den_a) * F.sqrt(den_b))
+
+    # one projection over the 1-row moment frame fans out to the 6
+    # pair rows (stack, not unionAll — a union of six aggregates would
+    # rescan unless exchange reuse catches it)
+    scored = m.select(
+        n.cast("long").alias("n"),
+        *[
+            corr(a, b).alias(f"c_{a}{b}")
+            for a, b, _, _ in _corr_pairs()
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{xn}', '{yn}', c_{a}{b}" for a, b, xn, yn in _corr_pairs()
+    )
+    return scored.selectExpr(
+        f"stack(6, {stack_args}) AS (col_x, col_y, corr)", "n"
+    ).select("col_x", "col_y", "n", "corr")

@@ -1267,3 +1267,51 @@ def q_curation_pipeline_v2(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register(
+    "q_bfs_levels",
+    f"""
+    WITH RECURSIVE {_PAIRS_CORE_SQL},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    gnodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    s AS (
+        SELECT node FROM gnodes
+        WHERE node NOT IN (SELECT dst FROM edges WHERE src < dst)
+    ),
+    walk(node, level) AS (
+        SELECT node, 0 FROM s
+        UNION
+        SELECT e.dst, w.level + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.level < 6
+    )
+    SELECT node AS doc_id, CAST(MIN(level) AS INT) AS hop
+    FROM walk GROUP BY node
+    """,
+    doc="Multi-source BFS shortest-hop levels over the document "
+        "near-dup similarity graph: sources are the LOCAL-MINIMUM "
+        "nodes (no smaller-id neighbor — the keep-lowest-id canonical "
+        "survivors), so each node's level reads as hops-from-its-"
+        "canonical, covering every node in the graph (max 6 hops — "
+        "near-dup component diameters are tiny; both engines cap "
+        "identically so exactness is unconditional). "
+        "Pregel frontier loop (operators/graph.py:bfs_levels): per "
+        "level one frontier⋈edges join + distinct + anti-join against "
+        "visited; sources derived in-frame by an anti-join, no driver "
+        "collect; visited localCheckpointed every 4 levels. Levels "
+        "are exact shortest distances, so the whole traversal is "
+        "value-oracled against a level-capped recursive CTE with "
+        "MIN(level) — set-semantics UNION keeps the oracle walk "
+        "polynomial ((node,level) pairs, never path enumeration).",
+)
+def q_bfs_levels(spark, sf_dir):
+    from ..operators.graph import bfs_levels
+
+    df = load_table(spark, sf_dir, "documents")
+    pairs = _prefix_jaccard_pairs(df, threshold=0.1).select("id_a", "id_b")
+    edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+    return bfs_levels(edges.toDF("src", "dst"), max_hops=6).select(
+        F.col("node").alias("doc_id"), F.col("level").cast("int").alias("hop")
+    )

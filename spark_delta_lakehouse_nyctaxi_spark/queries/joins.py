@@ -388,3 +388,57 @@ def q_bloom_join(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_fuzzy_join_blocked",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM names a
+    JOIN names b
+      ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+     AND a.p_name < b.p_name
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 4
+      AND levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    doc="Blocked FUZZY self-join (record linkage / entity resolution): "
+        "candidate pairs are generated by an EQUI-join on a blocking "
+        "key (the noun token of the part name) plus a length band, "
+        "then verified with exact Levenshtein distance <= 4 — the "
+        "classic block→verify shape that keeps fuzzy matching out of "
+        "the O(n^2) all-pairs regime. At 100 TB the blocking key "
+        "partitions the quadratic: cost is sum(|block|^2), the same "
+        "contract as LSH banding for near-dup text. Levenshtein is "
+        "integer-valued (JVM builtin both engines), so the oracle is "
+        "bitwise. Reference analogue: the silver-layer canonicalize "
+        "step (`/root/reference/etl/silver_job.py` string normalize) "
+        "handles only exact key matches; this is the approximate "
+        "extension a real curation pipeline needs.",
+)
+def q_fuzzy_join_blocked(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    a, b = names.alias("a"), names.alias("b")
+    block = F.split(F.col("a.p_name"), " ").getItem(1) == F.split(
+        F.col("b.p_name"), " "
+    ).getItem(1)
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, block & (F.col("a.p_name") < F.col("b.p_name")))
+        .filter(
+            (
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                )
+                <= 4
+            )
+            & (dist <= 4)
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )

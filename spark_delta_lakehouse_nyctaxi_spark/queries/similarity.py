@@ -671,3 +671,71 @@ def q_ivf_recall(spark, sf_dir):
         [(n_truth, n_hit, float(n_hit) / n_truth if n_truth else None)],
         "n_truth long, n_hit long, recall_at_5 double",
     )
+
+
+def _semantic_dedup_oracle(n_centroids=16, iters=2, tau=0.4) -> str:
+    parts = _ivf_assignment_parts(n_centroids, iters)
+    parts.append(f"""
+    cellv AS (
+        SELECT e.vec_id, ax.cid, e.embedding
+        FROM emb e JOIN a{iters} ax USING (vec_id)
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM cellv a JOIN cellv b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_COS_SQL} >= {tau}
+    )
+    SELECT CAST(c.cid AS INT) AS cid,
+           COUNT(*) AS n_vectors,
+           COUNT(d.vec_id) AS n_removed,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept
+    FROM cellv c LEFT JOIN dup d ON d.vec_id = c.vec_id
+    GROUP BY c.cid""")
+    return "".join(parts)
+
+
+@register(
+    "q_semantic_dedup",
+    _semantic_dedup_oracle(),
+    doc="SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, "
+        "arXiv:2303.09540): k-means the embedding space (the exact "
+        "decimal Lloyd index shared with q_ann_ivf), then remove every "
+        "vector that has a SAME-CELL neighbor with cosine >= 0.4 and a "
+        "smaller id (deterministic keep-lowest-id survivor — the "
+        "paper's random keeper made reproducible). The pair stage is "
+        "an equi-join on cell id, so the cost is sum(|cell|^2), not "
+        "corpus^2 — exactly the property that makes SemDeDup viable "
+        "where global near-dup search is not. Per-cell summary output "
+        "(n / removed / kept); the full id-level removal list is the "
+        "dup CTE, same contract as q_dedup_embedding_canonical's "
+        "cluster resolution. Whole composition (index build + "
+        "assignment + dedup) is bitwise value-oracled.",
+)
+def q_semantic_dedup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2, exact=True)
+    cells = S.exact_assignments(emb, centroids).select(
+        F.col("id").alias("vec_id"), F.col("cid").cast("int").alias("cid")
+    )
+    v = emb.join(cells, "vec_id").select("vec_id", "cid", "embedding")
+    a, b = v.alias("a"), v.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(S.cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.4)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        v.join(dup, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count("is_dup").alias("n_removed"),
+            (F.count("*") - F.count("is_dup")).alias("n_kept"),
+        )
+    )

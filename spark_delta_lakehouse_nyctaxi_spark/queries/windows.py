@@ -215,3 +215,58 @@ def q_window_range_frame(spark, sf_dir):
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "q_rolling_median",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT day, revenue,
+           frame[(len(frame) + 1) // 2] AS rolling_median
+    FROM (
+        SELECT day, revenue,
+               list_sort(list(revenue) OVER (
+                   PARTITION BY yr ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS frame
+        FROM daily
+    )
+    """,
+    doc="Centered 7-day ROLLING MEDIAN of daily revenue — the robust "
+        "smoother (order statistics resist the outliers a rolling mean "
+        "absorbs). Median = LOWER median, picked by integer index from "
+        "the sorted window frame: pure element selection, zero FP "
+        "arithmetic after the (decimal-exact) daily sums, so the "
+        "oracle is bitwise — an even-count average would reintroduce "
+        "engine-ordered FP addition. Windows PARTITION BY year, so no "
+        "single-partition exchange: at 100 TB each year (or any "
+        "coarser time bucket) is an independent range, the same "
+        "time-sliced layout the resample/sessionize queries use; only "
+        "the 6 boundary days per year see a truncated frame.",
+)
+def q_rolling_median(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    from .aggregates import dsum
+
+    daily = li.groupBy(
+        F.to_date("l_shipdate").alias("day"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+    ).agg(dsum("l_extendedprice").alias("revenue"))
+    w = (
+        Window.partitionBy("yr")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    frame = F.array_sort(F.collect_list("revenue").over(w))
+    return daily.select(
+        "day",
+        "revenue",
+        F.element_at(
+            frame, ((F.size(frame) + 1) / 2).cast("int")
+        ).alias("rolling_median"),
+    )
