@@ -965,10 +965,13 @@ def decode_real(payload: bytes) -> np.ndarray:
         return decode_png(payload).ravel()
     if payload[:2] == _JPEG_SIG:
         return decode_jpeg(payload).ravel()
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload).ravel()
     raise NotImplementedError(
         "inter-frame compressed video needs ffmpeg — absent in this "
         "container; WAV, BMP, PNG (gray + truecolor RGB), baseline "
-        "JPEG (gray + 4:4:4 color) and DIB/MJPG AVI decode for real"
+        "JPEG (gray + 4:4:4 color), GIF (palette + real LZW) and "
+        "DIB/MJPG AVI decode for real"
     )
 
 
@@ -1178,3 +1181,188 @@ def sample_frames(df: DataFrame, every_s: float = 1.0, real: bool = False) -> Da
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return df.filter(F.col("kind") == "video").mapInPandas(gen, FRAMES_SCHEMA)
+
+
+# ---- GIF89a (palette + REAL LZW) -------------------------------------
+# Complete from-scratch GIF codec: variable-width LSB-first LZW with
+# code growth 9→12 bits and the deferred-clear convention (when the
+# table hits 4096 both sides simply stop growing — spec-legal, and the
+# simplest behavior that is bit-exact to mirror). The encoder runs one
+# table entry AHEAD of the decoder (the decoder learns each string one
+# code later), so the width-bump conditions differ by exactly one:
+# encoder bumps at next_code == (1<<width)+1, decoder at (1<<width).
+
+
+def _lzw_encode_gif(indices: np.ndarray, min_code_size: int = 8) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    buf = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int):
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    data = bytes(indices.ravel().astype(np.uint8).tolist())
+    if data:
+        w = data[:1]
+        for ch in data[1:]:
+            wk = w + bytes([ch])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w], width)
+            if next_code < 4096:
+                table[wk] = next_code
+                next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            w = bytes([ch])
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(payload: bytes, min_code_size: int = 8) -> np.ndarray:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = 0
+    buf = 0
+    nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, buf, nbits
+        while nbits < width:
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated LZW stream")
+            buf |= payload[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        return code
+
+    out = bytearray()
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            width = min_code_size + 1
+            del table[eoi + 1 :]
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF: LZW code out of range")
+        out += entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def encode_gif(indices, palette) -> bytes:
+    """GIF89a encoder: one full-frame image over a 256-entry global
+    color table, REAL variable-width LZW (not the uncompressed-LZW
+    shortcut). ``indices`` is (h, w) uint8 palette indices, ``palette``
+    (256, 3) uint8 RGB."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.shape != (256, 3):
+        raise ValueError("GIF: need (h,w) indices and a (256,3) palette")
+    h, w = idx.shape
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+    out += pal.tobytes()
+    out += b"\x2c" + b"\x00" * 4  # image at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([8])  # LZW min code size
+    comp = _lzw_encode_gif(idx)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a decoder: global or local color table, extension
+    blocks skipped, REAL LZW decompression; returns (h, w, 3) uint8
+    RGB. Interlaced images raise (honest gate — the synthesis path
+    never produces them)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    pos += 4  # logical screen w/h (the image descriptor carries its own)
+    packed = payload[pos]
+    pos += 3  # packed, background index, aspect
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            raise ValueError("GIF: trailer before image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{block:02x}")
+        pos += 4  # left, top
+        w = int.from_bytes(payload[pos : pos + 2], "little")
+        h = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+        ipacked = payload[pos + 4]
+        pos += 5
+        if ipacked & 0x40:
+            raise NotImplementedError("GIF: interlaced images not supported")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+            pal = pal.reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF: no color table")
+        min_code = payload[pos]
+        pos += 1
+        comp = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            comp += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode_gif(bytes(comp), min_code)
+        if idx.size != h * w:
+            raise ValueError("GIF: decoded size mismatch")
+        return pal[idx.reshape(h, w)]
+    raise ValueError("GIF: no image descriptor found")

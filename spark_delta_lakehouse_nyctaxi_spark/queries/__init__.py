@@ -130,6 +130,8 @@ _PRIORITY: list[str] = [
     "q_bfs_levels",
     # centered 7-day rolling median (order-statistic smoother)
     "q_rolling_median",
+    # real GIF89a LZW codec round trip (lossless, closed-form oracle)
+    "q_multimodal_gif",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -740,3 +740,90 @@ def q_audio_frame_features(spark, sf_dir):
         gen,
         "media_id long, frame_idx long, energy double, zero_crossings long",
     )
+
+
+# GIF (round 5): palette + REAL variable-width LZW — the remaining
+# ubiquitous still-image container after PNG/JPEG. GIF is lossless
+# (palette indices round-trip bit-exactly through the LZW stream), so
+# the per-channel means are oracled against the closed-form generator
+# with zero error envelope: a wrong code-width bump, a mis-packed
+# sub-block, or a palette off-by-one all change the values. The
+# decoder additionally passes an externally-authored conformance byte
+# vector in tests (not just its own encoder's output).
+_GIF_ORACLE = """
+    WITH px AS (
+        SELECT m.m AS media_id,
+               (m.m * 31 + r.r * 7 + c.c * 3) % 256 AS k
+        FROM range(16) m(m), range(24) r(r), range(32) c(c)
+    )
+    SELECT media_id, channel, mean_value FROM (
+        SELECT media_id, 'r' AS channel,
+               SUM(CAST(k * 7 % 256 AS DOUBLE)) / 768.0 AS mean_value
+        FROM px GROUP BY media_id
+        UNION ALL
+        SELECT media_id, 'g',
+               SUM(CAST(k * 13 % 256 AS DOUBLE)) / 768.0
+        FROM px GROUP BY media_id
+        UNION ALL
+        SELECT media_id, 'b',
+               SUM(CAST(k * 29 % 256 AS DOUBLE)) / 768.0
+        FROM px GROUP BY media_id
+    )
+"""
+
+
+@register(
+    "q_multimodal_gif",
+    _GIF_ORACLE,
+    doc="REAL GIF89a pipeline: 16 paletted 24×32 images encoded with "
+        "the from-scratch variable-width LZW GIF codec "
+        "(operators/multimodal.py:encode_gif), decoded back through "
+        "the dispatcher inside an Arrow-batched mapInPandas, and "
+        "reduced to per-channel means. Value-oracled against the "
+        "closed-form pixel/palette generators (lossless container ⇒ "
+        "zero error envelope). Same partitioned-binary-column "
+        "contract as the PNG/JPEG/MJPEG rows: payloads stay opaque "
+        "bytes until the one decode pass, features aggregate "
+        "JVM-side afterwards.",
+)
+def q_multimodal_gif(spark, sf_dir):
+    import numpy as np
+
+    pal = np.stack(
+        [
+            (np.arange(256) * 7) % 256,
+            (np.arange(256) * 13) % 256,
+            (np.arange(256) * 29) % 256,
+        ],
+        axis=-1,
+    ).astype("uint8")
+    r, c = np.divmod(np.arange(24 * 32), 32)
+    rows = []
+    for m in range(16):
+        idx = ((m * 31 + r * 7 + c * 3) % 256).astype("uint8").reshape(24, 32)
+        rows.append(
+            (
+                m,
+                "image",
+                bytearray(M.encode_gif(idx, pal)),
+                {"width": 32, "height": 24, "sample_rate": None,
+                 "duration_s": None, "format": "gif"},
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = M.decode_gif(bytes(payload))  # (24, 32, 3) exact
+                for i, ch in enumerate("rgb"):
+                    out.append((int(mid), ch, float(dec[..., i].sum() / 768.0)))
+            if out:
+                yield pd.DataFrame(out, columns=["media_id", "channel", "mean_value"])
+
+    return media.mapInPandas(
+        gen, "media_id long, channel string, mean_value double"
+    )

@@ -363,3 +363,46 @@ def test_jpeg_color_round_trip_and_validation():
     enc[sof + 11] = 0x22  # Y sampling 2x2 => 4:2:0
     with pytest.raises(ValueError, match="4:4:4|subsampling"):
         M.decode_jpeg(bytes(enc))
+
+
+def test_gif_codec_round_trip_and_conformance():
+    """r5: real GIF89a LZW — round trips across table-straining
+    patterns, plus an externally-authored 1×1 byte vector (decoder
+    conformance beyond self-consistency) and honest gates."""
+    import numpy as np
+    import pytest
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    pal = np.stack(
+        [(np.arange(256) * 7) % 256, (np.arange(256) * 13) % 256,
+         (np.arange(256) * 29) % 256], axis=-1,
+    ).astype(np.uint8)
+    rng = np.random.default_rng(3)
+    for idx in [
+        rng.integers(0, 256, (7, 13)).astype(np.uint8),
+        np.full((50, 50), 42, np.uint8),            # max-compression runs
+        np.tile(np.arange(16, dtype=np.uint8), (64, 16)),  # deep strings
+        rng.integers(0, 256, (128, 128)).astype(np.uint8),  # 12-bit codes
+    ]:
+        dec = M.decode_gif(M.encode_gif(idx, pal))
+        assert dec.shape == (*idx.shape, 3) and (dec == pal[idx]).all()
+    # decode_real dispatches on the GIF magic
+    one = np.array([[5]], dtype=np.uint8)
+    assert (M.decode_real(M.encode_gif(one, pal)) == pal[one].ravel()).all()
+    # externally-authored canonical 1×1 white GIF (2-entry palette,
+    # 2-bit min code) — proves the decoder implements the spec, not
+    # just the inverse of this encoder
+    known = bytes.fromhex(
+        "474946383961" "0100010080" "0000" "ffffff" "000000"
+        "2c000000000100010000" "0202440100" "3b"
+    )
+    out = M.decode_gif(known)
+    assert out.shape == (1, 1, 3) and (out[0, 0] == [255, 255, 255]).all()
+    with pytest.raises(ValueError, match="GIF"):
+        M.decode_gif(b"GIFXXa" + b"\x00" * 20)
+    # interlace flag honestly refused
+    bad = bytearray(M.encode_gif(one, pal))
+    bad[6 + 7 + 768 + 9] |= 0x40  # image-descriptor packed byte
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        M.decode_gif(bytes(bad))
