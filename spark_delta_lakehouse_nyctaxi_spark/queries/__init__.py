@@ -132,6 +132,8 @@ _PRIORITY: list[str] = [
     "q_rolling_median",
     # real GIF89a LZW codec round trip (lossless, closed-form oracle)
     "q_multimodal_gif",
+    # median/MAD robust z-score outliers (complement of Tukey fences)
+    "q_robust_zscore",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

