@@ -134,6 +134,8 @@ _PRIORITY: list[str] = [
     "q_multimodal_gif",
     # median/MAD robust z-score outliers (complement of Tukey fences)
     "q_robust_zscore",
+    # full 3-merge BPE tokenizer training loop (selection + application)
+    "q_bpe_learn",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1275,3 +1275,157 @@ def q_pmi_collocations(spark, sf_dir):
         ORDER BY pmi_ratio DESC, bigram LIMIT 20
         """
     )
+
+
+def _bpe_learn_oracle(iters: int = 3) -> str:
+    """Unrolled BPE training loop. Word states are symbol sequences
+    encoded as strings with each symbol individually wrapped in
+    chr(1): ``<d>sym<d><d>sym<d>...`` — merging pair (a,b) is then ONE
+    plain ``replace()`` of ``<d>a<d><d>b<d>`` with ``<d>ab<d>``, and
+    both engines' replace() scans left-to-right non-overlapping, which
+    IS greedy BPE merge-application order. Wrappers never straddle
+    neighbors, so no boundary sharing."""
+    d = "chr(1)"
+    dd = f"{d} || {d}"
+    parts = [
+        r"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+    w0 AS (
+        SELECT array_to_string(list_transform(
+                   range(1, length(w) + 1),
+                   i -> chr(1) || substring(w, CAST(i AS INT), 1) || chr(1)
+               ), '') AS seq, cnt
+        FROM wc
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    s{k} AS (
+        SELECT string_split(substring(seq, 2, length(seq) - 2), {dd})
+                   AS syms, cnt
+        FROM w{k - 1}
+    ),
+    pc{k} AS (
+        SELECT u.p.a AS a, u.p.b AS b, SUM(cnt) AS pc
+        FROM s{k}, unnest(list_transform(
+                 range(1, len(syms)),
+                 i -> {{'a': syms[CAST(i AS INT)],
+                        'b': syms[CAST(i AS INT) + 1]}})) u(p)
+        WHERE len(syms) >= 2
+        GROUP BY 1, 2
+    ),
+    m{k} AS (SELECT a, b, pc FROM pc{k} ORDER BY pc DESC, a, b LIMIT 1),
+    w{k} AS (
+        SELECT replace(seq,
+                   {d} || (SELECT a FROM m{k}) || {dd}
+                        || (SELECT b FROM m{k}) || {d},
+                   {d} || (SELECT a FROM m{k})
+                        || (SELECT b FROM m{k}) || {d}) AS seq,
+               cnt
+        FROM w{k - 1}
+    )""")
+    arms = [
+        f"SELECT {k} AS step, (SELECT a FROM m{k}) AS left_sym, "
+        f"(SELECT b FROM m{k}) AS right_sym, "
+        f"(SELECT a || b FROM m{k}) AS merged, "
+        f"CAST((SELECT pc FROM m{k}) AS BIGINT) AS pair_count"
+        for k in range(1, iters + 1)
+    ]
+    arms.append(
+        f"SELECT {iters + 1}, '<corpus>', '<corpus>', '<total_symbols>', "
+        f"CAST((SELECT SUM(cnt * len(string_split("
+        f"substring(seq, 2, length(seq) - 2), {dd}))) FROM w{iters}) "
+        f"AS BIGINT)"
+    )
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(arms)
+
+
+@register(
+    "q_bpe_learn",
+    _bpe_learn_oracle(3),
+    doc="FULL BPE tokenizer TRAINING loop (3 merges), distributed: "
+        "word-frequency table once, then per merge (1) adjacent-symbol "
+        "pair counts over the DISTINCT vocabulary weighted by word "
+        "frequency, (2) argmax merge selection (count DESC, symbols "
+        "ASC tiebreak — the deterministic variant of Sennrich et al. "
+        "2016), (3) merge APPLICATION to every word state. States are "
+        "chr(1)-wrapped symbol strings, so application is one "
+        "replace() whose left-to-right non-overlapping scan IS greedy "
+        "BPE order — no UDF, no per-row loop. The only driver "
+        "transfers are the three 1-row argmax frames (bounded "
+        "metadata, same class as q_bloom_join's conf rows); the "
+        "corpus is touched once, every iteration runs over the "
+        "vocabulary. Output: the 3 learned merges + the post-merge "
+        "corpus symbol total (certifying application, not just "
+        "selection); whole loop bitwise vs the unrolled-CTE oracle.",
+)
+def q_bpe_learn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    d = "\x01"
+    words = docs.select(
+        F.explode(
+            F.filter(T.tokens("text"), lambda x: x != F.lit(""))
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    st = wc.select(
+        F.expr(
+            "concat_ws('', transform(sequence(1, length(w)), "
+            "i -> concat(chr(1), substring(w, i, 1), chr(1))))"
+        ).alias("seq"),
+        "cnt",
+    ).persist()
+    syms = F.split(
+        F.expr("substring(seq, 2, length(seq) - 2)"), "\x01\x01"
+    )
+    rows = []
+    for step in (1, 2, 3):
+        pr = (
+            st.withColumn("syms", syms)
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS a, "
+                        "element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+        )
+        best = (
+            pr.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        rows.append((step, best["a"], best["b"],
+                     best["a"] + best["b"], int(best["pc"])))
+        nxt = st.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(d + best["a"] + d + d + best["b"] + d),
+                F.lit(d + best["a"] + best["b"] + d),
+            ).alias("seq"),
+            "cnt",
+        ).persist()
+        nxt.count()
+        st.unpersist()
+        st = nxt
+    total = st.select(
+        F.sum(F.col("cnt") * F.size(syms)).cast("long").alias("t")
+    ).collect()[0]["t"]
+    st.unpersist()
+    rows.append((4, "<corpus>", "<corpus>", "<total_symbols>", int(total)))
+    return spark.createDataFrame(
+        rows,
+        "step int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
