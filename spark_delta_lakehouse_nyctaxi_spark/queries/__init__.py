@@ -136,6 +136,8 @@ _PRIORITY: list[str] = [
     "q_robust_zscore",
     # full 3-merge BPE tokenizer training loop (selection + application)
     "q_bpe_learn",
+    # exact trailing-7-day WAU via constant-factor contribution fanout
+    "q_sliding_wau",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

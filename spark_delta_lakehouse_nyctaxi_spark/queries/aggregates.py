@@ -671,3 +671,48 @@ def q_corr_matrix(spark, sf_dir):
     return scored.selectExpr(
         f"stack(6, {stack_args}) AS (col_x, col_y, corr)", "n"
     ).select("col_x", "col_y", "n", "corr")
+
+
+@register(
+    "q_sliding_wau",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    contrib AS (
+        SELECT user_id, day + CAST(r.i AS INT) AS wday
+        FROM active, range(0, 7) r(i)
+    ),
+    days AS (SELECT DISTINCT day FROM active)
+    SELECT d.day, COUNT(DISTINCT c.user_id) AS wau
+    FROM days d JOIN contrib c ON c.wday = d.day
+    GROUP BY d.day
+    """,
+    doc="EXACT trailing-7-day active users (WAU) per observed day — "
+        "the sliding-window COUNT DISTINCT that tumbling/streaming "
+        "windows cannot give exactly and sketches only approximate. "
+        "Shape: dedup to (user, day) once, then each active day "
+        "CONTRIBUTES itself to the 7 window endpoints it covers "
+        "(explode × 7 — a constant-factor map, NOT a range join or a "
+        "per-day rescan), equi-join onto the observed-day spine, one "
+        "distinct aggregate. At 100 TB the 7× fanout of the deduped "
+        "(user, day) frame is the optimal exact formulation: work is "
+        "O(activity × window), independent of the raw event count.",
+)
+def q_sliding_wau(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    active = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    contrib = active.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(day, i))")
+        ).alias("wday"),
+    )
+    days = active.select("day").distinct()
+    return (
+        days.join(contrib, days["day"] == contrib["wday"])
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
