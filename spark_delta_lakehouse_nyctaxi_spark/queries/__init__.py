@@ -138,6 +138,8 @@ _PRIORITY: list[str] = [
     "q_bpe_learn",
     # exact trailing-7-day WAU via constant-factor contribution fanout
     "q_sliding_wau",
+    # k-anonymity generalization-ladder audit (privacy governance)
+    "q_k_anonymity",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

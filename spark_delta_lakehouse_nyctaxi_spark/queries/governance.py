@@ -259,3 +259,110 @@ def q_drift_chisq(spark, sf_dir):
         F.count("*").alias("n_buckets"),
         F.sum("term").cast("double").alias("chi_sq"),
     )
+
+
+@register(
+    "q_k_anonymity",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS b0,
+               CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS b1,
+               CAST(FLOOR(c_acctbal / 4000.0) AS BIGINT) AS b2
+        FROM customer
+    ),
+    sized AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment, b0, b1, b2,
+               COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, b0) AS n0,
+               COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, b1) AS n1,
+               COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, b2) AS n2,
+               COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n3
+        FROM c
+    ),
+    leveled AS (
+        SELECT CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+                    WHEN n2 >= 5 THEN 2 ELSE 3 END AS level,
+               CASE WHEN n0 >= 5 THEN n0 WHEN n1 >= 5 THEN n1
+                    WHEN n2 >= 5 THEN n2 ELSE n3 END AS class_size,
+               c_nationkey || '|' || c_mktsegment || '|' ||
+               CASE WHEN n0 >= 5 THEN CAST(b0 AS VARCHAR)
+                    WHEN n1 >= 5 THEN CAST(b1 AS VARCHAR)
+                    WHEN n2 >= 5 THEN CAST(b2 AS VARCHAR)
+                    ELSE '*' END AS class_key
+        FROM sized
+    )
+    SELECT CAST(level AS INT) AS level,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT class_key) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size
+    FROM leveled GROUP BY level
+    """,
+    doc="K-ANONYMITY audit with a GENERALIZATION LADDER (k=5): quasi-"
+        "identifiers (nation, market segment, account-balance band) "
+        "are generalized per record up the band hierarchy "
+        "1000→2000→4000→suppressed until the record's equivalence "
+        "class reaches k — the core step of Samarati/Sweeney-style "
+        "anonymization, reported as per-level class/record counts "
+        "plus the min class size actually achieved. One scan + four "
+        "partitioned window counts (the partitions ARE the class "
+        "keys — high cardinality, no SinglePartition); the level pick "
+        "is a pure projection. Exact integer output, bitwise oracle. "
+        "The governance complement of q_pii_scrub: that removes "
+        "direct identifiers, this measures re-identification risk of "
+        "the quasi-identifiers that remain.",
+)
+def q_k_anonymity(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("b0"),
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("b1"),
+        F.floor(F.col("c_acctbal") / 4000.0).cast("long").alias("b2"),
+    )
+    def wcount(*cols):
+        return F.count("*").over(Window.partitionBy(*cols))
+
+    sized = c.select(
+        "*",
+        wcount("c_nationkey", "c_mktsegment", "b0").alias("n0"),
+        wcount("c_nationkey", "c_mktsegment", "b1").alias("n1"),
+        wcount("c_nationkey", "c_mktsegment", "b2").alias("n2"),
+        wcount("c_nationkey", "c_mktsegment").alias("n3"),
+    )
+    lvl = (
+        F.when(F.col("n0") >= 5, 0)
+        .when(F.col("n1") >= 5, 1)
+        .when(F.col("n2") >= 5, 2)
+        .otherwise(3)
+    )
+    size = (
+        F.when(F.col("n0") >= 5, F.col("n0"))
+        .when(F.col("n1") >= 5, F.col("n1"))
+        .when(F.col("n2") >= 5, F.col("n2"))
+        .otherwise(F.col("n3"))
+    )
+    band = (
+        F.when(F.col("n0") >= 5, F.col("b0").cast("string"))
+        .when(F.col("n1") >= 5, F.col("b1").cast("string"))
+        .when(F.col("n2") >= 5, F.col("b2").cast("string"))
+        .otherwise(F.lit("*"))
+    )
+    key = F.concat_ws(
+        "|", F.col("c_nationkey"), F.col("c_mktsegment"), band
+    )
+    return (
+        sized.select(
+            lvl.cast("int").alias("level"),
+            size.alias("class_size"),
+            key.alias("class_key"),
+        )
+        .groupBy("level")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.countDistinct("class_key").alias("n_classes"),
+            F.min("class_size").cast("long").alias("min_class_size"),
+        )
+    )
