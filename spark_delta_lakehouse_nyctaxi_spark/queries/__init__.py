@@ -140,6 +140,8 @@ _PRIORITY: list[str] = [
     "q_sliding_wau",
     # k-anonymity generalization-ladder audit (privacy governance)
     "q_k_anonymity",
+    # stream-stream LEFT SEMI join (watermark-independent drain oracle)
+    "q_stream_stream_semi_join",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -326,6 +326,35 @@ def q_stream_stream_full_join(spark, sf_dir):
     )
 
 
+@register(
+    "q_stream_stream_semi_join",
+    """
+    SELECT event_id AS click_id, user_id, ts AS click_ts
+    FROM events c
+    WHERE event_type = 'click'
+      AND EXISTS (
+            SELECT 1 FROM events v
+            WHERE v.event_type = 'view'
+              AND v.user_id = c.user_id
+              AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts)
+    """,
+    doc="Watermarked stream-stream LEFT SEMI join — the last join "
+        "shape Structured Streaming supports, completing the matrix "
+        "(inner/left/full/semi): clicks that have at least one view "
+        "in the preceding 10 minutes, emitted ONCE per click at "
+        "match time. Unlike the outer joins, the drained result is "
+        "watermark-INDEPENDENT (matched rows never wait for "
+        "eviction; unmatched rows never emit), so the oracle is the "
+        "plain batch EXISTS semi-join with no eviction-boundary "
+        "modeling at all — the strongest-determinism entry in the "
+        "family. State stays bounded exactly as in the inner join.",
+)
+def q_stream_stream_semi_join(spark, sf_dir):
+    return _stream_stream_join(
+        spark, sf_dir, "left_semi", "q_stream_stream_semi_join_out"
+    )
+
+
 def _stream_stream_join(spark, sf_dir, how, out_table):
     path = _staged_events(spark, sf_dir)
     clicks = (
@@ -357,15 +386,23 @@ def _stream_stream_join(spark, sf_dir, how, out_table):
     # the NTZ oracle expects (a no-op under the driver's UTC session,
     # verified bitwise under America/New_York too).
     tz = spark.conf.get("spark.sql.session.timeZone")
-    joined = joined.select(
-        "click_id",
-        "view_id",
-        # left/inner rows always carry the click's user_id; full-outer
-        # view-padded rows only have v_user — coalesce covers all shapes
-        F.coalesce("user_id", "v_user").alias("user_id"),
-        F.to_utc_timestamp("click_ts", tz).alias("click_ts"),
-        F.to_utc_timestamp("view_ts", tz).alias("view_ts"),
-    )
+    if how == "left_semi":
+        # semi output carries ONLY the left side's columns
+        joined = joined.select(
+            "click_id",
+            "user_id",
+            F.to_utc_timestamp("click_ts", tz).alias("click_ts"),
+        )
+    else:
+        joined = joined.select(
+            "click_id",
+            "view_id",
+            # left/inner rows always carry the click's user_id; full-outer
+            # view-padded rows only have v_user — coalesce covers all shapes
+            F.coalesce("user_id", "v_user").alias("user_id"),
+            F.to_utc_timestamp("click_ts", tz).alias("click_ts"),
+            F.to_utc_timestamp("view_ts", tz).alias("view_ts"),
+        )
     run_available_now(joined, scratch_dir("ckpt_" + out_table), memory_table=out_table)
     return spark.table(out_table)
 
