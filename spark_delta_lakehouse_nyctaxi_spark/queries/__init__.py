@@ -142,6 +142,8 @@ _PRIORITY: list[str] = [
     "q_k_anonymity",
     # stream-stream LEFT SEMI join (watermark-independent drain oracle)
     "q_stream_stream_semi_join",
+    # temperature (alpha=0.5) mixture reweighting, sqrt-only FP
+    "q_temperature_mixture",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -229,3 +229,52 @@ def q_mixture_weights(spark, sf_dir):
     return SA.mixture_rates(docs, "source", _MIX_TARGETS).select(
         "source", "n_rows", "target_share", "sample_rate", "expected_rows"
     )
+
+
+_TEMPERATURE_MIX_SQL = """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_rows FROM {tbl} GROUP BY source
+    ),
+    s AS (
+        SELECT source, n_rows,
+               CAST(sqrt(CAST(n_rows AS DOUBLE)) AS DECIMAL(22,6)) AS sq
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(sq) AS DECIMAL(28,6)) AS t FROM s),
+    nn AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n FROM counts)
+    SELECT source, n_rows,
+           CAST(sq AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)
+               AS weight,
+           (CAST(sq AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE))
+               * CAST((SELECT n FROM nn) AS DOUBLE)
+               / CAST(n_rows AS DOUBLE) AS boost
+    FROM s
+"""
+
+
+@register(
+    "q_temperature_mixture",
+    _TEMPERATURE_MIX_SQL.format(tbl="documents"),
+    doc="TEMPERATURE-BASED mixture weights (alpha = 0.5, the "
+        "multilingual-training reweighting of Conneau & Lample / "
+        "mT5): per-source sampling weight proportional to "
+        "n_rows^alpha, flattening the source distribution so "
+        "low-resource sources are upsampled relative to their "
+        "natural share (reported as the boost column). alpha = 0.5 "
+        "keeps the whole computation value-oracle-able: sqrt is "
+        "IEEE-exact (unlike pow/ln for general alpha), each sqrt "
+        "term is rounded to DECIMAL(22,6) before the normalizing sum "
+        "(exact integer math, order-invariant — a plain double sum "
+        "would drift with combine order), and every unit count stays "
+        "under 2^53 so the decimal->double conversions single-round "
+        "identically in both engines. Global totals attach as scalar "
+        "subqueries (ScalarSubquery plan, no BNLJ). The temperature "
+        "companion of q_mixture_weights' explicit-target solver; one "
+        "grouped count, everything after runs on the |sources|-row "
+        "frame.",
+)
+def q_temperature_mixture(spark, sf_dir):
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "temp_mix_docs_v"
+    )
+    return spark.sql(_TEMPERATURE_MIX_SQL.format(tbl="temp_mix_docs_v"))
