@@ -192,6 +192,50 @@ def q_zorder_layout(spark, sf_dir):
 
 
 @register(
+    "q_hilbert_layout",
+    """
+    SELECT l_suppkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 200 AND l_suppkey BETWEEN 10 AND 60
+    GROUP BY l_suppkey
+    """,
+    doc="HILBERT-curve clustered layout over (l_partkey, l_suppkey) - "
+        "the locality-preserving upgrade of q_zorder_layout (liquid-"
+        "clustering-style): successive curve cells are edge-adjacent, "
+        "so file bounding boxes are tighter than Morton's "
+        "diagonal-jump cells and min/max pruning admits fewer files "
+        "for the same 2-D predicate (Moon et al., TKDE 2001). The "
+        "curve walk is certified cell-by-cell against the classic "
+        "xy2d reference in tests/test_bucketing.py; the oracle here "
+        "is layout INDEPENDENCE - the same 2-D range predicate on the "
+        "original table must give identical results (a layout that "
+        "changes answers is corruption, not clustering).",
+)
+def q_hilbert_layout(spark, sf_dir):
+    from ..sources.hilbert import write_hilbert_clustered
+    from .aggregates import dsum
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = scratch_dir("hilbert")
+    write_hilbert_clustered(
+        l, path, ["l_partkey", "l_suppkey"], num_files=8
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            F.col("l_partkey").between(100, 200)
+            & F.col("l_suppkey").between(10, 60)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
     "q_table_changes",
     """
     WITH v0 AS (

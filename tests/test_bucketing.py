@@ -120,3 +120,59 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
         n = len(spans[col])
         admitted = sum(1 for lo, hi in spans[col] if lo <= point <= hi)
         assert admitted / n <= 0.75, f"{col}: {admitted}/{n} files admit the midpoint"
+
+
+def test_hilbert_curve_certified_and_prunes(spark, tmp_path):
+    """r5: (1) the column-expression Hilbert index equals the classic
+    xy2d reference on every cell of the full grid (bijection onto
+    0..4^ORDER-1); (2) Hilbert-clustered files are selective on BOTH
+    clustered columns, same contract as the Z-order test."""
+    import pyarrow.parquet as pq
+    from spark_delta_lakehouse_nyctaxi_spark.sources.hilbert import (
+        ORDER,
+        hilbert_value,
+        hilbert_xy2d,
+        write_hilbert_clustered,
+    )
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    side = 1 << ORDER
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(side) for y in range(side)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in grid.withColumn("h", hilbert_value(grid, ["x", "y"])).collect()
+    }
+    assert all(
+        got[(x, y)] == hilbert_xy2d(ORDER, x, y)
+        for x in range(side)
+        for y in range(side)
+    )
+    assert sorted(got.values()) == list(range(side * side))  # bijection
+
+    path = str(tmp_path / "h")
+    l = load_table(spark, SF_SMALL, "lineitem").select("l_partkey", "l_suppkey")
+    write_hilbert_clustered(l, path, ["l_partkey", "l_suppkey"], num_files=16)
+
+    spans = {"l_partkey": [], "l_suppkey": []}
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        schema_names = [md.row_group(0).column(i).path_in_schema for i in range(2)]
+        for i, name in enumerate(schema_names):
+            lo = min(md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups))
+            spans[name].append((lo, hi))
+    assert len(spans["l_partkey"]) >= 8
+
+    stats = l.agg(
+        F.expr("percentile(l_partkey, 0.5)").alias("p"),
+        F.expr("percentile(l_suppkey, 0.5)").alias("s"),
+    ).collect()[0]
+    for col, point in [("l_partkey", stats.p), ("l_suppkey", stats.s)]:
+        n = len(spans[col])
+        admitted = sum(1 for lo, hi in spans[col] if lo <= point <= hi)
+        assert admitted / n <= 0.75, f"{col}: {admitted}/{n} files admit the midpoint"
