@@ -144,6 +144,8 @@ _PRIORITY: list[str] = [
     "q_stream_stream_semi_join",
     # temperature (alpha=0.5) mixture reweighting, sqrt-only FP
     "q_temperature_mixture",
+    # Hilbert-curve clustered layout (LUT-based, certified vs xy2d)
+    "q_hilbert_layout",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",
