@@ -146,6 +146,14 @@ _PRIORITY: list[str] = [
     "q_temperature_mixture",
     # Hilbert-curve clustered layout (LUT-based, certified vs xy2d)
     "q_hilbert_layout",
+    # XML source/sink round-trip (Spark 4 built-in format)
+    "q_scan_xml",
+    # native batch session_window gap-merging aggregate
+    "q_session_window_batch",
+    # grouped applyInArrow (zero-copy grouped-map API)
+    "q_apply_in_arrow",
+    # SQL SCRIPT TRANSFORM external-process pipe
+    "q_script_transform",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -930,3 +930,140 @@ def q_sentiment_lexicon(spark, sf_dir):
             F.nullif(F.col("n_pos") + F.col("n_neg"), F.lit(0)),
         ).alias("polarity"),
     )
+
+
+@register(
+    "q_session_window_batch",
+    f"""
+    WITH seq AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="Native batch session_window aggregation (the session analog of "
+        "tumbling `window()` — Spark's built-in gap-merging aggregate, "
+        "complementing q_sessionize's lag+running-sum formulation): "
+        "30-minute-gap sessions per user with event counts and an exact "
+        "decimal value sum. Boundary semantics probed and pinned: an "
+        "event exactly `gap` after its predecessor JOINS the session "
+        "(merge condition diff <= gap), and session_end = last event "
+        "ts + gap — the oracle's new-session predicate is therefore "
+        "strictly-greater and its end adds the interval back. Runs as "
+        "a single hash-partitioned merge aggregate (no windowed sort of "
+        "the whole table) — at 100 TB this shuffles once on user_id and "
+        "merges sessions inside each partition, exactly how streaming "
+        "session windows are maintained.",
+)
+def q_session_window_batch(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "q_apply_in_arrow",
+    """
+    SELECT event_id, event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS BIGINT)
+               AS rank_in_type
+    FROM events
+    """,
+    doc="Grouped applyInArrow (Spark 4's zero-copy grouped-map API — "
+        "the Arrow-native sibling of applyInPandas, no pandas "
+        "conversion on either edge): per-event-type dense ranking by "
+        "(value, event_id) computed inside pyarrow via sort_indices + "
+        "permutation inversion. Pure comparison/integer math — no FP "
+        "arithmetic — so the oracle's ROW_NUMBER window matches "
+        "bitwise; the unique event_id tiebreaker makes the permutation "
+        "deterministic. Scale note: each group materializes as one "
+        "Arrow table (5 event types here), so this is the API-surface "
+        "demonstration; an unbounded-cardinality global rank routes "
+        "through operators/indexing.py's distributed machinery instead.",
+)
+def q_apply_in_arrow(spark, sf_dir):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rank_group(table: "pa.Table") -> "pa.Table":
+        order = pc.sort_indices(
+            table,
+            sort_keys=[("value", "ascending"), ("event_id", "ascending")],
+        ).to_numpy()
+        ranks = np.empty(len(table), dtype=np.int64)
+        ranks[order] = np.arange(1, len(table) + 1)
+        return pa.table(
+            {
+                "event_id": table.column("event_id"),
+                "event_type": table.column("event_type"),
+                "rank_in_type": pa.array(ranks, pa.int64()),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInArrow(
+        rank_group, schema="event_id long, event_type string, rank_in_type long"
+    )
+
+
+@register(
+    "q_script_transform",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    doc="SQL SCRIPT TRANSFORM (Hive-style `TRANSFORM ... USING`): rows "
+        "piped through an external process ('cat' — the identity "
+        "transform) in the default tab-delimited row format and parsed "
+        "back, then cast to their original types. This is Spark's "
+        "escape hatch for legacy per-row executables (tokenizers, "
+        "taggers) in migration scenarios; the identity pipe certifies "
+        "the serialize → subprocess → deserialize loop byte-for-byte "
+        "against the unpiped projection. Runs one subprocess per task "
+        "(not per row) — at 100 TB the external program scales with "
+        "partition count like any narrow stage.",
+)
+def q_script_transform(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.createOrReplaceTempView("script_transform_events")
+    piped = spark.sql(
+        """
+        SELECT TRANSFORM(event_id, user_id, event_type)
+               USING 'cat'
+               AS (event_id STRING, user_id STRING, event_type STRING)
+        FROM script_transform_events
+        """
+    )
+    return piped.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        "event_type",
+    )

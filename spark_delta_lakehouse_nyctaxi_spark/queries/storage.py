@@ -999,3 +999,39 @@ def q_pysource_pushdown(spark, sf_dir):
         else:
             spark.conf.set(conf_key, saved)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_scan_xml",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+    doc="XML source/sink round-trip (Spark 4 ships the former spark-xml "
+        "package as a built-in format): events written as XML rows "
+        "(rowTag=event), read back with an explicit schema (inference "
+        "is a second pass over the files at scale, and typed reads are "
+        "the production shape). Doubles survive via Java shortest-repr "
+        "toString, which reparses to the identical bit pattern, so the "
+        "oracle is the original projection. At 100 TB the XML reader "
+        "distributes like any text scan — one task per file split; "
+        "rowTag framing handles records spanning splits.",
+)
+def q_scan_xml(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = scratch_dir("xml_src")
+    (
+        ev.coalesce(4)
+        .write.format("xml")
+        .option("rowTag", "event")
+        .mode("overwrite")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id long, user_id long, event_type string, value double")
+        .load(path)
+    )
