@@ -154,6 +154,8 @@ _PRIORITY: list[str] = [
     "q_apply_in_arrow",
     # SQL SCRIPT TRANSFORM external-process pipe
     "q_script_transform",
+    # bucketed interval-overlap join (equi-join decomposition)
+    "q_interval_join",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -442,3 +442,73 @@ def q_fuzzy_join_blocked(spark, sf_dir):
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+@register(
+    "q_interval_join",
+    """
+    WITH clicks AS (
+        SELECT event_id AS c_id, user_id,
+               ts AS c_start, ts + INTERVAL 10 MINUTE AS c_end
+        FROM events WHERE event_type = 'click'
+    ), errors AS (
+        SELECT event_id AS e_id, user_id,
+               ts AS e_start, ts + INTERVAL 15 MINUTE AS e_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(c_id) AS BIGINT) AS sum_click_id,
+           CAST(SUM(e_id) AS BIGINT) AS sum_error_id
+    FROM clicks c
+    JOIN errors e
+      ON c.user_id = e.user_id
+     AND c.c_start < e.e_end AND e.e_start < c.c_end
+    GROUP BY c.user_id
+    """,
+    doc="Keyed INTERVAL OVERLAP join: per-user 10-min click windows vs "
+        "15-min error windows, half-open overlap semantics. Spark has "
+        "no native interval join (the naive range-theta form plans as "
+        "a broadcast nested loop); operators/joins.py "
+        "interval_overlap_join decomposes each interval onto fixed "
+        "15-min epoch buckets and equi-joins on (user_id, bucket) — a "
+        "plain shuffled hash join that never materializes the cross "
+        "product — with duplicate-free canonical-bucket attribution "
+        "(no post-join distinct). The oracle is DuckDB's native range "
+        "join over the same predicate. Both id sums are BIGINT-exact "
+        "(DuckDB HUGEINT cast down). Reference analogue: the "
+        "sessionized attribution joins in the gold layer "
+        "(`/root/reference/etl/gold_job.py`) are equi-only; this is "
+        "the time-window extension.",
+)
+def q_interval_join(spark, sf_dir):
+    from ..operators.joins import interval_overlap_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.col("ts").alias("c_start"),
+        F.expr("timestampadd(MINUTE, 10, ts)").alias("c_end"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        "user_id",
+        F.col("ts").alias("e_start"),
+        F.expr("timestampadd(MINUTE, 15, ts)").alias("e_end"),
+    )
+    pairs = interval_overlap_join(
+        clicks,
+        errors,
+        left_start="c_start",
+        left_end="c_end",
+        right_start="e_start",
+        right_end="e_end",
+        bucket_us=15 * 60 * 1_000_000,
+        by=["user_id"],
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("c_id").alias("sum_click_id"),
+        F.sum("e_id").alias("sum_error_id"),
+    )

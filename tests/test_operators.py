@@ -1086,3 +1086,49 @@ def test_pysource_pushdown_contract_is_load_bearing(spark, tmp_path):
     )
     # all 10 rows come back: Spark did not re-apply the accepted filter
     assert leaked.count() == 10
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Half-open overlap, duplicate-free multi-bucket attribution, keying."""
+    import datetime as dt
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    def t(minute, second=0):
+        return dt.datetime(2024, 1, 1, 0, minute, second)
+
+    left = spark.createDataFrame(
+        [
+            # spans buckets 0..3 at 1-min buckets: dedup would fail w/o
+            # canonical attribution (overlaps r1 in 3 shared buckets)
+            ("a", 1, t(0), t(3, 30)),
+            # half-open: ends exactly where r2 starts -> NO overlap
+            ("a", 2, t(4), t(5)),
+            ("b", 3, t(0), t(10)),  # same times, different key
+        ],
+        "k string, lid int, ls timestamp_ntz, le timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 10, t(1), t(6)),  # overlaps lid=1 (3 shared buckets)
+            ("a", 11, t(5), t(7)),  # touches lid=2 only at the boundary
+            ("b", 12, t(2), t(3)),  # contained in lid=3
+        ],
+        "k string, rid int, rs timestamp_ntz, re timestamp_ntz",
+    )
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_us=60 * 1_000_000, by=["k"]
+    )
+    pairs = sorted((r.lid, r.rid) for r in out.select("lid", "rid").collect())
+    # exactly once each: (1,10) despite 3 shared buckets (canonical
+    # attribution, no distinct); (2,11) absent (half-open boundary);
+    # key b only matches key b.
+    assert pairs == [(1, 10), (2, 10), (3, 12)]
+    # unkeyed variant: key column dropped from the join -> cross-key pairs
+    out2 = interval_overlap_join(
+        left.drop("k"), right.drop("k"), "ls", "le", "rs", "re", bucket_us=60 * 1_000_000
+    )
+    pairs2 = sorted((r.lid, r.rid) for r in out2.select("lid", "rid").collect())
+    assert pairs2 == [(1, 10), (1, 12), (2, 10), (3, 10), (3, 11), (3, 12)]
