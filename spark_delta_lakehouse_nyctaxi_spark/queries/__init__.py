@@ -156,6 +156,8 @@ _PRIORITY: list[str] = [
     "q_script_transform",
     # bucketed interval-overlap join (equi-join decomposition)
     "q_interval_join",
+    # dynamic partition pruning with in-query plan certificate
+    "q_dpp_certified",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1035,3 +1035,55 @@ def q_scan_xml(spark, sf_dir):
         .schema("event_id long, user_id long, event_type string, value double")
         .load(path)
     )
+
+
+@register(
+    "q_dpp_certified",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) % 2 = 0
+    GROUP BY 1
+    """,
+    doc="DYNAMIC PARTITION PRUNING, certified in-query: orders is laid "
+        "out partitioned by order year (the classic date-partitioned "
+        "fact at 100 TB), then joined to a small dim whose filter "
+        "(grp = 'g0' == even years) is only knowable at runtime. "
+        "Catalyst must inject a dynamicpruningexpression into the "
+        "fact scan's PartitionFilters so only the selected year "
+        "directories are read — on a 7-year 100 TB fact that is the "
+        "difference between scanning ~4/7 of the data and all of it. "
+        "Like q_bloom_join, the query RAISES if the executed plan does "
+        "not carry the pruning subquery, so the driver's value check "
+        "doubles as a plan certificate. The oracle states the end "
+        "semantics (even-year revenue) directly.",
+)
+def q_dpp_certified(spark, sf_dir):
+    from ..plans import explain_str
+    from .aggregates import dsum
+
+    path = scratch_dir("dpp_fact")
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    years = [r.order_year for r in fact.select("order_year").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(y, f"g{y % 2}") for y in sorted(years)], "order_year int, grp string"
+    )
+    joined = (
+        fact.join(dim.filter(F.col("grp") == "g0"), "order_year")
+        .groupBy("order_year")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+    if "dynamicpruningexpression" not in explain_str(joined).lower():
+        raise AssertionError(
+            "dynamic partition pruning was not injected into the fact scan"
+        )
+    return joined
