@@ -158,6 +158,8 @@ _PRIORITY: list[str] = [
     "q_interval_join",
     # dynamic partition pruning with in-query plan certificate
     "q_dpp_certified",
+    # parquet log checkpointing + cleanup, time travel through it
+    "q_log_checkpoint",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

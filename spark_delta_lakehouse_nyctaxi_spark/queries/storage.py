@@ -1087,3 +1087,56 @@ def q_dpp_certified(spark, sf_dir):
             "dynamic partition pruning was not injected into the fact scan"
         )
     return joined
+
+
+@register(
+    "q_log_checkpoint",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderkey % 12 <= 7
+    GROUP BY o_orderstatus
+    """,
+    doc="Version-log CHECKPOINTING (metadata scale): 13 commits land on "
+        "a VersionedTable, the 10th auto-writes a parquet checkpoint of "
+        "the full manifest history + a _last_checkpoint pointer (Delta's "
+        "_delta_log checkpoint layout), and cleanup_log() deletes the "
+        "covered JSON manifests. At 100k commits snapshot resolution "
+        "through the log would otherwise reopen 100k driver-side JSON "
+        "files; through the checkpoint it is one parquet read + the "
+        "tail. The query then TIME TRAVELS to version 7 — a version "
+        "whose JSON manifest no longer exists — proving the checkpoint "
+        "retains every time-travel target (stronger than Delta, whose "
+        "checkpoints hold only the live snapshot). RAISES in-query if "
+        "the checkpoint/pointer/cleanup invariants do not hold, so the "
+        "value check doubles as a storage-layout certificate.",
+)
+def q_log_checkpoint(spark, sf_dir):
+    import os
+
+    from .aggregates import dsum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = VersionedTable(spark, scratch_dir("logckpt"))
+    t.write(orders.filter(F.col("o_orderkey") % 12 == 0), mode="overwrite")
+    for i in range(1, 13):
+        t.write(orders.filter(F.col("o_orderkey") % 12 == i), mode="append")
+    ck_v, infos = t._read_checkpoint()
+    if ck_v != 10 or len(infos) != 11:
+        raise AssertionError(f"auto-checkpoint missing: ck_v={ck_v}")
+    removed = t.cleanup_log()
+    if removed != 11:
+        raise AssertionError(f"cleanup removed {removed} manifests, want 11")
+    if any(t._is_version_file(f) and int(f[:-5]) <= 10 for f in os.listdir(t._vlog)):
+        raise AssertionError("covered JSON manifests survived cleanup")
+    # version 7 = slices 0..7; its JSON manifest is gone — resolution
+    # goes through the checkpoint
+    return (
+        t.read(version=7)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )

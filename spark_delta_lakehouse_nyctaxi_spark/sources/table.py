@@ -87,6 +87,11 @@ class VersionedTable:
         t.history(); t.restore(0); t.vacuum(); t.compact()
     """
 
+    #: auto-checkpoint the version log every N commits (Delta writes a
+    #: parquet checkpoint every 10 commits for the same reason: snapshot
+    #: resolution must not reopen every JSON manifest ever committed)
+    checkpoint_interval: int = 10
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
@@ -104,19 +109,112 @@ class VersionedTable:
         return fn.endswith(".json") and stem.isdigit()
 
     def exists(self) -> bool:
-        return os.path.isdir(self._vlog) and bool(
+        if not os.path.isdir(self._vlog):
+            return False
+        return os.path.exists(self._last_checkpoint_path) or bool(
             [f for f in os.listdir(self._vlog) if self._is_version_file(f)]
         )
+
+    # -------------------------------------------------- log checkpoints
+    #
+    # Delta-style metadata scaling: snapshot resolution must not reopen
+    # every JSON manifest ever committed (at 100k commits that is 100k
+    # driver-side file opens per read). A checkpoint is ONE parquet file
+    # under _vlog holding every VersionInfo up to its version, plus a
+    # `_last_checkpoint` pointer (same layout role as Delta's
+    # `_delta_log/NNN.checkpoint.parquet` + `_last_checkpoint`).
+    # `_versions()` then reads the checkpoint + only the JSON manifests
+    # AFTER it. Because our manifests are tiny, the checkpoint retains
+    # the FULL history, so `cleanup_log()` may delete superseded JSONs
+    # without losing any time-travel target (stronger than Delta, whose
+    # checkpoints hold only the live snapshot state).
+
+    @property
+    def _last_checkpoint_path(self) -> str:
+        return os.path.join(self._vlog, "_last_checkpoint")
+
+    def _read_checkpoint(self) -> tuple[int, list[VersionInfo]]:
+        """Return (checkpoint version, manifests ≤ that version); (-1, [])
+        when no checkpoint exists. Robust to a torn/missing file (falls
+        back to the JSON log, which is still authoritative)."""
+        try:
+            with open(self._last_checkpoint_path) as f:
+                meta = json.loads(f.read())
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(os.path.join(self._vlog, meta["file"]))
+            infos = [VersionInfo.from_json(s) for s in tbl.column("manifest").to_pylist()]
+            return int(meta["version"]), infos
+        except (FileNotFoundError, KeyError, ValueError, OSError):
+            return -1, []
+
+    def checkpoint(self) -> int:
+        """Write a parquet checkpoint of the full version log and advance
+        `_last_checkpoint`. Idempotent and concurrency-safe: content is a
+        pure function of the immutable committed manifests, the file is
+        put-if-absent (racing writers produce identical bytes), and the
+        pointer only moves forward."""
+        vs = self._versions()
+        if not vs:
+            return -1
+        n = vs[-1].version
+        fn = f"{n:08d}.checkpoint.parquet"
+        fp = os.path.join(self._vlog, fn)
+        if not os.path.exists(fp):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pa.table(
+                {
+                    "version": pa.array([v.version for v in vs], pa.int64()),
+                    "manifest": pa.array([v.to_json() for v in vs], pa.string()),
+                }
+            )
+            tmp = os.path.join(self._vlog, f".{uuid.uuid4().hex}.ckpt.tmp")
+            pq.write_table(tbl, tmp)
+            try:
+                os.link(tmp, fp)
+            except FileExistsError:
+                pass  # a racing writer won with identical content
+            finally:
+                os.unlink(tmp)
+        cur, _ = self._read_checkpoint()
+        if n > cur:
+            tmp = os.path.join(self._vlog, f".{uuid.uuid4().hex}.lcp.tmp")
+            with open(tmp, "w") as f:
+                f.write(json.dumps({"version": n, "file": fn}))
+            os.replace(tmp, self._last_checkpoint_path)  # atomic advance
+        return n
+
+    def cleanup_log(self) -> int:
+        """Delete JSON manifests already covered by the last checkpoint
+        (it retains full history, so every time-travel target survives).
+        Returns the number of files removed."""
+        ck_v, _ = self._read_checkpoint()
+        removed = 0
+        if ck_v < 0 or not os.path.isdir(self._vlog):
+            return removed
+        for fn in os.listdir(self._vlog):
+            if self._is_version_file(fn) and int(fn[:-5]) <= ck_v:
+                os.unlink(os.path.join(self._vlog, fn))
+                removed += 1
+        return removed
 
     def _versions(self) -> list[VersionInfo]:
         if not self.exists():
             return []
-        out = []
+        ck_v, out_map = -1, {}
+        if os.path.exists(self._last_checkpoint_path):
+            ck_v, ck_infos = self._read_checkpoint()
+            out_map = {v.version: v for v in ck_infos}
         for fn in sorted(os.listdir(self._vlog)):
             if self._is_version_file(fn):
+                v = int(fn[:-5])
+                if v <= ck_v and v in out_map:
+                    continue  # covered by the checkpoint — skip the open
                 with open(os.path.join(self._vlog, fn)) as f:
-                    out.append(VersionInfo.from_json(f.read()))
-        return out
+                    out_map[v] = VersionInfo.from_json(f.read())
+        return [out_map[k] for k in sorted(out_map)]
 
     def latest_version(self) -> int:
         vs = self._versions()
@@ -140,6 +238,13 @@ class VersionedTable:
             ) from None
         finally:
             os.unlink(tmp)
+        if info.version > 0 and info.version % self.checkpoint_interval == 0:
+            # best-effort, like Delta's post-commit checkpoint: a failure
+            # here must never fail the (already durable) commit
+            try:
+                self.checkpoint()
+            except Exception:
+                pass
 
     def _resolve(self, version: int | None = None, timestamp: float | None = None) -> VersionInfo:
         vs = self._versions()

@@ -1278,3 +1278,82 @@ def test_replace_where(spark, tmp_table_path):
     # schema mismatch refused
     with pytest.raises(ValueError, match="schema mismatch"):
         t.replace_where(_mk(spark, [{"day": 2, "id": 1}]), "day = 2")
+
+
+def test_log_checkpoint_auto_and_time_travel(spark, tmp_path):
+    """Every checkpoint_interval commits a parquet checkpoint is written
+    and `_last_checkpoint` advances; snapshots and time travel resolve
+    identically through it."""
+    t = VersionedTable(spark, str(tmp_path / "ckpt"))
+    df = lambda i: spark.createDataFrame([Row(id=i, v=float(i))])
+    t.write(df(0), mode="overwrite")
+    for i in range(1, 13):
+        t.write(df(i), mode="append")
+    assert os.path.exists(os.path.join(t._vlog, "_last_checkpoint"))
+    ck_v, infos = t._read_checkpoint()
+    assert ck_v == 10 and len(infos) == 11
+    assert os.path.exists(os.path.join(t._vlog, "00000010.checkpoint.parquet"))
+    # resolution through the merged (checkpoint + tail-JSON) view
+    assert t.latest_version() == 12
+    assert t.read().count() == 13
+    assert sorted(r.id for r in t.read(version=7).collect()) == list(range(8))
+
+
+def test_log_cleanup_preserves_history(spark, tmp_path):
+    """cleanup_log deletes JSON manifests covered by the checkpoint;
+    reads, time travel, history, and further appends keep working."""
+    t = VersionedTable(spark, str(tmp_path / "clean"))
+    df = lambda i: spark.createDataFrame([Row(id=i, v=float(i))])
+    t.write(df(0), mode="overwrite")
+    for i in range(1, 12):
+        t.write(df(i), mode="append")
+    removed = t.cleanup_log()
+    assert removed == 11  # versions 0..10 covered; 11 stays as JSON
+    jsons = [f for f in os.listdir(t._vlog) if t._is_version_file(f)]
+    assert jsons == ["00000011.json"]
+    # full history and any time-travel target still resolve
+    assert t.latest_version() == 11
+    assert len(t._versions()) == 12
+    assert sorted(r.id for r in t.read(version=3).collect()) == [0, 1, 2, 3]
+    # the log keeps appending cleanly past the cleanup
+    t.write(df(99), mode="append")
+    assert t.latest_version() == 12
+    assert t.read().count() == 13
+
+
+def test_log_checkpoint_explicit_idempotent(spark, tmp_path):
+    """checkpoint() is callable at any version, is idempotent, and the
+    pointer never moves backward."""
+    t = VersionedTable(spark, str(tmp_path / "idem"))
+    t.write(spark.createDataFrame([Row(id=1)]), mode="overwrite")
+    assert t.checkpoint() == 0
+    assert t.checkpoint() == 0  # no error, same pointer
+    ck_v, _ = t._read_checkpoint()
+    assert ck_v == 0
+    t.write(spark.createDataFrame([Row(id=2)]), mode="append")
+    assert t.checkpoint() == 1
+    ck_v, infos = t._read_checkpoint()
+    assert ck_v == 1 and [v.version for v in infos] == [0, 1]
+
+
+def test_log_checkpoint_skips_covered_json_opens(spark, tmp_path, monkeypatch):
+    """After a checkpoint, _versions() must not reopen covered JSON
+    manifests (the whole point at 100k commits)."""
+    import builtins
+
+    t = VersionedTable(spark, str(tmp_path / "fast"))
+    df = lambda i: spark.createDataFrame([Row(id=i)])
+    t.write(df(0), mode="overwrite")
+    for i in range(1, 11):
+        t.write(df(i), mode="append")  # auto-checkpoint at v10
+    opened = []
+    real_open = builtins.open
+
+    def counting_open(fp, *a, **k):
+        if str(fp).endswith(".json") and "_vlog" in str(fp):
+            opened.append(str(fp))
+        return real_open(fp, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", counting_open)
+    assert len(t._versions()) == 11
+    assert opened == []  # all 11 manifests came from the checkpoint
