@@ -321,10 +321,16 @@ def assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(s, F.array_max(s)) - 1).cast("int")
 
 
-def dot_dec(a: Column, b: Column) -> Column:
+def dot_dec(a: Column, b: Column, scale: int = 7) -> Column:
     """ORDER-INVARIANT dot product, returned as DOUBLE: each per-dim
-    double product (one IEEE op) is cast to DECIMAL(16,12) — tie-free,
-    so Spark and DuckDB round identically — then summed exactly.
+    double product (one IEEE op) is cast to DECIMAL at ``scale`` —
+    scale 7 is the TIE-PROOF default: DuckDB's double→decimal cast
+    rounds half-up (like Spark) only while a tie value has ≤ 8
+    significant digits, which |product| < 1 guarantees at scale 7;
+    at ≥ 9 sig digits DuckDB switches to half-even and raw
+    float32-grid factors CAN produce exact midpoints (found live: an
+    embedding value -0.27392578125 is an exact scale-10 midpoint) —
+    then summed exactly.
     Unlike :func:`dot`'s left fold, the result does not depend on
     summation order, which is what lets an oracle recompute it with an
     unordered SQL ``CAST(SUM(CAST(x*y AS DECIMAL(28,12))) AS DOUBLE)``
@@ -335,32 +341,33 @@ def dot_dec(a: Column, b: Column) -> Column:
     can't survive Spark's aggregate() merge-type rule — decimal
     addition widens precision past 38 and precision-loss would shrink
     the scale below 12): terms shift into integer 1e-12ths, the fold
-    adds longs, and the final /10^12 uses a DECIMAL(20,0) dividend so
-    the quotient keeps scale ≥ 12 exactly (a (28,0) dividend would
-    precision-adjust to scale 10 and round).  Bounds: |x·y| < 10^4 per
-    term (ANSI cast fails loudly beyond), Σ < 9.2e6 — embedding-scale
-    data sits orders of magnitude inside both."""
-    factor = 10**12
+    adds longs, and the final /10^scale uses a DECIMAL(20,0) dividend
+    so the quotient keeps scale ≥ 12 exactly (a (28,0) dividend would
+    precision-adjust and round).  Bounds: |x·y| < 10^9/10^scale per
+    term (ANSI cast fails loudly beyond); tie-PROOFNESS additionally
+    needs |x·y| < 1 — certified by the exact-index trainers."""
+    factor = 10**scale
     terms = F.zip_with(
         a,
         b,
         lambda x, y: (
-            (x.cast("double") * y.cast("double")).cast("decimal(16,12)") * F.lit(factor)
+            (x.cast("double") * y.cast("double")).cast(f"decimal(16,{scale})")
+            * F.lit(factor)
         ).cast("long"),
     )
     total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
     return (total.cast("decimal(20,0)") / F.lit(factor)).cast("double")
 
 
-def _dec_sq_norm(vs: list[float]):
-    """Python replica of ``SUM(CAST(x*x AS DECIMAL(28,12)))`` over a
+def _dec_sq_norm(vs: list[float], scale: int = 7):
+    """Python replica of ``SUM(CAST(x*x AS DECIMAL(28,scale)))`` over a
     literal vector: the product is one IEEE double op, the cast a
     tie-free half-up quantize — bit-identical to both engines' casts,
     so centroid-norm constants computed driver-side match the oracle's
     CTE-derived values exactly."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    q = Decimal(1).scaleb(-12)
+    q = Decimal(1).scaleb(-scale)
     return sum(Decimal(x * x).quantize(q, rounding=ROUND_HALF_UP) for x in vs)
 
 
@@ -399,14 +406,14 @@ def exact_cell_scores_frame(
     form of :func:`_exact_cell_scores`: explode dims once, join the
     broadcast (cid, dim, value) centroid frame, and hash-aggregate the
     scaled-long terms.  Identical values to the expression form (same
-    tie-free DECIMAL(16,12) rounding, exact long sums, same /10^12
+    tie-proof scale-7 DECIMAL rounding, exact long sums, same
     reconstruction), but the whole computation is joins + one
     map-side-combining aggregate — whole-stage-codegen arithmetic
     instead of 16 interpreted higher-order folds per row.  This is also
     exactly the shape the DuckDB oracle computes, and the shape a
     100 TB k-means runs: |V|·k rows through one exchange."""
     spark = corpus.sparkSession
-    factor = 10**12
+    factor = 10**7
     crows = [
         (cid, i + 1, float(x)) for cid, c in enumerate(centroids) for i, x in enumerate(c)
     ]
@@ -421,7 +428,7 @@ def exact_cell_scores_frame(
     terms = dims.join(F.broadcast(cd), "i").select(
         "id",
         "cid",
-        ((F.col("x") * F.col("cx")).cast("decimal(16,12)") * F.lit(factor))
+        ((F.col("x") * F.col("cx")).cast("decimal(16,7)") * F.lit(factor))
         .cast("long")
         .alias("t"),
     )
@@ -511,6 +518,7 @@ def ivf_centroids(
         # engine-reproducible via the decimal-exact assignment scores
         from .dedup import md5_id
 
+        _certify_unit_range(corpus, vec_col)
         h = md5_id(F.col(id_col).cast("string"))
     else:
         h = F.xxhash64(F.col(id_col))
@@ -540,7 +548,9 @@ def ivf_centroids(
         per_dim = (
             exploded.groupBy("cid", "pos")
             .agg(
-                F.sum(F.col("x").cast("decimal(28,10)")).alias("s"),
+                F.sum(
+                    F.col("x").cast("decimal(16,7)" if exact else "decimal(28,10)")
+                ).alias("s"),
                 F.count("*").alias("n"),
             )
             .collect()
@@ -717,4 +727,206 @@ def ivf_topk(
         scored.withColumn("sim_rank", F.row_number().over(w))
         .filter(F.col("sim_rank") <= k)
         .select("query_id", "neighbor_id", "sim_rank")
+    )
+
+
+def _certify_unit_range(corpus: DataFrame, vec_col: str) -> None:
+    """Tie-proof precondition for the exact index family: every
+    quantized atom (raw values, pairwise products, squares) must have
+    |v| < 1 so scale-7 decimal ties stay within 8 significant digits —
+    the regime where DuckDB's double→decimal cast rounds half-up
+    exactly like Spark's. One tiny aggregate; RAISES on violation so a
+    silent cross-engine divergence is impossible."""
+    mx = (
+        corpus.agg(
+            F.max(
+                F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+            ).alias("m")
+        )
+        .collect()[0]
+        .m
+    )
+    if mx is None or float(mx) >= 1.0:
+        raise AssertionError(
+            f"exact-index precondition |x| < 1 violated (max |x| = {mx}); "
+            "scale-7 decimal quantizes would leave DuckDB's half-up regime"
+        )
+
+
+# ---------------------------------------------------- product quantization
+
+
+def _pq_term_agg(frame: DataFrame, centroids: list[list[float]], ds: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """(id, sub, cid, t): scaled-long per-subspace dot of every vector
+    against every codeword — the shared kernel of PQ assignment and ADC
+    lookup tables. ``centroids`` are FULL-dimension vectors; subspace
+    ``sub = (i-1) div ds`` falls out of the dim index, so one explode +
+    one broadcast equi-join + one map-side-combining aggregate covers
+    all m subspaces at once (the q_ann_ivf frame shape with one extra
+    grouping key). Terms are DECIMAL-scale-7 quantizes of single IEEE
+    products scaled into exact longs (the dot_dec discipline at the
+    TIE-PROOF scale: every atom here has |v| < 1, so a scale-7 tie has
+    at most 8 significant digits, the regime where DuckDB's
+    double->decimal cast rounds half-up exactly like Spark's — at
+    scales >= 8 sig digits DuckDB switches to half-even and raw
+    float32-grid data CAN hit exact midpoints; measured, not assumed).
+    Downstream sums are exact longs: order-invariant and
+    engine-reproducible for ANY input under the |x| < 1 precondition
+    (certified in-query by q_ann_pq)."""
+    spark = frame.sparkSession
+    factor = 10**7
+    crows = [
+        (cid, i + 1, float(x))
+        for cid, c in enumerate(centroids)
+        for i, x in enumerate(c)
+    ]
+    cd = spark.createDataFrame(crows, "cid int, i int, cx double")
+    dims = frame.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("p", "x")
+    ).select(
+        "id",
+        (F.col("p") + 1).alias("i"),
+        (F.col("p") / ds).cast("int").alias("sub"),
+        F.col("x").cast("double").alias("x"),
+    )
+    terms = dims.join(F.broadcast(cd), "i").select(
+        "id",
+        "sub",
+        "cid",
+        ((F.col("x") * F.col("cx")).cast("decimal(16,7)") * F.lit(factor))
+        .cast("long")
+        .alias("t"),
+    )
+    return terms.groupBy("id", "sub", "cid").agg(F.sum("t").alias("t"))
+
+
+def pq_assign_frame(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    ds: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes (id, sub, cid): per-subspace nearest codeword by the
+    decimal-exact score ``dot − |c_sub|²/2`` (argmin sub-L2; ties to
+    the lower cid — identical to the oracle's ORDER BY s DESC, cid)."""
+    spark = corpus.sparkSession
+    factor = 10**7
+    h2rows = [
+        (cid, s, float(_dec_sq_norm(c[s * ds : (s + 1) * ds], scale=7)) / 2.0)
+        for cid, c in enumerate(centroids)
+        for s in range(len(c) // ds)
+    ]
+    ch = spark.createDataFrame(h2rows, "cid int, sub int, h2 double")
+    agg = _pq_term_agg(corpus, centroids, ds, id_col, vec_col)
+    dot = (F.col("t").cast("decimal(20,0)") / F.lit(factor)).cast("double")
+    scored = agg.join(F.broadcast(ch), ["cid", "sub"]).select(
+        "id", "sub", "cid", (dot - F.col("h2")).alias("s")
+    )
+    w = Window.partitionBy("id", "sub").orderBy(F.col("s").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "sub", "cid")
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    ds: int,
+    ksub: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic PQ codebook training: init = the ``ksub`` full
+    vectors with the smallest md5-derived id hash (engine-reproducible,
+    id tiebreak — the q_ann_ivf init), then ``iters`` joint Lloyd
+    passes over ALL subspaces at once (assignment via
+    :func:`pq_assign_frame`, per-(codeword, dim) decimal-exact means).
+    Only the ksub×dim codebook matrix reaches the driver; the corpus
+    never does."""
+    from .dedup import md5_id
+
+    _certify_unit_range(corpus, vec_col)
+    h = md5_id(F.col(id_col).cast("string"))
+    init = (
+        corpus.select(F.col(vec_col).alias("v"), h.alias("h"), F.col(id_col).alias("i"))
+        .orderBy("h", "i")
+        .limit(ksub)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in init]
+    if not centroids:
+        return []
+    dim = len(centroids[0])
+    for _ in range(iters):
+        codes = pq_assign_frame(corpus, centroids, ds, id_col, vec_col)
+        dims = corpus.select(
+            F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("p", "x")
+        ).select(
+            "id",
+            (F.col("p") + 1).alias("i"),
+            (F.col("p") / ds).cast("int").alias("sub"),
+            F.col("x").cast("double").alias("x"),
+        )
+        per_dim = (
+            dims.join(codes, ["id", "sub"])
+            .groupBy("cid", "i")
+            .agg(
+                F.sum(F.col("x").cast("decimal(16,7)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty (sub,cid) cells keep c0
+        for r in per_dim:
+            new[r.cid][r.i - 1] = float(r.s) / r.n
+        centroids = new
+    return centroids
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    ds: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ADC search: encode the corpus as m = dim/ds codes, build the
+    queries' m×ksub lookup table of exact scaled-long sub-dots, and
+    score every (query, neighbor) as the EXACT long sum of m table
+    entries — one broadcast equi-join on (sub, cid) + one aggregate,
+    never a query×corpus product of full-dimension arithmetic. Output:
+    (query_id, neighbor_id, rank, adc_score), top-k per query by
+    (adc_score desc, neighbor_id).
+
+    Scale: codes are m rows per corpus vector (the 8×-compressed
+    index a 100 TB vector store actually persists); the LUT is
+    |Q|·m·ksub rows — broadcastable for any bounded query batch; the
+    join output is |corpus|·m·|Q| partial terms flowing through one
+    map-side-combining aggregate. Recall is what PQ trades; the OUTPUT
+    is a pure function of the data (decimal-exact everywhere), so it
+    value-checks bitwise like q_ann_ivf."""
+    factor = 10**7
+    codes = pq_assign_frame(corpus, centroids, ds, id_col, vec_col)
+    lut = _pq_term_agg(queries, centroids, ds, id_col, vec_col).withColumnRenamed(
+        "id", "query_id"
+    )
+    partial = codes.join(F.broadcast(lut), ["sub", "cid"]).filter(
+        F.col("id") != F.col("query_id")
+    )
+    adc = partial.groupBy("query_id", F.col("id").alias("neighbor_id")).agg(
+        F.sum("t").alias("t")
+    )
+    score = (F.col("t").cast("decimal(20,0)") / F.lit(factor)).cast("double")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_score").desc(), F.col("neighbor_id"))
+    return (
+        adc.select("query_id", "neighbor_id", score.alias("adc_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_score")
     )

@@ -160,6 +160,9 @@ _PRIORITY: list[str] = [
     "q_dpp_certified",
     # parquet log checkpointing + cleanup, time travel through it
     "q_log_checkpoint",
+    # product-quantization ANN (ADC search) + its recall audit
+    "q_ann_pq",
+    "q_pq_recall",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

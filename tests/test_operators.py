@@ -1132,3 +1132,41 @@ def test_interval_overlap_join_semantics(spark):
     )
     pairs2 = sorted((r.lid, r.rid) for r in out2.select("lid", "rid").collect())
     assert pairs2 == [(1, 10), (1, 12), (2, 10), (3, 10), (3, 11), (3, 12)]
+
+
+def test_scale7_decimal_tie_parity_with_duckdb(spark):
+    """The tie-proof-scale contract behind the exact index family:
+    for |v| < 1, Spark's half-up double->decimal cast at scale 7 must
+    agree with DuckDB's cast on EXACT midpoints (odd/2^8 values have
+    8-digit expansions ending in 5 — true scale-7 ties). At scale 10
+    the same data diverges (DuckDB flips to half-even past 8
+    significant digits; e.g. -0.27392578125 -> -0.2739257812 there),
+    which is why the family quantizes at 7."""
+    import duckdb
+
+    # |v| < 1 only — that IS the precondition: at 1.69140625 (9 sig
+    # digits) DuckDB already flips to half-even
+    vals = [k / 256 for k in range(1, 256, 2)]
+    vals += [-v for v in vals]
+    sp = {
+        r.v: str(r.q)
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .selectExpr("v", "CAST(v AS DECIMAL(16,7)) AS q")
+        .collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        dk = con.sql(f"SELECT CAST(CAST({v!r} AS DOUBLE) AS DECIMAL(28,7))").fetchone()[0]
+        assert str(dk) == sp[v], (v, str(dk), sp[v])
+
+
+def test_certify_unit_range_raises_out_of_range(spark):
+    from spark_delta_lakehouse_nyctaxi_spark.operators.similarity import (
+        _certify_unit_range,
+    )
+
+    ok = spark.createDataFrame([(1, [0.5, -0.99])], "vec_id long, embedding array<double>")
+    _certify_unit_range(ok, "embedding")  # no raise
+    bad = spark.createDataFrame([(1, [0.5, -1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(AssertionError, match="precondition"):
+        _certify_unit_range(bad, "embedding")
