@@ -183,3 +183,53 @@ def bfs_levels(
             visited = visited.localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """K-CORE decomposition by iterative peeling: repeatedly drop nodes
+    whose degree within the surviving subgraph is < k until a fixpoint.
+    ``edges`` must contain BOTH directions of each undirected edge and
+    no self-loops. Returns (node, core_degree) for the k-core members,
+    core_degree being the degree inside the final core.
+
+    Pregel-shape per peel: two membership equi-joins + one map-side-
+    combining count aggregate — the same one-exchange-per-iteration
+    contract as :func:`pagerank`/:func:`bfs_levels`; the membership
+    frame is localCheckpointed each round so executed lineage stays
+    bounded. The driver sees one COUNT per iteration (a scalar).
+    RAISES if the peel has not converged within ``max_iters`` — the
+    certificate that makes a fixed-depth SQL unroll a sound oracle
+    (extra unrolled iterations past the fixpoint are no-ops)."""
+    # materialize the edge list ONCE: every peel (and the final degree
+    # pass) re-reads it, and upstream plans are often expensive
+    # self-joins (same contract as pagerank's checkpointed edge list)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    cur = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n = cur.count()
+    for _ in range(max_iters):
+        survivors = (
+            e.join(cur.withColumnRenamed("node", "src"), "src")
+            .join(cur.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+        m = survivors.count()
+        if m == n:  # survivors ⊆ cur, so equal size == fixpoint
+            return (
+                e.join(cur.withColumnRenamed("node", "src"), "src")
+                .join(cur.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.count("*").alias("core_degree"))
+                .select(F.col("src").alias("node"), "core_degree")
+            )
+        cur, n = survivors, m
+    raise AssertionError(f"k-core peel did not converge within {max_iters} iterations")

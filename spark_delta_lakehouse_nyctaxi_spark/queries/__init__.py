@@ -163,6 +163,8 @@ _PRIORITY: list[str] = [
     # product-quantization ANN (ADC search) + its recall audit
     "q_ann_pq",
     "q_pq_recall",
+    # k-core peel with convergence-certified unrolled oracle
+    "q_k_core",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1067,3 +1067,73 @@ def q_script_transform(spark, sf_dir):
         F.col("user_id").cast("long"),
         "event_type",
     )
+
+
+def _k_core_oracle_sql(k=70, iters=8) -> str:
+    # AS MATERIALIZED is load-bearing: each p{t} is referenced twice by
+    # p{t+1}, so DuckDB's default CTE inlining re-evaluates the chain
+    # 2^iters times (measured: 9s at 6 unrolls, minutes at 8).
+    parts = [
+        """
+    WITH pe AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS MATERIALIZED (SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe),
+    p0 AS (SELECT DISTINCT src AS node FROM e)"""
+    ]
+    for t in range(iters):
+        parts.append(f""",
+    p{t + 1} AS MATERIALIZED (
+        SELECT e.src AS node FROM e
+        JOIN p{t} a ON e.src = a.node
+        JOIN p{t} b ON e.dst = b.node
+        GROUP BY e.src HAVING COUNT(*) >= {k}
+    )""")
+    parts.append(f"""
+    SELECT e.src AS part_key, COUNT(*) AS core_degree
+    FROM e
+    JOIN p{iters} a ON e.src = a.node
+    JOIN p{iters} b ON e.dst = b.node
+    GROUP BY e.src""")
+    return "".join(parts)
+
+
+@register(
+    "q_k_core",
+    _k_core_oracle_sql(),
+    doc="K-CORE decomposition (k=70) of the part CO-PURCHASE graph "
+        "(parts sharing an order, the classic market-basket graph): "
+        "iterative peeling until fixpoint — nodes below 70 same-core "
+        "neighbors drop, degrees recompute, repeat. The operator "
+        "(operators/graph.py:k_core) RAISES unless the peel converges "
+        "within the unroll depth of the SQL oracle, so the fixed-depth "
+        "unrolled-CTE oracle is provably sound (post-fixpoint "
+        "iterations are no-ops). Pregel contract per peel: two "
+        "membership equi-joins + one map-side-combining count, "
+        "localCheckpointed lineage, one scalar COUNT to the driver. "
+        "Honest data note: the synthetic uniform basket graph has a "
+        "flat core structure (converges in ~2 peels); the operator and "
+        "oracle handle arbitrary depth up to the certified cap. "
+        "Completes the graph tier: pagerank / triangles / BFS / "
+        "connected components / k-core.",
+)
+def q_k_core(spark, sf_dir):
+    from ..operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    edges = pe.union(pe.select(F.col("dst"), F.col("src")))
+    return k_core(edges.toDF("src", "dst"), k=70, max_iters=8).select(
+        F.col("node").alias("part_key"), "core_degree"
+    )

@@ -1170,3 +1170,23 @@ def test_certify_unit_range_raises_out_of_range(spark):
     bad = spark.createDataFrame([(1, [0.5, -1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(AssertionError, match="precondition"):
         _certify_unit_range(bad, "embedding")
+
+
+def test_k_core_peels_tail_keeps_triangle(spark):
+    """Triangle + chain: the 2-core is exactly the triangle (the chain
+    peels away over multiple rounds — exercises the iteration, not
+    just one filter), and core degrees are within-core."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.graph import k_core
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.core_degree for r in k_core(edges, k=2, max_iters=8).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # non-convergence certificate: chain of 6 needs 5 peels at k=2;
+    # a 2-iteration cap must raise, not return a wrong intermediate
+    chain = [(i, i + 1) for i in range(1, 7)]
+    ce = spark.createDataFrame(chain + [(b, a) for a, b in chain], "src long, dst long")
+    with pytest.raises(AssertionError, match="converge"):
+        k_core(ce, k=2, max_iters=2)
