@@ -165,6 +165,8 @@ _PRIORITY: list[str] = [
     "q_pq_recall",
     # k-core peel with convergence-certified unrolled oracle
     "q_k_core",
+    # additive seasonal decomposition of the daily revenue series
+    "q_seasonal_decompose",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",
