@@ -167,6 +167,8 @@ _PRIORITY: list[str] = [
     "q_k_core",
     # additive seasonal decomposition of the daily revenue series
     "q_seasonal_decompose",
+    # RocksDB state store provider (production large-state streaming)
+    "q_stream_rocksdb_state",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -621,3 +621,76 @@ def q_stream_session_window(spark, sf_dir):
         output_mode="complete",
     )
     return _utc_out(spark, spark.table("q_stream_session_window_out"), "session_start", "session_end")
+
+
+@register(
+    "q_stream_rocksdb_state",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Stateful streaming on the ROCKSDB STATE STORE "
+        "(spark.sql.streaming.stateStore.providerClass -> "
+        "RocksDBStateStoreProvider): the same watermarked 1-hour "
+        "tumbling aggregate as q_stream_window, but window state lives "
+        "in an embedded RocksDB instead of the default in-JVM-heap "
+        "HDFSBackedStateStore — the production configuration for "
+        "large-state streaming (state no longer bounded by executor "
+        "heap; incremental checkpointing of SST files). RAISES unless "
+        "the executed query's state operator reports RocksDB custom "
+        "metrics, so the value check certifies the provider actually "
+        "engaged; session conf saved/restored. Results must be "
+        "bit-identical to the batch oracle AND to the default-provider "
+        "twin — state backend choice must never change semantics.",
+)
+def q_stream_rocksdb_state(spark, sf_dir):
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        saved = spark.conf.get(conf_key)
+    except Exception:
+        saved = None
+    spark.conf.set(conf_key, provider)
+    try:
+        path = _staged_events(spark, sf_dir)
+        sdf = read_parquet_stream(spark, path, _SCHEMA)
+        agg = (
+            sdf.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(22,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(F.col("win.start").alias("window_start"), "n_events", "sum_value")
+        )
+        q = run_available_now(
+            agg,
+            scratch_dir("ckpt_rocks"),
+            memory_table="q_stream_rocksdb_out",
+            output_mode="complete",
+        )
+        prog = q.lastProgress or {}
+        ops = prog.get("stateOperators") or []
+        metrics = (ops[0].get("customMetrics") or {}) if ops else {}
+        if not any("rocksdb" in k.lower() for k in metrics):
+            raise AssertionError(
+                "RocksDB state store did not engage (no rocksdb custom "
+                f"metrics in state operator progress: {sorted(metrics)[:5]})"
+            )
+        out = spark.table("q_stream_rocksdb_out")
+        rows, schema = out.collect(), out.schema
+    finally:
+        if saved is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, saved)
+    return _utc_out(
+        spark, spark.createDataFrame(rows, schema), "window_start"
+    )
