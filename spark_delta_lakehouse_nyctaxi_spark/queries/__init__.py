@@ -169,6 +169,10 @@ _PRIORITY: list[str] = [
     "q_seasonal_decompose",
     # RocksDB state store provider (production large-state streaming)
     "q_stream_rocksdb_state",
+    # parameterized SQL + IDENTIFIER clause (templated statements)
+    "q_sql_params",
+    # UDTF with TABLE argument + PARTITION BY (SQL custom operator)
+    "q_udtf_table_arg",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -775,3 +775,126 @@ def q_group_by_all(spark, sf_dir):
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "q_sql_params",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+    GROUP BY o_orderpriority
+    """,
+    doc="Spark 4 PARAMETERIZED SQL + IDENTIFIER clause: the query text "
+        "contains no literal table, column, or filter values — the "
+        "table and grouping column bind through IDENTIFIER(:name) "
+        "(SQL-injection-safe dynamic identifiers, the supported way to "
+        "template object names) and the filter values through named "
+        "parameter markers (:status, :minp) passed to spark.sql(args=). "
+        "The oracle is the fully-bound statement; a mis-bound "
+        "identifier or parameter produces different rows. This is the "
+        "API surface a multi-tenant lakehouse job uses to run one "
+        "audited statement across many tables safely.",
+)
+def q_sql_params(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(IDENTIFIER(:val) AS DECIMAL(22,2))) AS DOUBLE)
+                   AS revenue
+        FROM IDENTIFIER(:tbl)
+        WHERE IDENTIFIER(:st_col) = :status AND IDENTIFIER(:val) > :minp
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={
+            "tbl": "orders_param_v",
+            "grp": "o_orderpriority",
+            "val": "o_totalprice",
+            "st_col": "o_orderstatus",
+            "status": "O",
+            "minp": 100000.0,
+        },
+    )
+
+
+@register(
+    "q_udtf_table_arg",
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE gap > 1800 * 1000000) AS long_gaps,
+           CAST(MAX(gap) // 1000000 AS BIGINT) AS max_gap_s
+    FROM g GROUP BY user_id
+    """,
+    doc="Spark 4 UDTF with a TABLE argument + PARTITION BY / ORDER BY: "
+        "the pure-SQL surface for custom per-group SEQUENTIAL operators "
+        "— the planner shuffles on the partition key, streams each "
+        "user's events through one UDTF instance in timestamp order "
+        "(eval per row, terminate per partition), and the function "
+        "emits per-user inter-event gap statistics (count, gaps over "
+        "30 min, max gap in whole seconds — all exact integers). The "
+        "same distribution contract as applyInPandasWithState but "
+        "invocable from SQL; at 100 TB it is one shuffle on user_id. "
+        "Oracle re-derives the gaps with a lag window (floor is "
+        "monotone, so max(floor) = floor(max)).",
+)
+def q_udtf_table_arg(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    class GapStats:
+        def __init__(self):
+            self.user = None
+            self.prev = None
+            self.n = 0
+            self.long_gaps = 0
+            self.max_gap_us = None
+
+        def eval(self, row):
+            self.user = row.user_id
+            self.n += 1
+            if self.prev is not None:
+                gap_us = (row.ts - self.prev) // __import__("datetime").timedelta(
+                    microseconds=1
+                )
+                if gap_us > 1800 * 1_000_000:
+                    self.long_gaps += 1
+                if self.max_gap_us is None or gap_us > self.max_gap_us:
+                    self.max_gap_us = gap_us
+            self.prev = row.ts
+
+        def terminate(self):
+            if self.user is not None:
+                mx = (
+                    self.max_gap_us // 1_000_000
+                    if self.max_gap_us is not None
+                    else None
+                )
+                yield self.user, self.n, self.long_gaps, mx
+
+    spark.udtf.register(
+        "gap_stats",
+        udtf(
+            GapStats,
+            returnType="user_id bigint, n_events bigint, long_gaps bigint, "
+            "max_gap_s bigint",
+        ),
+    )
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_v")
+    return spark.sql(
+        """
+        SELECT * FROM gap_stats(
+            TABLE(SELECT user_id, ts, event_id FROM events_udtf_v)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )
