@@ -173,6 +173,12 @@ _PRIORITY: list[str] = [
     "q_sql_params",
     # UDTF with TABLE argument + PARTITION BY (SQL custom operator)
     "q_udtf_table_arg",
+    # PII column masking (dynamic-view governance projection)
+    "q_column_mask",
+    # OPTIMIZE small-file compaction with file-count/stats certificates
+    "q_compact_certified",
+    # write-audit-publish (staging + DQ gate + atomic publish)
+    "q_write_audit_publish",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -366,3 +366,106 @@ def q_k_anonymity(spark, sf_dir):
             F.min("class_size").cast("long").alias("min_class_size"),
         )
     )
+
+
+@register(
+    "q_column_mask",
+    """
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS name_masked,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS name_digits_starred,
+           concat(substr(c_name, 1, 9),
+                  regexp_replace(substr(c_name, 10), '[0-9]', 'n', 'g'))
+               AS name_partial,
+           c_mktsegment
+    FROM customer
+    """,
+    doc="PII COLUMN MASKING (dynamic-view governance): Spark's mask() "
+        "builtin — uppercase->X, lowercase->x, digit->n, with "
+        "per-class override (digits->*) and a PARTIAL mask that keeps "
+        "a 9-char prefix in the clear (the account-suffix pattern). "
+        "This is the projection a row/column-security view layer "
+        "applies at read time; pure JVM expressions, zero shuffle, "
+        "fully pushed into the scan stage. The oracle re-derives "
+        "mask() semantics with regexp_replace chains.",
+)
+def q_column_mask(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("name_masked"),
+        F.expr("mask(c_name, NULL, NULL, '*', NULL)").alias("name_digits_starred"),
+        F.concat(
+            F.substring("c_name", 1, 9),
+            F.expr("mask(substr(c_name, 10), NULL, NULL, 'n', NULL)"),
+        ).alias("name_partial"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "q_write_audit_publish",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+    doc="WRITE-AUDIT-PUBLISH (the Iceberg/Netflix WAP pattern on "
+        "VersionedTable): each incoming batch lands in an isolated "
+        "STAGING table first, a DQ audit runs against the staged "
+        "snapshot (single-pass violation count — the reference's "
+        "fail-on-error gate, quality.py G3, applied at the storage "
+        "boundary), and only audit-clean batches are atomically "
+        "published (appended) to prod — dirty batches leave prod "
+        "bit-identical. Exercised with both arms live: a poisoned "
+        "batch (negative prices injected) must be REJECTED and a clean "
+        "batch PUBLISHED; the query RAISES unless exactly one publish "
+        "committed (prod at version 1) and the audit caught the "
+        "poisoned rows. At 100 TB the audit is one scan of the staged "
+        "batch, never of prod. The oracle states the end state: base "
+        "plus the clean batch only.",
+)
+def q_write_audit_publish(spark, sf_dir):
+    from .aggregates import dsum
+    from .merge import scratch_dir
+    from ..sources.table import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    prod = VersionedTable(spark, scratch_dir("wap_prod"))
+    prod.write(orders.filter(F.col("o_orderkey") % 4 == 0), mode="overwrite")
+    clean = orders.filter(F.col("o_orderkey") % 4 == 1)
+    dirty = orders.filter(F.col("o_orderkey") % 4 == 2).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 40 == 2, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    rule = (F.col("o_totalprice") > 0) & F.col("o_orderkey").isNotNull()
+    published = rejected = 0
+    for batch in (dirty, clean):
+        staging = VersionedTable(spark, scratch_dir("wap_stage"))
+        staging.write(batch, mode="overwrite")  # WRITE: stage in isolation
+        staged = staging.read()
+        violations = staged.filter(~rule).count()  # AUDIT: one scan of the batch
+        if violations == 0:
+            prod.write(staged, mode="append")  # PUBLISH: atomic version commit
+            published += 1
+        else:
+            rejected += 1
+    if (published, rejected) != (1, 1) or prod.latest_version() != 1:
+        raise AssertionError(
+            f"WAP arms wrong: published={published} rejected={rejected} "
+            f"prod_version={prod.latest_version()}"
+        )
+    return (
+        prod.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )

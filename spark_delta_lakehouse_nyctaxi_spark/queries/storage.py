@@ -1140,3 +1140,77 @@ def q_log_checkpoint(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
     )
+
+
+@register(
+    "q_compact_certified",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderkey % 8 < 6
+    GROUP BY o_orderstatus
+    """,
+    doc="OPTIMIZE/COMPACTION certified in-query: six small appends "
+        "fragment the table into many units (the streaming-ingest "
+        "small-file problem — at 100 TB a scan of 10^6 tiny files is "
+        "dominated by open/seek overhead and planning, not bytes), "
+        "then compact(target_files=2) rewrites the snapshot. The query "
+        "RAISES unless (a) the data-file count actually dropped to "
+        "the target (24 4-file append fragments -> 2), (b) the compaction committed as a new OPTIMIZE "
+        "version (history preserved — time travel to the fragmented "
+        "snapshot still works, checked live), and (c) min/max skipping "
+        "stats survived the rewrite (OPTIMIZE must never silently "
+        "degrade a skipping-enabled table into an always-scan one). "
+        "The value check then reads the compacted snapshot — "
+        "compaction must be byte-neutral on the data. Reference "
+        "analogue: utils/delta_ops.py:29-54 OPTIMIZE runbook step.",
+)
+def q_compact_certified(spark, sf_dir):
+    from .aggregates import dsum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = VersionedTable(spark, scratch_dir("compact"))
+    t.write(
+        orders.filter(F.col("o_orderkey") % 8 == 0).repartition(4),
+        mode="overwrite",
+        stats_cols=["o_orderkey"],
+    )
+    for i in range(1, 6):
+        t.write(
+            orders.filter(F.col("o_orderkey") % 8 == i).repartition(4),
+            mode="append",
+        )
+    import glob
+    import os
+
+    def _n_files(vinfo):
+        return sum(
+            len(glob.glob(os.path.join(t._data, u, "**", "*.parquet"), recursive=True))
+            + (1 if os.path.isfile(os.path.join(t._data, u)) else 0)
+            for u in vinfo.units
+        )
+
+    frag = t._resolve()
+    n_frag = _n_files(frag)
+    info = t.compact(target_files=2)
+    n_after = _n_files(info)
+    if n_frag < 20 or n_after > 2:
+        raise AssertionError(
+            f"compaction did not consolidate: {n_frag} -> {n_after} data files"
+        )
+    if info.operation != "OPTIMIZE" or info.version != frag.version + 1:
+        raise AssertionError("compaction must commit as the next OPTIMIZE version")
+    if not info.extra.get("stats"):
+        raise AssertionError("OPTIMIZE dropped the skipping stats")
+    # history preserved: the fragmented snapshot is still time-travelable
+    if t.read(version=frag.version).count() != t.read().count():
+        raise AssertionError("compaction changed row count vs prior snapshot")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
