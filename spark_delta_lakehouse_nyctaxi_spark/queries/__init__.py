@@ -179,6 +179,12 @@ _PRIORITY: list[str] = [
     "q_compact_certified",
     # write-audit-publish (staging + DQ gate + atomic publish)
     "q_write_audit_publish",
+    # ANALYZE TABLE + CBO statistics certificate
+    "q_cbo_stats",
+    # GDPR erasure with physical history purge proof
+    "q_gdpr_erasure",
+    # PERMISSIVE corrupt-record quarantine ingestion
+    "q_corrupt_records",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

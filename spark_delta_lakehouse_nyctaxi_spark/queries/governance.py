@@ -469,3 +469,59 @@ def q_write_audit_publish(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
     )
+
+
+@register(
+    "q_gdpr_erasure",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id % 10 <> 3
+    GROUP BY user_id
+    """,
+    doc="GDPR RIGHT-TO-BE-FORGOTTEN, physically certified: DELETE of "
+        "the target users is only step one — a versioned lakehouse "
+        "keeps their rows readable through time travel, which is "
+        "exactly what an erasure request forbids. The flow: "
+        "copy-on-write DELETE (new snapshot without the users) -> "
+        "VACUUM retain_last=1 (physically removes every commit dir the "
+        "pre-delete snapshots referenced). The query RAISES unless "
+        "(a) vacuum actually removed files, and (b) TIME TRAVEL to the "
+        "pre-delete version now FAILS with a missing-data error — the "
+        "proof the history copy is gone, not just hidden (the "
+        "manifests may remain; the DATA must not). At 100 TB the "
+        "delete rewrites only the units holding target rows and vacuum "
+        "is a driver-side unlink pass. Oracle: everything but the "
+        "erased users.",
+)
+def q_gdpr_erasure(spark, sf_dir):
+    from .merge import scratch_dir
+    from ..sources.table import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = VersionedTable(spark, scratch_dir("gdpr"))
+    t.write(ev, mode="overwrite")
+    pre = t.latest_version()
+    t.delete("user_id % 10 = 3", mode="copy-on-write")
+    removed = t.vacuum(retain_last=1)
+    if not removed:
+        raise AssertionError("vacuum removed nothing — history not purged")
+    try:
+        n = t.read(version=pre).count()
+        raise AssertionError(
+            f"pre-delete snapshot still readable after erasure ({n} rows)"
+        )
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # expected: the purged snapshot's data files are gone
+    return (
+        t.read()
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,2)")).cast("double").alias("sum_value"),
+        )
+    )

@@ -1214,3 +1214,149 @@ def q_compact_certified(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
     )
+
+
+@register(
+    "q_cbo_stats",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(22,2))) AS DOUBLE) AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY n.n_name
+    """,
+    doc="COST-BASED OPTIMIZER statistics, certified in-query: ANALYZE "
+        "TABLE ... COMPUTE STATISTICS FOR COLUMNS populates table- and "
+        "column-level stats (row counts, NDVs, min/max) in the "
+        "catalog, then the join runs with spark.sql.cbo.enabled + "
+        "joinReorder so the optimizer costs join orders from measured "
+        "cardinalities instead of raw file sizes — on a 100 TB "
+        "warehouse the difference between a dim-first and fact-first "
+        "plan is orders of magnitude of shuffle. The query RAISES "
+        "unless DESC EXTENDED reports both table rowCount and "
+        "column-level stats for the join/filter columns (the "
+        "certificate that ANALYZE actually populated the catalog, not "
+        "just parsed). Session confs and catalog tables cleaned up "
+        "after materialization.",
+)
+def q_cbo_stats(spark, sf_dir):
+    from .aggregates import dsum
+
+    confs = {"spark.sql.cbo.enabled": "true", "spark.sql.cbo.joinReorder.enabled": "true"}
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        load_table(spark, sf_dir, "customer").write.mode("overwrite").saveAsTable(
+            "cbo_customer"
+        )
+        load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+            "cbo_nation"
+        )
+        spark.sql(
+            "ANALYZE TABLE cbo_customer COMPUTE STATISTICS "
+            "FOR COLUMNS c_custkey, c_nationkey, c_mktsegment, c_acctbal"
+        )
+        spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR COLUMNS n_nationkey")
+        desc = spark.sql("DESC EXTENDED cbo_customer").collect()
+        stats_row = {r.col_name: r.data_type for r in desc}.get("Statistics", "")
+        if "rows" not in stats_row:
+            raise AssertionError(f"ANALYZE left no table rowCount: {stats_row!r}")
+        col = {
+            r.info_name: r.info_value
+            for r in spark.sql("DESC EXTENDED cbo_customer c_nationkey").collect()
+        }
+        if col.get("distinct_count") in (None, "NULL") or col.get("max") in (None, "NULL"):
+            raise AssertionError(f"ANALYZE left no column stats: {col}")
+        out = spark.sql(
+            """
+            SELECT n.n_name,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(22,2))) AS DOUBLE)
+                       AS total_balance
+            FROM cbo_customer c JOIN cbo_nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY n.n_name
+            """
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS cbo_customer")
+        spark.sql("DROP TABLE IF EXISTS cbo_nation")
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_corrupt_records",
+    """
+    SELECT COUNT(*) FILTER (WHERE o_orderkey % 7 <> 0) AS n_valid,
+           COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_corrupt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2)))
+                FILTER (WHERE o_orderkey % 7 <> 0) AS DOUBLE) AS valid_revenue
+    FROM orders
+    """,
+    doc="PERMISSIVE ingestion with CORRUPT-RECORD capture (the "
+        "schema-drift quarantine every production bronze layer needs): "
+        "a JSONL batch is staged with every 7th record truncated "
+        "mid-object, then read back with an explicit schema, "
+        "mode=PERMISSIVE, and columnNameOfCorruptRecord — malformed "
+        "lines land intact in the quarantine column with every data "
+        "field null instead of failing the job (FAILFAST) or vanishing "
+        "(DROPMALFORMED). The value check proves the parser classified "
+        "EXACTLY the injected corruption (counts and the valid-side "
+        "revenue must reconcile against the injection rule). At 100 TB "
+        "this is one streaming-friendly scan; quarantined lines "
+        "re-process after upstream fixes without re-reading the good "
+        "99%.",
+)
+def q_corrupt_records(spark, sf_dir):
+    from .aggregates import dsum
+    from .merge import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    js = orders.select(
+        F.col("o_orderkey"),
+        F.to_json(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+        ).alias("line"),
+    ).select(
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.expr("substr(line, 1, length(line) - 1)"),  # truncated object
+        )
+        .otherwise(F.col("line"))
+        .alias("value")
+    )
+    path = scratch_dir("jsonq")
+    js.write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double, "
+            "_corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_valid"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt").isNull(),
+                F.col("o_totalprice").cast("decimal(22,2)"),
+            )
+        )
+        .cast("double")
+        .alias("valid_revenue"),
+    )
