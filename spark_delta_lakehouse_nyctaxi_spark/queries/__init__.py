@@ -185,6 +185,12 @@ _PRIORITY: list[str] = [
     "q_gdpr_erasure",
     # PERMISSIVE corrupt-record quarantine ingestion
     "q_corrupt_records",
+    # linear-interpolation resampling (companion of ffill)
+    "q_resample_interpolate",
+    # CACHE TABLE with in-memory-scan certificate
+    "q_cache_table",
+    # persisted inverted index with incremental maintenance
+    "q_inverted_index_incremental",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1218,3 +1218,118 @@ def q_seasonal_decompose(spark, sf_dir):
         "seasonal",
         (F.col("detr") - F.col("seasonal")).alias("remainder"),
     )
+
+
+@register(
+    "q_resample_interpolate",
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS sum_v,
+               COUNT(*) AS n_obs
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM spans
+    ),
+    framed AS (
+        SELECT g.user_id, g.hour, h.n_obs,
+               CASE WHEN h.n_obs > 0 THEN h.sum_v / h.n_obs END AS own,
+               last_value(CASE WHEN h.n_obs > 0
+                               THEN {'h': g.hour, 'v': h.sum_v / h.n_obs} END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+               first_value(CASE WHEN h.n_obs > 0
+                                THEN {'h': g.hour, 'v': h.sum_v / h.n_obs} END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hour = h.hour
+    )
+    SELECT user_id, hour,
+           CASE
+             WHEN own IS NOT NULL THEN own
+             WHEN nxt.h IS NULL THEN prev.v
+             ELSE prev.v + (nxt.v - prev.v)
+                  * (CAST(epoch_us(hour) - epoch_us(prev.h) AS DOUBLE)
+                     / CAST(epoch_us(nxt.h) - epoch_us(prev.h) AS DOUBLE))
+           END AS value_interp,
+           CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs
+    FROM framed
+    """,
+    doc="Time-series RESAMPLE + LINEAR INTERPOLATION (the companion of "
+        "q_resample_ffill): gap hours get the straight line between "
+        "the surrounding observations, v_prev + (v_next - v_prev) * "
+        "elapsed/gap, carrying (hour, value) structs through "
+        "last/first(IGNORE NULLS) windows over opposite-direction "
+        "frames; trailing gaps (no next observation) fall back to "
+        "forward-fill. Hourly means are decimal-exact; the "
+        "interpolation itself is a fixed IEEE op sequence, identical "
+        "in both engines. Same scale contract as ffill: per-user "
+        "frames, no global sort.",
+)
+def q_resample_interpolate(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from .aggregates import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(dsum("value", 4).alias("sum_v"), F.count("*").alias("n_obs"))
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    j = grid.join(hourly, ["user_id", "hour"], "left")
+    own = F.when(F.col("n_obs") > 0, F.col("sum_v") / F.col("n_obs"))
+    obs_struct = F.when(
+        F.col("n_obs") > 0, F.struct(F.col("hour").alias("h"), own.alias("v"))
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    framed = j.select(
+        "user_id",
+        "hour",
+        "n_obs",
+        own.alias("own"),
+        F.last(obs_struct, ignorenulls=True).over(wb).alias("prev"),
+        F.first(obs_struct, ignorenulls=True).over(wf).alias("nxt"),
+    )
+    frac = F.expr(
+        "CAST(timestampdiff(MICROSECOND, prev.h, hour) AS DOUBLE)"
+        " / CAST(timestampdiff(MICROSECOND, prev.h, nxt.h) AS DOUBLE)"
+    )
+    interp = (
+        F.when(F.col("own").isNotNull(), F.col("own"))
+        .when(F.col("nxt.h").isNull(), F.col("prev.v"))
+        .otherwise(F.col("prev.v") + (F.col("nxt.v") - F.col("prev.v")) * frac)
+    )
+    return framed.select(
+        "user_id",
+        "hour",
+        interp.alias("value_interp"),
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+    )

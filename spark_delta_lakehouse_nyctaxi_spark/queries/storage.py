@@ -1360,3 +1360,48 @@ def q_corrupt_records(spark, sf_dir):
         .cast("double")
         .alias("valid_revenue"),
     )
+
+
+@register(
+    "q_cache_table",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_quantity < 30
+    GROUP BY l_returnflag
+    """,
+    doc="SQL CACHE TABLE (eager in-memory columnar materialization): "
+        "a filtered projection is pinned with CACHE TABLE, and the "
+        "aggregate must plan an InMemoryTableScan over the cached "
+        "relation instead of re-reading parquet — the interactive-"
+        "dashboard / iterative-ML pattern where one working set feeds "
+        "many queries. RAISES unless the cached scan is actually in "
+        "the plan (a silently-missed cache re-scans 100 TB every "
+        "query). UNCACHE in a finally block restores session state.",
+)
+def q_cache_table(spark, sf_dir):
+    from ..plans import explain_str
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("cache_li_src")
+    try:
+        spark.sql(
+            "CACHE TABLE cache_li_v AS "
+            "SELECT l_returnflag, l_quantity FROM cache_li_src WHERE l_quantity < 30"
+        )
+        out = spark.sql(
+            """
+            SELECT l_returnflag,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty
+            FROM cache_li_v GROUP BY l_returnflag
+            """
+        )
+        if "InMemoryRelation" not in explain_str(out):
+            raise AssertionError("aggregate did not read the cached relation")
+        rows, schema = out.collect(), out.schema
+    finally:
+        spark.sql("UNCACHE TABLE IF EXISTS cache_li_v")
+        spark.catalog.dropTempView("cache_li_src")
+    return spark.createDataFrame(rows, schema)
