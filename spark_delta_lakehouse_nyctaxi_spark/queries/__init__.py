@@ -191,6 +191,10 @@ _PRIORITY: list[str] = [
     "q_cache_table",
     # persisted inverted index with incremental maintenance
     "q_inverted_index_incremental",
+    # micro-batch partitioning invariance (maxFilesPerTrigger)
+    "q_stream_multi_batch",
+    # exactly-once under injected crash + checkpoint replay
+    "q_stream_exactly_once",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -694,3 +694,143 @@ def q_stream_rocksdb_state(spark, sf_dir):
     return _utc_out(
         spark, spark.createDataFrame(rows, schema), "window_start"
     )
+
+
+@register(
+    "q_stream_multi_batch",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="MICRO-BATCH PARTITIONING INVARIANCE: the same file-source "
+        "stream drained with maxFilesPerTrigger=1 (forcing one "
+        "micro-batch per staged file instead of one big availableNow "
+        "batch) must produce byte-identical aggregates — state "
+        "accumulation across many small batches is semantically "
+        "invisible. RAISES unless the run actually split into "
+        "multiple batches (progress-certified), so the invariance is "
+        "really exercised. This is the property that lets a 100 TB "
+        "backfill run as thousands of rate-limited micro-batches "
+        "without changing results; decimal-cast sums keep the "
+        "cross-batch accumulation order-invariant.",
+)
+def q_stream_multi_batch(spark, sf_dir):
+    # stage with repartition(4): _staged_events uses coalesce, which
+    # cannot INCREASE the single-file sf0.01 source's partition count
+    path = scratch_dir("stream_events_multi")
+    load_table(spark, sf_dir, "events").drop("props").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    sdf = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = sdf.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(22,2)")).cast("double").alias("sum_value"),
+    )
+    q = run_available_now(
+        agg,
+        scratch_dir("ckpt_multi"),
+        memory_table="q_stream_multi_batch_out",
+        output_mode="complete",
+    )
+    n_batches = len(q.recentProgress)
+    if n_batches < 2:
+        raise AssertionError(
+            f"expected multiple micro-batches, got {n_batches} — rate limit ignored"
+        )
+    return spark.table("q_stream_multi_batch_out")
+
+
+@register(
+    "q_stream_exactly_once",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="EXACTLY-ONCE under CRASH + REPLAY, demonstrated live: the "
+        "stream runs as 4 rate-limited micro-batches whose sink "
+        "appends per-batch partial aggregates to a VersionedTable "
+        "with a TRANSACTIONAL BATCH-ID GUARD; a fault is injected in "
+        "the WORST position — after batch 2's data is durably written "
+        "but before its checkpoint commit — so the restarted query "
+        "REPLAYS batch 2 into the sink, and only the guard (skip "
+        "batch ids already in the table) prevents double counting. "
+        "RAISES unless the crash fired, the replay was observed, and "
+        "every batch id landed exactly once. This is the idempotent-"
+        "foreachBatch contract every production Spark sink needs "
+        "(checkpoint WAL pins replayed offsets; the sink supplies "
+        "idempotence). Final per-user totals are decimal-exact sums "
+        "of the per-batch partials — order- and batching-invariant — "
+        "and must equal the batch-free oracle.",
+)
+def q_stream_exactly_once(spark, sf_dir):
+    import os
+
+    from ..sources.table import VersionedTable
+
+    stage = scratch_dir("stream_events_eo")
+    load_table(spark, sf_dir, "events").drop("props").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    tbl = VersionedTable(spark, scratch_dir("eo_tbl"))
+    crash_flag = os.path.join(scratch_dir("eo_flag"), "crashed")
+    os.makedirs(os.path.dirname(crash_flag), exist_ok=True)
+    replays = {"n": 0}
+
+    def sink(batch_df, batch_id):
+        committed = (
+            {r.batch_id for r in tbl.read().select("batch_id").distinct().collect()}
+            if tbl.exists()
+            else set()
+        )
+        if batch_id in committed:
+            replays["n"] += 1  # replay detected — idempotent skip
+            return
+        part = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ).withColumn("batch_id", F.lit(batch_id))
+        tbl.write(part, mode="append" if tbl.exists() else "overwrite")
+        if batch_id == 2 and not os.path.exists(crash_flag):
+            # worst-case fault: data durable, checkpoint NOT committed
+            with open(crash_flag, "w") as f:
+                f.write("x")
+            raise RuntimeError("injected fault after durable write of batch 2")
+
+    ckpt = scratch_dir("ckpt_eo")
+    sdf = (
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    crashed = False
+    try:
+        run_available_now(sdf, ckpt, foreach_batch=sink)
+    except Exception:
+        crashed = True
+    if not crashed:
+        raise AssertionError("fault injection did not fire")
+    # restart from the same checkpoint: batch 2 replays, guard skips it
+    sdf2 = (
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    run_available_now(sdf2, ckpt, foreach_batch=sink)
+    if replays["n"] < 1:
+        raise AssertionError("checkpoint replay of the failed batch not observed")
+    per_batch = tbl.read()
+    ids = [r.batch_id for r in per_batch.select("batch_id").distinct().collect()]
+    if sorted(ids) != [0, 1, 2, 3]:
+        raise AssertionError(f"batch ids not exactly-once: {sorted(ids)}")
+    return per_batch.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum(F.col("sum_value").cast("decimal(22,2)")).cast("double").alias("sum_value"),
+    )
