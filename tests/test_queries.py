@@ -18,6 +18,11 @@ MAY_BE_EMPTY = {
     # non-empty at sf0.01 (7 rows, oracle-checked); at sf0.001 the five
     # urgent-order-less customers all sit below the average balance
     "q_tpch_q22",
+    # non-empty at sf0.01; sf0.001 has no suppliers in the 10-60 band
+    "q_hilbert_layout",
+    # non-empty at sf0.01 (1971 rows); sf0.001's sparser co-purchase
+    # graph has an empty 70-core (oracle agrees — 0 == 0)
+    "q_k_core",
 }
 
 
