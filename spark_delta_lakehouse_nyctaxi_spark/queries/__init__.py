@@ -195,6 +195,10 @@ _PRIORITY: list[str] = [
     "q_stream_multi_batch",
     # exactly-once under injected crash + checkpoint replay
     "q_stream_exactly_once",
+    # per-group top-k planned as partial+final WindowGroupLimit
+    "q_window_group_limit",
+    # order-invariant content fingerprint with replica certificate
+    "q_table_checksum",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

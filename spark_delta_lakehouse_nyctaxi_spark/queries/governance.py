@@ -525,3 +525,66 @@ def q_gdpr_erasure(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(22,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_table_checksum",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               CAST(o_totalprice AS VARCHAR) || '|' ||
+               o_orderstatus), 1, 15))::BIGINT) AS VARCHAR) AS content_checksum
+    FROM orders
+    """,
+    doc="ORDER-INVARIANT TABLE CHECKSUM (anti-entropy / replication "
+        "audit): each row canonicalizes to a delimited string (doubles "
+        "render via shortest-repr, identical across engines), hashes "
+        "through the engine-reproducible md5-derived 60-bit id, and "
+        "the EXACT sum of row hashes (decimal — no int64 wraparound at "
+        "row counts x 2^60) is the table fingerprint: independent of "
+        "partitioning, row order, and file layout, cheap to compute on "
+        "both sides of a replication link, and any single-row "
+        "difference changes it with probability 1-2^-60. Certified "
+        "in-query against a CSV round-trip replica: the checksum of "
+        "the re-read copy must equal the source's (catches lossy "
+        "rendering, dropped rows, or type drift in transit). The "
+        "oracle recomputes the fingerprint definition directly.",
+)
+def q_table_checksum(spark, sf_dir):
+    from .merge import scratch_dir
+    from ..operators.dedup import md5_id
+    from ..sources.readers import read_csv
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+
+    def checksum(df):
+        row = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in cols]
+        )
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(md5_id(row).cast("decimal(38,0)"))
+            .cast("string")
+            .alias("content_checksum"),
+        )
+
+    src = checksum(orders).collect()[0]
+    path = scratch_dir("cksum_csv")
+    orders.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
+    replica = read_csv(spark, path).select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        F.col("o_totalprice").cast("double"),
+        "o_orderstatus",
+    )
+    rep = checksum(replica).collect()[0]
+    if (src.n_rows, src.content_checksum) != (rep.n_rows, rep.content_checksum):
+        raise AssertionError(
+            f"replica fingerprint diverged: {tuple(src)} vs {tuple(rep)}"
+        )
+    return spark.createDataFrame(
+        [(src.n_rows, src.content_checksum)], "n_rows long, content_checksum string"
+    )

@@ -270,3 +270,50 @@ def q_rolling_median(spark, sf_dir):
             frame, ((F.size(frame) + 1) / 2).cast("int")
         ).alias("rolling_median"),
     )
+
+
+@register(
+    "q_window_group_limit",
+    """
+    SELECT l_suppkey, CAST(rk AS INT) AS rk,
+           l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_extendedprice DESC,
+                                           l_orderkey, l_linenumber) AS rk
+        FROM lineitem
+    ) WHERE rk <= 3
+    """,
+    doc="Per-group TOP-K via rank filter, certified to plan "
+        "WindowGroupLimit (Spark 3.5+): the optimizer recognizes "
+        "row_number() <= k and inserts group-limit operators BOTH "
+        "before and after the shuffle — each map task keeps only its "
+        "local top-3 per supplier, so the exchange moves O(groups*k) "
+        "rows instead of the whole fact table, and the final sort "
+        "ranks 3 rows per group. The per-group analog of q_topk's "
+        "TakeOrderedAndProject; at 100 TB this is the difference "
+        "between shuffling 3 rows and 300k rows per supplier. RAISES "
+        "unless both the partial and final WindowGroupLimit are in "
+        "the executed plan. Deterministic via the (orderkey, "
+        "linenumber) unique tiebreak.",
+)
+def q_window_group_limit(spark, sf_dir):
+    from ..plans import explain_str
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    out = (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_suppkey", F.col("rk").cast("int"), "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+    if explain_str(out).count("WindowGroupLimit") < 2:
+        raise AssertionError(
+            "rank<=k filter did not plan partial+final WindowGroupLimit"
+        )
+    return out
