@@ -199,6 +199,8 @@ _PRIORITY: list[str] = [
     "q_window_group_limit",
     # order-invariant content fingerprint with replica certificate
     "q_table_checksum",
+    # materialized-view transparent rewrite (value-neutral roll-up)
+    "q_mv_rewrite",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

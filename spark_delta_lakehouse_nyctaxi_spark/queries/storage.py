@@ -1405,3 +1405,67 @@ def q_cache_table(spark, sf_dir):
         spark.sql("UNCACHE TABLE IF EXISTS cache_li_v")
         spark.catalog.dropTempView("cache_li_src")
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_mv_rewrite",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag
+    """,
+    doc="MATERIALIZED-VIEW QUERY REWRITE (operators/materialized.py): "
+        "a (shipdate, returnflag)-grain aggregate MV with exact "
+        "DECIMAL partials is defined over lineitem, then a coarser "
+        "roll-up query (by returnflag, filtered on shipdate) is "
+        "transparently ANSWERED FROM THE MV — the rewriter checks "
+        "dims-subset / filter-dims / measure-derivability and picks "
+        "the cheapest match; decimal partials re-aggregate exactly, "
+        "so the rewrite is value-neutral BY CONSTRUCTION, and the "
+        "oracle (the direct base-table aggregate) proves it. RAISES "
+        "unless (a) the rewriter chose the MV, (b) the executed plan "
+        "scans the MV parquet and NOT the lineitem file, and (c) a "
+        "deliberately non-derivable query (grouping by a non-MV dim) "
+        "falls back to base. On a 100 TB fact this answers dashboard "
+        "roll-ups from a few thousand MV rows instead of a fact scan; "
+        "the MV itself maintains incrementally (incremental.py).",
+)
+def q_mv_rewrite(spark, sf_dir):
+    from ..operators.materialized import Measure, MVCatalog
+    from ..plans import explain_str
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cat = MVCatalog(spark)
+    measures = [
+        Measure("n_items", "count"),
+        Measure("revenue", "sum", "l_extendedprice"),
+    ]
+    mv_path = scratch_dir("mv_daily")
+    cat.define(
+        "mv_ship_flag",
+        li,
+        dims=["l_shipdate", "l_returnflag"],
+        measures=measures,
+        path=mv_path,
+    )
+    import datetime
+
+    out, source = cat.answer(
+        li,
+        dims=["l_returnflag"],
+        measures=measures,
+        filters=[("l_shipdate", ">=", datetime.datetime(1995, 1, 1))],
+    )
+    if source != "mv_ship_flag":
+        raise AssertionError(f"rewriter chose {source!r}, expected the MV")
+    plan = explain_str(out)
+    if "mv_daily" not in plan or "lineitem.parquet" in plan:
+        raise AssertionError("rewritten plan does not scan the MV (or scans base)")
+    # non-derivable query (groups by a dim the MV lacks) must fall back
+    _, fb = cat.answer(li, dims=["l_suppkey"], measures=[measures[0]])
+    if fb != "base":
+        raise AssertionError(f"non-derivable query wrongly matched {fb!r}")
+    return out

@@ -1190,3 +1190,45 @@ def test_k_core_peels_tail_keeps_triangle(spark):
     ce = spark.createDataFrame(chain + [(b, a) for a, b in chain], "src long, dst long")
     with pytest.raises(AssertionError, match="converge"):
         k_core(ce, k=2, max_iters=2)
+
+
+def test_mv_catalog_rewrite_semantics(spark, tmp_path):
+    """Match rules: dims-subset + filter-dims + measure-derivability;
+    cheapest MV wins; non-derivable queries fall back to base with
+    identical values."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.materialized import (
+        Measure,
+        MVCatalog,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    ms = [Measure("n", "count"), Measure("rev", "sum", "l_extendedprice")]
+    cat = MVCatalog(spark)
+    cat.define("fine", li, ["l_shipdate", "l_returnflag"], ms, str(tmp_path / "fine"))
+    cat.define("coarse", li, ["l_returnflag"], ms, str(tmp_path / "coarse"))
+    # both match an unfiltered by-flag query; the coarser (smaller) wins
+    out, src = cat.answer(li, ["l_returnflag"], ms)
+    assert src == "coarse"
+    base_out, base_src = cat.answer(li, ["l_suppkey"], ms)  # no MV has suppkey
+    assert base_src == "base"
+    # a shipdate filter disqualifies the coarse MV (filter dim missing)
+    out2, src2 = cat.answer(
+        li, ["l_returnflag"], ms,
+        filters=[("l_shipdate", ">=", __import__("datetime").datetime(1995, 1, 1))],
+    )
+    assert src2 == "fine"
+    # value neutrality: MV answer == direct base aggregate, bitwise
+    direct = {
+        r.l_returnflag: (r.n, r.rev)
+        for r in li.filter("l_shipdate >= TIMESTAMP '1995-01-01'")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(22,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    }
+    got = {r.l_returnflag: (r.n, r.rev) for r in out2.collect()}
+    assert got == direct
