@@ -201,6 +201,8 @@ _PRIORITY: list[str] = [
     "q_table_checksum",
     # materialized-view transparent rewrite (value-neutral roll-up)
     "q_mv_rewrite",
+    # expression-valued (per-row) session gaps
+    "q_session_window_dynamic",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

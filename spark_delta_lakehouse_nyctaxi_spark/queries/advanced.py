@@ -1333,3 +1333,70 @@ def q_resample_interpolate(spark, sf_dir):
         interp.alias("value_interp"),
         F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
     )
+
+
+@register(
+    "q_session_window_dynamic",
+    f"""
+    WITH g AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN event_type = 'error'
+                    THEN 2700 * CAST(1000000 AS BIGINT)
+                    ELSE 900 * CAST(1000000 AS BIGINT) END AS gap_us
+        FROM events
+    ), seq AS (
+        SELECT user_id, ts, value, gap_us,
+               CASE WHEN MAX(epoch_us(ts) + gap_us) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR epoch_us(ts) > MAX(epoch_us(ts) + gap_us) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_session,
+               event_id
+        FROM g
+    ), sess AS (
+        SELECT user_id, ts, value, gap_us,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           make_timestamp(MAX(epoch_us(ts) + gap_us)) AS session_end,
+           COUNT(*) AS n_events,
+           {{dsum}} AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """.format(dsum="CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE)"),
+    doc="DYNAMIC-GAP session windows (Spark's expression-valued "
+        "gapDuration): error events hold their session open 45 "
+        "minutes, everything else 15 — per-ROW timeouts, which a "
+        "static gap cannot express (an error-triggered support session "
+        "outlives a browse session). Session end is max(ts_i + gap_i) "
+        "over merged events and an event joins while ts <= current "
+        "end (same <=-merge convention probed for the static batch "
+        "variant). Same scale shape as q_session_window_batch: one "
+        "shuffle on user_id, merge aggregation, no full-table window "
+        "sort. The oracle re-derives merging with a running max of "
+        "per-event ends.",
+)
+def q_session_window_dynamic(spark, sf_dir):
+    from .aggregates import dsum
+
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit("45 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    agg = events.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
