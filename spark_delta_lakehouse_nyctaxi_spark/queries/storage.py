@@ -1386,6 +1386,10 @@ def q_cache_table(spark, sf_dir):
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("cache_li_src")
     try:
+        # re-invocable in one session: CACHE TABLE ... AS has no OR
+        # REPLACE form, so a prior invocation's view must go first
+        spark.sql("UNCACHE TABLE IF EXISTS cache_li_v")
+        spark.sql("DROP VIEW IF EXISTS cache_li_v")
         spark.sql(
             "CACHE TABLE cache_li_v AS "
             "SELECT l_returnflag, l_quantity FROM cache_li_src WHERE l_quantity < 30"
@@ -1403,6 +1407,7 @@ def q_cache_table(spark, sf_dir):
         rows, schema = out.collect(), out.schema
     finally:
         spark.sql("UNCACHE TABLE IF EXISTS cache_li_v")
+        spark.sql("DROP VIEW IF EXISTS cache_li_v")
         spark.catalog.dropTempView("cache_li_src")
     return spark.createDataFrame(rows, schema)
 
