@@ -787,11 +787,12 @@ def q_stream_exactly_once(spark, sf_dir):
     replays = {"n": 0}
 
     def sink(batch_df, batch_id):
-        committed = (
-            {r.batch_id for r in tbl.read().select("batch_id").distinct().collect()}
-            if tbl.exists()
-            else set()
-        )
+        # txn guard reads COMMITTED BATCH IDS from the version-log
+        # metadata (driver-side manifests, the Delta txn-appId pattern)
+        # — no per-batch scan of the growing partials table
+        committed = {
+            v.extra.get("eo_batch") for v in tbl._versions()
+        } if tbl.exists() else set()
         if batch_id in committed:
             replays["n"] += 1  # replay detected — idempotent skip
             return
@@ -801,7 +802,11 @@ def q_stream_exactly_once(spark, sf_dir):
             .cast("double")
             .alias("sum_value"),
         ).withColumn("batch_id", F.lit(batch_id))
-        tbl.write(part, mode="append" if tbl.exists() else "overwrite")
+        tbl.write(
+            part,
+            mode="append" if tbl.exists() else "overwrite",
+            extra={"eo_batch": batch_id},
+        )
         if batch_id == 2 and not os.path.exists(crash_flag):
             # worst-case fault: data durable, checkpoint NOT committed
             with open(crash_flag, "w") as f:
