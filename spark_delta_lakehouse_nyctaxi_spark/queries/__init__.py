@@ -203,6 +203,8 @@ _PRIORITY: list[str] = [
     "q_mv_rewrite",
     # expression-valued (per-row) session gaps
     "q_session_window_dynamic",
+    # observe() in-flight metrics (single-pass DQ instrumentation)
+    "q_observe_metrics",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

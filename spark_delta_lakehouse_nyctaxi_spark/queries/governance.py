@@ -588,3 +588,41 @@ def q_table_checksum(spark, sf_dir):
     return spark.createDataFrame(
         [(src.n_rows, src.content_checksum)], "n_rows long, content_checksum string"
     )
+
+
+@register(
+    "q_observe_metrics",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) FILTER (WHERE l_quantity IS NULL) AS null_qty
+    FROM lineitem
+    """,
+    doc="observe() METRICS (Spark's zero-cost in-flight instrumentation): "
+        "DQ counters ride along INSIDE an existing action's plan as an "
+        "Observation — no second scan, no separate DQ job; this is how "
+        "quality.py's single-pass framework meters 100 TB pipelines "
+        "without doubling their IO. The query attaches row-count, "
+        "exact-decimal quantity sum, and a null counter to a scan, "
+        "drives it with the SAME action a real job would run, and "
+        "returns the harvested metrics; the oracle recomputes them as "
+        "plain aggregates — observation and aggregation must agree "
+        "bitwise.",
+)
+def q_observe_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(22,2)")).cast("double").alias("sum_qty"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("null_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["null_qty"])],
+        "n_rows long, sum_qty double, null_qty long",
+    )
