@@ -205,6 +205,10 @@ _PRIORITY: list[str] = [
     "q_session_window_dynamic",
     # observe() in-flight metrics (single-pass DQ instrumentation)
     "q_observe_metrics",
+    # sorted-neighborhood dedup (linear-cost blocking, w=4 window)
+    "q_sorted_neighborhood",
+    # first-occurrence n-gram novelty scoring (curation diversity)
+    "q_ngram_novelty",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

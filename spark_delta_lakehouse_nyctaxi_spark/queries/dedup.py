@@ -1315,3 +1315,129 @@ def q_bfs_levels(spark, sf_dir):
     return bfs_levels(edges.toDF("src", "dst"), max_hops=6).select(
         F.col("node").alias("doc_id"), F.col("level").cast("int").alias("hop")
     )
+
+
+@register(
+    "q_sorted_neighborhood",
+    """
+    WITH ranked AS (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (
+                   ORDER BY substr(lower(trim(text)), 1, 16), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT LEAST(a.doc_id, b.doc_id)    AS id_a,
+           GREATEST(a.doc_id, b.doc_id) AS id_b,
+           CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS INT)
+               AS edit_dist
+    FROM ranked a
+    JOIN ranked b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+    WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 8
+    """,
+    doc="SORTED NEIGHBORHOOD dedup (Hernandez & Stolfo): sort the "
+        "corpus once by a discriminating key (16-char normalized text "
+        "prefix, doc_id tiebreak), then compare each record only with "
+        "its w-1=3 successors in the sorted order, verifying with "
+        "exact Levenshtein <= 8 on the 80-char prefix. Linear-cost "
+        "blocking: O(n*w) comparisons instead of O(n^2), the classic "
+        "complement of LSH banding for near-dup detection. "
+        "Spark plan: the global sorted index comes from the "
+        "distributed global_row_number operator (range exchange + "
+        "closed-form offsets, operators/indexing.py:97 — NO "
+        "SinglePartition window); the neighbor pairing is an "
+        "explode(sequence(rn+1, rn+w-1)) fanout equi-joined back on "
+        "rn, so the comparison stage is a plain shuffled hash join "
+        "that scales linearly. Levenshtein runs with the JVM "
+        "threshold variant (cost capped at 8 edits per pair) — "
+        "integer-exact, so the oracle is bitwise. At 100 TB: one "
+        "range exchange + one w-fanout equi-join, no quadratic "
+        "stage anywhere.",
+)
+def q_sorted_neighborhood(spark, sf_dir):
+    from ..operators.indexing import global_row_number
+
+    w = 4  # window size: compare each record with its w-1 successors
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.substring(F.lower(F.trim("text")), 1, 16).alias("snm_key"),
+    )
+    ranked = global_row_number(docs, ["snm_key", "doc_id"], "rn").select(
+        "doc_id", "text", "rn"
+    )
+    left = ranked.select(
+        F.col("doc_id").alias("_id_l"),
+        F.col("text").alias("_text_l"),
+        F.explode(F.sequence(F.col("rn") + 1, F.col("rn") + (w - 1))).alias("rn"),
+    )
+    dist = F.levenshtein(
+        F.substring("_text_l", 1, 80), F.substring("text", 1, 80), 8
+    )
+    return (
+        left.join(ranked, "rn")
+        .withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") >= 0)  # threshold variant: -1 = above 8
+        .select(
+            F.least("_id_l", "doc_id").alias("id_a"),
+            F.greatest("_id_l", "doc_id").alias("id_b"),
+            F.col("edit_dist").cast("int"),
+        )
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    owners AS (SELECT shingle, MIN(id) AS owner FROM sh GROUP BY shingle)
+    SELECT s.id AS doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN o.owner = s.id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(SUM(CASE WHEN o.owner = s.id THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh s JOIN owners o ON s.shingle = o.shingle
+    GROUP BY s.id
+    """,
+    doc="N-GRAM NOVELTY scoring (corpus-curation diversity signal): "
+        "each distinct 3-token shingle is attributed to its FIRST "
+        "occurrence (minimum doc_id owner); a document's novelty is "
+        "the fraction of its shingles it owns. Low-novelty documents "
+        "are paraphrases/boilerplate of earlier corpus content even "
+        "when no single pair crosses a near-dup threshold — the "
+        "aggregate complement of pairwise dedup (used alongside "
+        "q_duplicate_span_coverage when curating training data). "
+        "Spark plan: per-doc distinct shingle ARRAYS (one row per "
+        "doc, operators/dedup.py:doc_shingle_arrays) explode to "
+        "(id, shingle); owner = min(id) groupBy shingle; the join "
+        "back is on the SAME key as the groupBy so AQE co-locates "
+        "it; final per-doc count is a second keyed agg. Shingles "
+        "are xxhash64'd 8-byte keys (min-owner attribution is "
+        "invariant under any injective recoding, same argument as "
+        "MinHash) so the two shuffles move hashes, not strings. "
+        "Counts are integers and the ratio is a single correctly- "
+        "rounded long/long -> double division: bitwise across "
+        "engines.",
+)
+def q_ngram_novelty(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingle_arrays(df, "doc_id", "text", hashed=True)
+    ex = sh.select("id", F.explode("sh_arr").alias("sh"))
+    owners = ex.groupBy("sh").agg(F.min("id").alias("owner"))
+    return (
+        ex.join(owners, "sh")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("owner") == F.col("id")).cast("long")).alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )
