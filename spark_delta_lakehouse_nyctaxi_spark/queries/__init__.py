@@ -209,6 +209,10 @@ _PRIORITY: list[str] = [
     "q_sorted_neighborhood",
     # first-occurrence n-gram novelty scoring (curation diversity)
     "q_ngram_novelty",
+    # AQE skew-join split, certified in-query (skew=true in final plan)
+    "q_aqe_skew_join",
+    # functional-dependency violation audit (data-contract governance)
+    "q_fd_violations",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

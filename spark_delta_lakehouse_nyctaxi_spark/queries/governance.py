@@ -626,3 +626,59 @@ def q_observe_metrics(spark, sf_dir):
         [(m["n_rows"], m["sum_qty"], m["null_qty"])],
         "n_rows long, sum_qty double, null_qty long",
     )
+
+
+@register(
+    "q_fd_violations",
+    """
+    WITH cands AS (
+        SELECT 'source->lang' AS fd, source AS lhs, lang AS rhs FROM documents
+        UNION ALL
+        SELECT 'lang->source' AS fd, lang AS lhs, source AS rhs FROM documents
+    )
+    SELECT fd, lhs,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT rhs) AS BIGINT) AS n_distinct_rhs,
+           MIN(rhs) AS example_rhs
+    FROM cands
+    GROUP BY fd, lhs
+    HAVING COUNT(DISTINCT rhs) > 1
+    """,
+    doc="FUNCTIONAL-DEPENDENCY violation audit (schema/data-contract "
+        "governance): for each candidate dependency lhs -> rhs, list "
+        "the lhs groups that map to more than one rhs value, with row "
+        "and distinct-rhs counts — the profiling primitive behind key "
+        "discovery, contract enforcement, and denormalization checks. "
+        "Both candidate FDs are stacked into one tall frame (fd tag, "
+        "lhs, rhs) so the whole audit is ONE hash aggregate per "
+        "grouping-set pass regardless of how many dependencies are "
+        "audited; count(distinct) goes through Spark's two-phase "
+        "partial-distinct expansion, never a per-group collect. At "
+        "100 TB: shuffle keyed on (fd, lhs) — candidate-FD count "
+        "multiplies map output, not reduce skew. Reference analogue: "
+        "the DQ rule registry (`/root/reference/quality/checks.py`) "
+        "covers null/range/uniqueness rules; dependency rules are the "
+        "natural extension for a curation catalog.",
+)
+def q_fd_violations(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    cands = d.select(
+        F.lit("source->lang").alias("fd"),
+        F.col("source").alias("lhs"),
+        F.col("lang").alias("rhs"),
+    ).unionAll(
+        d.select(
+            F.lit("lang->source").alias("fd"),
+            F.col("lang").alias("lhs"),
+            F.col("source").alias("rhs"),
+        )
+    )
+    return (
+        cands.groupBy("fd", "lhs")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("rhs").alias("n_distinct_rhs"),
+            F.min("rhs").alias("example_rhs"),
+        )
+        .filter(F.col("n_distinct_rhs") > 1)
+    )

@@ -512,3 +512,118 @@ def q_interval_join(spark, sf_dir):
         F.sum("c_id").alias("sum_click_id"),
         F.sum("e_id").alias("sum_error_id"),
     )
+
+
+@register(
+    "q_aqe_skew_join",
+    """
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 100 < 80 THEN 0
+                    ELSE l_orderkey % 100 END AS skew_key,
+               l_extendedprice
+        FROM lineitem
+    ),
+    dim AS (
+        SELECT DISTINCT skew_key, skew_key % 5 AS grp FROM fact
+    )
+    SELECT d.grp,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(22,2))) AS DOUBLE)
+               AS revenue
+    FROM fact f JOIN dim d ON f.skew_key = d.skew_key
+    GROUP BY d.grp
+    """,
+    doc="AQE SKEW-JOIN, certified in-query: a hot-key fact (80% of "
+        "rows share skew_key 0 — the shape that stalls a 1000-executor "
+        "sort-merge join on one straggler task) joins a 21-key dim "
+        "with broadcast disabled, and adaptive execution must split "
+        "the oversized shuffle partition into parallel sub-joins at "
+        "runtime (OptimizeSkewedJoin). Like q_bloom_join/q_dpp, the "
+        "query RAISES unless the EXECUTED adaptive plan carries the "
+        "skew=true annotation, so the driver's value check doubles as "
+        "a certificate that the skew mitigation actually engaged — "
+        "the runtime complement of the pre-planned salting operator "
+        "(q_join_salted): salting rewrites the query, AQE repairs the "
+        "plan from live shuffle statistics. Thresholds are lowered "
+        "in-query (and restored) so sf0.01 data exhibits the same "
+        "relative skew a 100 TB fact would; the aggregate itself is "
+        "partitioning-invariant, so the oracle states plain join "
+        "semantics.",
+)
+def q_aqe_skew_join(spark, sf_dir):
+    from ..plans import explain_str
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # sized so the hot partition crosses the bar even at sf0.001
+        # (~5k rows ≈ tens of KB compressed); at larger SFs more
+        # partitions qualify, which only splits more — the certificate
+        # is the same
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        # the groupBy above the join imposes a distribution requirement;
+        # without force, OptimizeSkewedJoin declines any split that
+        # might add an exchange (here the re-agg shuffles on grp either
+        # way, so forcing costs nothing)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        # repartition(16) stands in for the thousands of map tasks a
+        # 100 TB fact scan has: AQE splits a skewed REDUCE partition by
+        # slicing its MAP outputs, so a 1-file local scan (1 mapper)
+        # is physically unsplittable no matter how skewed (found
+        # empirically: no skew=true until the map side has >1 task).
+        fact = li.repartition(16).select(
+            F.when(F.col("l_orderkey") % 100 < 80, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 100)
+            .cast("long")
+            .alias("skew_key"),
+            "l_extendedprice",
+        )
+        # dim must reach the join as a BARE shuffle stage: a distinct()
+        # here would leave a HashAggregate between Exchange and join,
+        # and OptimizeSkewedJoin only matches Sort(ShuffleQueryStage)
+        # children. range(100) is a superset of the fact keys ({0} ∪
+        # [80,100)), which an inner join reduces to the same result
+        # the oracle's SELECT DISTINCT dim states.
+        dim = (
+            spark.range(100)
+            .filter((F.col("id") == 0) | (F.col("id") >= 80))
+            .select(
+                F.col("id").alias("skew_key"),
+                (F.col("id") % 5).cast("long").alias("grp"),
+            )
+        )
+        agg = (
+            fact.join(dim, "skew_key")
+            .groupBy("grp")
+            .agg(
+                F.count("*").alias("n_items"),
+                dsum("l_extendedprice").alias("revenue"),
+            )
+        )
+        rows, schema = agg.collect(), agg.schema
+        plan = explain_str(agg)
+        if "skew=true" not in plan:
+            raise AssertionError(
+                "AQE did not split the skewed shuffle partition "
+                "(no skew=true in the executed adaptive plan)"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema)
