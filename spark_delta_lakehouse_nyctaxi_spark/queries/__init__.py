@@ -213,6 +213,8 @@ _PRIORITY: list[str] = [
     "q_aqe_skew_join",
     # functional-dependency violation audit (data-contract governance)
     "q_fd_violations",
+    # reciprocal-rank fusion of BM25 + dense cosine (hybrid retrieval)
+    "q_rrf_fusion",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

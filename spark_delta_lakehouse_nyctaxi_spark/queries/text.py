@@ -1503,3 +1503,83 @@ def q_inverted_index_incremental(spark, sf_dir):
             F.max("tf").cast("long").alias("max_tf"),
         )
     )
+
+
+# ---- hybrid retrieval fusion ----------------------------------------
+from .similarity import _COS_SQL as _COS_SQL_AB  # noqa: E402
+
+
+@register(
+    "q_rrf_fusion",
+    f"""
+    WITH bm AS ({_BM25_SQL}),
+    dense AS (
+        SELECT neighbor_id AS doc_id, cos_rank FROM (
+            SELECT b.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       ORDER BY ({_COS_SQL_AB}) DESC, b.vec_id
+                   ) AS BIGINT) AS cos_rank
+            FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id = 0
+        ) WHERE cos_rank <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(bm.doc_id, dense.doc_id) AS doc_id,
+               COALESCE(bm.rank, 0) AS bm25_rank,
+               COALESCE(dense.cos_rank, 0) AS cos_rank,
+               COALESCE(1000000000000 // (60 + bm.rank), 0)
+             + COALESCE(1000000000000 // (60 + dense.cos_rank), 0)
+                   AS rrf_score
+        FROM bm FULL OUTER JOIN dense ON bm.doc_id = dense.doc_id
+    )
+    SELECT doc_id, bm25_rank, cos_rank, rrf_score FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
+        FROM fused
+    ) WHERE rn <= 10
+    """,
+    doc="RECIPROCAL RANK FUSION (k=60) of two retrieval systems over "
+        "the same corpus: BM25 lexical top-20 (q_bm25_search's exact "
+        "pipeline) and exact cosine top-20 for query vector 0 "
+        "(doc_id = vec_id pairing, the corpus's embedding column) — "
+        "the standard hybrid-search merge in RAG stacks, where "
+        "neither ranker's score scale is trusted, only its ranks. "
+        "Scores are EXACT INTEGERS: contribution = 10^12 div "
+        "(60 + rank) via integer division on both engines (the "
+        "float 1/(60+r) form would hinge on libm), absent ranks "
+        "contribute 0, fused top-10 tie-breaks on doc_id. Plan: the "
+        "two rankers' 20-row outputs full-outer-join on doc_id — "
+        "bounded frames, so every post-ranker stage is metadata-"
+        "sized; the rankers themselves reuse the scale-audited BM25 "
+        "and broadcast-query brute-force paths (the 1-query BNLJ is "
+        "in the bounded allowlist).",
+)
+def q_rrf_fusion(spark, sf_dir):
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = q_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("sim_rank").cast("long").alias("cos_rank"),
+    )
+    fused = (
+        bm.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+            F.coalesce("cos_rank", F.lit(0)).alias("cos_rank"),
+            (
+                F.coalesce(
+                    F.expr("1000000000000 div (60 + bm25_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("1000000000000 div (60 + cos_rank)"), F.lit(0)
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)

@@ -398,6 +398,7 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_skew_profile",
     "q_tpch_q22",
     "q_bm25_search",
+    "q_rrf_fusion",            # composes q_bm25_search's attach + 1-query brute force
 }
 
 
