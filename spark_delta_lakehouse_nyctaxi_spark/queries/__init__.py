@@ -215,6 +215,8 @@ _PRIORITY: list[str] = [
     "q_fd_violations",
     # reciprocal-rank fusion of BM25 + dense cosine (hybrid retrieval)
     "q_rrf_fusion",
+    # cumulative distinct users via first-occurrence decomposition
+    "q_cumulative_distinct",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

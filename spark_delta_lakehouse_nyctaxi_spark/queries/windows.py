@@ -317,3 +317,40 @@ def q_window_group_limit(spark, sf_dir):
             "rank<=k filter did not plan partial+final WindowGroupLimit"
         )
     return out
+
+
+@register(
+    "q_cumulative_distinct",
+    """
+    WITH first_seen AS (
+        SELECT user_id, MIN(date_trunc('hour', ts)) AS hour
+        FROM events GROUP BY user_id
+    ),
+    hourly AS (SELECT hour, COUNT(*) AS n_new_users FROM first_seen GROUP BY hour)
+    SELECT hour, n_new_users,
+           CAST(SUM(n_new_users) OVER (
+               ORDER BY hour ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_users
+    FROM hourly
+    """,
+    doc="CUMULATIVE DISTINCT users over time (the acquisition curve): "
+        "a naive running COUNT(DISTINCT user_id) OVER (ORDER BY day) "
+        "holds the whole user set in window state and re-counts it "
+        "per day — quadratic and single-partition. The classic "
+        "decomposition makes it two hash aggregates: distinct-by-"
+        "first-occurrence (min event date per user — the same "
+        "first-occurrence attribution as q_ngram_novelty), then "
+        "hourly new-user counts, then a running sum over the HOURLY "
+        "frame only. At 100 TB the two aggregates shuffle user-keyed "
+        "and hour-keyed; the final window moves one row per calendar "
+        "hour — calendar-bounded metadata, allowlisted like "
+        "q_mixture_weights' |sources| frame. Integer counts: bitwise.",
+)
+def q_cumulative_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", "ts")).alias("hour")
+    )
+    hourly = first.groupBy("hour").agg(F.count("*").alias("n_new_users"))
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.withColumn("cum_users", F.sum("n_new_users").over(w))

@@ -375,6 +375,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWLIST = {
     # data-sized): the frame under the window is bounded by construction.
     "q_mixture_weights",      # |sources|-row grouped frame (queries/text.py)
     "q_importance_weights",   # 64-bucket DSIR model (operators/sampling.py)
+    "q_cumulative_distinct",  # one row per calendar DAY (queries/windows.py)
 }
 # (q_bm25_search's rank window sits AFTER .limit(20) — the plan shows no
 # single-partition window exchange at all, so no allowlist entry needed.)
