@@ -217,6 +217,8 @@ _PRIORITY: list[str] = [
     "q_rrf_fusion",
     # cumulative distinct users via first-occurrence decomposition
     "q_cumulative_distinct",
+    # exact 8-dim covariance matrix in one shuffle-free pass
+    "q_embedding_covariance",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

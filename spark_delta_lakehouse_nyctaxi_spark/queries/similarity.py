@@ -922,3 +922,103 @@ def q_pq_recall(spark, sf_dir):
         [(n_truth, n_hit, float(n_hit) / n_truth if n_truth else None)],
         "n_truth long, n_hit long, recall_at_5 double",
     )
+
+
+# ---- exact covariance matrix ---------------------------------------
+_COV_D = 8  # leading dims audited; 36 upper-triangle pairs
+
+
+def _cov_oracle_sql() -> str:
+    """36-pair exact co-moment SQL: scale-7 decimal sums (tie-proof,
+    |x| and |x_i*x_j| < 1 certified in-query on the Spark side), then
+    the covariance assembled with the identical 4-op double expression
+    tree Spark uses."""
+    d = _COV_D
+    sums = ",\n               ".join(
+        f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(28,7))) AS s{i}"
+        for i in range(1, d + 1)
+    )
+    prods = ",\n               ".join(
+        f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{j}] AS DOUBLE)"
+        f" AS DECIMAL(28,7))) AS p{i}_{j}"
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    )
+    arms = "\n        UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"(CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE) "
+        f"- CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE)) "
+        f"/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS covariance "
+        f"FROM agg"
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    )
+    return f"""
+    WITH agg AS (
+        SELECT COUNT(*) AS n,
+               {sums},
+               {prods}
+        FROM embeddings
+    )
+    {arms}
+    """
+
+
+@register(
+    "q_embedding_covariance",
+    _cov_oracle_sql(),
+    doc="EXACT sample covariance matrix of the leading 8 embedding "
+        "dimensions (the whitening / PCA-preprocessing moment "
+        "computation of an embedding pipeline): ONE full-corpus pass "
+        "computes count + 8 dimension sums + 36 upper-triangle "
+        "product sums as partial aggregates — ZERO data shuffle (the "
+        "merge moves 45 numbers per map partition), then the 36 "
+        "(i, j, cov) rows are inlined from the single aggregate row. "
+        "That plan shape is why this scales: at 100 TB the classic "
+        "explode-to-(row,dim)-and-self-join formulation shuffles "
+        "O(rows*d^2); the fused-aggregate form shuffles O(partitions "
+        "* d^2). Numerics follow the exact-index discipline: each "
+        "atom (raw value / pairwise product, all |v| < 1, certified "
+        "in-query by the same _certify_unit_range gate the IVF "
+        "trainers use) is quantized at tie-proof DECIMAL scale 7 and "
+        "summed exactly; the final covariance is the identical "
+        "4-IEEE-op expression tree on both engines — bitwise.",
+)
+def q_embedding_covariance(spark, sf_dir):
+    from ..operators.similarity import _certify_unit_range
+    from ..sources.readers import load_table as _lt
+
+    d = _COV_D
+    emb = _lt(spark, sf_dir, "embeddings")
+    _certify_unit_range(emb, "embedding")
+
+    def e(i):
+        return F.element_at("embedding", i).cast("double")
+
+    aggs = [F.count("*").alias("n")]
+    aggs += [
+        F.sum(e(i).cast("decimal(28,7)")).alias(f"s{i}") for i in range(1, d + 1)
+    ]
+    aggs += [
+        F.sum((e(i) * e(j)).cast("decimal(28,7)")).alias(f"p{i}_{j}")
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    ]
+    row = emb.agg(*aggs)
+    n = F.col("n").cast("double")
+    structs = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(j).alias("j"),
+            (
+                (
+                    n * F.col(f"p{i}_{j}").cast("double")
+                    - F.col(f"s{i}").cast("double") * F.col(f"s{j}").cast("double")
+                )
+                / (n * (n - F.lit(1.0)))
+            ).alias("covariance"),
+        )
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    ]
+    return row.select(F.inline(F.array(*structs)))
