@@ -29,6 +29,7 @@ the driver; feature extraction parallelism == input partitions.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -967,11 +968,13 @@ def decode_real(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload).ravel()
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload).ravel()
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return decode_tiff(payload).ravel()
     raise NotImplementedError(
         "inter-frame compressed video needs ffmpeg — absent in this "
         "container; WAV, BMP, PNG (gray + truecolor RGB), baseline "
-        "JPEG (gray + 4:4:4 color), GIF (palette + real LZW) and "
-        "DIB/MJPG AVI decode for real"
+        "JPEG (gray + 4:4:4 color), GIF (palette + real LZW), TIFF "
+        "(gray + RGB, multi-strip) and DIB/MJPG AVI decode for real"
     )
 
 
@@ -1366,3 +1369,112 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("GIF: decoded size mismatch")
         return pal[idx.reshape(h, w)]
     raise ValueError("GIF: no image descriptor found")
+
+
+# ------------------------------------------------------------- TIFF
+
+_TIFF_II = b"II\x2a\x00"
+_TIFF_MM = b"MM\x00\x2a"
+
+
+def encode_tiff(pixels) -> bytes:
+    """Baseline TIFF 6.0 encoder: little-endian ('II'), uncompressed,
+    one strip. Grayscale ``(h, w)`` (PhotometricInterpretation 1,
+    BlackIsZero) or RGB ``(h, w, 3)`` (Photometric 2) uint8.
+
+    Layout: 8-byte header | pixel strip | [BitsPerSample array for
+    RGB] | IFD. All the baseline-required tags are present
+    (width/length/bits/compression/photometric/strip offsets/samples
+    per pixel/rows per strip/byte counts), so external baseline
+    readers parse the output; :func:`decode_tiff` round-trips it
+    losslessly."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        spp, photometric = 1, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        spp, photometric = 3, 2
+    else:
+        raise ValueError("TIFF: need (h,w) gray or (h,w,3) RGB uint8")
+    h, w = arr.shape[:2]
+    data = arr.tobytes()
+    strip_off = 8
+    pos = strip_off + len(data)
+    bps_off = None
+    extra = b""
+    if spp == 3:  # 3 SHORTs don't fit the 4-byte inline value
+        bps_off = pos
+        extra = struct.pack("<3H", 8, 8, 8)
+        pos += len(extra)
+    ifd_off = pos
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", value)
+
+    entries = [
+        entry(256, 4, 1, w),                      # ImageWidth
+        entry(257, 4, 1, h),                      # ImageLength
+        (
+            entry(258, 3, 1, 8)
+            if spp == 1
+            else entry(258, 3, 3, bps_off)
+        ),                                        # BitsPerSample
+        entry(259, 3, 1, 1),                      # Compression: none
+        entry(262, 3, 1, photometric),            # Photometric
+        entry(273, 4, 1, strip_off),              # StripOffsets
+        entry(277, 3, 1, spp),                    # SamplesPerPixel
+        entry(278, 4, 1, h),                      # RowsPerStrip
+        entry(279, 4, 1, len(data)),              # StripByteCounts
+    ]
+    out = bytearray(_TIFF_II)
+    out += struct.pack("<I", ifd_off)
+    out += data + extra
+    out += struct.pack("<H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF decoder: either byte order, uncompressed strips
+    (any RowsPerStrip split), 8-bit grayscale or RGB. Returns (h, w)
+    or (h, w, 3) uint8."""
+    if payload[:4] == _TIFF_II:
+        bo = "<"
+    elif payload[:4] == _TIFF_MM:
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    _SZ = {1: 1, 3: 2, 4: 4}
+    _FMT = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        tag, typ, count = struct.unpack_from(
+            bo + "HHI", payload, ifd_off + 2 + 12 * k
+        )
+        if typ not in _SZ:  # RATIONAL etc. — not needed for baseline
+            continue
+        total = _SZ[typ] * count
+        at = ifd_off + 2 + 12 * k + 8
+        if total > 4:
+            (at,) = struct.unpack_from(bo + "I", payload, at)
+        tags[tag] = list(
+            struct.unpack_from(bo + str(count) + _FMT[typ], payload, at)
+        )
+    w, h = tags[256][0], tags[257][0]
+    spp = tags.get(277, [1])[0]
+    if tags.get(259, [1])[0] != 1:
+        raise NotImplementedError("only uncompressed (Compression=1) TIFF")
+    if any(b != 8 for b in tags.get(258, [8])):
+        raise NotImplementedError("only 8-bit samples")
+    strips = [
+        payload[off : off + n]
+        for off, n in zip(tags[273], tags[279])
+    ]
+    raw = b"".join(strips)
+    if len(raw) != h * w * spp:
+        raise ValueError("TIFF strip data does not match dimensions")
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    return arr.reshape((h, w) if spp == 1 else (h, w, spp))

@@ -219,6 +219,8 @@ _PRIORITY: list[str] = [
     "q_cumulative_distinct",
     # exact 8-dim covariance matrix in one shuffle-free pass
     "q_embedding_covariance",
+    # real baseline TIFF codec over a mixed gray/RGB binary column
+    "q_multimodal_tiff",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -827,3 +827,96 @@ def q_multimodal_gif(spark, sf_dir):
     return media.mapInPandas(
         gen, "media_id long, channel string, mean_value double"
     )
+
+
+_TIFF_ORACLE = """
+    WITH gray AS (
+        SELECT m.m * 2 AS media_id,
+               (m.m * 2 * 17 + r.r * 5 + c.c * 11) % 256 AS v
+        FROM range(6) m(m), range(20) r(r), range(24) c(c)
+    ),
+    colork AS (
+        SELECT m.m * 2 + 1 AS media_id,
+               ((m.m * 2 + 1) * 13 + r.r * 7 + c.c * 3) % 256 AS k
+        FROM range(6) m(m), range(20) r(r), range(24) c(c)
+    )
+    SELECT media_id, channel, mean_value FROM (
+        SELECT media_id, 'l' AS channel,
+               SUM(CAST(v AS DOUBLE)) / 480.0 AS mean_value
+        FROM gray GROUP BY media_id
+        UNION ALL
+        SELECT media_id, 'r', SUM(CAST(k % 256 AS DOUBLE)) / 480.0
+        FROM colork GROUP BY media_id
+        UNION ALL
+        SELECT media_id, 'g', SUM(CAST(k * 3 % 256 AS DOUBLE)) / 480.0
+        FROM colork GROUP BY media_id
+        UNION ALL
+        SELECT media_id, 'b', SUM(CAST(k * 5 % 256 AS DOUBLE)) / 480.0
+        FROM colork GROUP BY media_id
+    )
+"""
+
+
+@register(
+    "q_multimodal_tiff",
+    _TIFF_ORACLE,
+    doc="REAL TIFF 6.0 pipeline over a MIXED-MODE binary column: 6 "
+        "grayscale + 6 truecolor 20×24 images encoded with the "
+        "from-scratch baseline TIFF codec "
+        "(operators/multimodal.py:encode_tiff — required-tag IFD, "
+        "single strip, little-endian; the decoder additionally "
+        "handles big-endian and multi-strip layouts), decoded back "
+        "inside an Arrow-batched mapInPandas that dispatches per "
+        "payload on SamplesPerPixel — the schema/partitioning "
+        "contract for corpora whose image column mixes modes. "
+        "Channel means are value-oracled against the closed-form "
+        "pixel generators (lossless container ⇒ exact).",
+)
+def q_multimodal_tiff(spark, sf_dir):
+    import numpy as np
+
+    r, c = np.divmod(np.arange(20 * 24), 24)
+    rows = []
+    for m in range(12):
+        if m % 2 == 0:
+            px = ((m * 17 + r * 5 + c * 11) % 256).astype("uint8").reshape(20, 24)
+        else:
+            k = (m * 13 + r * 7 + c * 3).astype("int64")
+            px = (
+                np.stack([k % 256, k * 3 % 256, k * 5 % 256], axis=-1)
+                .astype("uint8")
+                .reshape(20, 24, 3)
+            )
+        rows.append(
+            (
+                m,
+                "image",
+                bytearray(M.encode_tiff(px)),
+                {"width": 24, "height": 20, "sample_rate": None,
+                 "duration_s": None, "format": "tiff"},
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = M.decode_tiff(bytes(payload))
+                if dec.ndim == 2:
+                    out.append((int(mid), "l", float(dec.sum() / 480.0)))
+                else:
+                    for i, ch in enumerate("rgb"):
+                        out.append(
+                            (int(mid), ch, float(dec[..., i].sum() / 480.0))
+                        )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["media_id", "channel", "mean_value"]
+                )
+
+    return media.mapInPandas(
+        gen, "media_id long, channel string, mean_value double"
+    )

@@ -406,3 +406,54 @@ def test_gif_codec_round_trip_and_conformance():
     bad[6 + 7 + 768 + 9] |= 0x40  # image-descriptor packed byte
     with pytest.raises(NotImplementedError, match="interlaced"):
         M.decode_gif(bytes(bad))
+
+
+def test_tiff_codec_round_trip_and_foreign_layouts():
+    import struct
+
+    import numpy as np
+
+    g = ((np.arange(24 * 32) * 7) % 256).astype("uint8").reshape(24, 32)
+    assert (M.decode_tiff(M.encode_tiff(g)) == g).all()
+    c = np.stack([g, (g * 3) % 256, (g * 5) % 256], axis=-1).astype("uint8")
+    assert (M.decode_tiff(M.encode_tiff(c)) == c).all()
+    # dispatcher routes on the II magic
+    assert (M.decode_real(M.encode_tiff(c)) == c.ravel()).all()
+
+    # decoder correctness beyond self-consistency: a hand-crafted
+    # BIG-ENDIAN ('MM') two-strip file (inline values left-justified
+    # per TIFF 6.0 §2) must decode identically
+    h, w = 4, 6
+    arr = (np.arange(h * w) % 256).astype("uint8").reshape(h, w)
+    data = arr.tobytes()
+    half = len(data) // 2
+    payload = bytearray(b"MM\x00\x2a") + struct.pack(">I", 8 + len(data)) + data
+
+    def e_long(tag, cnt, val):
+        return struct.pack(">HHI", tag, 4, cnt) + struct.pack(">I", val)
+
+    def e_short(tag, val):
+        return struct.pack(">HHI", tag, 3, 1) + struct.pack(">H", val) + b"\x00\x00"
+
+    n = 9
+    ifd_off = 8 + len(data)
+    arrays_off = ifd_off + 2 + 12 * n + 4
+    ifd = struct.pack(">H", n)
+    ifd += e_long(256, 1, w) + e_long(257, 1, h) + e_short(258, 8)
+    ifd += e_short(259, 1) + e_short(262, 1)
+    ifd += e_long(273, 2, arrays_off) + e_short(277, 1) + e_long(278, 1, 2)
+    ifd += e_long(279, 2, arrays_off + 8)
+    ifd += struct.pack(">I", 0)
+    ifd += struct.pack(">2I", 8, 8 + half)
+    ifd += struct.pack(">2I", half, len(data) - half)
+    assert (M.decode_tiff(bytes(payload + ifd)) == arr).all()
+
+    # gating: compressed / non-8-bit TIFFs raise, junk raises
+    bad = bytearray(M.encode_tiff(g))
+    # flip the Compression SHORT (entry order is fixed in encode_tiff)
+    comp_at = bad.rindex(struct.pack("<HHI", 259, 3, 1))
+    bad[comp_at + 8 : comp_at + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError):
+        M.decode_tiff(bytes(bad))
+    with pytest.raises(ValueError):
+        M.decode_tiff(b"not a tiff at all")
