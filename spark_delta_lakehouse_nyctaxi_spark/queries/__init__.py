@@ -60,6 +60,7 @@ from . import streaming_queries  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401
 
 
 # Round-5 rotation.  The driver verifies ~50 registry entries per round
@@ -221,6 +222,10 @@ _PRIORITY: list[str] = [
     "q_embedding_covariance",
     # real baseline TIFF codec over a mixed gray/RGB binary column
     "q_multimodal_tiff",
+    # first-principles portable sketches (every register bitwise-oracled)
+    "q_hll_sketch",
+    "q_count_min",
+    "q_bloom_membership",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1232,3 +1232,41 @@ def test_mv_catalog_rewrite_semantics(spark, tmp_path):
     }
     got = {r.l_returnflag: (r.n, r.rev) for r in out2.collect()}
     assert got == direct
+
+
+# ---------------------------------------------------------------------------
+# First-principles portable sketches (queries/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_count_min_guarantee_one_sided(spark):
+    """Count-Min never underestimates: estimate >= truth for every probe."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.sketches import q_count_min
+
+    rows = q_count_min(spark, SF_SMALL).collect()
+    assert rows, "expected probe rows"
+    for r in rows:
+        assert r.overestimate >= 0, f"CM underestimated user {r.user_id}"
+        assert r.cms_estimate >= r.true_count
+
+
+def test_bloom_membership_zero_false_negatives(spark):
+    """Bloom filters admit false positives but NEVER false negatives."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.sketches import (
+        q_bloom_membership,
+    )
+
+    rows = q_bloom_membership(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.n_false_neg == 0 for r in rows)
+    # sanity: the filter claims at least every member
+    assert all(r.n_claimed >= r.n_members for r in rows)
+
+
+def test_hll_estimate_within_theoretical_error(spark):
+    """HLL p=8 standard error is 1.04/sqrt(256) = 6.5%; allow 4 sigma."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.sketches import q_hll_sketch
+
+    row = q_hll_sketch(spark, SF_MEDIUM).collect()[0]
+    assert row.n_exact > 0
+    assert row.rel_err < 4 * (1.04 / 16.0), f"rel_err {row.rel_err} out of bound"
