@@ -11,7 +11,7 @@ from pyspark.sql.window import Window
 
 from ..operators.joins import asof_join
 from ..sources.readers import load_table
-from .aggregates import dsum, dsum_sql
+from .aggregates import dec0_to_double_sql, dsum, dsum_sql
 from . import register
 
 
@@ -1399,4 +1399,102 @@ def q_session_window_dynamic(spark, sf_dir):
         F.col("session_window.end").alias("session_end"),
         "n_events",
         "sum_value",
+    )
+
+
+_ACF_MAX_LAG = 7
+
+
+def _acf_oracle_sql() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(14,0)))
+                    AS DECIMAL(16,0)) AS x
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT l.i AS lag, cur.x AS x, prev.x AS y
+        FROM daily cur
+        JOIN (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS i) l ON true
+        JOIN daily prev ON prev.d = cur.d - CAST(l.i AS INT)
+    ),
+    m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS DECIMAL(8,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(16,0)) AS s_x,
+               CAST(SUM(y) AS DECIMAL(16,0)) AS s_y,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(22,0)) AS s_xy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(22,0)) AS s_xx,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(22,0)) AS s_yy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           {dec0_to_double_sql('(n * s_xy - CAST(s_x AS DECIMAL(19,0)) * s_y)')} /
+           (sqrt({dec0_to_double_sql('(n * s_xx - CAST(s_x AS DECIMAL(19,0)) * s_x)')}) *
+            sqrt({dec0_to_double_sql('(n * s_yy - CAST(s_y AS DECIMAL(19,0)) * s_y)')}))
+               AS acf
+    FROM m
+    """
+
+
+@register(
+    "q_autocorrelation",
+    _acf_oracle_sql(),
+    doc="Sample AUTOCORRELATION FUNCTION of the daily revenue series at "
+        "lags 1..7 (the statsmodels-acf companion of "
+        "q_seasonal_decompose — the diagnostic that picks the seasonal "
+        "period instead of assuming it): lag-k Pearson correlation "
+        "between the series and itself shifted k days, via the "
+        "lag-pair formulation (exact moments per lag, closed form "
+        "n*sxy-sx*sy over sqrt products — q_corr_matrix's decimal-"
+        "width discipline, see that docstring). Shape: the raw order "
+        "stream collapses to one bounded row per DAY in the first "
+        "map-side-combining aggregate; the 7-way lag fan-out and "
+        "self-equi-join on shifted date run on the tiny daily frame "
+        "(explode x 7 then equi-join — no range join, no window, no "
+        "SinglePartition exchange). All cross-row sums are exact "
+        "integer decimals (cents); the only FP ops are the final "
+        "shared sub/mul/div/sqrt tree, so the oracle is bitwise. At "
+        "100 TB the cost is ONE scan of orders; everything after is "
+        "metadata-sized.",
+)
+def q_autocorrelation(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(14,0)"))
+        .cast("decimal(16,0)")
+        .alias("x")
+    )
+    lagged = daily.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("lag"),
+        F.col("d").alias("d_prev"),
+        F.col("x").alias("y"),
+    ).withColumn("d", F.date_add(F.col("d_prev"), F.col("lag")))
+    pairs = daily.join(lagged, "d").select("lag", "x", "y")
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("decimal(8,0)").alias("n"),
+        F.sum("x").cast("decimal(16,0)").alias("s_x"),
+        F.sum("y").cast("decimal(16,0)").alias("s_y"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(22,0)")
+        .alias("s_xy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(22,0)")
+        .alias("s_xx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(22,0)")
+        .alias("s_yy"),
+    )
+    from .aggregates import dec0_to_double
+
+    n = F.col("n")
+    num = dec0_to_double(n * F.col("s_xy") - F.col("s_x").cast("decimal(19,0)") * F.col("s_y"))
+    den_x = dec0_to_double(n * F.col("s_xx") - F.col("s_x").cast("decimal(19,0)") * F.col("s_x"))
+    den_y = dec0_to_double(n * F.col("s_yy") - F.col("s_y").cast("decimal(19,0)") * F.col("s_y"))
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        (num / (F.sqrt(den_x) * F.sqrt(den_y))).alias("acf"),
     )

@@ -56,6 +56,47 @@ def dsum_sql(expr: str, scale: int = 2, precision: int = 22) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
 
 
+_2_53 = 9007199254740992  # 2^53
+
+
+def dec0_to_double(col: Column) -> Column:
+    """CORRECTLY-ROUNDED scale-0 decimal → double, identical on both
+    engines at ANY magnitude.
+
+    Discovered while oracling q_autocorrelation: DuckDB's int128→double
+    cast is NOT correctly rounded once the value needs more than ~64
+    bits (127893260360105320068 converts to the neighbor ULP of the
+    nearest double), while Spark's BigDecimal path rounds correctly —
+    so ``CAST(x AS DOUBLE)`` on a wide scale-0 decimal can silently
+    diverge cross-engine even though the decimal itself is exact.
+    Recipe: split |x| at 2^53 — hi = |x| DIV 2^53 and lo = |x| MOD 2^53
+    are both exactly representable doubles, hi·2^53 is an exact
+    power-of-two scaling, and the single IEEE add hi·2^53 + lo is
+    correctly rounded by definition — so the result is THE nearest
+    double of x in any IEEE engine. Bound: hi must fit exactly in a
+    double, i.e. |x| < 2^106 ≈ 8.1e31 — far beyond any moment sum this
+    engine's width discipline allows (callers cap sums at DECIMAL(22)).
+    Use this (with ``dec0_to_double_sql`` on the oracle side) whenever
+    a scale-0 decimal that can exceed 2^53 is cast to double."""
+    a = F.abs(col)
+    lo = a % F.lit(_2_53)  # exact decimal remainder, < 2^53
+    # a - lo is k·2^53 with k < 2^53: exactly representable as a double
+    # (k fits the mantissa, 2^53 only shifts the exponent), so the cast
+    # is exact on Spark's BigDecimal path — no division anywhere
+    mag = (a - lo).cast("double") + lo.cast("double")
+    return F.when(col < 0, -mag).otherwise(mag)
+
+
+def dec0_to_double_sql(expr: str) -> str:
+    """DuckDB side of ``dec0_to_double`` (see its docstring)."""
+    a = f"CAST(abs({expr}) AS HUGEINT)"
+    return (
+        f"(CASE WHEN {expr} < 0 THEN -1.0 ELSE 1.0 END * "
+        f"(CAST({a} // {_2_53} AS DOUBLE) * {float(_2_53)!r} + "
+        f"CAST({a} % {_2_53} AS DOUBLE)))"
+    )
+
+
 def attach_scalar(df, scalar_df):
     """Attach a ONE-ROW aggregate frame (global stats, an average, a
     normalization constant) to every row of ``df``.

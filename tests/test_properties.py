@@ -735,3 +735,52 @@ def test_distributed_kth_smallest_scan_budget(spark, monkeypatch):
         df, "x", 2500, scale=2, total=len(vals), bracket_cap=0
     )
     assert abs(got - want) < 1e-9
+
+
+def test_dec0_to_double_correctly_rounded_vs_duckdb(spark):
+    """DuckDB's int128→double cast is NOT correctly rounded past ~2^64
+    (127893260360105320068 → neighbor ULP; found oracling
+    q_autocorrelation), while Spark's BigDecimal path is. The
+    dec0_to_double / dec0_to_double_sql pair must agree with Python's
+    correctly-rounded float() on both engines, including the landmine
+    value, negatives, zero, and values below 2^53."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from spark_delta_lakehouse_nyctaxi_spark.queries.aggregates import (
+        dec0_to_double,
+        dec0_to_double_sql,
+    )
+
+    values = [
+        127893260360105320068,  # the observed DuckDB mis-rounding
+        -127893260360105320068,
+        2**53 - 1,
+        2**53 + 1,
+        0,
+        123,
+        -7,
+        10**30 + 7,
+        (2**63 - 1) * (2**52 + 1),
+    ]
+    con = duckdb.connect()
+    for v in values:
+        expected = float(v)
+        got_duck = con.execute(
+            f"SELECT {dec0_to_double_sql('x')} FROM "
+            f"(SELECT CAST('{v}' AS DECIMAL(38,0)) x)"
+        ).fetchone()[0]
+        assert got_duck == expected, f"duckdb {v}: {got_duck.hex()} != {expected.hex()}"
+        got_spark = (
+            spark.range(1)
+            .select(dec0_to_double(F.lit(str(v)).cast("decimal(38,0)")).alias("d"))
+            .collect()[0]["d"]
+        )
+        assert got_spark == expected, f"spark {v}: {got_spark.hex()} != {expected.hex()}"
+        # and the raw DuckDB cast really is broken on the landmine —
+        # if this ever starts passing, the helper can be retired
+        if v == 127893260360105320068:
+            raw = con.execute(
+                f"SELECT CAST(CAST('{v}' AS DECIMAL(38,0)) AS DOUBLE)"
+            ).fetchone()[0]
+            assert raw != expected, "DuckDB fixed int128→double rounding?"
