@@ -226,6 +226,10 @@ _PRIORITY: list[str] = [
     "q_hll_sketch",
     "q_count_min",
     "q_bloom_membership",
+    # daily-revenue ACF (exact lag-pair moments, correctly-rounded cast)
+    "q_autocorrelation",
+    # integer-bits unigram surprisal (CCNet perplexity-filter shape)
+    "q_unigram_surprisal",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1583,3 +1583,66 @@ def q_rrf_fusion(spark, sf_dir):
         )
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
+@register(
+    "q_unigram_surprisal",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    voc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM voc),
+    ic AS (
+        SELECT w, CAST(length(bin(t // c)) - 1 AS BIGINT) AS bits
+        FROM voc, tot
+    )
+    SELECT k.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(bits) AS BIGINT) AS sum_bits,
+           CAST(MAX(bits) AS BIGINT) AS max_bits,
+           CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits
+    FROM tok k JOIN ic USING (w)
+    GROUP BY k.doc_id
+    """,
+    doc="Unigram-LM SURPRISAL quality filter (the CCNet/RedPajama "
+        "perplexity-filter shape, made exactly cross-engine): train a "
+        "unigram model ON the corpus, then score each document by its "
+        "total and mean per-token surprisal. Instead of libm ln() "
+        "(which drifts between engines), surprisal is quantized to "
+        "EXACT INTEGER BITS: floor(log2(total/count)) computed with no "
+        "FP at all via floor(log2(x)) = floor(log2(floor(x))) = "
+        "len(bin(total DIV count)) - 1 — within 1 bit of the true "
+        "Shannon surprisal, which is all a keep/drop gate needs. Low "
+        "mean_bits = boilerplate/repetitive, high = rare-token noise; "
+        "the CCNet recipe drops both tails. The single division in "
+        "mean_bits is one IEEE op on exact integers, so the whole "
+        "output is bitwise. Shape: one token explode + count (map-side "
+        "combining), the 1-row total attaches to the VOCAB frame (not "
+        "the corpus — O(vocab) BNLJ, see attach_scalar's contract), "
+        "the ic model broadcasts to the token stream, one per-doc "
+        "aggregate. At open-vocabulary 100 TB the broadcast becomes a "
+        "shuffle join on the token key; everything else is unchanged.",
+)
+def q_unigram_surprisal(spark, sf_dir):
+    from .aggregates import attach_scalar
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+    voc = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = voc.agg(F.sum("c").cast("long").alias("t"))
+    ic = attach_scalar(voc, tot).select(
+        "w",
+        (F.length(F.bin(F.expr("t DIV c"))) - 1).cast("long").alias("bits"),
+    )
+    return (
+        tok.join(F.broadcast(ic), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+            F.max("bits").cast("long").alias("max_bits"),
+            (F.sum("bits").cast("double") / F.count("*")).alias("mean_bits"),
+        )
+    )

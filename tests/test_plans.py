@@ -400,6 +400,7 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_tpch_q22",
     "q_bm25_search",
     "q_rrf_fusion",            # composes q_bm25_search's attach + 1-query brute force
+    "q_unigram_surprisal",     # 1-row corpus-total attaches to the vocab frame
 }
 
 
