@@ -226,6 +226,7 @@ _PRIORITY: list[str] = [
     "q_hll_sketch",
     "q_count_min",
     "q_bloom_membership",
+    "q_hll_merge",
     # daily-revenue ACF (exact lag-pair moments, correctly-rounded cast)
     "q_autocorrelation",
     # integer-bits unigram surprisal (CCNet perplexity-filter shape)

@@ -390,3 +390,120 @@ def q_bloom_membership(spark, sf_dir):
         F.sum(F.when(F.col("claimed") & ~F.col("actual"), 1).otherwise(0)).cast("long").alias("n_false_pos"),
         F.sum(F.when(F.col("actual") & ~F.col("claimed"), 1).otherwise(0)).cast("long").alias("n_false_neg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL mergeability: per-segment sketches union to the global sketch
+# ---------------------------------------------------------------------------
+
+
+def _hll_merge_oracle_sql() -> str:
+    rest = _HLL_REST_BITS
+    return f"""
+    WITH hashed AS (
+        SELECT ('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h,
+               c.c_mktsegment AS seg
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    parts AS (
+        SELECT seg, h % {_HLL_M} AS bucket,
+               CASE WHEN h // {_HLL_M} = 0 THEN {rest + 1}
+                    ELSE bit_count(((h // {_HLL_M}) & -(h // {_HLL_M})) - 1) + 1
+               END AS rho
+        FROM hashed
+    ),
+    shard AS (
+        SELECT seg, bucket, MAX(rho) AS m_j FROM parts GROUP BY seg, bucket
+    ),
+    merged AS (
+        SELECT bucket, MAX(m_j) AS m_j FROM shard GROUP BY bucket
+    ),
+    direct AS (
+        SELECT bucket, MAX(rho) AS m_j FROM parts GROUP BY bucket
+    ),
+    fm AS (
+        SELECT COUNT(*) AS n_set,
+               SUM((CAST(1 AS BIGINT) << ({rest + 1} - m_j))) AS s_present,
+               SUM(m_j * (bucket + 1)) AS checksum_merged
+        FROM merged
+    ),
+    fd AS (
+        SELECT SUM(m_j * (bucket + 1)) AS checksum_direct FROM direct
+    ),
+    shards AS (SELECT COUNT(DISTINCT seg) AS n_shards FROM shard)
+    SELECT CAST(n_shards AS BIGINT) AS n_shards,
+           CAST(n_set AS BIGINT) AS n_registers_set,
+           CAST(checksum_merged AS BIGINT) AS checksum_merged,
+           CAST(checksum_direct AS BIGINT) AS checksum_direct,
+           checksum_merged = checksum_direct AS merge_lossless,
+           (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+               / CAST(s_present + ({_HLL_M} - n_set) * (CAST(1 AS BIGINT) << {rest + 1}) AS DOUBLE)
+               AS hll_estimate
+    FROM fm, fd, shards
+    """
+
+
+@register(
+    "q_hll_merge",
+    _hll_merge_oracle_sql(),
+    doc="HLL MERGEABILITY certificate: build one q_hll_sketch-family "
+        "sketch PER MARKET SEGMENT (the cross-cluster / per-shard "
+        "build), union them by register-wise MAX, and prove the merge "
+        "lossless by emitting the merged AND direct-global register "
+        "checksums side by side with their equality as an output "
+        "column — the algebraic property (max of shard maxima = global "
+        "max) that makes sketches THE cross-datacenter cardinality "
+        "rollup, here verified as data instead of assumed. Shape: one "
+        "fact-dim equi-join, then (seg, bucket) and (bucket) map-side-"
+        "combining aggregates over at most shards x 256 register rows; "
+        "the only data-sized step is the join. Every register is an "
+        "exact integer on the portable md5 family — bitwise oracle, "
+        "estimate included.",
+)
+def q_hll_merge(spark, sf_dir):
+    rest = _HLL_REST_BITS
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    hashed = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        md5_id(F.col("o_custkey").cast("string")).alias("h"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    rho = (
+        F.when(F.shiftright(F.col("h"), 8) == 0, F.lit(rest + 1))
+        .otherwise(
+            F.bit_count(F.expr("(shiftright(h, 8) & -shiftright(h, 8))") - F.lit(1))
+            + F.lit(1)
+        )
+    )
+    parts = hashed.select("seg", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+    shard = parts.groupBy("seg", "bucket").agg(F.max("rho").alias("m_j"))
+    merged = shard.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    direct = parts.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    fm = merged.agg(
+        F.count("*").alias("n_set"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {rest + 1} - CAST(m_j AS INT))")
+        ).alias("s_present"),
+        F.sum(F.col("m_j") * (F.col("bucket") + 1)).alias("checksum_merged"),
+    )
+    fd = direct.agg(F.sum(F.col("m_j") * (F.col("bucket") + 1)).alias("checksum_direct"))
+    shards = shard.agg(F.count_distinct("seg").alias("n_shards"))
+    denom = F.col("s_present") + (F.lit(_HLL_M) - F.col("n_set")) * F.shiftleft(
+        F.lit(1).cast("long"), rest + 1
+    )
+    alpha_m2_scale = (
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+        * F.lit(65536.0)
+        * F.lit(9007199254740992.0)
+    )
+    from .aggregates import attach_scalar
+
+    out = attach_scalar(attach_scalar(fm, fd), shards)
+    return out.select(
+        F.col("n_shards").cast("long").alias("n_shards"),
+        F.col("n_set").cast("long").alias("n_registers_set"),
+        F.col("checksum_merged").cast("long").alias("checksum_merged"),
+        F.col("checksum_direct").cast("long").alias("checksum_direct"),
+        (F.col("checksum_merged") == F.col("checksum_direct")).alias("merge_lossless"),
+        (alpha_m2_scale / denom.cast("double")).alias("hll_estimate"),
+    )

@@ -1299,3 +1299,14 @@ def test_pca_projection_scores_are_centered_dots(spark):
     assert len(rows) == 15
     scores = [abs(r.pc1_score) for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_hll_merge_is_lossless(spark):
+    """max-of-shard-maxima == global max: the mergeability property
+    that makes sketches a cross-cluster rollup, asserted on data."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.sketches import q_hll_merge
+
+    r = q_hll_merge(spark, SF_SMALL).collect()[0]
+    assert r.merge_lossless is True
+    assert r.checksum_merged == r.checksum_direct
+    assert r.n_shards >= 2

@@ -401,6 +401,7 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_bm25_search",
     "q_rrf_fusion",            # composes q_bm25_search's attach + 1-query brute force
     "q_unigram_surprisal",     # 1-row corpus-total attaches to the vocab frame
+    "q_hll_merge",             # three 1-row register folds cross-attached
 }
 
 
