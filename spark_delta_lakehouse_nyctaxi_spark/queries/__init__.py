@@ -36,6 +36,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, sql: Optional[str], doc: str = ""):
     def deco(fn):
+        # a duplicate name would silently SHADOW the earlier query (its
+        # fn, oracle, and driver row all replaced by the newcomer's) —
+        # refuse loudly instead; this bit once when a new module
+        # re-registered q_event_funnel over advanced.py's stricter one
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already defined as {REGISTRY[name].fn.__module__}."
+                f"{REGISTRY[name].fn.__qualname__})"
+            )
         REGISTRY[name] = QuerySpec(fn=fn, sql=sql, doc=doc)
         return fn
 
@@ -61,6 +71,7 @@ from . import tpch  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 
 
 # Round-5 rotation.  The driver verifies ~50 registry entries per round
@@ -234,6 +245,11 @@ _PRIORITY: list[str] = [
     # dominant principal component + outlier projection (power iteration)
     "q_pca_power_iteration",
     "q_pca_projection",
+    # behavioral-analytics tier (cohorts / ttest / benford / ewma)
+    "q_retention_cohorts",
+    "q_ab_welch_ttest",
+    "q_benford_audit",
+    "q_ewma_smoother",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

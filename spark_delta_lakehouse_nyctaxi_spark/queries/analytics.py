@@ -1,0 +1,364 @@
+"""Behavioral / product-analytics queries over the events table:
+conversion funnels, retention cohorts, transition matrices, two-sample
+experiment statistics, forensic digit audits.
+
+These extend the engine's north-star surface with the event-analytics
+tier every lakehouse ETL feeds (the reference pipeline's gold layer
+stops at daily KPIs; a consumer of those tables runs exactly these
+shapes downstream). Determinism contract is the repo standard: exact
+integer/decimal aggregates, final statistics as fixed left-associated
+IEEE trees (mul/sub/add/div/sqrt only), bitwise DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from . import register
+
+def dlit(x: float) -> str:
+    """Render a python double as a DuckDB DOUBLE literal, exactly.
+
+    A plain decimal string with > 15 significant digits (e.g.
+    '0.9999847412109375') parses as DECIMAL(16,16) in DuckDB, and a
+    later CAST to DOUBLE converts units→double then divides by
+    10^scale — TWO roundings once the unit count passes 2^53, yielding
+    a slightly different constant than the one python/Spark hold.
+    Scientific notation forces the parser down the DOUBLE path, which
+    is correctly rounded. 17 significant digits round-trip any double."""
+    return f"{x:.17e}"
+
+
+@register(
+    "q_retention_cohorts",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               CAST((CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT) // 7 AS week
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_week
+    ),
+    ret AS (
+        SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM active a JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.week_offset,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(r.n_active AS DOUBLE) / s.cohort_size AS retention_rate
+    FROM ret r JOIN sizes s USING (cohort_week)
+    """,
+    doc="RETENTION COHORT table (the week-over-week retention triangle "
+        "of product analytics): cohort = a user's first active "
+        "epoch-week (epoch-day DIV 7 — engine-neutral, no week-start "
+        "convention to disagree on), one row per (cohort_week, "
+        "week_offset) with the surviving-user count and rate. Shape: "
+        "the raw event stream dedups to (user, week) ONCE — the only "
+        "data-sized aggregate; cohorts derive from that frame; the "
+        "offset matrix is a self-equi-join of the deduped frame with "
+        "the broadcast cohort map. At 100 TB: one shuffle on user_id, "
+        "everything downstream bounded by users x weeks. Rates are "
+        "single IEEE divisions of exact counts — bitwise.",
+)
+def q_retention_cohorts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    epoch_week = (
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).cast("long")
+        / F.lit(7)
+    ).cast("long")  # non-negative days: cast truncation == floor == DuckDB //
+    active = ev.select("user_id", epoch_week.alias("week")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    ret = (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention_rate"),
+    )
+
+
+@register(
+    "q_ab_welch_ttest",
+    """
+    WITH m AS (
+        SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS DECIMAL(15,0)) AS n1,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS DECIMAL(15,0)) AS n2,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(value * 100 AS DECIMAL(14,0)) END)
+                    AS DECIMAL(16,0)) AS s1,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                        THEN CAST(value * 100 AS DECIMAL(14,0)) END)
+                    AS DECIMAL(16,0)) AS s2,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(CAST(value * 100 AS DECIMAL(14,0))
+                             AS DECIMAL(19,0)) * CAST(value * 100 AS DECIMAL(14,0)) END)
+                    AS DECIMAL(22,0)) AS q1,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                        THEN CAST(CAST(value * 100 AS DECIMAL(14,0))
+                             AS DECIMAL(19,0)) * CAST(value * 100 AS DECIMAL(14,0)) END)
+                    AS DECIMAL(22,0)) AS q2
+        FROM events
+    ),
+    d AS (
+        SELECT CAST(n1 AS BIGINT) AS n1_b, CAST(n2 AS BIGINT) AS n2_b,
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+               CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+               CAST(n1 * q1 - CAST(s1 AS DECIMAL(19,0)) * s1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)
+                      * CAST(n1 AS DOUBLE)) AS se1,
+               CAST(n2 * q2 - CAST(s2 AS DECIMAL(19,0)) * s2 AS DOUBLE)
+                   / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)
+                      * CAST(n2 AS DOUBLE)) AS se2
+        FROM m
+    )
+    SELECT n1_b AS n_click, n2_b AS n_view,
+           m1 AS mean_click_cents, m2 AS mean_view_cents,
+           m1 - m2 AS mean_diff_cents,
+           (m1 - m2) / sqrt(se1 + se2) AS t_stat,
+           (se1 + se2) * (se1 + se2)
+               / (se1 * se1 / (CAST(n1_b AS DOUBLE) - 1.0)
+                  + se2 * se2 / (CAST(n2_b AS DOUBLE) - 1.0)) AS welch_dof
+    FROM d
+    """,
+    doc="WELCH TWO-SAMPLE T-TEST between the value distributions of "
+        "'click' and 'view' events — the A/B-experiment readout "
+        "(unequal variances, Welch-Satterthwaite dof), computed from "
+        "ONE conditional-moment pass: n/sum/sum-of-squares per arm as "
+        "exact integer decimals (q_corr_matrix's cents discipline and "
+        "width proof), then t = (m1-m2)/sqrt(s1^2/n1 + s2^2/n2) and "
+        "the dof as one fixed IEEE tree — no variance two-pass, no "
+        "libm beyond sqrt, bitwise oracle. se_i here is s_i^2/n_i "
+        "(the squared standard error). At 100 TB: one scan, one 1-row "
+        "aggregate — the cheapest possible experiment analysis.",
+)
+def q_ab_welch_ttest(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value") * 100).cast("decimal(14,0)")
+
+    def arm(cond_type):
+        c = F.when(F.col("event_type") == cond_type, cents)
+        csq = F.when(
+            F.col("event_type") == cond_type, cents.cast("decimal(19,0)") * cents
+        )
+        return c, csq
+
+    c1, q1 = arm("click")
+    c2, q2 = arm("view")
+    m = ev.agg(
+        F.sum((F.col("event_type") == "click").cast("int")).cast("decimal(15,0)").alias("n1"),
+        F.sum((F.col("event_type") == "view").cast("int")).cast("decimal(15,0)").alias("n2"),
+        F.sum(c1).cast("decimal(16,0)").alias("s1"),
+        F.sum(c2).cast("decimal(16,0)").alias("s2"),
+        F.sum(q1).cast("decimal(22,0)").alias("q1"),
+        F.sum(q2).cast("decimal(22,0)").alias("q2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1d
+    m2 = F.col("s2").cast("double") / n2d
+    se1 = (F.col("n1") * F.col("q1") - F.col("s1").cast("decimal(19,0)") * F.col("s1")).cast(
+        "double"
+    ) / (n1d * (n1d - F.lit(1.0)) * n1d)
+    se2 = (F.col("n2") * F.col("q2") - F.col("s2").cast("decimal(19,0)") * F.col("s2")).cast(
+        "double"
+    ) / (n2d * (n2d - F.lit(1.0)) * n2d)
+    d = m.select(
+        F.col("n1").cast("long").alias("n1_b"),
+        F.col("n2").cast("long").alias("n2_b"),
+        m1.alias("m1"),
+        m2.alias("m2"),
+        se1.alias("se1"),
+        se2.alias("se2"),
+    )
+    return d.select(
+        F.col("n1_b").alias("n_click"),
+        F.col("n2_b").alias("n_view"),
+        F.col("m1").alias("mean_click_cents"),
+        F.col("m2").alias("mean_view_cents"),
+        (F.col("m1") - F.col("m2")).alias("mean_diff_cents"),
+        ((F.col("m1") - F.col("m2")) / F.sqrt(F.col("se1") + F.col("se2"))).alias("t_stat"),
+        (
+            (F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1_b").cast("double") - F.lit(1.0))
+                + F.col("se2") * F.col("se2") / (F.col("n2_b").cast("double") - F.lit(1.0))
+            )
+        ).alias("welch_dof"),
+    )
+
+
+# log10(1 + 1/d) for d = 1..9, written at full 17-sig-digit precision so
+# both engines parse the literal to the identical double
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+
+def _benford_oracle_sql() -> str:
+    counts = ", ".join(
+        f"CAST(SUM(CASE WHEN substr(CAST(CAST(o_totalprice * 100 AS DECIMAL(14,0)) "
+        f"AS VARCHAR), 1, 1) = '{d}' THEN 1 ELSE 0 END) AS BIGINT) AS c{d}"
+        for d in range(1, 10)
+    )
+    chi2 = " + ".join(
+        f"(CAST(c{d} AS DOUBLE) - CAST(n AS DOUBLE) * {dlit(float(p))}) * "
+        f"(CAST(c{d} AS DOUBLE) - CAST(n AS DOUBLE) * {dlit(float(p))}) / "
+        f"(CAST(n AS DOUBLE) * {dlit(float(p))})"
+        for d, p in _BENFORD_P.items()
+    )
+    arms = "\n        UNION ALL ".join(
+        f"SELECT {d} AS digit, c{d} AS n_observed, "
+        f"CAST(c{d} AS DOUBLE) / CAST(n AS DOUBLE) AS freq_observed, "
+        f"{dlit(float(p))} AS freq_benford, chi2, n FROM agg2"
+        for d, p in _BENFORD_P.items()
+    )
+    return f"""
+    WITH agg AS (
+        SELECT COUNT(*) AS n, {counts}
+        FROM orders WHERE o_totalprice > 0
+    ),
+    agg2 AS (SELECT *, ({chi2}) AS chi2 FROM agg)
+    SELECT digit, n_observed, freq_observed, freq_benford, chi2,
+           CAST(n AS BIGINT) AS n
+    FROM ({arms})
+    """
+
+
+@register(
+    "q_benford_audit",
+    _benford_oracle_sql(),
+    doc="BENFORD'S-LAW forensic audit of order totals: leading-digit "
+        "distribution vs log10(1+1/d) with the chi-square statistic — "
+        "the fraud/synthetic-data smell test auditors run on financial "
+        "columns (synthetic uniform data FAILS it loudly, which is "
+        "itself the honest readout here). Digit extraction is exact "
+        "and engine-neutral: the amount becomes integer CENTS "
+        "(tie-free decimal cast) and the first character of the "
+        "integer's decimal rendering is the leading significant digit "
+        "— no log10/pow FP boundary risk. The nine Benford "
+        "probabilities enter both engines as identical 17-digit "
+        "literals; chi2 is one fixed IEEE tree over exact counts — "
+        "bitwise. One scan, one 1-row aggregate fanned to 9 rows: "
+        "scale-free.",
+)
+def q_benford_audit(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice") * 100).cast("decimal(14,0)")
+    first = F.substring(cents.cast("string"), 1, 1)
+    agg = orders.filter(F.col("o_totalprice") > 0).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum((first == str(d)).cast("int")).cast("long").alias(f"c{d}")
+            for d in range(1, 10)
+        ],
+    )
+    nD = F.col("n").cast("double")
+    chi2 = None
+    for d, p in _BENFORD_P.items():
+        term = (
+            (F.col(f"c{d}").cast("double") - nD * F.lit(float(p)))
+            * (F.col(f"c{d}").cast("double") - nD * F.lit(float(p)))
+            / (nD * F.lit(float(p)))
+        )
+        chi2 = term if chi2 is None else chi2 + term
+    agg2 = agg.withColumn("chi2", chi2)
+    stack_args = ", ".join(
+        f"{d}, c{d}, CAST(c{d} AS DOUBLE) / CAST(n AS DOUBLE), "
+        f"CAST({p} AS DOUBLE)"
+        for d, p in _BENFORD_P.items()
+    )
+    return agg2.selectExpr(
+        f"stack(9, {stack_args}) AS (digit, n_observed, freq_observed, freq_benford)",
+        "chi2",
+        "CAST(n AS BIGINT) AS n",
+    )
+
+
+_EWMA_TERMS = 16
+# dyadic weight mass of 16 terms: 1 - 2^-16, exactly representable
+_EWMA_MASS = 1.0 - 2.0 ** -_EWMA_TERMS
+
+
+def _ewma_oracle_sql() -> str:
+    lags = ", ".join(
+        f"LAG(value, {i}) OVER w AS x{i}" for i in range(_EWMA_TERMS)
+    )
+    # dlit() every constant: bare decimal literals parse as DECIMAL in
+    # DuckDB and pull the arithmetic out of the double domain (1-ulp
+    # drift on most rows, found the hard way — see dlit's docstring)
+    raw = " + ".join(
+        f"x{i} * {dlit(2.0 ** -(i + 1))}" for i in range(_EWMA_TERMS)
+    )
+    return f"""
+    WITH lagged AS (
+        SELECT user_id, event_id, ts, value, {lags}
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, value,
+           ({raw}) / {dlit(_EWMA_MASS)} AS ewma
+    FROM lagged WHERE x{_EWMA_TERMS - 1} IS NOT NULL
+    """
+
+
+@register(
+    "q_ewma_smoother",
+    _ewma_oracle_sql(),
+    doc="Per-user EXPONENTIAL MOVING AVERAGE (half-life 1 event, the "
+        "alpha=1/2 EWMA) of event values — the streaming-metrics "
+        "smoother, formulated EXACTLY: with a dyadic alpha every "
+        "weight 2^-(i+1) is a power of two, so each term x*2^-k is an "
+        "EXACT FP scaling (no rounding at all), the 16-term truncated "
+        "sum is one fixed left-associated tree, and the tail "
+        "renormalization divides by the exactly-representable mass "
+        "1-2^-16 — bitwise with NO decimal casts anywhere, the only "
+        "query family where raw double arithmetic is exact by "
+        "construction. Truncation at 16 terms bounds the discarded "
+        "mass at 2^-16 of the oldest history (renormalized away) and "
+        "keeps the plan a single per-user window pass (PARTITION BY "
+        "user — thousands of concurrent partitions, deterministic "
+        "(ts, event_id) order, full-history rows only). At 100 TB: "
+        "one shuffle on user_id, embarrassingly parallel after.",
+)
+def q_ewma_smoother(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        *[F.lag("value", i).over(w).alias(f"x{i}") for i in range(_EWMA_TERMS)],
+    )
+    raw = F.col("x0") * F.lit(2.0 ** -1)
+    for i in range(1, _EWMA_TERMS):
+        raw = raw + F.col(f"x{i}") * F.lit(2.0 ** -(i + 1))
+    return lagged.filter(F.col(f"x{_EWMA_TERMS - 1}").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "value",
+        (raw / F.lit(_EWMA_MASS)).alias("ewma"),
+    )

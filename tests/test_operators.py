@@ -1310,3 +1310,60 @@ def test_hll_merge_is_lossless(spark):
     assert r.merge_lossless is True
     assert r.checksum_merged == r.checksum_direct
     assert r.n_shards >= 2
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics (queries/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def test_markov_rows_are_conditional_distributions(spark):
+    import math
+
+    from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_markov_transitions"].fn(spark, SF_SMALL).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev, []).append(r.prob)
+    for prev, ps in by_prev.items():
+        assert abs(math.fsum(ps) - 1.0) < 1e-12, prev
+
+
+def test_retention_offset_zero_is_full_cohort(spark):
+    from spark_delta_lakehouse_nyctaxi_spark.queries.analytics import (
+        q_retention_cohorts,
+    )
+
+    rows = q_retention_cohorts(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.retention_rate <= 1.0
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size
+
+
+def test_ewma_matches_sequential_recursion(spark):
+    """The 16-term truncated dyadic EWMA must equal the renormalized
+    prefix of the classic recursion s_t = x_t/2 + s_{t-1}/2."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.analytics import (
+        q_ewma_smoother,
+    )
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    out = {r.event_id: r.ewma for r in q_ewma_smoother(spark, SF_SMALL).collect()}
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    uid, seq = next((u, s) for u, s in by_user.items() if len(s) >= 16)
+    xs = [r.value for r in seq[:16]][::-1]  # xs[0] = newest
+    raw = xs[0] * 2.0**-1
+    for i in range(1, 16):
+        raw = raw + xs[i] * 2.0 ** -(i + 1)
+    expected = raw / (1.0 - 2.0**-16)
+    assert out[seq[15].event_id] == expected
