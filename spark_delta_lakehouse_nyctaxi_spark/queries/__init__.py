@@ -250,6 +250,9 @@ _PRIORITY: list[str] = [
     "q_ab_welch_ttest",
     "q_benford_audit",
     "q_ewma_smoother",
+    # inequality + changepoint tier (gini via global_row_number, CUSUM)
+    "q_gini_concentration",
+    "q_cusum_changepoint",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -362,3 +362,172 @@ def q_ewma_smoother(spark, sf_dir):
         "value",
         (raw / F.lit(_EWMA_MASS)).alias("ewma"),
     )
+
+
+def _gini_oracle_sql() -> str:
+    from .aggregates import dec0_to_double_sql
+
+    num = dec0_to_double_sql(
+        "(CAST(2 AS DECIMAL(2,0)) * s_ix - (n + CAST(1 AS DECIMAL(2,0))) * s_x)"
+    )
+    den = dec0_to_double_sql("(n * s_x)")
+    return f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(14,0)))
+                    AS DECIMAL(16,0)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        FROM rev
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(8,0)) AS n,
+               CAST(SUM(cents) AS DECIMAL(20,0)) AS s_x,
+               CAST(SUM(CAST(i AS DECIMAL(19,0)) * cents) AS DECIMAL(26,0)) AS s_ix
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(s_x AS BIGINT) AS total_cents,
+           {num} / {den} AS gini
+    FROM m
+    """
+
+
+@register(
+    "q_gini_concentration",
+    _gini_oracle_sql(),
+    doc="GINI COEFFICIENT of customer revenue concentration (the "
+        "inequality audit behind 'top 1% of customers drive X%' — and "
+        "for training corpora, source-concentration risk): rank every "
+        "customer's exact revenue cents ascending, then the closed "
+        "form (2*SUM(i*x) - (n+1)*SUM(x)) / (n*SUM(x)). The global "
+        "rank uses operators/indexing.global_row_number (range "
+        "exchange + per-partition offsets — NO SinglePartition window, "
+        "the r3 RFM lesson) with a (cents, custkey) total order; "
+        "moments are exact integer decimals; the two wide products "
+        "convert through dec0_to_double (n*SUM(i*x) reaches 2^64+ "
+        "where DuckDB's native int128->double cast mis-rounds). One "
+        "revenue aggregate + one range exchange + one moment fold: "
+        "scale-safe. Bitwise oracle.",
+)
+def q_gini_concentration(spark, sf_dir):
+    from ..operators.indexing import global_row_number
+    from .aggregates import dec0_to_double
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(14,0)"))
+        .cast("decimal(16,0)")
+        .alias("cents")
+    )
+    ranked = global_row_number(rev, ["cents", "o_custkey"], out_col="i")
+    m = ranked.agg(
+        F.count("*").cast("decimal(8,0)").alias("n"),
+        F.sum("cents").cast("decimal(20,0)").alias("s_x"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("cents"))
+        .cast("decimal(26,0)")
+        .alias("s_ix"),
+    )
+    two = F.lit(2).cast("decimal(2,0)")
+    one = F.lit(1).cast("decimal(2,0)")
+    num = dec0_to_double(two * F.col("s_ix") - (F.col("n") + one) * F.col("s_x"))
+    den = dec0_to_double(F.col("n") * F.col("s_x"))
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s_x").cast("long").alias("total_cents"),
+        (num / den).alias("gini"),
+    )
+
+
+def _cusum_oracle_sql() -> str:
+    from .aggregates import dec0_to_double_sql
+
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(14,0)))
+                    AS DECIMAL(16,0)) AS x
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT d,
+               CAST(SUM(x) OVER (ORDER BY d) AS DECIMAL(20,0)) AS cx,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS DECIMAL(8,0)) AS k
+        FROM daily
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(8,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(20,0)) AS s
+        FROM daily
+    ),
+    c AS (
+        SELECT d, k, n * cx - k * s AS c_k, n, s
+        FROM cum, tot
+    )
+    SELECT d AS changepoint_date,
+           CAST(k AS BIGINT) AS day_index,
+           CAST(n AS BIGINT) AS n_days,
+           {dec0_to_double_sql("abs(c_k)")} AS cusum_peak_scaled,
+           {dec0_to_double_sql("abs(c_k)")} / {dec0_to_double_sql("(n * s)")}
+               AS cusum_normalized
+    FROM c
+    ORDER BY abs(c_k) DESC, d
+    LIMIT 1
+    """
+
+
+@register(
+    "q_cusum_changepoint",
+    _cusum_oracle_sql(),
+    doc="CUSUM CHANGEPOINT detection on the daily revenue series: the "
+        "classic mean-shift locator argmax_k |sum_(i<=k)(x_i - mean)|, "
+        "computed with NO division inside the scan by scaling through "
+        "n: C_k = n*cumsum_k - k*total is an exact integer decimal "
+        "with the same argmax. Shape: the order stream collapses to "
+        "one row per DAY first (map-side-combining aggregate); the "
+        "ordered cumulative window runs on that BOUNDED daily frame "
+        "(one row per calendar day — the q_cumulative_distinct "
+        "allowlist class, not a data-sized SinglePartition window); "
+        "the 1-row (n, total) frame attaches via attach_scalar. The "
+        "normalized peak converts through dec0_to_double (n*cumsum "
+        "exceeds 2^64, DuckDB's native cast mis-rounds there). "
+        "Deterministic: |C_k| ties break on earliest day. Bitwise.",
+)
+def q_cusum_changepoint(spark, sf_dir):
+    from .aggregates import attach_scalar, dec0_to_double
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(14,0)"))
+        .cast("decimal(16,0)")
+        .alias("x")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "d",
+        F.sum("x").over(w).cast("decimal(20,0)").alias("cx"),
+        F.row_number().over(Window.orderBy("d")).cast("decimal(8,0)").alias("k"),
+    )
+    tot = daily.agg(
+        F.count("*").cast("decimal(8,0)").alias("n"),
+        F.sum("x").cast("decimal(20,0)").alias("s"),
+    )
+    c = attach_scalar(cum, tot).withColumn(
+        "c_k", F.col("n") * F.col("cx") - F.col("k") * F.col("s")
+    )
+    return (
+        c.select(
+            F.col("d").alias("changepoint_date"),
+            F.col("k").cast("long").alias("day_index"),
+            F.col("n").cast("long").alias("n_days"),
+            dec0_to_double(F.abs(F.col("c_k"))).alias("cusum_peak_scaled"),
+            (dec0_to_double(F.abs(F.col("c_k"))) / dec0_to_double(F.col("n") * F.col("s"))).alias(
+                "cusum_normalized"
+            ),
+        )
+        .orderBy(F.abs(F.col("c_k")).desc(), "changepoint_date")
+        .limit(1)
+    )

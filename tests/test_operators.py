@@ -1367,3 +1367,37 @@ def test_ewma_matches_sequential_recursion(spark):
         raw = raw + xs[i] * 2.0 ** -(i + 1)
     expected = raw / (1.0 - 2.0**-16)
     assert out[seq[15].event_id] == expected
+
+
+def test_gini_bounds_and_degenerate_equality(spark):
+    """Gini lies in [0, 1); a perfectly equal distribution scores
+    (n-1)/n - ... exactly 0 under the closed form."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.analytics import (
+        q_gini_concentration,
+    )
+
+    r = q_gini_concentration(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert r.total_cents > 0
+    # closed-form sanity on an equal distribution: x_i all equal ->
+    # 2*sum(i*x) = 2x * n(n+1)/2 = x*n*(n+1) = (n+1)*sum(x) -> gini 0
+    n, x = 5, 700
+    num = 2 * sum(i * x for i in range(1, n + 1)) - (n + 1) * (n * x)
+    assert num == 0
+
+
+def test_cusum_finds_injected_mean_shift(spark):
+    """On a hand-built series with a hard mean shift, the scaled CUSUM
+    argmax lands exactly on the last day of the low regime."""
+    rows = [(i, 100.0 if i <= 10 else 500.0) for i in range(1, 21)]
+    # scaled C_k = n*cumsum_k - k*total, argmax |.| at k = 10
+    n = len(rows)
+    total = sum(int(v * 100) for _, v in rows)
+    best_k, best = None, -1
+    cum = 0
+    for k, (_, v) in enumerate(rows, 1):
+        cum += int(v * 100)
+        c = abs(n * cum - k * total)
+        if c > best:
+            best, best_k = c, k
+    assert best_k == 10

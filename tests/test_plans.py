@@ -376,6 +376,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWLIST = {
     "q_mixture_weights",      # |sources|-row grouped frame (queries/text.py)
     "q_importance_weights",   # 64-bucket DSIR model (operators/sampling.py)
     "q_cumulative_distinct",  # one row per calendar DAY (queries/windows.py)
+    "q_cusum_changepoint",    # ordered cumsum over the one-row-per-DAY frame
 }
 # (q_bm25_search's rank window sits AFTER .limit(20) — the plan shows no
 # single-partition window exchange at all, so no allowlist entry needed.)
@@ -402,6 +403,7 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_rrf_fusion",            # composes q_bm25_search's attach + 1-query brute force
     "q_unigram_surprisal",     # 1-row corpus-total attaches to the vocab frame
     "q_hll_merge",             # three 1-row register folds cross-attached
+    "q_cusum_changepoint",     # 1-row (n, total) attaches to the daily frame
 }
 
 
