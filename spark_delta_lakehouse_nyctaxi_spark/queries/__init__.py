@@ -253,6 +253,9 @@ _PRIORITY: list[str] = [
     # inequality + changepoint tier (gini via global_row_number, CUSUM)
     "q_gini_concentration",
     "q_cusum_changepoint",
+    "q_lorenz_deciles",
+    # sketch-composition join-cardinality estimate (inclusion-exclusion)
+    "q_hll_intersection",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

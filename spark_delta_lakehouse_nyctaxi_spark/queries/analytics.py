@@ -531,3 +531,76 @@ def q_cusum_changepoint(spark, sf_dir):
         .orderBy(F.abs(F.col("c_k")).desc(), "changepoint_date")
         .limit(1)
     )
+
+
+def _lorenz_oracle_sql() -> str:
+    return """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(14,0)))
+                    AS DECIMAL(16,0)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+        FROM rev
+    ),
+    per AS (
+        SELECT decile, COUNT(*) AS n_customers,
+               CAST(SUM(cents) AS DECIMAL(20,0)) AS decile_cents
+        FROM tiled GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS DECIMAL(20,0)) AS t FROM rev)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(decile_cents AS BIGINT) AS decile_cents,
+           CAST(decile_cents AS DOUBLE) / CAST(t AS DOUBLE) AS revenue_share,
+           CAST(SUM(decile_cents) OVER (ORDER BY decile) AS DOUBLE)
+               / CAST(t AS DOUBLE) AS cumulative_share
+    FROM per, tot
+    """
+
+
+@register(
+    "q_lorenz_deciles",
+    _lorenz_oracle_sql(),
+    doc="LORENZ CURVE by revenue deciles — the visualization companion "
+        "of q_gini_concentration ('the bottom 50% of customers hold X% "
+        "of revenue'): customers NTILE into 10 revenue-ordered buckets "
+        "via operators/indexing.distributed_ntile (range exchange + "
+        "closed-form bucket sizes, bit-identical to the window NTILE "
+        "with NO SinglePartition exchange on the data-sized frame), "
+        "then one 10-row aggregate; the cumulative share runs on the "
+        "TEN-row frame (bounded-frame window class). Exact cents "
+        "throughout; the share divisions are single IEEE ops on "
+        "sums below 2^53 at any realistic revenue — bitwise. "
+        "Deterministic: (cents, custkey) total order.",
+)
+def q_lorenz_deciles(spark, sf_dir):
+    from ..operators.indexing import distributed_ntile
+    from .aggregates import attach_scalar
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(14,0)"))
+        .cast("decimal(16,0)")
+        .alias("cents")
+    )
+    tiled = distributed_ntile(rev, 10, ["cents", "o_custkey"], out_col="decile")
+    per = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").cast("decimal(20,0)").alias("decile_cents"),
+    )
+    tot = rev.agg(F.sum("cents").cast("decimal(20,0)").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return attach_scalar(per, tot).select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("decile_cents").cast("long").alias("decile_cents"),
+        (F.col("decile_cents").cast("double") / F.col("t").cast("double")).alias(
+            "revenue_share"
+        ),
+        (
+            F.sum("decile_cents").over(w).cast("double") / F.col("t").cast("double")
+        ).alias("cumulative_share"),
+    )

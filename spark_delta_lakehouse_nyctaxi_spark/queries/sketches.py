@@ -507,3 +507,164 @@ def q_hll_merge(spark, sf_dir):
         (F.col("checksum_merged") == F.col("checksum_direct")).alias("merge_lossless"),
         (alpha_m2_scale / denom.cast("double")).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL inclusion-exclusion: intersection-cardinality estimate vs exact
+# ---------------------------------------------------------------------------
+
+
+def _hll_est_sql(n_set: str, s_present: str) -> str:
+    rest1 = _HLL_REST_BITS + 1
+    return (
+        f"(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0"
+        f" / CAST({s_present} + ({_HLL_M} - {n_set}) *"
+        f" (CAST(1 AS BIGINT) << {rest1}) AS DOUBLE)"
+    )
+
+
+def _hll_intersect_oracle_sql() -> str:
+    rest = _HLL_REST_BITS
+    return f"""
+    WITH tagged AS (
+        SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h,
+               o_custkey,
+               o_orderpriority = '1-URGENT' AS in_a,
+               o_orderpriority = '5-LOW' AS in_b
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    parts AS (
+        SELECT in_a, in_b, h % {_HLL_M} AS bucket,
+               CASE WHEN h // {_HLL_M} = 0 THEN {rest + 1}
+                    ELSE bit_count(((h // {_HLL_M}) & -(h // {_HLL_M})) - 1) + 1
+               END AS rho,
+               o_custkey
+        FROM tagged
+    ),
+    regs AS (
+        SELECT bucket,
+               MAX(CASE WHEN in_a THEN rho END) AS m_a,
+               MAX(CASE WHEN in_b THEN rho END) AS m_b,
+               MAX(rho) AS m_u
+        FROM parts GROUP BY bucket
+    ),
+    folded AS (
+        SELECT COUNT(m_a) AS k_a, COUNT(m_b) AS k_b, COUNT(m_u) AS k_u,
+               SUM(CASE WHEN m_a IS NOT NULL
+                        THEN (CAST(1 AS BIGINT) << ({rest + 1} - m_a)) END) AS s_a,
+               SUM(CASE WHEN m_b IS NOT NULL
+                        THEN (CAST(1 AS BIGINT) << ({rest + 1} - m_b)) END) AS s_b,
+               SUM((CAST(1 AS BIGINT) << ({rest + 1} - m_u))) AS s_u
+        FROM regs
+    ),
+    exact AS (
+        SELECT COUNT(DISTINCT CASE WHEN in_a THEN o_custkey END) AS x_a,
+               COUNT(DISTINCT CASE WHEN in_b THEN o_custkey END) AS x_b
+        FROM parts
+    ),
+    exact_i AS (
+        SELECT COUNT(*) AS x_i FROM (
+            SELECT o_custkey FROM parts
+            GROUP BY o_custkey HAVING BOOL_OR(in_a) AND BOOL_OR(in_b)
+        )
+    )
+    SELECT CAST(x_a AS BIGINT) AS exact_a, CAST(x_b AS BIGINT) AS exact_b,
+           CAST(x_i AS BIGINT) AS exact_intersection,
+           {_hll_est_sql('k_a', 's_a')} AS est_a,
+           {_hll_est_sql('k_b', 's_b')} AS est_b,
+           {_hll_est_sql('k_u', 's_u')} AS est_union,
+           {_hll_est_sql('k_a', 's_a')} + {_hll_est_sql('k_b', 's_b')}
+               - {_hll_est_sql('k_u', 's_u')} AS est_intersection
+    FROM folded, exact, exact_i
+    """
+
+
+@register(
+    "q_hll_intersection",
+    _hll_intersect_oracle_sql(),
+    doc="HLL INCLUSION-EXCLUSION intersection estimate — the sketch "
+        "composition a cost-based planner uses to size a join's key "
+        "overlap WITHOUT scanning twice: urgent-order customers (A) vs "
+        "low-priority customers (B), |A ∩ B| ≈ est(A) + est(B) - "
+        "est(A ∪ B), where all THREE registers families come out of "
+        "ONE grouped aggregate (the union registers are max(rho) over "
+        "the tagged stream — no second pass, no union materialized) "
+        "and the exact intersection rides the same lineage for the "
+        "honesty check. Inclusion-exclusion on sketches is noisier "
+        "than each component (documented HLL caveat) — which is "
+        "exactly why the exact column sits next to it. Every register "
+        "exact; estimates are shared IEEE trees — bitwise. Scale: one "
+        "pass, ≤ 256 register rows shuffled.",
+)
+def q_hll_intersection(spark, sf_dir):
+    rest = _HLL_REST_BITS
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        md5_id(F.col("o_custkey").cast("string")).alias("h"),
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("in_a"),
+        (F.col("o_orderpriority") == "5-LOW").alias("in_b"),
+    )
+    rho = (
+        F.when(F.shiftright(F.col("h"), 8) == 0, F.lit(rest + 1))
+        .otherwise(
+            F.bit_count(F.expr("(shiftright(h, 8) & -shiftright(h, 8))") - F.lit(1))
+            + F.lit(1)
+        )
+    )
+    parts = tagged.select(
+        "in_a", "in_b", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"), "o_custkey"
+    )
+    regs = parts.groupBy("bucket").agg(
+        F.max(F.when(F.col("in_a"), F.col("rho"))).alias("m_a"),
+        F.max(F.when(F.col("in_b"), F.col("rho"))).alias("m_b"),
+        F.max("rho").alias("m_u"),
+    )
+
+    folded = regs.agg(
+        F.count("m_a").alias("k_a"),
+        F.count("m_b").alias("k_b"),
+        F.count("m_u").alias("k_u"),
+        F.sum(F.expr(f"CASE WHEN m_a IS NOT NULL THEN shiftleft(CAST(1 AS BIGINT), {rest + 1} - CAST(m_a AS INT)) END")).alias("s_a"),
+        F.sum(F.expr(f"CASE WHEN m_b IS NOT NULL THEN shiftleft(CAST(1 AS BIGINT), {rest + 1} - CAST(m_b AS INT)) END")).alias("s_b"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rest + 1} - CAST(m_u AS INT))")).alias("s_u"),
+    )
+    exact = parts.agg(
+        F.count_distinct(F.when(F.col("in_a"), F.col("o_custkey"))).alias("x_a"),
+        F.count_distinct(F.when(F.col("in_b"), F.col("o_custkey"))).alias("x_b"),
+    )
+    exact_i = (
+        parts.groupBy("o_custkey")
+        .agg(F.max("in_a").alias("a"), F.max("in_b").alias("b"))
+        .filter(F.col("a") & F.col("b"))
+        .agg(F.count("*").alias("x_i"))
+    )
+
+    def est(k, s):
+        alpha = (
+            (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+            * F.lit(65536.0)
+            * F.lit(9007199254740992.0)
+        )
+        denom = F.col(s) + (F.lit(_HLL_M) - F.col(k)) * F.shiftleft(
+            F.lit(1).cast("long"), rest + 1
+        )
+        return alpha / denom.cast("double")
+
+    from .aggregates import attach_scalar
+
+    out = attach_scalar(attach_scalar(folded, exact), exact_i)
+    return out.select(
+        F.col("x_a").cast("long").alias("exact_a"),
+        F.col("x_b").cast("long").alias("exact_b"),
+        F.col("x_i").cast("long").alias("exact_intersection"),
+        est("k_a", "s_a").alias("est_a"),
+        est("k_b", "s_b").alias("est_b"),
+        est("k_u", "s_u").alias("est_union"),
+        (est("k_a", "s_a") + est("k_b", "s_b") - est("k_u", "s_u")).alias(
+            "est_intersection"
+        ),
+    )

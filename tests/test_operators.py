@@ -1401,3 +1401,35 @@ def test_cusum_finds_injected_mean_shift(spark):
         if c > best:
             best, best_k = c, k
     assert best_k == 10
+
+
+def test_lorenz_deciles_shares_sum_to_one(spark):
+    import math
+
+    from spark_delta_lakehouse_nyctaxi_spark.queries.analytics import (
+        q_lorenz_deciles,
+    )
+
+    rows = sorted(q_lorenz_deciles(spark, SF_SMALL).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert abs(math.fsum(r.revenue_share for r in rows) - 1.0) < 1e-12
+    # Lorenz curve is convex: decile shares nondecreasing in rank order
+    shares = [r.revenue_share for r in rows]
+    assert shares == sorted(shares)
+    assert abs(rows[-1].cumulative_share - 1.0) < 1e-12
+
+
+def test_hll_intersection_brackets_exact(spark):
+    """Inclusion-exclusion on p=8 sketches is noisy but must land
+    within a loose multiple of the component error bound."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.sketches import (
+        q_hll_intersection,
+    )
+
+    r = q_hll_intersection(spark, SF_MEDIUM).collect()[0]
+    assert r.exact_intersection > 0
+    # component estimates within 4 sigma each; intersection inherits
+    # roughly the union of their absolute errors
+    sigma = 1.04 / 16.0
+    slack = 4 * sigma * (r.exact_a + r.exact_b)
+    assert abs(r.est_intersection - r.exact_intersection) <= slack

@@ -377,6 +377,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWLIST = {
     "q_importance_weights",   # 64-bucket DSIR model (operators/sampling.py)
     "q_cumulative_distinct",  # one row per calendar DAY (queries/windows.py)
     "q_cusum_changepoint",    # ordered cumsum over the one-row-per-DAY frame
+    "q_lorenz_deciles",       # cumulative share over the TEN-row decile frame
 }
 # (q_bm25_search's rank window sits AFTER .limit(20) — the plan shows no
 # single-partition window exchange at all, so no allowlist entry needed.)
@@ -404,6 +405,8 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_unigram_surprisal",     # 1-row corpus-total attaches to the vocab frame
     "q_hll_merge",             # three 1-row register folds cross-attached
     "q_cusum_changepoint",     # 1-row (n, total) attaches to the daily frame
+    "q_lorenz_deciles",        # 1-row total attaches to the 10-row decile frame
+    "q_hll_intersection",      # two 1-row exact frames attach to the register fold
 }
 
 
