@@ -238,8 +238,9 @@ _PRIORITY: list[str] = [
     "q_count_min",
     "q_bloom_membership",
     "q_hll_merge",
-    # daily-revenue ACF (exact lag-pair moments, correctly-rounded cast)
+    # daily-revenue ACF + Durbin-Levinson PACF (Box-Jenkins pair)
     "q_autocorrelation",
+    "q_pacf",
     # integer-bits unigram surprisal (CCNet perplexity-filter shape)
     "q_unigram_surprisal",
     # dominant principal component + outlier projection (power iteration)

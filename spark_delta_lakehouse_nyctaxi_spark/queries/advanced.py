@@ -1498,3 +1498,81 @@ def q_autocorrelation(spark, sf_dir):
         n.cast("long").alias("n_pairs"),
         (num / (F.sqrt(den_x) * F.sqrt(den_y))).alias("acf"),
     )
+
+
+def _pacf_oracle_sql() -> str:
+    k_max = _ACF_MAX_LAG
+    acf = _acf_oracle_sql()
+    pivot = ", ".join(
+        f"MAX(CASE WHEN lag = {k} THEN acf END) AS r{k}" for k in range(1, k_max + 1)
+    )
+    chain = [
+        f"l0 AS (SELECT {pivot} FROM ({acf}))",
+        "p1 AS (SELECT r1 AS phi_1_1, 1.0 - r1 * r1 AS v1, * FROM l0)",
+    ]
+    for k in range(2, k_max + 1):
+        prev = k - 1
+        num = f"r{k} - (" + " + ".join(
+            f"phi_{prev}_{j} * r{k - j}" for j in range(1, k)
+        ) + ")"
+        kk = f"(({num}) / v{prev})"
+        cols = [f"{kk} AS phi_{k}_{k}"]
+        cols += [
+            f"phi_{prev}_{j} - {kk} * phi_{prev}_{k - j} AS phi_{k}_{j}"
+            for j in range(1, k)
+        ]
+        cols.append(f"v{prev} * (1.0 - {kk} * {kk}) AS v{k}")
+        chain.append(f"p{k} AS (SELECT {', '.join(cols)}, * FROM p{prev})")
+    arms = "\n    UNION ALL ".join(
+        f"SELECT {k} AS lag, r{k} AS acf, phi_{k}_{k} AS pacf FROM p{k_max}"
+        for k in range(1, k_max + 1)
+    )
+    return "WITH " + ",\n    ".join(chain) + "\n    " + arms
+
+
+@register(
+    "q_pacf",
+    _pacf_oracle_sql(),
+    doc="PARTIAL AUTOCORRELATION function at lags 1..7 via the "
+        "Durbin-Levinson recursion over q_autocorrelation's exact "
+        "lag-pair ACF — completing the Box-Jenkins identification "
+        "pair (ACF tails off / PACF cuts off picks AR vs MA order). "
+        "The distributed work IS the ACF (one orders scan collapsing "
+        "to the daily frame; see q_autocorrelation); the 7-lag "
+        "recursion is metadata-sized scalar math done driver-side "
+        "(the collect-the-model pattern) with only mul/sub/div in a "
+        "fixed order, mirrored term-for-term by the oracle's unrolled "
+        "CTE chain — bitwise. Estimator note: the input is the "
+        "lag-pair Pearson ACF (per-lag means), the variant that is "
+        "exactly computable; on this near-white series the PACF "
+        "correctly hovers near zero everywhere.",
+)
+def q_pacf(spark, sf_dir):
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    k_max = _ACF_MAX_LAG
+    r = {
+        row.lag: row.acf
+        for row in q_autocorrelation(spark, sf_dir).collect()
+    }
+    phi = {1: {1: r[1]}}
+    v = {1: 1.0 - r[1] * r[1]}
+    for k in range(2, k_max + 1):
+        prev = k - 1
+        acc = phi[prev][1] * r[k - 1]
+        for j in range(2, k):
+            acc = acc + phi[prev][j] * r[k - j]
+        kk = (r[k] - acc) / v[prev]
+        phi[k] = {j: phi[prev][j] - kk * phi[prev][k - j] for j in range(1, k)}
+        phi[k][k] = kk
+        v[k] = v[prev] * (1.0 - kk * kk)
+    schema = StructType(
+        [
+            StructField("lag", LongType()),
+            StructField("acf", DoubleType()),
+            StructField("pacf", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(k, r[k], phi[k][k]) for k in range(1, k_max + 1)], schema
+    )
