@@ -257,6 +257,8 @@ _PRIORITY: list[str] = [
     "q_lorenz_deciles",
     # sketch-composition join-cardinality estimate (inclusion-exclusion)
     "q_hll_intersection",
+    # exact Walsh-Hadamard sequency spectrum over real WAV payloads
+    "q_audio_wht",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -457,3 +457,27 @@ def test_tiff_codec_round_trip_and_foreign_layouts():
         M.decode_tiff(bytes(bad))
     with pytest.raises(ValueError):
         M.decode_tiff(b"not a tiff at all")
+
+
+def test_audio_wht_parseval_and_dc(spark):
+    """Parseval for the +/-1 Hadamard basis: sum_k c_k^2 = 8 * sum_p x_p^2
+    per frame, so summed spectra obey the same identity; sequency 0 is
+    the frame-sum (DC) channel."""
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.queries.multimodal import q_audio_wht
+
+    rows = q_audio_wht(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 16 * 8
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, {})[r.sequency] = r
+    for m, spec in by_media.items():
+        i = np.arange(2048)
+        s = ((m * 37 + i * 11) % 4001 - 2000).astype(np.int64)
+        total_energy = int((s.astype(object) ** 2).sum())
+        wht_energy = sum(spec[k].sequency_energy for k in range(8))
+        assert wht_energy == 8 * total_energy, m
+        dc = np.abs(s.reshape(-1, 8).sum(axis=1))
+        assert spec[0].total_abs_coef == int(dc.sum())
+        assert spec[0].max_abs_coef == int(dc.max())
