@@ -259,6 +259,8 @@ _PRIORITY: list[str] = [
     "q_hll_intersection",
     # exact Walsh-Hadamard sequency spectrum over real WAV payloads
     "q_audio_wht",
+    # exact perceptual image hash (wHash on the 2D WHT, real BMP decode)
+    "q_image_whash",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

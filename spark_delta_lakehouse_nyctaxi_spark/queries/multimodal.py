@@ -1028,3 +1028,127 @@ def q_audio_wht(spark, sf_dir):
         "media_id long, sequency long, total_abs_coef long, "
         "max_abs_coef long, sequency_energy long",
     )
+
+
+# Perceptual image hash on the EXACT transform: imagehash's wHash idea
+# (downsample -> orthogonal transform -> threshold at the median) with
+# the 2D Walsh-Hadamard basis instead of DCT/wavelets — every
+# coefficient an exact integer, so the 63-bit hash is bitwise
+# reproducible by any engine (DCT twiddles are libm-divergent).
+_IMAGE_WHASH_ORACLE = """
+    WITH px AS (
+        SELECT m.m AS media_id, x.x AS x, y.y AS y,
+               CAST((m.m * 7 + x.x * 31 + y.y) % 256 AS BIGINT) AS p
+        FROM range(16) m(m), range(32) x(x), range(32) y(y)
+    ),
+    blocks AS (
+        SELECT media_id, x // 4 AS bx, y // 4 AS by, SUM(p) AS g
+        FROM px GROUP BY 1, 2, 3
+    ),
+    coef AS (
+        SELECT b.media_id, u.u AS u, v.v AS v,
+               SUM(CASE WHEN (bit_count(CAST(u.u AS BIGINT) & b.bx)
+                              + bit_count(CAST(v.v AS BIGINT) & b.by)) % 2 = 0
+                        THEN b.g ELSE -b.g END) AS c
+        FROM blocks b, range(8) u(u), range(8) v(v)
+        GROUP BY 1, 2, 3
+    ),
+    ac AS (
+        SELECT media_id, u * 8 + v AS idx, c,
+               ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY c) AS rn
+        FROM coef WHERE NOT (u = 0 AND v = 0)
+    ),
+    med AS (
+        SELECT media_id, c AS m_c FROM ac WHERE rn = 32
+    ),
+    hashed AS (
+        SELECT a.media_id,
+               SUM(CASE WHEN a.c > med.m_c
+                        THEN (CAST(1 AS BIGINT) << (a.idx - 1)) ELSE 0 END) AS whash,
+               SUM(CASE WHEN a.c > med.m_c THEN 1 ELSE 0 END) AS n_bits
+        FROM ac a JOIN med USING (media_id)
+        GROUP BY a.media_id
+    )
+    SELECT h.media_id, CAST(h.whash AS BIGINT) AS whash,
+           CAST(h.n_bits AS BIGINT) AS n_bits_set,
+           CAST(bit_count(xor(CAST(h.whash AS BIGINT), CAST(prev.whash AS BIGINT)))
+                AS BIGINT) AS hamming_to_prev
+    FROM hashed h LEFT JOIN hashed prev ON prev.media_id = h.media_id - 1
+"""
+
+
+@register(
+    "q_image_whash",
+    _IMAGE_WHASH_ORACLE,
+    doc="PERCEPTUAL IMAGE HASH (wHash family) over REAL decoded BMP "
+        "payloads, exact end-to-end: 32x32 grayscale -> 4x4 block "
+        "integer sums (the downsample) -> 2D Walsh-Hadamard transform "
+        "(+/-1 basis, exact integer coefficients — the DCT of pHash "
+        "would diverge between engines through libm cosines) -> "
+        "threshold the 63 AC coefficients at their 32nd-smallest "
+        "(median) value -> 63-bit hash, plus the hamming distance to "
+        "the previous image (the near-duplicate-image detector's "
+        "comparison step, as an equi-join on media_id-1, no window). "
+        "Decode runs the genuine BMP parser inside Arrow-batched "
+        "mapInPandas; the oracle re-derives every bit from the "
+        "closed-form pixel generator. Scale: per-image work is local "
+        "and constant; the hash join is metadata-sized here and "
+        "becomes the LSH-style bucket key at corpus scale.",
+)
+def q_image_whash(spark, sf_dir):
+    import numpy as np
+
+    rows = []
+    for m in range(16):
+        r, c = np.divmod(np.arange(1024), 32)
+        px = ((m * 7 + r * 31 + c) % 256).astype("uint8").reshape(32, 32)
+        rows.append(
+            (
+                m,
+                "image",
+                bytearray(M.encode_bmp(px)),
+                {"width": 32, "height": 32, "sample_rate": None,
+                 "duration_s": None, "format": "bmp"},
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+
+    H = np.array(
+        [[1 if bin(u & x).count("1") % 2 == 0 else -1 for x in range(8)]
+         for u in range(8)],
+        dtype=np.int64,
+    )
+
+    def whash(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = M.decode_bmp(bytes(payload)).astype(np.int64)
+                g = img.reshape(8, 4, 8, 4).sum(axis=(1, 3))  # 4x4 block sums
+                coefs = H @ g @ H.T                            # exact 2D WHT
+                flat = coefs.flatten()                         # idx = u*8+v
+                ac = flat[1:]
+                med = np.sort(ac)[31]                          # 32nd smallest
+                bits = ac > med
+                h = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        h |= 1 << i
+                out.append((int(mid), h, int(bits.sum())))
+            if out:
+                yield pd.DataFrame(out, columns=["media_id", "whash", "n_bits_set"])
+
+    hashed = media.mapInPandas(whash, "media_id long, whash long, n_bits_set long")
+    prev = hashed.select(
+        (F.col("media_id") + 1).alias("media_id"), F.col("whash").alias("prev_hash")
+    )
+    return hashed.join(prev, "media_id", "left").select(
+        "media_id",
+        "whash",
+        "n_bits_set",
+        F.bit_count(F.col("whash").bitwiseXOR(F.col("prev_hash"))).cast("long").alias(
+            "hamming_to_prev"
+        ),
+    )

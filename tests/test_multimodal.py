@@ -481,3 +481,35 @@ def test_audio_wht_parseval_and_dc(spark):
         dc = np.abs(s.reshape(-1, 8).sum(axis=1))
         assert spec[0].total_abs_coef == int(dc.sum())
         assert spec[0].max_abs_coef == int(dc.max())
+
+
+def test_image_whash_identical_images_zero_hamming(spark):
+    """Two identical pixel grids must hash identically; a heavily
+    perturbed grid must be far in hamming distance."""
+    import numpy as np
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators import multimodal as M
+
+    H = np.array(
+        [[1 if bin(u & x).count("1") % 2 == 0 else -1 for x in range(8)]
+         for u in range(8)], dtype=np.int64,
+    )
+
+    def whash_of(px):
+        g = px.astype(np.int64).reshape(8, 4, 8, 4).sum(axis=(1, 3))
+        flat = (H @ g @ H.T).flatten()
+        ac = flat[1:]
+        med = np.sort(ac)[31]
+        return sum(1 << i for i, b in enumerate(ac > med) if b)
+
+    r, c = np.divmod(np.arange(1024), 32)
+    # cap pixels at 200 so a +3 brightness shift cannot clip at 255
+    a = ((7 + r * 31 + c) % 200).astype("uint8").reshape(32, 32)
+    # codec round trip preserves the hash
+    assert whash_of(M.decode_bmp(M.encode_bmp(a))) == whash_of(a)
+    # small brightness shift (+3 everywhere) leaves the hash intact:
+    # WHT AC coefficients are invariant to a constant offset
+    assert whash_of((a.astype(int) + 3).astype("uint8")) == whash_of(a)
+    # structural change (transpose) moves many bits
+    d = bin(whash_of(a) ^ whash_of(a.T.copy())).count("1")
+    assert d > 10
