@@ -261,6 +261,8 @@ _PRIORITY: list[str] = [
     "q_audio_wht",
     # exact perceptual image hash (wHash on the 2D WHT, real BMP decode)
     "q_image_whash",
+    # nucleus (top-p) per-source selection, exact-integer threshold
+    "q_nucleus_selection",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

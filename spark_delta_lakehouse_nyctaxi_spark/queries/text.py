@@ -1646,3 +1646,65 @@ def q_unigram_surprisal(spark, sf_dir):
             (F.sum("bits").cast("double") / F.count("*")).alias("mean_bits"),
         )
     )
+
+
+@register(
+    "q_nucleus_selection",
+    """
+    WITH scored AS (
+        SELECT source, doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_chars AS cum_before,
+               SUM(n_chars) OVER (PARTITION BY source) AS total
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored WHERE 10 * cum_before < 9 * total
+    )
+    SELECT source,
+           COUNT(*) AS n_selected,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_selected,
+           CAST(MAX(total) AS BIGINT) AS chars_total,
+           CAST(SUM(n_chars) AS DOUBLE) / MAX(total) AS mass_share
+    FROM kept GROUP BY source
+    """,
+    doc="NUCLEUS (top-p, p=0.9) SELECTION per source — the "
+        "top-p-sampling idea applied to corpus curation: within each "
+        "source, keep the smallest prefix of docs (ordered by score "
+        "desc, here n_chars with doc_id tiebreak) whose mass reaches "
+        "90% of the source total; everything past the nucleus is the "
+        "long tail a budgeted training run drops first. The predicate "
+        "is EXACT INTEGER arithmetic (10*cum_before < 9*total — no "
+        "0.9 float, no division) over a PARTITIONED running-sum "
+        "window (per-source partitions — no SinglePartition exchange) "
+        "plus the partition-total window on the same exchange. "
+        "Boundary semantics: a doc enters the nucleus iff the mass "
+        "BEFORE it is under the threshold, so the nucleus always "
+        "crosses p with its last member — the standard top-p rule. "
+        "One shuffle on source; bitwise oracle.",
+)
+def q_nucleus_selection(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.sum("n_chars").over(w_cum) - F.col("n_chars")).alias("cum_before"),
+        F.sum("n_chars").over(w_all).alias("total"),
+    )
+    kept = scored.filter(F.lit(10) * F.col("cum_before") < F.lit(9) * F.col("total"))
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_selected"),
+        F.sum("n_chars").cast("long").alias("chars_selected"),
+        F.max("total").cast("long").alias("chars_total"),
+        (F.sum("n_chars").cast("double") / F.max("total")).alias("mass_share"),
+    )
