@@ -263,6 +263,8 @@ _PRIORITY: list[str] = [
     "q_image_whash",
     # nucleus (top-p) per-source selection, exact-integer threshold
     "q_nucleus_selection",
+    # deterministic Poisson bootstrap CI (at-scale resampling, no RNG)
+    "q_poisson_bootstrap",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -604,3 +604,124 @@ def q_lorenz_deciles(spark, sf_dir):
             F.sum("decile_cents").over(w).cast("double") / F.col("t").cast("double")
         ).alias("cumulative_share"),
     )
+
+
+# Poisson(1) pmf cumulative cutoffs scaled to the 10^6 hash space:
+# P(X<=k) for k=0..5; a 60-bit md5 draw mod 10^6 inverts to the
+# replicate multiplicity. Integer literals — identical in both engines.
+_POISSON_CUTS = (367879, 735758, 919698, 981011, 996340, 999405)
+_BOOT_B = 64
+
+
+def _boot_multiplicity_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POISSON_CUTS)
+    )
+    return f"CASE {arms} ELSE {len(_POISSON_CUTS)} END"
+
+
+def _bootstrap_oracle_sql() -> str:
+    u = "(('0x' || substr(md5(ed || ':' || b), 1, 15))::BIGINT % 1000000)"
+    return f"""
+    WITH daily AS (
+        SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS ed,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(14,0)))
+                    AS DECIMAL(16,0)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    reps AS (
+        SELECT b.b AS b, {_boot_multiplicity_sql(u)} AS m, cents
+        FROM daily, range({_BOOT_B}) b(b)
+    ),
+    means AS (
+        SELECT b,
+               CAST(SUM(CAST(m AS DECIMAL(4,0)) * cents) AS DOUBLE)
+                   / CAST(SUM(m) AS DOUBLE) AS mean_b
+        FROM reps GROUP BY b
+    ),
+    ranked AS (
+        SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn FROM means
+    ),
+    pt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_daily_cents
+        FROM daily
+    )
+    SELECT pt.n_days, pt.mean_daily_cents,
+           (SELECT mean_b FROM ranked WHERE rn = 2) AS ci_lower,
+           (SELECT mean_b FROM ranked WHERE rn = {_BOOT_B - 1}) AS ci_upper,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates
+    FROM pt
+    """
+
+
+@register(
+    "q_poisson_bootstrap",
+    _bootstrap_oracle_sql(),
+    doc="POISSON BOOTSTRAP confidence interval for the mean daily "
+        "revenue — THE at-scale resampling technique: classic "
+        "bootstrap needs sampling n rows WITH replacement per "
+        "replicate (a global operation), while the Poisson(1) "
+        "approximation draws each row's multiplicity independently, "
+        "so all 64 replicates materialize in ONE streaming fan-out "
+        "with no global state. Every draw is a deterministic md5 hash "
+        "of (epoch-day, replicate) inverted through exact integer "
+        "Poisson-cdf cutoffs — both engines reproduce every "
+        "multiplicity bit-for-bit (no RNG). Replicate means are exact "
+        "integer sums with one IEEE division; the 95% CI takes order "
+        "statistics 2 and 63 over the 64-row replicate frame (bounded "
+        "window class). At 100 TB: one scan, 64x map-side fan-out of "
+        "the aggregated frame, 64-row reduce — uncertainty "
+        "quantification at the cost of one extra aggregate.",
+)
+def q_poisson_bootstrap(spark, sf_dir):
+    from ..operators.dedup import md5_id
+    from .aggregates import attach_scalar
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("ed")
+    ).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(14,0)"))
+        .cast("decimal(16,0)")
+        .alias("cents")
+    )
+    reps = daily.select(
+        "ed", "cents", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    )
+    u = md5_id(F.concat_ws(":", F.col("ed"), F.col("b"))) % 1000000
+    m = F.when(u < _POISSON_CUTS[0], 0)
+    for k, c in enumerate(_POISSON_CUTS[1:], start=1):
+        m = m.when(u < c, k)
+    m = m.otherwise(len(_POISSON_CUTS))
+    means = (
+        reps.withColumn("m", m)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("m").cast("decimal(4,0)") * F.col("cents")).cast("double")
+                / F.sum("m").cast("double")
+            ).alias("mean_b")
+        )
+    )
+    ranked = means.select(
+        "mean_b",
+        F.row_number().over(Window.orderBy("mean_b", "b")).alias("rn"),
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("mean_b").alias("ci_lower"))
+    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
+        F.col("mean_b").alias("ci_upper")
+    )
+    pt = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        (F.sum("cents").cast("double") / F.count("*")).alias("mean_daily_cents"),
+    )
+    return attach_scalar(attach_scalar(pt, lo), hi).select(
+        "n_days",
+        "mean_daily_cents",
+        "ci_lower",
+        "ci_upper",
+        F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+    )

@@ -1433,3 +1433,17 @@ def test_hll_intersection_brackets_exact(spark):
     sigma = 1.04 / 16.0
     slack = 4 * sigma * (r.exact_a + r.exact_b)
     assert abs(r.est_intersection - r.exact_intersection) <= slack
+
+
+def test_poisson_bootstrap_ci_brackets_point_estimate(spark):
+    from spark_delta_lakehouse_nyctaxi_spark.queries.analytics import (
+        q_poisson_bootstrap,
+    )
+
+    r = q_poisson_bootstrap(spark, SF_SMALL).collect()[0]
+    assert r.n_replicates == 64
+    assert r.ci_lower <= r.ci_upper
+    # a 95% CI from 64 replicates should bracket the full-data mean
+    assert r.ci_lower <= r.mean_daily_cents <= r.ci_upper
+    # and be nondegenerate
+    assert r.ci_upper > r.ci_lower

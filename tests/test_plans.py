@@ -378,6 +378,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWLIST = {
     "q_cumulative_distinct",  # one row per calendar DAY (queries/windows.py)
     "q_cusum_changepoint",    # ordered cumsum over the one-row-per-DAY frame
     "q_lorenz_deciles",       # cumulative share over the TEN-row decile frame
+    "q_poisson_bootstrap",    # order stats over the 64-row replicate frame
 }
 # (q_bm25_search's rank window sits AFTER .limit(20) — the plan shows no
 # single-partition window exchange at all, so no allowlist entry needed.)
@@ -407,6 +408,7 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_cusum_changepoint",     # 1-row (n, total) attaches to the daily frame
     "q_lorenz_deciles",        # 1-row total attaches to the 10-row decile frame
     "q_hll_intersection",      # two 1-row exact frames attach to the register fold
+    "q_poisson_bootstrap",     # two 1-row order-stat frames attach to the point estimate
 }
 
 
