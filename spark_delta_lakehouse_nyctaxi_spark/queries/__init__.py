@@ -265,6 +265,10 @@ _PRIORITY: list[str] = [
     "q_nucleus_selection",
     # deterministic Poisson bootstrap CI (at-scale resampling, no RNG)
     "q_poisson_bootstrap",
+    # l-diversity privacy audit (homogeneity-attack complement of k-anon)
+    "q_l_diversity",
+    # seasonal-naive forecast backtest (MAE / RMSE / WAPE harness)
+    "q_forecast_backtest",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

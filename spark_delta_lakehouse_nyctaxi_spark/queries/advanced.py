@@ -1576,3 +1576,77 @@ def q_pacf(spark, sf_dir):
     return spark.createDataFrame(
         [(k, r[k], phi[k][k]) for k in range(1, k_max + 1)], schema
     )
+
+
+def _backtest_oracle_sql() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(14,0)))
+                    AS DECIMAL(16,0)) AS x
+        FROM orders GROUP BY 1
+    ),
+    paired AS (
+        SELECT cur.d, cur.x AS actual, prev.x AS forecast
+        FROM daily cur JOIN daily prev ON prev.d = cur.d - 7
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(8,0)) AS n,
+               CAST(SUM(abs(actual - forecast)) AS DECIMAL(20,0)) AS sae,
+               CAST(SUM(CAST(actual - forecast AS DECIMAL(19,0))
+                        * (actual - forecast)) AS DECIMAL(26,0)) AS sse,
+               CAST(SUM(abs(actual)) AS DECIMAL(20,0)) AS sa
+        FROM paired
+    )
+    SELECT CAST(n AS BIGINT) AS n_evaluated,
+           {dec0_to_double_sql('sae')} / CAST(n AS DOUBLE) AS mae_cents,
+           sqrt({dec0_to_double_sql('sse')} / CAST(n AS DOUBLE)) AS rmse_cents,
+           {dec0_to_double_sql('sae')} / {dec0_to_double_sql('sa')} AS wape
+    FROM m
+    """
+
+
+@register(
+    "q_forecast_backtest",
+    _backtest_oracle_sql(),
+    doc="FORECAST BACKTEST of the seasonal-naive baseline (forecast = "
+        "value 7 days earlier) on daily revenue — the evaluation "
+        "harness every forecasting pipeline needs BEFORE any model: "
+        "seasonal-naive is the standard yardstick a model must beat. "
+        "Errors fold to exact integer moments in one pass (self-equi-"
+        "join of the bounded daily frame on d-7, no window): MAE, "
+        "RMSE (decimal sum of squares, IEEE sqrt), and WAPE — chosen "
+        "over MAPE because sum|e|/sum|x| is a ratio of exact integers "
+        "(MAPE's per-row division would need per-term quantization). "
+        "Wide sums convert through dec0_to_double. One orders scan; "
+        "metadata-sized after the first aggregate. Bitwise.",
+)
+def q_forecast_backtest(spark, sf_dir):
+    from .aggregates import dec0_to_double
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(14,0)"))
+        .cast("decimal(16,0)")
+        .alias("x")
+    )
+    prev = daily.select(F.date_add(F.col("d"), 7).alias("d"), F.col("x").alias("forecast"))
+    paired = daily.join(prev, "d").select(
+        (F.col("x") - F.col("forecast")).alias("e"), F.col("x").alias("actual")
+    )
+    m = paired.agg(
+        F.count("*").cast("decimal(8,0)").alias("n"),
+        F.sum(F.abs(F.col("e"))).cast("decimal(20,0)").alias("sae"),
+        F.sum(F.col("e").cast("decimal(19,0)") * F.col("e"))
+        .cast("decimal(26,0)")
+        .alias("sse"),
+        F.sum(F.abs(F.col("actual"))).cast("decimal(20,0)").alias("sa"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_evaluated"),
+        (dec0_to_double(F.col("sae")) / F.col("n").cast("double")).alias("mae_cents"),
+        F.sqrt(dec0_to_double(F.col("sse")) / F.col("n").cast("double")).alias(
+            "rmse_cents"
+        ),
+        (dec0_to_double(F.col("sae")) / dec0_to_double(F.col("sa"))).alias("wape"),
+    )

@@ -682,3 +682,56 @@ def q_fd_violations(spark, sf_dir):
         )
         .filter(F.col("n_distinct_rhs") > 1)
     )
+
+
+@register(
+    "q_l_diversity",
+    """
+    WITH c AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+               o_orderpriority AS sensitive
+        FROM customer JOIN orders ON c_custkey = o_custkey
+    ),
+    classes AS (
+        SELECT c_nationkey, c_mktsegment, bal_band,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT sensitive) AS l
+        FROM c GROUP BY 1, 2, 3
+    )
+    SELECT CAST(l AS BIGINT) AS distinct_sensitive,
+           COUNT(*) AS n_classes,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below_l3
+    FROM classes GROUP BY l
+    """,
+    doc="L-DIVERSITY audit — the privacy property k-anonymity misses: "
+        "an equivalence class where every member shares the SAME "
+        "sensitive value leaks it even at k=anything ('homogeneity "
+        "attack'). Quasi-identifier classes (nation, segment, "
+        "2000-wide balance band) are scored by the number of DISTINCT "
+        "sensitive values (order priority standing in for the "
+        "sensitive attribute), histogrammed with the count failing "
+        "l=3. Complements q_k_anonymity's generalization ladder: "
+        "together they are the release-gate pair of privacy "
+        "governance. One join + two grouped aggregates — scale-free.",
+)
+def q_l_diversity(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+        F.col("o_orderpriority").alias("sensitive"),
+    )
+    classes = c.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("sensitive").alias("l"),
+    )
+    return classes.groupBy(F.col("l").cast("long").alias("distinct_sensitive")).agg(
+        F.count("*").alias("n_classes"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum((F.col("l") < 3).cast("int")).cast("long").alias("n_below_l3"),
+    )
