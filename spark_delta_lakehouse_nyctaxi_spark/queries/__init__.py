@@ -269,6 +269,9 @@ _PRIORITY: list[str] = [
     "q_l_diversity",
     # seasonal-naive forecast backtest (MAE / RMSE / WAPE harness)
     "q_forecast_backtest",
+    # streaming cardinality monitor (idempotent register-max fold —
+    # the rare fully value-oracled streaming query)
+    "q_stream_hll",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -839,3 +839,124 @@ def q_stream_exactly_once(spark, sf_dir):
         F.sum("n_events").alias("n_events"),
         F.sum(F.col("sum_value").cast("decimal(22,2)")).cast("double").alias("sum_value"),
     )
+
+
+def _stream_hll_oracle_sql() -> str:
+    # identical register algebra to queries/sketches.py:q_hll_sketch,
+    # over the streaming source's user_id key
+    m, rest = 256, 52
+    return f"""
+    WITH hashed AS (
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+               user_id
+        FROM events
+    ),
+    regs AS (
+        SELECT h % {m} AS bucket,
+               MAX(CASE WHEN h // {m} = 0 THEN {rest + 1}
+                        ELSE bit_count(((h // {m}) & -(h // {m})) - 1) + 1 END) AS m_j
+        FROM hashed GROUP BY 1
+    ),
+    folded AS (
+        SELECT COUNT(*) AS n_set,
+               SUM((CAST(1 AS BIGINT) << ({rest + 1} - m_j))) AS s_present,
+               SUM(m_j * (bucket + 1)) AS register_checksum
+        FROM regs
+    ),
+    exact AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+    SELECT CAST(n_set AS BIGINT) AS n_registers_set,
+           CAST(register_checksum AS BIGINT) AS register_checksum,
+           (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+               / CAST(s_present + ({m} - n_set) * (CAST(1 AS BIGINT) << {rest + 1}) AS DOUBLE)
+               AS hll_estimate,
+           CAST(n_exact AS BIGINT) AS n_exact
+    FROM folded, exact
+    """
+
+
+@register(
+    "q_stream_hll",
+    _stream_hll_oracle_sql(),
+    doc="STREAMING CARDINALITY MONITOR: maintain the q_hll_sketch "
+        "register table incrementally over the event stream — each "
+        "micro-batch folds its (bucket, rho-max) partials into the "
+        "accumulator by register-wise MAX inside foreachBatch. The "
+        "scale/robustness story is ALGEBRAIC: max-merge is idempotent "
+        "and commutative, so batch REPLAY after a crash cannot corrupt "
+        "the sketch (unlike additive folds, which need the txn-id "
+        "guard q_stream_incremental_agg carries) and the final "
+        "registers are bit-identical to a batch build REGARDLESS of "
+        "how availableNow splits the micro-batches — which is what "
+        "makes this streaming query fully VALUE-ORACLED, not "
+        "rows-only. State is <= 256 rows however large the stream. "
+        "The exact distinct rides the oracle as the honesty column.",
+)
+def q_stream_hll(spark, sf_dir):
+    from ..operators.dedup import md5_id
+    from ..sources.table import VersionedTable
+
+    m, rest = 256, 52
+    path = _staged_events(spark, sf_dir)
+    sdf = read_parquet_stream(spark, path, _SCHEMA)
+    t = VersionedTable(spark, scratch_dir("stream_hll"))
+
+    def regs_of(df):
+        parts = df.select(
+            md5_id(F.col("user_id").cast("string")).alias("h")
+        ).select(
+            (F.col("h") % m).alias("bucket"),
+            F.shiftright(F.col("h"), 8).alias("r"),
+        )
+        rho = (
+            F.when(F.col("r") == 0, F.lit(rest + 1))
+            .otherwise(F.bit_count(F.expr("(r & -r)") - F.lit(1)) + F.lit(1))
+        )
+        return parts.select("bucket", rho.alias("m_j")).groupBy("bucket").agg(
+            F.max("m_j").alias("m_j")
+        )
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        partial = regs_of(batch_df)
+        if t.exists():
+            merged = (
+                t.read()
+                .unionByName(partial)
+                .groupBy("bucket")
+                .agg(F.max("m_j").alias("m_j"))
+            )
+        else:
+            merged = partial
+        # <=256-row frame; idempotent max-merge makes replay harmless
+        t.write(merged.localCheckpoint(), mode="overwrite")
+
+    run_available_now(sdf, scratch_dir("ckpt_hll"), foreach_batch=fold)
+    regs = t.read()
+    folded = regs.agg(
+        F.count("*").alias("n_set"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {rest + 1} - CAST(m_j AS INT))")
+        ).alias("s_present"),
+        F.sum(F.col("m_j") * (F.col("bucket") + 1)).alias("register_checksum"),
+    )
+    exact = (
+        spark.read.parquet(path)
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    denom = F.col("s_present") + (F.lit(m) - F.col("n_set")) * F.shiftleft(
+        F.lit(1).cast("long"), rest + 1
+    )
+    alpha = (
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+        * F.lit(65536.0)
+        * F.lit(9007199254740992.0)
+    )
+    from .aggregates import attach_scalar
+
+    return attach_scalar(folded, exact).select(
+        F.col("n_set").cast("long").alias("n_registers_set"),
+        F.col("register_checksum").cast("long").alias("register_checksum"),
+        (alpha / denom.cast("double")).alias("hll_estimate"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )

@@ -53,6 +53,7 @@ def test_oracle_keys_subset_of_queries():
         "q_table_changes",
         "q_table_dml",
         "q_stream_incremental_agg",
+        "q_stream_hll",
         "q_bucketed_join",
         "q_lateral_topk",
         "q_month_spine",
