@@ -272,6 +272,10 @@ _PRIORITY: list[str] = [
     # streaming cardinality monitor (idempotent register-max fold —
     # the rare fully value-oracled streaming query)
     "q_stream_hll",
+    # one-pass per-column NDV/null data profile (Expand multi-distinct)
+    "q_table_profile",
+    # lead-lag cross-correlation clicks vs purchases (lags -3..+3)
+    "q_cross_correlation",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

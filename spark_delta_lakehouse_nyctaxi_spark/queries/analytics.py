@@ -725,3 +725,99 @@ def q_poisson_bootstrap(spark, sf_dir):
         "ci_upper",
         F.lit(_BOOT_B).cast("long").alias("n_replicates"),
     )
+
+
+_XCORR_MAX_LAG = 3
+
+
+def _xcorr_oracle_sql() -> str:
+    from .aggregates import dec0_to_double_sql
+
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS DECIMAL(12,0)) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS DECIMAL(12,0)) AS y
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT l.i AS lag, a.x AS x, b.y AS y
+        FROM daily a
+        JOIN (SELECT unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG + 1})) AS i) l ON true
+        JOIN daily b ON b.d = a.d + CAST(l.i AS INT)
+    ),
+    m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS DECIMAL(8,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(16,0)) AS s_x,
+               CAST(SUM(y) AS DECIMAL(16,0)) AS s_y,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(22,0)) AS s_xy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(22,0)) AS s_xx,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(22,0)) AS s_yy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           {dec0_to_double_sql('(n * s_xy - CAST(s_x AS DECIMAL(19,0)) * s_y)')} /
+           (sqrt({dec0_to_double_sql('(n * s_xx - CAST(s_x AS DECIMAL(19,0)) * s_x)')}) *
+            sqrt({dec0_to_double_sql('(n * s_yy - CAST(s_y AS DECIMAL(19,0)) * s_y)')}))
+               AS xcorr
+    FROM m
+    """
+
+
+@register(
+    "q_cross_correlation",
+    _xcorr_oracle_sql(),
+    doc="LEAD-LAG CROSS-CORRELATION between daily click and purchase "
+        "counts at lags -3..+3 — the 'do clicks lead purchases?' "
+        "diagnostic (positive-lag peak = clicks lead): lag-k Pearson "
+        "between click count on day d and purchase count on day d+k, "
+        "via the same exact lag-pair moment machinery as "
+        "q_autocorrelation (one events scan collapsing to a two-"
+        "series daily frame, 7-way lag fan-out, equi-join, closed "
+        "form over dec0_to_double-converted exact moments). Bitwise.",
+)
+def q_cross_correlation(spark, sf_dir):
+    from .aggregates import dec0_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("decimal(12,0)")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("decimal(12,0)")
+        .alias("y"),
+    )
+    lagged = daily.select(
+        F.explode(F.sequence(F.lit(-_XCORR_MAX_LAG), F.lit(_XCORR_MAX_LAG))).alias("lag"),
+        F.col("d").alias("d_b"),
+        F.col("y").alias("y"),
+    ).withColumn("d", F.expr("date_add(d_b, -lag)"))
+    pairs = daily.drop("y").join(lagged, "d").select("lag", "x", "y")
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("decimal(8,0)").alias("n"),
+        F.sum("x").cast("decimal(16,0)").alias("s_x"),
+        F.sum("y").cast("decimal(16,0)").alias("s_y"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(22,0)")
+        .alias("s_xy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(22,0)")
+        .alias("s_xx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(22,0)")
+        .alias("s_yy"),
+    )
+    n = F.col("n")
+    num = dec0_to_double(n * F.col("s_xy") - F.col("s_x").cast("decimal(19,0)") * F.col("s_y"))
+    den_x = dec0_to_double(n * F.col("s_xx") - F.col("s_x").cast("decimal(19,0)") * F.col("s_x"))
+    den_y = dec0_to_double(n * F.col("s_yy") - F.col("s_y").cast("decimal(19,0)") * F.col("s_y"))
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        (num / (F.sqrt(den_x) * F.sqrt(den_y))).alias("xcorr"),
+    )

@@ -735,3 +735,73 @@ def q_l_diversity(spark, sf_dir):
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.sum((F.col("l") < 3).cast("int")).cast("long").alias("n_below_l3"),
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _profile_oracle_sql() -> str:
+    aggs = ", ".join(
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_{i}, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv_{i}"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    arms = "\n    UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n, nulls_{i} AS n_nulls, ndv_{i} AS n_distinct, "
+        f"CAST(ndv_{i} AS DOUBLE) / CAST(n AS DOUBLE) AS distinct_ratio FROM agg"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    return f"""
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, {aggs} FROM orders
+    )
+    {arms}
+    """
+
+
+@register(
+    "q_table_profile",
+    _profile_oracle_sql(),
+    doc="ONE-PASS DATA PROFILE of the orders table: per-column null "
+        "count, exact distinct count, and distinct ratio — the "
+        "pandas-profiling / ANALYZE-style summary a data platform "
+        "computes on every new table, here as a SINGLE aggregate over "
+        "one scan (Spark plans the six COUNT(DISTINCT)s through one "
+        "Expand + two-phase aggregate — a 6x row fan-out map-side, "
+        "NOT six scans; at 100 TB this is the profiling shape that "
+        "works, vs the naive one-query-per-column loop that re-reads "
+        "the table N times). The 6-row output fans out from the "
+        "1-row moment frame with no second pass. Extends the "
+        "reference's null-profile DQ check (utils/data_quality.py) "
+        "to full cardinality profiling. Exact integers + one IEEE "
+        "division — bitwise.",
+)
+def q_table_profile(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs.append(F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"nulls_{i}"))
+        aggs.append(F.count_distinct(c).cast("long").alias(f"ndv_{i}"))
+    agg = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nulls_{i}, ndv_{i}" for i, c in enumerate(_PROFILE_COLS)
+    )
+    return agg.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",
+        "n",
+    ).select(
+        "column_name",
+        "n",
+        "n_nulls",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n").cast("double")).alias(
+            "distinct_ratio"
+        ),
+    )
