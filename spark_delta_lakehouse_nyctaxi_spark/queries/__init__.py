@@ -276,6 +276,8 @@ _PRIORITY: list[str] = [
     "q_table_profile",
     # lead-lag cross-correlation clicks vs purchases (lags -3..+3)
     "q_cross_correlation",
+    # SQL-defined scalar + table functions (Catalyst-inlined, zero penalty)
+    "q_sql_udf",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

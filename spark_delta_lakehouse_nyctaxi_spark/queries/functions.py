@@ -898,3 +898,56 @@ def q_udtf_table_arg(spark, sf_dir):
         )
         """
     )
+
+
+@register(
+    "q_sql_udf",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 30.0
+    GROUP BY l_returnflag
+    """,
+    doc="Spark 4 SQL-DEFINED FUNCTIONS (CREATE FUNCTION ... RETURN): a "
+        "scalar SQL UDF (discounted price, decimal-quantized inside "
+        "the function body so the sum stays exact) AND a SQL TABLE "
+        "function (parameterized quantity filter) composed in one "
+        "statement — the catalog-managed reusable-logic surface that "
+        "replaces copy-pasted expressions across a lakehouse's views. "
+        "Both are pure SQL rewrites, so Catalyst inlines them: the "
+        "plan is identical to the hand-written query (filter pushed "
+        "to the scan, decimal sum map-side combined) — zero UDF "
+        "penalty, unlike Python UDFs. The oracle inlines the same "
+        "logic textually. Re-runnable via CREATE OR REPLACE.",
+)
+def q_sql_udf(spark, sf_dir):
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_udf_v")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION discounted_dec(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(22,4)
+        RETURN CAST(p * (1.0 - d) AS DECIMAL(22,4))
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION big_items(min_qty DOUBLE)
+        RETURNS TABLE (l_returnflag STRING, l_extendedprice DOUBLE,
+                       l_discount DOUBLE)
+        RETURN SELECT l_returnflag, l_extendedprice, l_discount
+               FROM lineitem_udf_v WHERE l_quantity >= min_qty
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(SUM(discounted_dec(l_extendedprice, l_discount)) AS DOUBLE)
+                   AS revenue
+        FROM big_items(30.0)
+        GROUP BY l_returnflag
+        """
+    )
