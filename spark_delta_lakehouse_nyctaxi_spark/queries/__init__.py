@@ -278,6 +278,10 @@ _PRIORITY: list[str] = [
     "q_cross_correlation",
     # SQL-defined scalar + table functions (Catalyst-inlined, zero penalty)
     "q_sql_udf",
+    # Goh-Barabasi burstiness of per-user event timing
+    "q_burstiness",
+    # difference-in-differences quasi-experimental estimate
+    "q_diff_in_diff",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

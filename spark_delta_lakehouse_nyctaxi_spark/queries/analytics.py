@@ -821,3 +821,189 @@ def q_cross_correlation(spark, sf_dir):
         n.cast("long").alias("n_pairs"),
         (num / (F.sqrt(den_x) * F.sqrt(den_y))).alias("xcorr"),
     )
+
+
+def _burstiness_oracle_sql() -> str:
+    from .aggregates import dec0_to_double_sql
+
+    return f"""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS DECIMAL(14,0)) AS g
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(COUNT(g) AS DECIMAL(8,0)) AS n,
+               CAST(SUM(g) AS DECIMAL(18,0)) AS s,
+               CAST(SUM(CAST(g AS DECIMAL(19,0)) * g) AS DECIMAL(28,0)) AS q
+        FROM gaps WHERE g IS NOT NULL GROUP BY user_id HAVING COUNT(g) >= 2
+    ),
+    d AS (
+        SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+               {dec0_to_double_sql('s')} / CAST(n AS DOUBLE) AS mu,
+               sqrt({dec0_to_double_sql('(n * q - CAST(s AS DECIMAL(19,0)) * s)')}
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sigma
+        FROM m
+    )
+    SELECT user_id, n_gaps, mu AS mean_gap_us, sigma AS std_gap_us,
+           (sigma - mu) / (sigma + mu) AS burstiness
+    FROM d
+    """
+
+
+@register(
+    "q_burstiness",
+    _burstiness_oracle_sql(),
+    doc="PER-USER BURSTINESS of event timing — the Goh-Barabasi index "
+        "B = (sigma - mu)/(sigma + mu) over inter-event gaps: -1 = "
+        "perfectly periodic, 0 = Poisson, ->1 = heavy-tailed bursts. "
+        "The behavioral-timing fingerprint (bot detection, engagement "
+        "modeling) computed exactly: gaps are integer MICROSECONDS "
+        "(timestampdiff on NTZ — the q_sessionize discipline), the "
+        "per-user (n, sum, sum-of-squares) moments are exact decimals, "
+        "sigma is the sample-variance closed form under sqrt, and "
+        "the wide products convert via dec0_to_double. One per-user "
+        "window pass (partitioned — thousands of concurrent "
+        "partitions) + one grouped aggregate. Bitwise.",
+)
+def q_burstiness(spark, sf_dir):
+    from .aggregates import dec0_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    g = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    ).cast("decimal(14,0)")
+    gaps = ev.select("user_id", g.alias("g")).filter(F.col("g").isNotNull())
+    m = gaps.groupBy("user_id").agg(
+        F.count("g").cast("decimal(8,0)").alias("n"),
+        F.sum("g").cast("decimal(18,0)").alias("s"),
+        F.sum(F.col("g").cast("decimal(19,0)") * F.col("g"))
+        .cast("decimal(28,0)")
+        .alias("q"),
+    ).filter(F.col("n") >= 2)
+    nD = F.col("n").cast("double")
+    mu = dec0_to_double(F.col("s")) / nD
+    sigma = F.sqrt(
+        dec0_to_double(F.col("n") * F.col("q") - F.col("s").cast("decimal(19,0)") * F.col("s"))
+        / (nD * (nD - F.lit(1.0)))
+    )
+    return m.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        mu.alias("mean_gap_us"),
+        sigma.alias("std_gap_us"),
+        ((sigma - mu) / (sigma + mu)).alias("burstiness"),
+    )
+
+
+_DID_CUTOFF = "2024-01-16"
+
+
+def _did_oracle_sql() -> str:
+    def cell(grp, post):
+        cond = (
+            f"event_type = '{grp}' AND "
+            + ("ts >= TIMESTAMP '" + _DID_CUTOFF + " 00:00:00'" if post
+               else "ts < TIMESTAMP '" + _DID_CUTOFF + " 00:00:00'")
+        )
+        tag = f"{'c' if grp == 'click' else 'v'}{'1' if post else '0'}"
+        return (
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DECIMAL(15,0)) AS n_{tag}, "
+            f"CAST(SUM(CASE WHEN {cond} THEN CAST(value * 100 AS DECIMAL(14,0)) END) "
+            f"AS DECIMAL(16,0)) AS s_{tag}, "
+            f"CAST(SUM(CASE WHEN {cond} THEN CAST(CAST(value * 100 AS DECIMAL(14,0)) "
+            f"AS DECIMAL(19,0)) * CAST(value * 100 AS DECIMAL(14,0)) END) "
+            f"AS DECIMAL(22,0)) AS q_{tag}"
+        )
+
+    cells = ", ".join(
+        cell(g, p) for g in ("click", "view") for p in (False, True)
+    )
+    means = ", ".join(
+        f"CAST(s_{t} AS DOUBLE) / CAST(n_{t} AS DOUBLE) AS m_{t}, "
+        f"CAST(n_{t} * q_{t} - CAST(s_{t} AS DECIMAL(19,0)) * s_{t} AS DOUBLE) "
+        f"/ (CAST(n_{t} AS DOUBLE) * (CAST(n_{t} AS DOUBLE) - 1.0) "
+        f"* CAST(n_{t} AS DOUBLE)) AS se_{t}, "
+        f"CAST(n_{t} AS BIGINT) AS nb_{t}"
+        for t in ("c0", "c1", "v0", "v1")
+    )
+    return f"""
+    WITH m AS (SELECT {cells} FROM events),
+    d AS (SELECT {means} FROM m)
+    SELECT nb_c0 AS n_click_pre, nb_c1 AS n_click_post,
+           nb_v0 AS n_view_pre, nb_v1 AS n_view_post,
+           m_c1 - m_c0 AS delta_click_cents,
+           m_v1 - m_v0 AS delta_view_cents,
+           (m_c1 - m_c0) - (m_v1 - m_v0) AS did_cents,
+           ((m_c1 - m_c0) - (m_v1 - m_v0))
+               / sqrt(se_c0 + se_c1 + se_v0 + se_v1) AS t_stat
+    FROM d
+    """
+
+
+@register(
+    "q_diff_in_diff",
+    _did_oracle_sql(),
+    doc="DIFFERENCE-IN-DIFFERENCES estimate — the quasi-experimental "
+        "readout when randomization is impossible: click events as "
+        "the treated series, view events as the control, periods "
+        "split at Jan 16; DiD = (post-pre)_treated - (post-pre)_"
+        "control nets out the common time trend. ONE conditional-"
+        "moment pass produces all four cells (n, sum, sum-of-squares "
+        "as exact integer decimals — q_ab_welch_ttest's discipline), "
+        "then the estimate and its large-sample t = DiD / sqrt(sum "
+        "of the four squared standard errors) are one fixed IEEE "
+        "tree. At 100 TB: one scan, one 1-row aggregate. Bitwise.",
+)
+def q_diff_in_diff(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_DID_CUTOFF + " 00:00:00").cast("timestamp_ntz")
+    cents = (F.col("value") * 100).cast("decimal(14,0)")
+    aggs = []
+    for grp, gtag in (("click", "c"), ("view", "v")):
+        for post in (False, True):
+            tag = f"{gtag}{1 if post else 0}"
+            cond = (F.col("event_type") == grp) & (
+                (F.col("ts") >= cutoff) if post else (F.col("ts") < cutoff)
+            )
+            aggs += [
+                F.sum(cond.cast("int")).cast("decimal(15,0)").alias(f"n_{tag}"),
+                F.sum(F.when(cond, cents)).cast("decimal(16,0)").alias(f"s_{tag}"),
+                F.sum(F.when(cond, cents.cast("decimal(19,0)") * cents))
+                .cast("decimal(22,0)")
+                .alias(f"q_{tag}"),
+            ]
+    m = ev.agg(*aggs)
+
+    def mean(t):
+        return F.col(f"s_{t}").cast("double") / F.col(f"n_{t}").cast("double")
+
+    def se(t):
+        nD = F.col(f"n_{t}").cast("double")
+        return (
+            F.col(f"n_{t}") * F.col(f"q_{t}")
+            - F.col(f"s_{t}").cast("decimal(19,0)") * F.col(f"s_{t}")
+        ).cast("double") / (nD * (nD - F.lit(1.0)) * nD)
+
+    d = m.select(
+        *[mean(t).alias(f"m_{t}") for t in ("c0", "c1", "v0", "v1")],
+        *[se(t).alias(f"se_{t}") for t in ("c0", "c1", "v0", "v1")],
+        *[F.col(f"n_{t}").cast("long").alias(f"nb_{t}") for t in ("c0", "c1", "v0", "v1")],
+    )
+    did = (F.col("m_c1") - F.col("m_c0")) - (F.col("m_v1") - F.col("m_v0"))
+    return d.select(
+        F.col("nb_c0").alias("n_click_pre"),
+        F.col("nb_c1").alias("n_click_post"),
+        F.col("nb_v0").alias("n_view_pre"),
+        F.col("nb_v1").alias("n_view_post"),
+        (F.col("m_c1") - F.col("m_c0")).alias("delta_click_cents"),
+        (F.col("m_v1") - F.col("m_v0")).alias("delta_view_cents"),
+        did.alias("did_cents"),
+        (
+            did
+            / F.sqrt(F.col("se_c0") + F.col("se_c1") + F.col("se_v0") + F.col("se_v1"))
+        ).alias("t_stat"),
+    )
