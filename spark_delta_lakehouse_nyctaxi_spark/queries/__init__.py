@@ -282,6 +282,8 @@ _PRIORITY: list[str] = [
     "q_burstiness",
     # difference-in-differences quasi-experimental estimate
     "q_diff_in_diff",
+    # Kaplan-Meier hazard life table via contribution fan-out
+    "q_survival_hazard",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1007,3 +1007,72 @@ def q_diff_in_diff(spark, sf_dir):
             / F.sqrt(F.col("se_c0") + F.col("se_c1") + F.col("se_v0") + F.col("se_v1"))
         ).alias("t_stat"),
     )
+
+
+@register(
+    "q_survival_hazard",
+    """
+    WITH tenure AS (
+        SELECT user_id,
+               CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT)
+                   AS t_days
+        FROM events GROUP BY user_id
+    ),
+    churned AS (
+        SELECT t_days, COUNT(*) AS n_churned FROM tenure GROUP BY t_days
+    ),
+    at_risk AS (
+        SELECT u.d AS t_days, COUNT(*) AS n_at_risk
+        FROM tenure, unnest(range(0, t_days + 1)) u(d)
+        GROUP BY u.d
+    )
+    SELECT r.t_days AS tenure_day,
+           CAST(r.n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned,
+           CAST(COALESCE(c.n_churned, 0) AS DOUBLE) / r.n_at_risk AS hazard
+    FROM at_risk r LEFT JOIN churned c ON c.t_days = r.t_days
+    """,
+    doc="SURVIVAL LIFE TABLE (the Kaplan-Meier hazard decomposition) "
+        "of user tenure: tenure = days between a user's first and last "
+        "event; per tenure-day t the table reports n_at_risk (users "
+        "whose tenure reaches t), n_churned (tenures ending exactly at "
+        "t), and the discrete hazard d_t/n_t — the distributed "
+        "artifact from which the survival curve folds as "
+        "prod(1 - hazard) (a driver-trivial product over <= |days| "
+        "rows; kept out of the query because cumulative FP products "
+        "need libm log tricks, while the hazard column is one exact "
+        "division). Shape: n_at_risk uses the q_sliding_wau "
+        "CONTRIBUTION FAN-OUT — each user explodes to the t in "
+        "[0, tenure] they survive through, one grouped count, NO "
+        "window, no reverse cumsum — O(users x horizon) work that "
+        "needs no global order at any scale. Bitwise.",
+)
+def q_survival_hazard(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    tenure = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("long")
+        .alias("t_days")
+    )
+    churned = tenure.groupBy("t_days").agg(F.count("*").alias("n_churned"))
+    at_risk = (
+        tenure.select(
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("t_days"))).alias(
+                "t_days"
+            )
+        )
+        .groupBy("t_days")
+        .agg(F.count("*").alias("n_at_risk"))
+    )
+    return (
+        at_risk.join(F.broadcast(churned), "t_days", "left")
+        .select(
+            F.col("t_days").alias("tenure_day"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.coalesce(F.col("n_churned"), F.lit(0)).cast("long").alias("n_churned"),
+            (
+                F.coalesce(F.col("n_churned"), F.lit(0)).cast("double")
+                / F.col("n_at_risk")
+            ).alias("hazard"),
+        )
+    )
