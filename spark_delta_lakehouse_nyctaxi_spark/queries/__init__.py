@@ -284,6 +284,8 @@ _PRIORITY: list[str] = [
     "q_diff_in_diff",
     # Kaplan-Meier hazard life table via contribution fan-out
     "q_survival_hazard",
+    # kNN majority-vote label-quality eval over the embedding space
+    "q_knn_classifier",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1296,3 +1296,81 @@ def q_pca_projection(spark, sf_dir):
         .orderBy(F.abs(F.col("pc1_score")).desc(), "vec_id")
         .limit(15)
     )
+
+
+@register(
+    "q_knn_classifier",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, a.label AS true_label,
+               b.vec_id AS neighbor_id, b.label AS n_label,
+               {_COS_SQL} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 20
+    ),
+    top5 AS (
+        SELECT query_id, true_label, n_label
+        FROM (
+            SELECT query_id, true_label, n_label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS r
+            FROM scored
+        ) WHERE r <= 5
+    ),
+    votes AS (
+        SELECT query_id, true_label, n_label, COUNT(*) AS n_votes
+        FROM top5 GROUP BY 1, 2, 3
+    ),
+    pick AS (
+        SELECT query_id, true_label, n_label AS predicted_label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, n_label) AS r
+        FROM votes
+    )
+    SELECT query_id, CAST(true_label AS INT) AS true_label,
+           CAST(predicted_label AS INT) AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           predicted_label = true_label AS correct
+    FROM pick WHERE r = 1
+    """,
+    doc="kNN CLASSIFIER EVAL (k=5 majority vote) over the embedding "
+        "corpus — the standard label-quality probe for an embedding "
+        "space ('do nearby vectors share labels?'): 20 broadcast query "
+        "vectors score against the corpus with the exact _COS_SQL "
+        "left-fold cosine, top-5 neighbors vote, ties break to the "
+        "smallest label, and the prediction is compared to the held "
+        "truth. On these uniform-random embeddings accuracy sits at "
+        "chance — which is the honest readout the harness exists to "
+        "detect. Bounded BNLJ (20-row broadcast side, allowlisted, "
+        "same contract as q_ann_bruteforce); vote windows partition "
+        "per query. Bitwise.",
+)
+def q_knn_classifier(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    top5 = S.brute_force_topk(
+        emb, queries.select(F.col("query_id").alias("vec_id"), F.col("q_emb").alias("embedding")), k=5
+    )
+    labeled = top5.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "n_label").agg(F.count("*").alias("n_votes"))
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "n_label")
+    pick = votes.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+    return (
+        pick.join(F.broadcast(queries.select("query_id", "true_label")), "query_id")
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("n_label").cast("int").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+    )

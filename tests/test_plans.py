@@ -393,6 +393,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWLIST = {
 _BOUNDED_BNLJ_ALLOWLIST = {
     # genuine bounded products (broadcast side fixed by construction):
     "q_ann_bruteforce",        # exact baseline BY DESIGN; ≤10k query rows API guard
+    "q_knn_classifier",        # 20 broadcast query vectors (same contract)
     "q_ann_quantized",         # 10 broadcast query vectors (queries/similarity.py)
     "q_negative_sampling",     # 20 broadcast anchors (queries/dedup.py)
     "q_trajectory_similarity", # bounded broadcast trajectory sample
