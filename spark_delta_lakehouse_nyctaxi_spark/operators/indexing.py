@@ -346,3 +346,85 @@ def distributed_kth_smallest(
         else:
             lo = mid + 1
     return lo / (10 ** scale)
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sums ``SUM(v) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` for each LONG column in ``value_cols`` —
+    without the single-partition window exchange.
+
+    Same two-phase contract as :func:`global_row_number` (include a
+    unique tiebreaker in ``order_cols`` for a total order): one range
+    exchange + in-partition sort, then per-partition value totals ride
+    the SAME metadata pass as the drift-guard row counts (k×(1+m)
+    scalars to the driver), and the assign pass adds each partition's
+    cumulative base to a local running sum. Output column ``cum_<v>``
+    per input value column. Values must be integer-typed (exact) —
+    callers pre-scale money to cents; partial sums accumulate in
+    Python ints driver-side, so only the per-partition int64 totals
+    bound the range (document |sum per partition| < 2^63)."""
+    ranged, counts, offsets = _ranged_layout(
+        df, [F.col(c) for c in order_cols], num_partitions
+    )
+
+    def _totals(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        agg: dict[int, list[int]] = {}
+        for b in it:
+            if not len(b):
+                continue
+            pid = int(b[_PID_COL].iloc[0])
+            cur = agg.setdefault(pid, [0] * len(value_cols))
+            for i, v in enumerate(value_cols):
+                cur[i] += int(b[v].sum())
+        rows = [[pid] + vals for pid, vals in agg.items()]
+        cols = ["pid"] + [f"t{i}" for i in range(len(value_cols))]
+        yield pd.DataFrame(rows, columns=cols)
+
+    schema_t = "pid int, " + ", ".join(f"t{i} long" for i in range(len(value_cols)))
+    totals = {
+        int(r.pid): [int(r[f"t{i}"]) for i in range(len(value_cols))]
+        for r in ranged.mapInPandas(_totals, schema_t).collect()
+    }
+    bases: dict[int, list[int]] = {}
+    acc = [0] * len(value_cols)
+    for pid in sorted(counts):
+        bases[pid] = list(acc)
+        for i in range(len(value_cols)):
+            acc[i] += totals.get(pid, [0] * len(value_cols))[i]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in ranged.schema.fields if f.name not in (_TAG_COL, _PID_COL)]
+        + [StructField(f"cum_{v}", LongType()) for v in value_cols]
+    )
+
+    def _assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: dict[int, int] = {}
+        run: dict[int, list[int]] = {}
+        for b in it:
+            if not len(b):
+                continue
+            pid = int(b[_PID_COL].iloc[0])
+            b = b.drop(columns=[_TAG_COL, _PID_COL])
+            state = run.setdefault(pid, list(bases.get(pid, [0] * len(value_cols))))
+            for i, v in enumerate(value_cols):
+                c = b[v].cumsum() + state[i]
+                b[f"cum_{v}"] = c
+                state[i] = int(c.iloc[-1])
+            seen[pid] = seen.get(pid, 0) + len(b)
+            if seen[pid] > counts.get(pid, 0):
+                raise RuntimeError(
+                    "distributed_prefix_sum: cached range layout drifted "
+                    f"(partition {pid} holds >{counts.get(pid, 0)} rows)"
+                )
+            yield b
+
+    result = ranged.mapInPandas(_assign, out_schema)
+    _adopt_cache(result, ranged, df)
+    return result

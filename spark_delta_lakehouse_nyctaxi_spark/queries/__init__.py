@@ -286,6 +286,8 @@ _PRIORITY: list[str] = [
     "q_survival_hazard",
     # kNN majority-vote label-quality eval over the embedding space
     "q_knn_classifier",
+    # exact two-sample KS statistic on the distributed prefix-sum CDF
+    "q_ks_test",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

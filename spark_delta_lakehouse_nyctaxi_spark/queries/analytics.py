@@ -1076,3 +1076,100 @@ def q_survival_hazard(spark, sf_dir):
             ).alias("hazard"),
         )
     )
+
+
+def _ks_oracle_sql() -> str:
+    from .aggregates import dec0_to_double_sql
+
+    return f"""
+    WITH vals AS (
+        SELECT CAST(value * 100 AS DECIMAL(14,0)) AS cents,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT cents,
+               SUM(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f1,
+               SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f2
+        FROM vals
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS DECIMAL(15,0)) AS n1,
+               CAST(SUM(c2) AS DECIMAL(15,0)) AS n2
+        FROM vals
+    ),
+    d AS (
+        SELECT cents,
+               abs(CAST(f1 AS DECIMAL(19,0)) * n2
+                   - CAST(f2 AS DECIMAL(19,0)) * n1) AS d_num, n1, n2
+        FROM cum, tot
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click,
+           CAST(n2 AS BIGINT) AS n_view,
+           CAST(cents AS BIGINT) AS ks_at_cents,
+           {dec0_to_double_sql('d_num')} / {dec0_to_double_sql('(n1 * n2)')}
+               AS ks_stat
+    FROM d
+    ORDER BY d_num DESC, cents
+    LIMIT 1
+    """
+
+
+@register(
+    "q_ks_test",
+    _ks_oracle_sql(),
+    doc="EXACT two-sample KOLMOGOROV-SMIRNOV statistic between the "
+        "click and view value distributions: D = max_v |F1(v) - F2(v)| "
+        "evaluated as the INTEGER cross-product form |cum1*n2 - "
+        "cum2*n1| (no per-step division, no FP accumulation — the "
+        "max and its argmax are decided on exact integers, then ONE "
+        "dec0_to_double ratio at the end). The cumulative counts come "
+        "from operators/indexing.distributed_prefix_sum — the "
+        "two-phase range-exchange prefix sum (per-partition totals to "
+        "the driver, local cumsum + base) that replaces the "
+        "single-partition ordered window a naive CDF computation "
+        "would plan; the KS scan is therefore shuffle-bounded by one "
+        "range exchange at ANY number of distinct values. Tiebreak: "
+        "smallest value at the maximal gap. Bitwise.",
+)
+def q_ks_test(spark, sf_dir):
+    from ..operators.indexing import distributed_prefix_sum
+    from .aggregates import attach_scalar, dec0_to_double
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    vals = ev.groupBy(
+        (F.col("value") * 100).cast("decimal(14,0)").alias("cents")
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("int")).cast("long").alias("c2"),
+    )
+    cum = distributed_prefix_sum(vals, ["cents"], ["c1", "c2"])
+    tot = vals.agg(
+        F.sum("c1").cast("decimal(15,0)").alias("n1"),
+        F.sum("c2").cast("decimal(15,0)").alias("n2"),
+    )
+    d = attach_scalar(cum, tot).withColumn(
+        "d_num",
+        F.abs(
+            F.col("cum_c1").cast("decimal(19,0)") * F.col("n2")
+            - F.col("cum_c2").cast("decimal(19,0)") * F.col("n1")
+        ),
+    )
+    return (
+        d.orderBy(F.col("d_num").desc(), "cents")
+        .limit(1)
+        .select(
+            F.col("n1").cast("long").alias("n_click"),
+            F.col("n2").cast("long").alias("n_view"),
+            F.col("cents").cast("long").alias("ks_at_cents"),
+            (dec0_to_double(F.col("d_num")) / dec0_to_double(F.col("n1") * F.col("n2"))).alias(
+                "ks_stat"
+            ),
+        )
+    )

@@ -1447,3 +1447,33 @@ def test_poisson_bootstrap_ci_brackets_point_estimate(spark):
     assert r.ci_lower <= r.mean_daily_cents <= r.ci_upper
     # and be nondegenerate
     assert r.ci_upper > r.ci_lower
+
+
+def test_distributed_prefix_sum_matches_window(spark):
+    """The range-exchange prefix sum must equal the single-partition
+    ordered-window cumsum for any total order, including multi-column
+    values and negative values."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators.indexing import (
+        distributed_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(-50, 50), rng.randint(0, 9)) for i in range(2000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, a long, b long").repartition(8)
+    got = {
+        r.k: (r.cum_a, r.cum_b)
+        for r in distributed_prefix_sum(df, ["k"], ["a", "b"], num_partitions=7).collect()
+    }
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    exp = {
+        r.k: (r.ca, r.cb)
+        for r in df.select(
+            "k", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+        ).collect()
+    }
+    assert got == exp
