@@ -288,6 +288,10 @@ _PRIORITY: list[str] = [
     "q_knn_classifier",
     # exact two-sample KS statistic on the distributed prefix-sum CDF
     "q_ks_test",
+    # association rules: confidence + lift over basket pairs
+    "q_association_rules",
+    # 5% winsorized mean via sketch-bracketed exact order statistics
+    "q_winsorized_mean",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1173,3 +1173,177 @@ def q_ks_test(spark, sf_dir):
             ),
         )
     )
+
+
+def _assoc_oracle_sql() -> str:
+    return """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item_counts AS (
+        SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey
+    ),
+    frequent AS (SELECT l_partkey FROM item_counts WHERE c >= 2),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS c_ab
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey IN (SELECT * FROM frequent)
+          AND b.l_partkey IN (SELECT * FROM frequent)
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items)
+    SELECT p.part_a, p.part_b,
+           CAST(p.c_ab AS BIGINT) AS support_count,
+           CAST(p.c_ab AS DOUBLE) / ca.c AS confidence_a_to_b,
+           CAST(p.c_ab AS DOUBLE) / cb.c AS confidence_b_to_a,
+           (CAST(n.n_baskets AS DOUBLE) * p.c_ab)
+               / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN item_counts ca ON ca.l_partkey = p.part_a
+    JOIN item_counts cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    """
+
+
+@register(
+    "q_association_rules",
+    _assoc_oracle_sql(),
+    doc="ASSOCIATION RULES over the market-basket pairs: support "
+        "count, directional CONFIDENCE P(b|a) and P(a|b), and LIFT "
+        "n*c_ab/(c_a*c_b) — the recommendation-mining readout on top "
+        "of q_basket_pairs' co-occurrence counts (which stop at "
+        "support). Same a-priori discipline: items below min-support "
+        "prune BEFORE pairing, pairs form by same-order equi-join "
+        "with ordered keys; the item-count frame broadcasts twice for "
+        "the two denominators and the 1-row basket total attaches via "
+        "attach_scalar. All statistics are single IEEE ratios of "
+        "exact counts — bitwise. One pair shuffle bounded by the "
+        "frequent-item fan-out at any corpus size.",
+)
+def q_association_rules(spark, sf_dir):
+    from .aggregates import attach_scalar
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    item_counts = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    frequent = item_counts.filter(F.col("c") >= 2).select("l_partkey")
+    fitems = items.join(F.broadcast(frequent), "l_partkey").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = fitems.alias("a")
+    b = fitems.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    n = items.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    ca = item_counts.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    cb = item_counts.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    out = (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+    )
+    return attach_scalar(out, n).select(
+        "part_a",
+        "part_b",
+        F.col("c_ab").cast("long").alias("support_count"),
+        (F.col("c_ab").cast("double") / F.col("c_a")).alias("confidence_a_to_b"),
+        (F.col("c_ab").cast("double") / F.col("c_b")).alias("confidence_b_to_a"),
+        (
+            F.col("n_baskets").cast("double") * F.col("c_ab")
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        ).alias("lift"),
+    )
+
+
+def _winsor_oracle_sql() -> str:
+    from .aggregates import dec0_to_double_sql
+
+    return f"""
+    WITH c AS (
+        SELECT CAST(o_totalprice * 100 AS DECIMAL(14,0)) AS cents FROM orders
+    ),
+    ranked AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+               COUNT(*) OVER () AS n
+        FROM c
+    ),
+    bounds AS (
+        SELECT MAX(CASE WHEN rn = n // 20 + 1 THEN cents END) AS lo,
+               MAX(CASE WHEN rn = n - n // 20 THEN cents END) AS hi,
+               MAX(n) AS n
+        FROM ranked
+    ),
+    w AS (
+        SELECT b.n, b.lo, b.hi,
+               CAST(SUM(CASE WHEN c.cents < b.lo THEN b.lo
+                             WHEN c.cents > b.hi THEN b.hi
+                             ELSE c.cents END) AS DECIMAL(20,0)) AS s_w,
+               CAST(SUM(c.cents) AS DECIMAL(20,0)) AS s_raw
+        FROM c, bounds b GROUP BY 1, 2, 3
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(lo AS BIGINT) AS lo_cents,
+           CAST(hi AS BIGINT) AS hi_cents,
+           {dec0_to_double_sql('s_w')} / CAST(n AS DOUBLE) AS winsorized_mean_cents,
+           {dec0_to_double_sql('s_raw')} / CAST(n AS DOUBLE) AS raw_mean_cents
+    FROM w
+    """
+
+
+@register(
+    "q_winsorized_mean",
+    _winsor_oracle_sql(),
+    doc="5% WINSORIZED MEAN of order totals — the robust-location "
+        "estimator that survives fat tails by CLAMPING to the "
+        "(floor(n/20)+1)-th and (n-floor(n/20))-th order statistics "
+        "instead of dropping rows: both bounds come from "
+        "operators/indexing.distributed_kth_smallest (sketch-"
+        "bracketed exact selection, 2-3 scans each — never a global "
+        "sort or SinglePartition window), then ONE clamp-and-sum "
+        "pass in exact integer cents. Reported beside the raw mean "
+        "so the tail influence is the visible delta. The oracle "
+        "re-derives the same order statistics via ROW_NUMBER; both "
+        "sides clamp identical exact integers — bitwise.",
+)
+def q_winsorized_mean(spark, sf_dir):
+    from ..operators.indexing import distributed_kth_smallest
+    from .aggregates import dec0_to_double
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    k_lo = n // 20 + 1
+    k_hi = n - n // 20
+    lo = distributed_kth_smallest(orders, "o_totalprice", k_lo, scale=2, total=n)
+    hi = distributed_kth_smallest(orders, "o_totalprice", k_hi, scale=2, total=n)
+    lo_c = int(round(lo * 100))
+    hi_c = int(round(hi * 100))
+    cents = (F.col("o_totalprice") * 100).cast("decimal(14,0)")
+    clamped = (
+        F.when(cents < lo_c, F.lit(lo_c))
+        .when(cents > hi_c, F.lit(hi_c))
+        .otherwise(cents)
+    )
+    m = orders.agg(
+        F.sum(clamped).cast("decimal(20,0)").alias("s_w"),
+        F.sum(cents).cast("decimal(20,0)").alias("s_raw"),
+    )
+    return m.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(lo_c).cast("long").alias("lo_cents"),
+        F.lit(hi_c).cast("long").alias("hi_cents"),
+        (dec0_to_double(F.col("s_w")) / F.lit(float(n))).alias("winsorized_mean_cents"),
+        (dec0_to_double(F.col("s_raw")) / F.lit(float(n))).alias("raw_mean_cents"),
+    )
