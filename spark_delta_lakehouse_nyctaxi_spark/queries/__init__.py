@@ -292,6 +292,10 @@ _PRIORITY: list[str] = [
     "q_association_rules",
     # 5% winsorized mean via sketch-bracketed exact order statistics
     "q_winsorized_mean",
+    # Mann-Whitney U via the grouped-CDF identity (no pair join)
+    "q_mann_whitney",
+    # chi-square independence, canonical-order term fold
+    "q_chi2_independence",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

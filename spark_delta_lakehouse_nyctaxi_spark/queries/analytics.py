@@ -1347,3 +1347,185 @@ def q_winsorized_mean(spark, sf_dir):
         (dec0_to_double(F.col("s_w")) / F.lit(float(n))).alias("winsorized_mean_cents"),
         (dec0_to_double(F.col("s_raw")) / F.lit(float(n))).alias("raw_mean_cents"),
     )
+
+
+def _mwu_oracle_sql() -> str:
+    from .aggregates import dec0_to_double_sql
+
+    return f"""
+    WITH vals AS (
+        SELECT CAST(value * 100 AS DECIMAL(14,0)) AS cents,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT cents, c1, c2,
+               SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - c2
+                   AS cum2_before,
+               SUM(c1 + c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                   - (c1 + c2) AS cumt_before
+        FROM vals
+    ),
+    m AS (
+        SELECT CAST(SUM(c1) AS DECIMAL(15,0)) AS n1,
+               CAST(SUM(c2) AS DECIMAL(15,0)) AS n2,
+               CAST(SUM(CAST(c1 AS DECIMAL(19,0))
+                        * (2 * cum2_before + c2)) AS DECIMAL(26,0)) AS u2,
+               CAST(SUM(CAST(c1 + c2 AS DECIMAL(19,0)) * (c1 + c2) * (c1 + c2)
+                        - (c1 + c2)) AS DECIMAL(26,0)) AS tie_term
+        FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+           {dec0_to_double_sql('u2')} / 2.0 AS u_statistic,
+           ({dec0_to_double_sql('u2')} / 2.0
+            - {dec0_to_double_sql('(n1 * n2)')} / 2.0)
+           / sqrt(({dec0_to_double_sql('(n1 * n2)')} / 12.0)
+                  * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                     - {dec0_to_double_sql('tie_term')}
+                       / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))))
+               AS z_score
+    FROM m
+    """
+
+
+@register(
+    "q_mann_whitney",
+    _mwu_oracle_sql(),
+    doc="MANN-WHITNEY U rank-sum test between click and view values — "
+        "the nonparametric companion of q_ab_welch_ttest (no normality "
+        "assumption; detects stochastic dominance): U = #(click > "
+        "view) pairs + half-credit ties, computed EXACTLY without "
+        "materializing pairs via the grouped-CDF identity 2U = "
+        "sum_v c1(v)*(2*cum2_before(v) + c2(v)) over the distributed "
+        "prefix-sum frame (operators/indexing.distributed_prefix_sum "
+        "— no single-partition window, no O(n1*n2) pair join). The "
+        "normal-approximation z carries the exact tie-correction term "
+        "sum(t^3 - t); every moment is an exact integer and the z is "
+        "one fixed IEEE tree — bitwise.",
+)
+def q_mann_whitney(spark, sf_dir):
+    from ..operators.indexing import distributed_prefix_sum
+    from .aggregates import dec0_to_double
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    vals = ev.groupBy(
+        (F.col("value") * 100).cast("decimal(14,0)").alias("cents")
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("int")).cast("long").alias("c2"),
+    ).withColumn("ct", F.col("c1") + F.col("c2"))
+    cum = distributed_prefix_sum(vals, ["cents"], ["c2"])
+    m = cum.agg(
+        F.sum("c1").cast("decimal(15,0)").alias("n1"),
+        F.sum("c2").cast("decimal(15,0)").alias("n2"),
+        F.sum(
+            F.col("c1").cast("decimal(19,0)")
+            * (2 * (F.col("cum_c2") - F.col("c2")) + F.col("c2"))
+        )
+        .cast("decimal(26,0)")
+        .alias("u2"),
+        F.sum(
+            F.col("ct").cast("decimal(19,0)") * F.col("ct") * F.col("ct") - F.col("ct")
+        )
+        .cast("decimal(26,0)")
+        .alias("tie_term"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u = dec0_to_double(F.col("u2")) / F.lit(2.0)
+    mean_u = dec0_to_double(F.col("n1") * F.col("n2")) / F.lit(2.0)
+    var = (dec0_to_double(F.col("n1") * F.col("n2")) / F.lit(12.0)) * (
+        (n1d + n2d + F.lit(1.0))
+        - dec0_to_double(F.col("tie_term")) / ((n1d + n2d) * (n1d + n2d - F.lit(1.0)))
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_view"),
+        u.alias("u_statistic"),
+        ((u - mean_u) / F.sqrt(var)).alias("z_score"),
+    )
+
+
+@register(
+    "q_chi2_independence",
+    """
+    WITH cells AS (
+        SELECT event_type,
+               CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS dow,
+               CAST(COUNT(*) AS DECIMAL(15,0)) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT event_type, CAST(SUM(o) AS DECIMAL(15,0)) AS r FROM cells GROUP BY 1),
+    cols_m AS (SELECT dow, CAST(SUM(o) AS DECIMAL(15,0)) AS c FROM cells GROUP BY 1),
+    tot   AS (SELECT CAST(SUM(o) AS DECIMAL(15,0)) AS n FROM cells),
+    terms AS (
+        SELECT cells.event_type, cells.dow,
+               CAST(cells.o AS DOUBLE) AS o,
+               CAST(rows_m.r AS DOUBLE) * CAST(cols_m.c AS DOUBLE)
+                   / CAST(tot.n AS DOUBLE) AS e,
+               CAST(tot.n AS BIGINT) AS n_events
+        FROM cells
+        JOIN rows_m USING (event_type)
+        JOIN cols_m USING (dow)
+        CROSS JOIN tot
+    )
+    SELECT COUNT(*) AS n_cells,
+           MAX(n_events) AS n_events,
+           list_sum(list_sort(list((o - e) * (o - e) / e))) AS chi2
+    FROM terms
+    """,
+    doc="CHI-SQUARE INDEPENDENCE test between event type and day of "
+        "week (5x7 contingency table): observed cell counts vs the "
+        "margin-product expectation r*c/n, chi2 = sum (o-e)^2/e. "
+        "Exactness discipline for the CROSS-CELL sum: each term is a "
+        "deterministic IEEE value, but a 35-term sum is order-"
+        "sensitive — so BOTH engines sort the term list ascending "
+        "before a left-fold sum (array_sort + aggregate on the Spark "
+        "side, list_sort + list_sum in DuckDB), making the fold order "
+        "canonical. The contingency table is one map-side-combining "
+        "aggregate; margins broadcast; 35 cells are metadata. At "
+        "100 TB: one scan. Bitwise.",
+)
+def q_chi2_independence(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))) % 7
+    ).cast("long")
+    cells = ev.groupBy("event_type", dow.alias("dow")).agg(
+        F.count("*").cast("decimal(15,0)").alias("o")
+    )
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").cast("decimal(15,0)").alias("r"))
+    cols_m = cells.groupBy("dow").agg(F.sum("o").cast("decimal(15,0)").alias("c"))
+    tot = cells.agg(F.sum("o").cast("decimal(15,0)").alias("n"))
+    from .aggregates import attach_scalar
+
+    terms = (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "dow")
+    )
+    terms = attach_scalar(terms, tot).select(
+        F.col("o").cast("double").alias("o"),
+        (
+            F.col("r").cast("double") * F.col("c").cast("double")
+            / F.col("n").cast("double")
+        ).alias("e"),
+        F.col("n").cast("long").alias("n_events"),
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    folded = terms.agg(
+        F.count("*").alias("n_cells"),
+        F.max("n_events").alias("n_events"),
+        F.array_sort(F.collect_list(term)).alias("ts"),
+    )
+    return folded.select(
+        "n_cells",
+        "n_events",
+        F.aggregate(F.col("ts"), F.lit(0.0), lambda a, x: a + x).alias("chi2"),
+    )

@@ -412,6 +412,8 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_poisson_bootstrap",     # two 1-row order-stat frames attach to the point estimate
     "q_stream_hll",            # 1-row exact-distinct frame attaches to the register fold
     "q_ks_test",               # 1-row (n1, n2) totals attach to the CDF frame
+    "q_association_rules",     # 1-row basket total attaches to the pair frame
+    "q_chi2_independence",     # 1-row grand total attaches to the 35-cell table
 }
 
 
