@@ -296,6 +296,10 @@ _PRIORITY: list[str] = [
     "q_mann_whitney",
     # chi-square independence, canonical-order term fold
     "q_chi2_independence",
+    # cohort lifetime-value curve (revenue companion of retention)
+    "q_cohort_ltv",
+    # Simpson's-paradox stratum-reversal audit
+    "q_simpson_audit",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1529,3 +1529,194 @@ def q_chi2_independence(spark, sf_dir):
         "n_events",
         F.aggregate(F.col("ts"), F.lit(0.0), lambda a, x: a + x).alias("chi2"),
     )
+
+
+def _ltv_oracle_sql() -> str:
+    from .aggregates import dec0_to_double_sql
+
+    return f"""
+    WITH ev AS (
+        SELECT user_id,
+               CAST((CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT) // 7 AS week,
+               CAST(value * 100 AS DECIMAL(14,0)) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    allact AS (
+        SELECT user_id,
+               MIN(CAST((CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT) // 7)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size FROM allact GROUP BY 1
+    ),
+    rev AS (
+        SELECT a.cohort_week, e.week - a.cohort_week AS week_offset,
+               CAST(SUM(e.cents) AS DECIMAL(18,0)) AS cents
+        FROM ev e JOIN allact a USING (user_id)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_week, week_offset, cents,
+               CAST(SUM(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                                     ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,0))
+                   AS cum_cents
+        FROM rev
+    )
+    SELECT c.cohort_week, c.week_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(c.cents AS BIGINT) AS revenue_cents,
+           CAST(c.cum_cents AS BIGINT) AS cum_revenue_cents,
+           {dec0_to_double_sql('c.cum_cents')} / s.cohort_size
+               AS ltv_per_user_cents
+    FROM cum c JOIN sizes s USING (cohort_week)
+    """
+
+
+@register(
+    "q_cohort_ltv",
+    _ltv_oracle_sql(),
+    doc="COHORT LIFETIME-VALUE curve — the revenue companion of "
+        "q_retention_cohorts: per (cohort_week, week_offset), the "
+        "purchase revenue that week, its running total, and the "
+        "cumulative LTV per cohort member. The cumulative sum windows "
+        "PER COHORT over the handful of week offsets (partitioned, "
+        "bounded by the observation horizon — never a SinglePartition "
+        "exchange); revenue folds to exact integer cents in the one "
+        "data-sized aggregate; cohort sizes broadcast. At 100 TB: one "
+        "events shuffle on user_id, one on (cohort, offset) — the "
+        "standard LTV pipeline shape. Bitwise.",
+)
+def q_cohort_ltv(spark, sf_dir):
+    from .aggregates import dec0_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch_week = (
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).cast("long")
+        / F.lit(7)
+    ).cast("long")
+    allact = ev.groupBy("user_id").agg(F.min(epoch_week).alias("cohort_week"))
+    sizes = allact.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        epoch_week.alias("week"),
+        (F.col("value") * 100).cast("decimal(14,0)").alias("cents"),
+    )
+    rev = (
+        purch.join(allact, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.sum("cents").cast("decimal(18,0)").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(w).cast("decimal(18,0)"))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.col("cum_cents").cast("long").alias("cum_revenue_cents"),
+        (dec0_to_double(F.col("cum_cents")) / F.col("cohort_size")).alias(
+            "ltv_per_user_cents"
+        ),
+    )
+
+
+@register(
+    "q_simpson_audit",
+    """
+    WITH cells AS (
+        SELECT c_mktsegment AS seg, n_nationkey IS NOT NULL AS dummy,
+               n_name AS nation,
+               CAST(COUNT(*) AS DECIMAL(15,0)) AS n,
+               CAST(SUM(CAST(c_acctbal * 100 AS DECIMAL(14,0)))
+                    AS DECIMAL(18,0)) AS s
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    per_stratum AS (
+        SELECT nation,
+               CAST(SUM(CASE WHEN seg = 'BUILDING' THEN s END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN seg = 'BUILDING' THEN n END) AS DOUBLE)
+                   AS m_a,
+               CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN s END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN n END) AS DOUBLE)
+                   AS m_b
+        FROM cells WHERE seg IN ('BUILDING', 'MACHINERY')
+        GROUP BY nation
+        HAVING SUM(CASE WHEN seg = 'BUILDING' THEN n END) IS NOT NULL
+           AND SUM(CASE WHEN seg = 'MACHINERY' THEN n END) IS NOT NULL
+    ),
+    overall AS (
+        SELECT CAST(SUM(CASE WHEN seg = 'BUILDING' THEN s END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN seg = 'BUILDING' THEN n END) AS DOUBLE)
+                   AS m_a,
+               CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN s END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN n END) AS DOUBLE)
+                   AS m_b
+        FROM cells WHERE seg IN ('BUILDING', 'MACHINERY')
+    )
+    SELECT p.nation,
+           p.m_a - p.m_b AS stratum_gap_cents,
+           o.m_a - o.m_b AS overall_gap_cents,
+           (p.m_a - p.m_b) * (o.m_a - o.m_b) < 0 AS sign_reversed
+    FROM per_stratum p, overall o
+    """,
+    doc="SIMPSON'S-PARADOX audit: the BUILDING-vs-MACHINERY account-"
+        "balance gap computed overall AND within every nation stratum, "
+        "flagging strata whose gap sign REVERSES the aggregate — the "
+        "classic aggregation trap a metrics platform must surface "
+        "before anyone ships a conclusion from the marginal number. "
+        "One join + one (segment, nation) cell aggregate feeds both "
+        "levels (the overall means re-fold from the SAME exact cell "
+        "sums, so the two levels can never disagree on inputs); means "
+        "are single IEEE divisions of exact integer cents. Bitwise.",
+)
+def q_simpson_audit(spark, sf_dir):
+    from .aggregates import attach_scalar
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cells = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("decimal(15,0)").alias("n"),
+            F.sum((F.col("c_acctbal") * 100).cast("decimal(14,0)"))
+            .cast("decimal(18,0)")
+            .alias("s"),
+        )
+    )
+
+    def gap(df, keys):
+        a_s = F.sum(F.when(F.col("seg") == "BUILDING", F.col("s")))
+        a_n = F.sum(F.when(F.col("seg") == "BUILDING", F.col("n")))
+        b_s = F.sum(F.when(F.col("seg") == "MACHINERY", F.col("s")))
+        b_n = F.sum(F.when(F.col("seg") == "MACHINERY", F.col("n")))
+        g = df.groupBy(*keys) if keys else df.groupBy()
+        return g.agg(
+            (a_s.cast("double") / a_n.cast("double")).alias("m_a"),
+            (b_s.cast("double") / b_n.cast("double")).alias("m_b"),
+        )
+
+    per = gap(cells, ["nation"]).filter(
+        F.col("m_a").isNotNull() & F.col("m_b").isNotNull()
+    )
+    overall = gap(cells, []).select(
+        F.col("m_a").alias("o_a"), F.col("m_b").alias("o_b")
+    )
+    out = attach_scalar(per, overall)
+    return out.select(
+        "nation",
+        (F.col("m_a") - F.col("m_b")).alias("stratum_gap_cents"),
+        (F.col("o_a") - F.col("o_b")).alias("overall_gap_cents"),
+        (
+            (F.col("m_a") - F.col("m_b")) * (F.col("o_a") - F.col("o_b")) < 0
+        ).alias("sign_reversed"),
+    )

@@ -414,6 +414,7 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_ks_test",               # 1-row (n1, n2) totals attach to the CDF frame
     "q_association_rules",     # 1-row basket total attaches to the pair frame
     "q_chi2_independence",     # 1-row grand total attaches to the 35-cell table
+    "q_simpson_audit",         # 1-row overall-gap frame attaches to the strata
 }
 
 
