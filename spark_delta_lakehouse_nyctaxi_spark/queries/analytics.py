@@ -1631,13 +1631,13 @@ def q_cohort_ltv(spark, sf_dir):
     "q_simpson_audit",
     """
     WITH cells AS (
-        SELECT c_mktsegment AS seg, n_nationkey IS NOT NULL AS dummy,
+        SELECT c_mktsegment AS seg,
                n_name AS nation,
                CAST(COUNT(*) AS DECIMAL(15,0)) AS n,
                CAST(SUM(CAST(c_acctbal * 100 AS DECIMAL(14,0)))
                     AS DECIMAL(18,0)) AS s
         FROM customer JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY 1, 2, 3
+        GROUP BY 1, 2
     ),
     per_stratum AS (
         SELECT nation,
