@@ -300,6 +300,8 @@ _PRIORITY: list[str] = [
     "q_cohort_ltv",
     # Simpson's-paradox stratum-reversal audit
     "q_simpson_audit",
+    # reliability diagram + ECE for the lang-ID confidence score
+    "q_calibration_bins",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1708,3 +1708,101 @@ def q_nucleus_selection(spark, sf_dir):
         F.max("total").cast("long").alias("chars_total"),
         (F.sum("n_chars").cast("double") / F.max("total")).alias("mass_share"),
     )
+
+
+def _calibration_oracle_sql() -> str:
+    hits = {
+        lang: _lang_score_sql(words) for lang, words in T.LANG_STOPWORDS.items()
+    }
+    total = " + ".join(hits.values())
+    return f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST({hits['en']} AS DOUBLE)
+                   / (CAST(({total}) AS DOUBLE) + 1.0) AS conf,
+               lang = 'en' AS outcome
+        FROM documents
+    ),
+    binned AS (
+        SELECT CAST(floor(conf * 10.0) AS BIGINT) AS bin,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(conf AS DECIMAL(9,7))) AS DOUBLE) AS sum_conf,
+               CAST(SUM(CASE WHEN outcome THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM binned),
+    terms AS (
+        SELECT b.bin, b.n, b.n_pos,
+               b.sum_conf / b.n AS mean_conf,
+               CAST(b.n_pos AS DOUBLE) / b.n AS accuracy,
+               (CAST(b.n AS DOUBLE) / t.n_total)
+                   * abs(CAST(b.n_pos AS DOUBLE) / b.n - b.sum_conf / b.n) AS term
+        FROM binned b, tot t
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n_docs, mean_conf, accuracy,
+           (SELECT list_sum(list_sort(list(term))) FROM terms) AS ece
+    FROM terms
+    """
+
+
+@register(
+    "q_calibration_bins",
+    _calibration_oracle_sql(),
+    doc="RELIABILITY DIAGRAM + expected calibration error for the "
+        "heuristic English-confidence score (en stopword hits over "
+        "total stopword hits + 1) against the true lang label — the "
+        "model-eval harness every classifier feeding a pipeline gate "
+        "needs: per equal-width confidence bin, mean confidence vs "
+        "observed accuracy, and ECE = sum n_b/n * |acc_b - conf_b|. "
+        "Exactness: confidence is one IEEE division per doc; per-bin "
+        "confidence sums quantize at tie-proof DECIMAL(9,7) (|v| < 1, "
+        "scale 7 — the NOTES half-up-regime rule); the <= 10 ECE "
+        "terms fold in canonical sorted order (the q_chi2 recipe). "
+        "One scan + one 10-row aggregate. Bitwise.",
+)
+def q_calibration_bins(spark, sf_dir):
+    from .aggregates import attach_scalar
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.language_scores("text")
+    total = None
+    for c in scores.values():
+        total = c if total is None else total + c
+    conf = scores["en"].cast("double") / (total.cast("double") + F.lit(1.0))
+    scored = docs.select(
+        conf.alias("conf"), (F.col("lang") == "en").alias("outcome")
+    )
+    binned = scored.groupBy(
+        F.floor(F.col("conf") * 10.0).cast("long").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("conf").cast("decimal(9,7)")).cast("double").alias("sum_conf"),
+        F.sum(F.col("outcome").cast("int")).cast("long").alias("n_pos"),
+    )
+    tot = binned.agg(F.sum("n").cast("long").alias("n_total"))
+    terms = attach_scalar(binned, tot).select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("sum_conf") / F.col("n")).alias("mean_conf"),
+        (F.col("n_pos").cast("double") / F.col("n")).alias("accuracy"),
+        (
+            (F.col("n").cast("double") / F.col("n_total"))
+            * F.abs(
+                F.col("n_pos").cast("double") / F.col("n")
+                - F.col("sum_conf") / F.col("n")
+            )
+        ).alias("term"),
+    )
+    ece_frame = terms.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+        ).alias("ece")
+    )
+    return attach_scalar(terms, ece_frame).select(
+        "bin",
+        F.col("n").cast("long").alias("n_docs"),
+        "mean_conf",
+        "accuracy",
+        "ece",
+    )

@@ -415,6 +415,7 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_association_rules",     # 1-row basket total attaches to the pair frame
     "q_chi2_independence",     # 1-row grand total attaches to the 35-cell table
     "q_simpson_audit",         # 1-row overall-gap frame attaches to the strata
+    "q_calibration_bins",      # 1-row total + 1-row ECE attach to the 10-bin frame
 }
 
 
