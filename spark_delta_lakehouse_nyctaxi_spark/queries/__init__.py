@@ -302,6 +302,8 @@ _PRIORITY: list[str] = [
     "q_simpson_audit",
     # reliability diagram + ECE for the lang-ID confidence score
     "q_calibration_bins",
+    # Mann-Kendall monotonic-trend gate (calendar-bounded pair stage)
+    "q_mann_kendall",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

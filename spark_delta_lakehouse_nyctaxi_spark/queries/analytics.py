@@ -1720,3 +1720,111 @@ def q_simpson_audit(spark, sf_dir):
             (F.col("m_a") - F.col("m_b")) * (F.col("o_a") - F.col("o_b")) < 0
         ).alias("sign_reversed"),
     )
+
+
+def _mann_kendall_oracle_sql() -> str:
+    from .aggregates import dec0_to_double_sql
+
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(14,0)))
+                    AS DECIMAL(16,0)) AS x
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS DECIMAL(15,0)) AS s
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ties AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(8,0)) AS n,
+               CAST(SUM(CAST(t AS DECIMAL(19,0)) * (t - 1) * (2 * t + 5))
+                    AS DECIMAL(26,0)) AS tie_term
+        FROM (SELECT COUNT(*) AS t FROM daily GROUP BY x)
+    )
+    SELECT CAST(ties.n AS BIGINT) AS n_days,
+           CAST(s.s AS BIGINT) AS s_statistic,
+           ({dec0_to_double_sql('(ties.n * (ties.n - 1) * (2 * ties.n + 5))')}
+            - {dec0_to_double_sql('ties.tie_term')}) / 18.0 AS var_s,
+           CASE WHEN s.s > 0 THEN ({dec0_to_double_sql('s.s')} - 1.0)
+                WHEN s.s < 0 THEN ({dec0_to_double_sql('s.s')} + 1.0)
+                ELSE 0.0 END
+           / sqrt(({dec0_to_double_sql('(ties.n * (ties.n - 1) * (2 * ties.n + 5))')}
+                   - {dec0_to_double_sql('ties.tie_term')}) / 18.0) AS z_score
+    FROM s, ties
+    """
+
+
+@register(
+    "q_mann_kendall",
+    _mann_kendall_oracle_sql(),
+    doc="MANN-KENDALL monotonic-trend test on the daily revenue "
+        "series: S = sum over day pairs of sign(x_later - x_earlier), "
+        "the nonparametric 'is there a trend at all' gate run before "
+        "fitting anything, with the tie-corrected variance n(n-1)"
+        "(2n+5)/18 - sum t(t-1)(2t+5)/18 and the continuity-corrected "
+        "z. Scale contract: the pair stage is a self-join of the "
+        "DAILY frame — bounded by the CALENDAR squared (days^2 pairs "
+        "regardless of row count; the 100 TB stream still collapses "
+        "to one row per day first), the same bounded-product argument "
+        "as the documented BNLJ allowlist entries, stated here "
+        "because the bound comes from the date domain rather than a "
+        "broadcast constant. Counts and tie terms are exact integers; "
+        "z is one fixed IEEE tree over dec0_to_double conversions. "
+        "Bitwise.",
+)
+def q_mann_kendall(spark, sf_dir):
+    from .aggregates import attach_scalar, dec0_to_double
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(14,0)"))
+        .cast("decimal(16,0)")
+        .alias("x")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("decimal(15,0)")
+            .alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.count("*").cast("decimal(8,0)").alias("n"),
+            F.sum(
+                F.col("t").cast("decimal(19,0)")
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            )
+            .cast("decimal(26,0)")
+            .alias("tie_term"),
+        )
+    )
+    m = attach_scalar(s, ties)
+    full = dec0_to_double(
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+    )
+    var_s = (full - dec0_to_double(F.col("tie_term"))) / F.lit(18.0)
+    s_d = dec0_to_double(F.col("s"))
+    z = (
+        F.when(F.col("s") > 0, (s_d - F.lit(1.0)) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (s_d + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_statistic"),
+        var_s.alias("var_s"),
+        z.alias("z_score"),
+    )
