@@ -304,6 +304,8 @@ _PRIORITY: list[str] = [
     "q_calibration_bins",
     # Mann-Kendall monotonic-trend gate (calendar-bounded pair stage)
     "q_mann_kendall",
+    # greedy decoding from the corpus-trained bigram LM (train->sample)
+    "q_lm_generate",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

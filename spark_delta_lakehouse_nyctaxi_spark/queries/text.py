@@ -1806,3 +1806,93 @@ def q_calibration_bins(spark, sf_dir):
         "accuracy",
         "ece",
     )
+
+
+_GEN_STEPS = 8
+
+
+def _lm_generate_oracle_sql() -> str:
+    chain = [
+        """big AS (
+        SELECT w1, w2, COUNT(*) AS c FROM (
+            SELECT ts[i] AS w1, ts[i + 1] AS w2
+            FROM (SELECT string_split_regex(trim(text), '\\s+') AS ts
+                  FROM documents),
+                 unnest(range(1, len(ts))) u(i)
+        ) GROUP BY 1, 2
+    )""",
+        """uni AS (
+        SELECT w1 AS w, SUM(c) AS c FROM big GROUP BY w1
+    )""",
+        """s0 AS (
+        SELECT w AS token FROM uni ORDER BY c DESC, w LIMIT 1
+    )""",
+    ]
+    for i in range(1, _GEN_STEPS):
+        chain.append(
+            f"""s{i} AS (
+        SELECT b.w2 AS token FROM big b, s{i - 1} p
+        WHERE b.w1 = p.token ORDER BY b.c DESC, b.w2 LIMIT 1
+    )"""
+        )
+    arms = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, token FROM s{i}" for i in range(_GEN_STEPS)
+    )
+    return "WITH " + ",\n    ".join(chain) + "\n    " + arms
+
+
+@register(
+    "q_lm_generate",
+    _lm_generate_oracle_sql(),
+    doc="GREEDY GENERATION from the corpus-trained bigram LM — the "
+        "train-then-sample loop closed entirely inside the engine: "
+        "the q_lm_score bigram counts are the model; decoding starts "
+        "at the highest-frequency token and follows argmax "
+        "P(next|cur) for 8 steps (count-desc, lexicographic "
+        "tiebreak — fully deterministic greedy decoding; cycles are "
+        "legitimate greedy behavior and reproduce identically). The "
+        "distributed work is the ONE bigram-count aggregate (persist-"
+        "once); each decode step is an argmax probe of the cached "
+        "model — 8 metadata-sized jobs, the iterative-trainer pattern "
+        "(IVF/k-core precedent). Both engines walk the identical "
+        "chain — bitwise.",
+)
+def q_lm_generate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    big = (
+        docs.select(F.explode(T.token_ngrams("text", 2)).alias("bg"))
+        .select(
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    try:
+        start = (
+            big.groupBy("w1")
+            .agg(F.sum("c").alias("c"))
+            .orderBy(F.col("c").desc(), "w1")
+            .limit(1)
+            .collect()[0]
+            .w1
+        )
+        out = [(0, start)]
+        cur = start
+        for i in range(1, _GEN_STEPS):
+            nxt = (
+                big.filter(F.col("w1") == cur)
+                .orderBy(F.col("c").desc(), "w2")
+                .limit(1)
+                .collect()
+            )
+            if not nxt:
+                break  # dead end: cur never starts a bigram — the
+                # oracle's s_i CTEs go empty from here too, so both
+                # sides emit the same truncated chain
+            cur = nxt[0].w2
+            out.append((i, cur))
+    finally:
+        big.unpersist()
+    return spark.createDataFrame(out, "step int, token string")
