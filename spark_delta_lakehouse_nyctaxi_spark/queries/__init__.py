@@ -306,6 +306,10 @@ _PRIORITY: list[str] = [
     "q_mann_kendall",
     # greedy decoding from the corpus-trained bigram LM (train->sample)
     "q_lm_generate",
+    # ABC/Pareto revenue classification on the distributed prefix sum
+    "q_abc_classification",
+    # funnel conversion latency (mean + exact median microseconds)
+    "q_time_to_convert",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -1828,3 +1828,177 @@ def q_mann_kendall(spark, sf_dir):
         var_s.alias("var_s"),
         z.alias("z_score"),
     )
+
+
+@register(
+    "q_abc_classification",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(14,0)))
+                    AS DECIMAL(18,0)) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    cum AS (
+        SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_cents
+        FROM rev
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS DECIMAL(20,0)) AS t FROM rev),
+    classed AS (
+        SELECT CASE WHEN 5 * cum_cents <= 4 * t THEN 'A'
+                    WHEN 20 * cum_cents <= 19 * t THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents
+        FROM cum, tot
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents,
+           CAST(SUM(cents) AS DOUBLE) / CAST(MAX((SELECT t FROM tot)) AS DOUBLE)
+               AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+    doc="ABC / PARETO CLASSIFICATION of parts by revenue: rank parts "
+        "by revenue descending, class A = the head reaching 80% of "
+        "cumulative revenue, B = to 95%, C = the tail — the inventory-"
+        "prioritization classic ('20% of parts drive 80% of revenue'), "
+        "and for corpora the head/torso/tail split of source "
+        "importance. The running total uses operators/indexing."
+        "distributed_prefix_sum over (cents DESC, partkey) — no "
+        "SinglePartition window at any part count; class boundaries "
+        "are EXACT-INTEGER comparisons (5*cum <= 4*total, 20*cum <= "
+        "19*total — the q_nucleus_selection discipline, no 0.8 "
+        "float). One revenue aggregate + one range exchange + a 3-row "
+        "fold. Bitwise.",
+)
+def q_abc_classification(spark, sf_dir):
+    from ..operators.indexing import distributed_prefix_sum
+    from .aggregates import attach_scalar
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum((F.col("l_extendedprice") * 100).cast("decimal(14,0)"))
+        .cast("decimal(18,0)")
+        .alias("cents_dec")
+    ).select("l_partkey", F.col("cents_dec").cast("long").alias("cents"))
+    cum = distributed_prefix_sum(
+        rev.withColumn("neg", -F.col("cents")), ["neg", "l_partkey"], ["cents"]
+    )
+    tot = rev.agg(F.sum("cents").cast("decimal(20,0)").alias("t"))
+    classed = attach_scalar(cum, tot).select(
+        F.when(
+            F.lit(5) * F.col("cum_cents").cast("decimal(20,0)") <= F.lit(4) * F.col("t"),
+            "A",
+        )
+        .when(
+            F.lit(20) * F.col("cum_cents").cast("decimal(20,0)")
+            <= F.lit(19) * F.col("t"),
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "t",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("cents").cast("long").alias("class_cents"),
+        (F.sum("cents").cast("double") / F.max("t").cast("double")).alias(
+            "revenue_share"
+        ),
+    )
+
+
+def _ttc_oracle_sql() -> str:
+    from .aggregates import dec0_to_double_sql
+
+    return f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > v.t_view
+                        THEN e.ts END) AS t_purch
+        FROM events e JOIN v USING (user_id) GROUP BY e.user_id
+    ),
+    deltas AS (
+        SELECT CAST(epoch_us(p.t_purch) - epoch_us(v.t_view)
+                    AS DECIMAL(16,0)) AS d_us
+        FROM v JOIN p USING (user_id) WHERE p.t_purch IS NOT NULL
+    ),
+    ranked AS (
+        SELECT d_us, ROW_NUMBER() OVER (ORDER BY d_us) AS rn,
+               COUNT(*) OVER () AS n
+        FROM deltas
+    ),
+    m AS (
+        SELECT CAST(MAX(n) AS DECIMAL(15,0)) AS n,
+               CAST(SUM(d_us) AS DECIMAL(22,0)) AS s,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN d_us END) AS med
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_converters,
+           {dec0_to_double_sql('s')} / CAST(n AS DOUBLE) AS mean_us,
+           CAST(med AS BIGINT) AS median_us
+    FROM m
+    """
+
+
+@register(
+    "q_time_to_convert",
+    _ttc_oracle_sql(),
+    doc="CONVERSION LATENCY: for every user whose first purchase "
+        "strictly follows their first view (q_event_funnel's strict "
+        "anchor semantics), the view->purchase delay in exact integer "
+        "microseconds — mean from one exact-decimal sum, median as "
+        "the ((n+1) div 2)-th order statistic via operators/indexing."
+        "distributed_kth_smallest (sketch-bracketed exact selection, "
+        "no global sort). The product question behind it — 'how long "
+        "does the funnel take?' — is the companion every funnel "
+        "count needs. Two conditional-min aggregates + one moment "
+        "fold; scale-free. Bitwise.",
+)
+def q_time_to_convert(spark, sf_dir):
+    from ..operators.indexing import distributed_kth_smallest
+    from .aggregates import dec0_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    p = (
+        ev.join(F.broadcast(v), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_purch")
+        )
+    )
+    deltas = (
+        v.join(p, "user_id")
+        .filter(F.col("t_purch").isNotNull())
+        .select(
+            F.expr("timestampdiff(MICROSECOND, t_view, t_purch)")
+            .cast("decimal(16,0)")
+            .alias("d_us")
+        )
+    )
+    n = deltas.count()
+    med = distributed_kth_smallest(
+        deltas.select(F.col("d_us").cast("double").alias("d")), "d", (n + 1) // 2,
+        scale=0, total=n,
+    )
+    m = deltas.agg(F.sum("d_us").cast("decimal(22,0)").alias("s"))
+    return m.select(
+        F.lit(n).cast("long").alias("n_converters"),
+        (dec0_to_double(F.col("s")) / F.lit(float(n))).alias("mean_us"),
+        F.lit(int(med)).cast("long").alias("median_us"),
+    )

@@ -418,6 +418,7 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_calibration_bins",      # 1-row total + 1-row ECE attach to the 10-bin frame
     "q_mann_kendall",          # day-pair join bounded by the CALENDAR squared
                                # (the stream collapses to one row per day first)
+    "q_abc_classification",    # 1-row total attaches to the classed frame
 }
 
 
