@@ -310,6 +310,8 @@ _PRIORITY: list[str] = [
     "q_abc_classification",
     # funnel conversion latency (mean + exact median microseconds)
     "q_time_to_convert",
+    # Newman degree assortativity of the co-purchase graph
+    "q_graph_assortativity",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -2002,3 +2002,104 @@ def q_time_to_convert(spark, sf_dir):
         (dec0_to_double(F.col("s")) / F.lit(float(n))).alias("mean_us"),
         F.lit(int(med)).cast("long").alias("median_us"),
     )
+
+
+def _assort_oracle_sql() -> str:
+    from .aggregates import dec0_to_double_sql
+
+    def m(expr):
+        return dec0_to_double_sql(expr)
+
+    return f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pe AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    pairs AS (
+        SELECT CAST(da.d AS DECIMAL(10,0)) AS x, CAST(db.d AS DECIMAL(10,0)) AS y
+        FROM edges e
+        JOIN deg da ON da.node = e.src
+        JOIN deg db ON db.node = e.dst
+    ),
+    mo AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(12,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(18,0)) AS s_x,
+               CAST(SUM(y) AS DECIMAL(18,0)) AS s_y,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(24,0)) AS s_xy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(24,0)) AS s_xx,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(24,0)) AS s_yy
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           {m('(n * s_xy - CAST(s_x AS DECIMAL(19,0)) * s_y)')} /
+           (sqrt({m('(n * s_xx - CAST(s_x AS DECIMAL(19,0)) * s_x)')}) *
+            sqrt({m('(n * s_yy - CAST(s_y AS DECIMAL(19,0)) * s_y)')}))
+               AS assortativity
+    FROM mo
+    """
+
+
+@register(
+    "q_graph_assortativity",
+    _assort_oracle_sql(),
+    doc="DEGREE ASSORTATIVITY of the part co-purchase graph — Newman's "
+        "r: the Pearson correlation of endpoint degrees over directed "
+        "edges (positive = hubs attach to hubs, negative = hub-and-"
+        "spoke; the one-number summary of a graph's mixing pattern, "
+        "completing the graph tier beside pagerank / triangles / "
+        "k-core / BFS / components). Degrees are exact integers; the "
+        "correlation is q_corr_matrix's exact-moment closed form with "
+        "dec0_to_double conversions. Shape: the same bounded same-"
+        "order pair join as q_k_core builds edges, degrees are one "
+        "grouped count, and the degree map joins back onto edges by "
+        "key — two broadcast-or-shuffle equi-joins, one moment fold. "
+        "Bitwise.",
+)
+def q_graph_assortativity(spark, sf_dir):
+    from .aggregates import dec0_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    edges = pe.unionAll(pe.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    pairs = (
+        edges.join(deg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst")
+        .select(
+            F.col("dx").cast("decimal(10,0)").alias("x"),
+            F.col("dy").cast("decimal(10,0)").alias("y"),
+        )
+    )
+    mo = pairs.agg(
+        F.count("*").cast("decimal(12,0)").alias("n"),
+        F.sum("x").cast("decimal(18,0)").alias("s_x"),
+        F.sum("y").cast("decimal(18,0)").alias("s_y"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).cast("decimal(24,0)").alias("s_xy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).cast("decimal(24,0)").alias("s_xx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).cast("decimal(24,0)").alias("s_yy"),
+    )
+    n = F.col("n")
+    num = dec0_to_double(n * F.col("s_xy") - F.col("s_x").cast("decimal(19,0)") * F.col("s_y"))
+    dx = dec0_to_double(n * F.col("s_xx") - F.col("s_x").cast("decimal(19,0)") * F.col("s_x"))
+    dy = dec0_to_double(n * F.col("s_yy") - F.col("s_y").cast("decimal(19,0)") * F.col("s_y"))
+    return mo.select(
+        n.cast("long").alias("n_directed_edges"),
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("assortativity"),
+    )
