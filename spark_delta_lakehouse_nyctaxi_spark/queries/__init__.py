@@ -315,6 +315,8 @@ _PRIORITY: list[str] = [
     "q_time_to_convert",
     # Newman degree assortativity of the co-purchase graph
     "q_graph_assortativity",
+    # power-of-two degree histogram (exact integer log2 bucketing)
+    "q_degree_histogram",
     # --- driver-green headliners pad the window to the 50-slot cap ---
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -2103,3 +2103,68 @@ def q_graph_assortativity(spark, sf_dir):
         n.cast("long").alias("n_directed_edges"),
         (num / (F.sqrt(dx) * F.sqrt(dy))).alias("assortativity"),
     )
+
+
+@register(
+    "q_degree_histogram",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pe AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT src AS node FROM pe UNION ALL SELECT dst AS node FROM pe
+        ) GROUP BY node
+    )
+    SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(1 << (length(bin(d)) - 1) AS BIGINT) AS bucket_floor,
+           COUNT(*) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1, 2
+    """,
+    doc="DEGREE DISTRIBUTION of the co-purchase graph in power-of-two "
+        "buckets — the log-log histogram one eyeballs for heavy tails "
+        "before trusting any mean-degree number (and the shape that "
+        "decides whether a join needs salting): bucket = "
+        "floor(log2(degree)) computed with ZERO FP via the "
+        "len(bin(d))-1 identity (the q_unigram_surprisal trick — "
+        "engine-exact integer log2, no libm boundary risk at bucket "
+        "edges). One bounded same-order pair join, one degree count, "
+        "one histogram fold. Bitwise.",
+)
+def q_degree_histogram(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    deg = (
+        pe.select(F.col("src").alias("node"))
+        .unionAll(pe.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    bucket = (F.length(F.bin(F.col("d"))) - 1).cast("long")
+    floor_expr = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(d)) - 1 AS INT))"
+    )
+    return deg.groupBy(
+        bucket.alias("log2_bucket"),
+        floor_expr.alias("bucket_floor"),
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
