@@ -88,6 +88,7 @@ def main() -> None:
     # runs). Adds ~1-2 min wall over median-of-3.
     load_before = _loadavg()
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
         for _ in range(5):
@@ -95,13 +96,22 @@ def main() -> None:
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
             spark.catalog.clearCache()
-        timings[name] = round(sorted(samples)[2], 3)
+        samples.sort()
+        timings[name] = round(samples[2], 3)
+        minima[name] = round(samples[0], 3)
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # min-of-5 per query (r5 VERDICT item 7): the minimum is the
+        # least host-steal-contaminated sample — on a noisy VM it is
+        # the better cross-round comparator, while the median stays the
+        # headline (robust to a lucky scheduler gap). Adjudicate any
+        # apparent regression against value_min + loadavg first.
+        "value_min": round(sum(minima.values()), 3),
+        "queries_min": minima,
         "sf": sf,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),

@@ -15,6 +15,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .local_frames import literal_frame
+
 
 def dot(a: Column, b: Column) -> Column:
     """JVM-side dot product. Elements upcast to DOUBLE *before* the
@@ -253,7 +255,7 @@ def embedding_near_dups(
                 cand.append((i, j))
                 if i != j:
                     cand.append((j, i))
-    cand_df = spark.createDataFrame(cand, "cell_a int, cell_b int")
+    cand_df = literal_frame(spark, cand, "cell_a int, cell_b int")
 
     a = assigned.select(F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"),
                         F.col("_cell").alias("cell_a"))
@@ -417,8 +419,9 @@ def exact_cell_scores_frame(
     crows = [
         (cid, i + 1, float(x)) for cid, c in enumerate(centroids) for i, x in enumerate(c)
     ]
-    cd = spark.createDataFrame(crows, "cid int, i int, cx double")
-    ch = spark.createDataFrame(
+    cd = literal_frame(spark, crows, "cid int, i int, cx double")
+    ch = literal_frame(
+        spark,
         [(cid, float(_dec_sq_norm(c)) / 2.0) for cid, c in enumerate(centroids)],
         "cid int, h2 double",
     )
@@ -445,11 +448,18 @@ def exact_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_best: int = 1,
+    spread: bool = False,
 ) -> DataFrame:
     """Top-``n_best`` cells per vector by the decimal-exact score
     (``id``, ``cid``, ``rn``): n_best=1 is cell assignment, n_best=n is
     the probe order prefix.  Ties break to the lower cid — identical to
-    assign_cell's first-max and the oracle's ORDER BY s DESC, cid."""
+    assign_cell's first-max and the oracle's ORDER BY s DESC, cid.
+
+    ``spread=True`` for CORPUS-sized inputs (see
+    :func:`_spread_small_scan`); leave False for broadcast-sized query
+    batches, where the extra exchange would cost more than it buys."""
+    if spread:
+        corpus = _spread_small_scan(corpus)
     sf = exact_cell_scores_frame(corpus, centroids, id_col, vec_col)
     w = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("cid"))
     return (
@@ -534,9 +544,9 @@ def ivf_centroids(
     dim = len(centroids[0])
     for _ in range(iters):
         if exact:
-            assign = exact_assignments(corpus, centroids, id_col, vec_col).select(
-                "id", "cid"
-            )
+            assign = exact_assignments(
+                corpus, centroids, id_col, vec_col, spread=True
+            ).select("id", "cid")
             exploded = corpus.select(
                 F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "x")
             ).join(assign, "id")
@@ -692,9 +702,9 @@ def ivf_topk(
     O(N·n_probe/n_centroids) plus the O(k·d) assignment projection.
     Recall < 1.0 by design; verified rows-only + recall pytest."""
     if exact:
-        cellmap = exact_assignments(corpus, centroids, id_col, vec_col).select(
-            F.col("id").alias("neighbor_id"), F.col("cid").alias("cell")
-        )
+        cellmap = exact_assignments(
+            corpus, centroids, id_col, vec_col, spread=True
+        ).select(F.col("id").alias("neighbor_id"), F.col("cid").alias("cell"))
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         ).join(cellmap, "neighbor_id")
@@ -756,49 +766,101 @@ def _certify_unit_range(corpus: DataFrame, vec_col: str) -> None:
 # ---------------------------------------------------- product quantization
 
 
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition a SMALL scan up to the session's core
+    count before heavy per-row arithmetic fans out of it.
+
+    The vector-index kernels expand each input row into m·ksub scored
+    candidates (per-subspace/per-centroid decimal terms) WITHOUT an
+    intervening exchange, so the expansion inherits the scan's
+    partitioning. A test-scale parquet lands in ONE scan partition and
+    the entire 2M-row decimal projection + partial aggregate then runs
+    on a single task (measured: the dominant cost of q_ann_pq at
+    sf0.1). Shuffling at this point moves only the raw vectors — the
+    cheapest place in the whole plan — and buys full parallelism on
+    the expansion.
+
+    At real scale the guard is a no-op: any 100 TB corpus scans as
+    thousands of partitions (≥ cores), and repartitioning it would be
+    the bug, not the fix."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def _pq_term_agg(frame: DataFrame, centroids: list[list[float]], ds: int,
                  id_col: str, vec_col: str) -> DataFrame:
-    """(id, sub, cid, t): scaled-long per-subspace dot of every vector
-    against every codeword — the shared kernel of PQ assignment and ADC
-    lookup tables. ``centroids`` are FULL-dimension vectors; subspace
-    ``sub = (i-1) div ds`` falls out of the dim index, so one explode +
-    one broadcast equi-join + one map-side-combining aggregate covers
-    all m subspaces at once (the q_ann_ivf frame shape with one extra
-    grouping key). Terms are DECIMAL-scale-7 quantizes of single IEEE
-    products scaled into exact longs (the dot_dec discipline at the
-    TIE-PROOF scale: every atom here has |v| < 1, so a scale-7 tie has
-    at most 8 significant digits, the regime where DuckDB's
-    double->decimal cast rounds half-up exactly like Spark's — at
-    scales >= 8 sig digits DuckDB switches to half-even and raw
-    float32-grid data CAN hit exact midpoints; measured, not assumed).
-    Downstream sums are exact longs: order-invariant and
-    engine-reproducible for ANY input under the |x| < 1 precondition
-    (certified in-query by q_ann_pq)."""
+    """(id, sub, cid, t, h2): scaled-long per-subspace dot of every
+    vector against every codeword — the shared kernel of PQ assignment
+    and ADC lookup tables. ``centroids`` are FULL-dimension vectors;
+    subspace ``sub = (i-1) div ds`` falls out of the dim index.
+
+    Shape (r6 rewrite): each vector explodes into m = dim/ds subspace
+    STRUCTS (sub, x0..x[ds-1]) — n·m rows, not n·dim — which
+    broadcast-equi-join the m·ksub-row sub-codebook; the ds per-dim
+    terms then sum INLINE in one projection. The previous form exploded
+    per-dim (n·dim rows), joined to n·dim·ksub term rows, and hash-
+    aggregated n·m·ksub groups of exactly ds rows each — that
+    2M-group aggregate was 5.4s of pure overhead at sf0.1 for
+    arithmetic an inline two-term add does for free. No shuffle at all
+    on this path now (measured 5.4s → includes-nothing; see
+    SCALING.md PQ decomposition).
+
+    Terms are DECIMAL-scale-7 quantizes of single IEEE products scaled
+    into exact longs (the dot_dec discipline at the TIE-PROOF scale:
+    every atom here has |v| < 1, so a scale-7 tie has at most 8
+    significant digits, the regime where DuckDB's double->decimal cast
+    rounds half-up exactly like Spark's — at >= 9 sig digits DuckDB
+    switches to half-even and raw float32-grid data CAN hit exact
+    midpoints; measured, not assumed). The inline left-to-right long
+    add equals the old aggregate's sum exactly (longs are exact and
+    order-invariant), so codes / LUTs / ADC scores are bit-identical
+    to the r5 form and to the SQL oracle. ``h2`` = Σdec(c_j²)/2 per
+    (sub, cid) rides along for the assignment score (ignored by the
+    LUT path)."""
     spark = frame.sparkSession
     factor = 10**7
-    crows = [
-        (cid, i + 1, float(x))
+    dim = len(centroids[0])
+    m = dim // ds
+    cb_rows = [
+        (
+            s,
+            cid,
+            *[float(c[s * ds + j]) for j in range(ds)],
+            float(_dec_sq_norm(c[s * ds : (s + 1) * ds], scale=7)) / 2.0,
+        )
         for cid, c in enumerate(centroids)
-        for i, x in enumerate(c)
+        for s in range(m)
     ]
-    cd = spark.createDataFrame(crows, "cid int, i int, cx double")
-    dims = frame.select(
-        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("p", "x")
-    ).select(
-        "id",
-        (F.col("p") + 1).alias("i"),
-        (F.col("p") / ds).cast("int").alias("sub"),
-        F.col("x").cast("double").alias("x"),
+    cfields = ", ".join(f"c{j} double" for j in range(ds))
+    cb = literal_frame(spark, cb_rows, f"sub int, cid int, {cfields}, h2 double")
+    x = F.col(vec_col)
+    sub_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("sub"),
+            *[
+                F.element_at(x, s * ds + (j + 1)).cast("double").alias(f"x{j}")
+                for j in range(ds)
+            ],
+        ),
     )
-    terms = dims.join(F.broadcast(cd), "i").select(
-        "id",
-        "sub",
-        "cid",
-        ((F.col("x") * F.col("cx")).cast("decimal(16,7)") * F.lit(factor))
-        .cast("long")
-        .alias("t"),
-    )
-    return terms.groupBy("id", "sub", "cid").agg(F.sum("t").alias("t"))
+    subs = frame.select(
+        F.col(id_col).alias("id"), F.explode(sub_structs).alias("sv")
+    ).select("id", "sv.*")
+    joined = subs.join(F.broadcast(cb), "sub")
+
+    def term(j: int) -> Column:
+        return (
+            (F.col(f"x{j}") * F.col(f"c{j}")).cast("decimal(16,7)") * F.lit(factor)
+        ).cast("long")
+
+    t = term(0)
+    for j in range(1, ds):
+        t = t + term(j)
+    return joined.select("id", "sub", "cid", t.alias("t"), "h2")
 
 
 def pq_assign_frame(
@@ -810,26 +872,22 @@ def pq_assign_frame(
 ) -> DataFrame:
     """PQ codes (id, sub, cid): per-subspace nearest codeword by the
     decimal-exact score ``dot − |c_sub|²/2`` (argmin sub-L2; ties to
-    the lower cid — identical to the oracle's ORDER BY s DESC, cid)."""
-    spark = corpus.sparkSession
+    the lower cid — identical to the oracle's ORDER BY s DESC, cid).
+
+    The argmax is a map-side-combining ``max(struct(s, -cid))`` hash
+    aggregate over the ksub candidate rows per (id, sub) — lexicographic
+    struct max picks the highest score, then the highest ``-cid`` =
+    LOWEST cid on ties, exactly the old window's (s DESC, cid) rn=1 row
+    without a sort or a per-(id, sub) window partition (the r5 form's
+    window over n·m single-vector partitions was pure overhead)."""
     factor = 10**7
-    h2rows = [
-        (cid, s, float(_dec_sq_norm(c[s * ds : (s + 1) * ds], scale=7)) / 2.0)
-        for cid, c in enumerate(centroids)
-        for s in range(len(c) // ds)
-    ]
-    ch = spark.createDataFrame(h2rows, "cid int, sub int, h2 double")
-    agg = _pq_term_agg(corpus, centroids, ds, id_col, vec_col)
+    agg = _pq_term_agg(_spread_small_scan(corpus), centroids, ds, id_col, vec_col)
     dot = (F.col("t").cast("decimal(20,0)") / F.lit(factor)).cast("double")
-    scored = agg.join(F.broadcast(ch), ["cid", "sub"]).select(
-        "id", "sub", "cid", (dot - F.col("h2")).alias("s")
+    scored = agg.select("id", "sub", "cid", (dot - F.col("h2")).alias("s"))
+    best = scored.groupBy("id", "sub").agg(
+        F.max(F.struct(F.col("s").alias("s"), (-F.col("cid")).alias("nc"))).alias("b")
     )
-    w = Window.partitionBy("id", "sub").orderBy(F.col("s").desc(), F.col("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "sub", "cid")
-    )
+    return best.select("id", "sub", (-F.col("b.nc")).cast("int").alias("cid"))
 
 
 def pq_train_codebooks(

