@@ -570,6 +570,86 @@ def segment_dedup(
     return segments.withColumn("kept", F.row_number().over(w) == 1)
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    l: int = 8,
+    min_repeats: int = 2,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """MAXIMAL duplicated substrings (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal token
+    span of length ≥ ``l`` whose every ``l``-gram occurs ≥
+    ``min_repeats`` times anywhere in the corpus (cross-document or
+    within one document). Returns (``doc_id``, ``span_start``,
+    ``span_end``, ``span_tokens``) with 0-based inclusive token
+    offsets — the excision list a substring-dedup pass feeds to the
+    text surgery step.
+
+    The reference formulation builds a corpus-wide suffix array; the
+    Spark-first equivalent is ``l``-gram anchoring, exact for spans at
+    this granularity: a span is duplicated iff all its constituent
+    ``l``-grams are duplicated, so (1) posexplode every token position
+    into its ``l``-gram fingerprint (md5 of the joined window — the
+    engine-reproducible hash family), (2) count occurrences per
+    fingerprint with ONE window over the fingerprint partition (huge
+    uniform key space — the same shuffle shape as exact dedup; at
+    100 TB this is the only corpus-sized exchange and it carries
+    (id, pos, 16-byte hash) rows, linear in total tokens), (3) keep
+    positions whose gram repeats, (4) merge overlapping-or-adjacent
+    surviving spans per document into maximal islands with a running
+    lag/sum window partitioned by doc (per-partition work bounded by
+    document length). No pairwise comparison anywhere — candidate
+    volume is Σ n_tokens rows, never corpus².
+
+    Deterministic pure integer/hash arithmetic end to end —
+    value-oracles bitwise against the identical SQL over
+    ``string_split_regex``/``array_to_string``.
+    """
+    nparts = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(nparts, id_col).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("t")
+    )
+    n = F.size("t")
+    grams = (
+        toks.filter(n >= l)
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), n - l)).alias("p"),
+            F.col("t"),
+        )
+        .select(
+            "id",
+            "p",
+            F.md5(F.array_join(F.slice("t", F.col("p") + 1, l), " ")).alias("g"),
+        )
+    )
+    cnt = F.count("*").over(Window.partitionBy("g"))
+    dup = grams.withColumn("c", cnt).filter(F.col("c") >= min_repeats)
+    wd = Window.partitionBy("id").orderBy("p")
+    # two chained windows over the SAME spec (lag, then running sum of
+    # the new-island flags): one exchange + one sort, reused by both —
+    # a window function cannot nest inside another in one projection
+    flagged = dup.withColumn("prev", F.lag("p").over(wd))
+    # spans [p, p+l-1] and [q, q+l-1] merge iff q - p <= l
+    island = F.sum(
+        F.when(
+            F.col("prev").isNull() | (F.col("p") - F.col("prev") > l), 1
+        ).otherwise(0)
+    ).over(wd)
+    return (
+        flagged.withColumn("island", island)
+        .groupBy(F.col("id").alias(id_col), "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + l - 1).alias("span_end"),
+            (F.max("p") - F.min("p") + l).alias("span_tokens"),
+        )
+        .drop("island")
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

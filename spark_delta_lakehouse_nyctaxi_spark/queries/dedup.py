@@ -1441,3 +1441,72 @@ def q_ngram_novelty(spark, sf_dir):
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "q_substring_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ts,
+               CAST(unnest(range(0, len(ts) - 7)) AS BIGINT) AS p
+        FROM toks
+    ),
+    g AS (
+        SELECT doc_id, p,
+               md5(array_to_string(ts[p + 1 : p + 8], ' ')) AS gram
+        FROM pos
+    ),
+    c AS (SELECT doc_id, p,
+                 COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g),
+    d AS (SELECT doc_id, p FROM c WHERE cnt >= 2),
+    flagged AS (
+        SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM d
+    ),
+    islands AS (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev IS NULL OR p - prev > 8
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM flagged
+    )
+    SELECT doc_id,
+           MIN(p) AS span_start,
+           MAX(p) + 7 AS span_end,
+           MAX(p) - MIN(p) + 8 AS span_tokens
+    FROM islands
+    GROUP BY doc_id, island
+    """,
+    doc="EXACT-SUBSTRING DEDUP EXCISION LIST (Lee et al. 2022, "
+        "'Deduplicating Training Data Makes Language Models Better'): "
+        "every MAXIMAL token span of length >= 8 whose every 8-gram "
+        "occurs >= 2 times anywhere in the corpus — the span list the "
+        "substring-surgery pass removes before LM training. The "
+        "reference builds a corpus-wide suffix array; the Spark-first "
+        "equivalent is l-gram anchoring (a span is duplicated iff all "
+        "its l-grams are), exact at this granularity: position-explode "
+        "md5 8-gram fingerprints, ONE window count over the "
+        "fingerprint partition (the only corpus-sized exchange — "
+        "linear (id, pos, hash) rows, uniform keys), keep repeated "
+        "positions, then merge overlapping spans per document into "
+        "maximal islands with a lag + running-sum window pair sharing "
+        "one partition sort. No pairwise stage anywhere. Completes "
+        "the dedup tier's substring axis beside "
+        "q_duplicate_span_coverage (per-doc coverage ratio) and "
+        "q_segment_dedup (disjoint-block excision). Pure integer/hash "
+        "arithmetic — value-checks bitwise.",
+)
+def q_substring_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    spans = D.duplicated_spans(docs, "doc_id", "text", l=8, min_repeats=2)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )

@@ -1477,3 +1477,54 @@ def test_distributed_prefix_sum_matches_window(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_duplicated_spans_matches_python_bruteforce(spark):
+    """duplicated_spans (Lee-et-al substring-dedup excision list) must
+    agree with a direct Python reimplementation — duplicated l-gram
+    positions merged into maximal islands — on a corpus with known
+    cross-doc repeats, within-doc repeats, adjacent/overlapping spans,
+    and short documents below the gram length."""
+    import re
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+    docs = [
+        (0, boiler + " unique tail zero alpha beta gamma delta"),
+        (1, "prefix one two three " + boiler),  # cross-doc repeat
+        (2, boiler + " middle filler words " + boiler),  # within-doc ×2
+        (3, "too short to hold any gram"),  # < 8 tokens of overlap
+        (4, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),  # no repeats anywhere
+    ]
+    l = 8
+    tok = {i: re.split(r"\s+", t.strip()) for i, t in docs}
+    from collections import Counter
+
+    grams = Counter()
+    for ts in tok.values():
+        for p in range(len(ts) - l + 1):
+            grams[" ".join(ts[p : p + l])] += 1
+    expected = set()
+    for i, ts in tok.items():
+        dup_p = [
+            p
+            for p in range(len(ts) - l + 1)
+            if grams[" ".join(ts[p : p + l])] >= 2
+        ]
+        run: list[int] = []
+        for p in dup_p:
+            if run and p - run[-1] > l:
+                expected.add((i, run[0], run[-1] + l - 1, run[-1] - run[0] + l))
+                run = []
+            run.append(p)
+        if run:
+            expected.add((i, run[0], run[-1] + l - 1, run[-1] - run[0] + l))
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(3)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, "doc_id", "text", l=l).collect()
+    }
+    assert got == expected and expected  # non-vacuous

@@ -370,6 +370,16 @@ def test_ann_lsh_bucket_join_no_cartesian(spark):
 # r3 judge found q_rfm_segmentation funneling |customers| rows through
 # ONE partition via three Window.orderBy(...) NTILEs — invisible to
 # every targeted plan test above. This sweep would have caught it.
+def test_substring_dedup_three_exchanges(spark):
+    """Lee-et-al substring dedup must stay linear: exactly the id
+    repartition, the corpus-wide gram-count window exchange, and the
+    per-doc island exchange — no pairwise stage, no extra shuffle for
+    the (doc, island) group-by (id partitioning already clusters it)."""
+    df = q("q_substring_dedup", spark)
+    assert P.exchange_count(df) == 3
+    assert not P.has_cartesian(df)
+
+
 def test_bfs_levels_lineage_bounded(spark):
     """The BFS frontier is localCheckpointed every 2 levels, so the
     final 6-level plan must stay far below the unbounded static chain
