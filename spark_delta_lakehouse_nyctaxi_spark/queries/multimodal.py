@@ -1152,3 +1152,156 @@ def q_image_whash(spark, sf_dir):
             "hamming_to_prev"
         ),
     )
+
+
+# Image k-means palette (round 6 — the deliberately-tabled r5 flagship):
+# REAL truecolor-PNG decode feeding the certified exact-k-means
+# machinery. 16 genuine RGB PNGs (every scanline filter exercised by
+# the encoder's filter cycle) decode losslessly inside Arrow-batched
+# mapInPandas into 12,288 pixel vectors; the IVF trainer then runs 2
+# decimal-exact Lloyd passes (md5 init, scale-7 tie-proof scores,
+# |x| < 1 certified in-query on the /256-normalized channels) and the
+# palette is the per-cluster per-channel decimal-exact mean — the
+# dominant-color extraction step of an image-dedup / caption-filter
+# pipeline, value-checked bitwise. The oracle re-derives the pixels
+# from the generation formula (the PNG round trip is lossless — any
+# filter/CRC/inflate bug changes the clustering input) and replays the
+# identical unrolled k-means CTE chain shared with q_ann_ivf.
+def _palette_oracle_sql(k=4, iters=2) -> str:
+    from .similarity import _ivf_assignment_parts
+
+    parts = _ivf_assignment_parts(n_centroids=k, iters=iters)
+    parts[0] = """
+    WITH px AS (
+        SELECT CAST(m.m * 768 + r.r * 32 + c.c AS BIGINT) AS vec_id,
+               CAST(20 + 56 * ((m.m + r.r + c.c) % 4)
+                    + (m.m * 13 + r.r * 7 + c.c * 5) % 16 AS DOUBLE) AS vr,
+               CAST(200 - 48 * ((m.m + r.r + c.c) % 4)
+                    + (m.m * 5 + r.r * 11 + c.c * 3) % 16 AS DOUBLE) AS vg,
+               CAST(35 + 50 * ((m.m + r.r + c.c) % 4)
+                    + (m.m * 3 + r.r * 17 + c.c * 13) % 16 AS DOUBLE) AS vb
+        FROM range(16) m(m), range(24) r(r), range(32) c(c)
+    ),
+    emb AS (
+        SELECT vec_id, [vr / 256, vg / 256, vb / 256] AS embedding FROM px
+    ),"""
+    parts.append(f"""
+    counts AS (SELECT cid, COUNT(*) AS n_pixels FROM a{iters} GROUP BY cid),
+    pal AS (
+        SELECT a.cid, d.i,
+               CAST(SUM(CAST(d.x AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*) AS x
+        FROM d JOIN a{iters} a USING (vec_id)
+        GROUP BY a.cid, d.i
+    )
+    SELECT CAST(p.cid AS INT) AS cid, n.n_pixels,
+           MAX(CASE WHEN p.i = 1 THEN p.x END) * 256 AS pal_r,
+           MAX(CASE WHEN p.i = 2 THEN p.x END) * 256 AS pal_g,
+           MAX(CASE WHEN p.i = 3 THEN p.x END) * 256 AS pal_b
+    FROM pal p JOIN counts n USING (cid)
+    GROUP BY p.cid, n.n_pixels""")
+    return "".join(parts)
+
+
+@register(
+    "q_image_palette",
+    _palette_oracle_sql(),
+    doc="IMAGE K-MEANS PALETTE over REAL truecolor-PNG decode: 16 "
+        "genuine RGB PNGs (filter-cycled scanlines, CRC-checked, "
+        "zlib-inflated) decode inside Arrow-batched mapInPandas into "
+        "12,288 pixel vectors; the certified exact-k-means machinery "
+        "(md5 init, scale-7 decimal scores under the in-query |x| < 1 "
+        "certificate, 2 Lloyd passes) clusters them and emits the "
+        "4-color palette as per-cluster decimal-exact channel means — "
+        "the dominant-color signature step of an image dedup/indexing "
+        "pipeline, composed entirely from the oracled IVF primitives "
+        "and value-checked bitwise against the shared unrolled-CTE "
+        "k-means oracle over the generation formula.",
+)
+def q_image_palette(spark, sf_dir):
+    import numpy as np
+
+    from ..operators import similarity as S
+
+    r, c = np.divmod(np.arange(24 * 32), 32)
+    rows = []
+    for m in range(16):
+        k0 = (m + r + c) % 4
+        px = np.stack(
+            [
+                20 + 56 * k0 + (m * 13 + r * 7 + c * 5) % 16,
+                200 - 48 * k0 + (m * 5 + r * 11 + c * 3) % 16,
+                35 + 50 * k0 + (m * 3 + r * 17 + c * 13) % 16,
+            ],
+            axis=-1,
+        ).astype("uint8").reshape(24, 32, 3)
+        rows.append(
+            (
+                m,
+                "image",
+                bytearray(M.encode_png(px)),
+                {"width": 32, "height": 24, "sample_rate": None,
+                 "duration_s": None, "format": "png"},
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = M.decode_png(bytes(payload))  # (24, 32, 3), lossless
+                flat = dec.reshape(-1, 3)
+                base = int(mid) * 768
+                for i in range(flat.shape[0]):
+                    out.append(
+                        (base + i, float(flat[i, 0]), float(flat[i, 1]),
+                         float(flat[i, 2]))
+                    )
+            if out:
+                yield pd.DataFrame(out, columns=["vec_id", "vr", "vg", "vb"])
+
+    # persist: the trainer's certify/init/Lloyd actions would otherwise
+    # re-run the PNG decode per action (~6×). The frame is 12,288
+    # fixed-size rows — bounded by the 16-image batch, not the SF.
+    pixels = media.mapInPandas(
+        gen, "vec_id long, vr double, vg double, vb double"
+    ).select(
+        "vec_id",
+        F.array(
+            F.col("vr") / 256, F.col("vg") / 256, F.col("vb") / 256
+        ).alias("embedding"),
+    ).persist()
+    cents = S.ivf_centroids(pixels, n_centroids=4, iters=2, exact=True)
+    assign = S.exact_assignments(pixels, cents, spread=True).select("id", "cid")
+    dims = pixels.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("p", "x"),
+    ).select("id", (F.col("p") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    pal = (
+        dims.join(assign, "id")
+        .groupBy("cid", "i")
+        .agg(
+            F.sum(F.col("x").cast("decimal(16,7)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cid", "i",
+            ((F.col("s").cast("double") / F.col("n")) * 256).alias("x"),
+        )
+    )
+    counts = assign.groupBy("cid").agg(F.count("*").alias("n_pixels"))
+    return (
+        pal.groupBy("cid")
+        .agg(
+            F.max(F.when(F.col("i") == 1, F.col("x"))).alias("pal_r"),
+            F.max(F.when(F.col("i") == 2, F.col("x"))).alias("pal_g"),
+            F.max(F.when(F.col("i") == 3, F.col("x"))).alias("pal_b"),
+        )
+        .join(counts, "cid")
+        .select(
+            F.col("cid").cast("int").alias("cid"), "n_pixels",
+            "pal_r", "pal_g", "pal_b",
+        )
+    )
