@@ -172,6 +172,7 @@ _PRIORITY: list[str] = [
     # --- R6-NEW: new round-6 value-oracled queries slot here ---
     "q_substring_dedup",
     "q_image_palette",
+    "q_substring_excision",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

@@ -1443,14 +1443,16 @@ def q_ngram_novelty(spark, sf_dir):
     )
 
 
-@register(
-    "q_substring_dedup",
-    """
-    WITH toks AS (
+# shared CTE chain deriving the maximal duplicated-span list
+# `spans(doc_id, span_start, span_end, span_tokens)` — used by
+# q_substring_dedup (the excision list itself) and
+# q_substring_excision (the applied text surgery)
+_SUBSTRING_SPANS_SQL = """
+    toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
         FROM documents
     ),
-    pos AS (
+    gpos AS (
         SELECT doc_id, ts,
                CAST(unnest(range(0, len(ts) - 7)) AS BIGINT) AS p
         FROM toks
@@ -1458,15 +1460,15 @@ def q_ngram_novelty(spark, sf_dir):
     g AS (
         SELECT doc_id, p,
                md5(array_to_string(ts[p + 1 : p + 8], ' ')) AS gram
-        FROM pos
+        FROM gpos
     ),
-    c AS (SELECT doc_id, p,
-                 COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g),
-    d AS (SELECT doc_id, p FROM c WHERE cnt >= 2),
+    gc AS (SELECT doc_id, p,
+                  COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g),
+    dg AS (SELECT doc_id, p FROM gc WHERE cnt >= 2),
     flagged AS (
         SELECT doc_id, p,
                lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
-        FROM d
+        FROM dg
     ),
     islands AS (
         SELECT doc_id, p,
@@ -1474,13 +1476,22 @@ def q_ngram_novelty(spark, sf_dir):
                         THEN 1 ELSE 0 END)
                    OVER (PARTITION BY doc_id ORDER BY p) AS island
         FROM flagged
-    )
-    SELECT doc_id,
-           MIN(p) AS span_start,
-           MAX(p) + 7 AS span_end,
-           MAX(p) - MIN(p) + 8 AS span_tokens
-    FROM islands
-    GROUP BY doc_id, island
+    ),
+    spans AS (
+        SELECT doc_id,
+               MIN(p) AS span_start,
+               MAX(p) + 7 AS span_end,
+               MAX(p) - MIN(p) + 8 AS span_tokens
+        FROM islands
+        GROUP BY doc_id, island
+    )"""
+
+
+@register(
+    "q_substring_dedup",
+    f"""
+    WITH {_SUBSTRING_SPANS_SQL}
+    SELECT doc_id, span_start, span_end, span_tokens FROM spans
     """,
     doc="EXACT-SUBSTRING DEDUP EXCISION LIST (Lee et al. 2022, "
         "'Deduplicating Training Data Makes Language Models Better'): "
@@ -1509,4 +1520,93 @@ def q_substring_dedup(spark, sf_dir):
         F.col("span_start").cast("long").alias("span_start"),
         F.col("span_end").cast("long").alias("span_end"),
         F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+@register(
+    "q_substring_excision",
+    f"""
+    WITH {_SUBSTRING_SPANS_SQL},
+    pos AS (
+        SELECT doc_id,
+               CAST(unnest(range(0, len(ts))) AS BIGINT) AS p,
+               unnest(ts) AS tok
+        FROM toks
+    ),
+    kept AS (
+        SELECT p.doc_id, p.p, p.tok
+        FROM pos p LEFT JOIN spans s
+          ON s.doc_id = p.doc_id
+         AND p.p BETWEEN s.span_start AND s.span_end
+        WHERE s.doc_id IS NULL
+    ),
+    ka AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY p)) AS clean_hash
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(len(t.ts) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(ka.clean_hash, md5('')) AS clean_hash
+    FROM toks t LEFT JOIN ka ON ka.doc_id = t.doc_id
+    """,
+    doc="EXACT-SUBSTRING DEDUP, APPLIED (the text-surgery half of Lee "
+        "et al. 2022, completing q_substring_dedup's excision list): "
+        "every token covered by a maximal duplicated span is removed "
+        "and the surviving tokens are re-joined in order — emitted as "
+        "per-document (n_tokens, n_removed, md5 of the cleaned text), "
+        "covering every document including fully-excised exact "
+        "duplicates (hash of the empty string) and untouched ones. "
+        "Scale shape: the position-to-span join is an EQUI-join on "
+        "doc_id with the span range as residual (never broadcast — at "
+        "100 TB the span list grows with duplicated content), spans "
+        "within a document are disjoint so the join cannot multiply "
+        "rows, and reassembly is one sort_array over per-doc collected "
+        "(position, token) structs. Value-checks bitwise.",
+)
+def q_substring_excision(spark, sf_dir):
+    from ..operators.text import tokens as tok_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = D.duplicated_spans(docs, "doc_id", "text", l=8, min_repeats=2)
+    toks = docs.select("doc_id", tok_col("text").alias("t"))
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("p", "tok")
+    ).select("doc_id", F.col("p").cast("long").alias("p"), "tok")
+    sp = spans.select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    kept = pos.join(
+        sp,
+        (F.col("doc_id") == F.col("s_doc"))
+        & F.col("p").between(F.col("span_start"), F.col("span_end")),
+        "left_anti",
+    )
+    ka = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                    ),
+                    lambda s: s.getField("tok"),
+                ),
+            )
+        ).alias("clean_hash"),
+    )
+    empty_hash = F.md5(F.lit(""))
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_hash"), empty_hash).alias("clean_hash"),
+        )
     )
