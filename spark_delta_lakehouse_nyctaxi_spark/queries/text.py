@@ -1896,3 +1896,58 @@ def q_lm_generate(spark, sf_dir):
     finally:
         big.unpersist()
     return spark.createDataFrame(out, "step int, token string")
+
+
+@register(
+    "q_sequence_packing",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               SUM(CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT))
+                   OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS tok_start,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS first_seq,
+           CAST((cum - 1) // 512 AS BIGINT) AS last_seq,
+           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT)
+               AS n_seqs
+    FROM c
+    """,
+    doc="SEQUENCE PACKING MAP (GPT-style concat-and-chunk): documents "
+        "concatenate in deterministic doc_id order into one token "
+        "stream split every 512 tokens; each document's placement "
+        "(global token offset, first/last packed sequence, sequences "
+        "spanned) is the map an LLM trainer uses to pack batches and "
+        "mask cross-document attention. The global running offset "
+        "comes from operators/indexing.distributed_prefix_sum (range "
+        "exchange + per-partition bases — k scalars to the driver), "
+        "NEVER a single-partition window: the one global-cumsum shape "
+        "that scales to a 100 TB corpus. Pure integer arithmetic — "
+        "value-checks bitwise.",
+)
+def q_sequence_packing(spark, sf_dir):
+    from ..operators.indexing import distributed_prefix_sum
+    from ..operators.text import token_count
+
+    seq_len = 512
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    cum = distributed_prefix_sum(counts, ["doc_id"], ["n_tokens"])
+    tok_start = F.col("cum_n_tokens") - F.col("n_tokens")
+    first_seq = F.expr(f"(cum_n_tokens - n_tokens) div {seq_len}")
+    last_seq = F.expr(f"(cum_n_tokens - 1) div {seq_len}")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        tok_start.alias("tok_start"),
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
+    )
