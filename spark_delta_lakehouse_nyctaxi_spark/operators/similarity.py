@@ -225,25 +225,48 @@ def embedding_near_dups(
                 ]
             ),
         )
-    cell = assign_cell(F.col("_unit"), centroids)
-    # assign_cell's winning score is s = <v̂,c> - |c|²/2, so the squared
-    # distance to the OWN centroid is |v̂|² - 2s = 1 - 2s — no re-lookup.
-    dist_to_centroid = F.sqrt(F.greatest(
-        F.lit(0.0),
-        F.lit(1.0) - 2.0 * F.array_max(_cell_scores(F.col("_unit"), centroids)),
-    ))
-    # Cell assignment is a deterministic pure projection over fixed
-    # centroid literals, so recomputing it on each join side is cheaper
-    # than caching the corpus (which at 100 TB is not cacheable anyway).
-    assigned = normed.select("_id", "_vec", cell.alias("_cell"),
-                             dist_to_centroid.alias("_r"))
-    radii_rows = assigned.groupBy("_cell").agg(F.max("_r").alias("R")).collect()
+    # Deterministic CROSS-JOB assignment (the radii job and both join
+    # sides must see identical cells, or the triangle bound breaks):
+    # quantized-exact scores over HALVED unit vectors. |x/2| ≤ 0.5 by
+    # construction, so the scale-7 tie-proof |x| < 1 precondition holds
+    # unconditionally — no in-query certificate needed on arbitrary
+    # data. With v' = v̂/2, c' = c/2 the winning score s' = s/4 where
+    # s = <v̂,c> − |c|²/2, so the squared distance to the own centroid
+    # is |v̂|² − 2s = 1 − 8s′ — no re-lookup. (This replaces the
+    # per-row 16-fold projection: its k×dim literal tree cost seconds
+    # of driver-side plan work per action — see
+    # double_cell_scores_frame — and the quantized frame's long sums
+    # are addition-order-invariant, which the double frame is not.)
+    half = normed.select(
+        "_id", F.transform("_unit", lambda x: x / 2).alias("_h")
+    )
+    best = _argmax_cell(
+        exact_cell_scores_frame(
+            _spread_small_scan(half),
+            [[x / 2.0 for x in c] for c in centroids],
+            "_id",
+            "_h",
+        )
+    )
+    cells = best.select(
+        F.col("id").alias("_id"),
+        F.col("cid").alias("_cell"),
+        F.sqrt(
+            F.greatest(F.lit(0.0), F.lit(1.0) - 8.0 * F.col("s"))
+        ).alias("_r"),
+    )
+    radii_rows = cells.groupBy("_cell").agg(F.max("_r").alias("R")).collect()
     radius = {int(r["_cell"]): float(r["R"]) for r in radii_rows}
 
     import math
 
     r_max = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
-    eps = 1e-9  # float slack so the bound never prunes a boundary pair
+    # Slack so the bound never prunes a boundary pair: the scale-7
+    # quantization perturbs s′ by ≤ 64 dims · 0.5e-7, i.e. ≤ 1.28e-5
+    # on s, ≤ 2.56e-5 on the squared distance — sqrt amplifies that to
+    # ≤ ~5.1e-3 near zero, doubled for the two radii in the bound.
+    # Pruning less is always safe; the exact cosine filter decides.
+    eps = 2e-2
     cand = []
     for i in radius:
         for j in radius:
@@ -257,6 +280,13 @@ def embedding_near_dups(
                     cand.append((j, i))
     cand_df = literal_frame(spark, cand, "cell_a int, cell_b int")
 
+    # join sides carry the ORIGINAL vectors (cosine is evaluated on
+    # them, bit-identical to the all-pairs form) tagged with the
+    # deterministic cell — one id-equi-join per side against the cells
+    # frame, the same shuffle shape as the rest of the exact family
+    assigned = normed.select("_id", "_vec").join(
+        cells.select("_id", "_cell"), "_id"
+    )
     a = assigned.select(F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"),
                         F.col("_cell").alias("cell_a"))
     b = assigned.select(F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"),
@@ -385,6 +415,64 @@ def _exact_cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
             dot_dec(vec, _lit_vec(c)) - F.lit(float(_dec_sq_norm(c)) / 2.0)
             for c in centroids
         ]
+    )
+
+
+def _argmax_cell(scores: DataFrame) -> DataFrame:
+    """(id, cid, s) argmax per id from a (id, cid, s) scores frame —
+    ties to the LOWEST cid (the assign_cell contract) via a
+    lexicographic max(struct(s, -cid)) aggregate: one map-side-
+    combining pass, no per-id window."""
+    best = scores.groupBy("id").agg(
+        F.max(F.struct(F.col("s").alias("s"), (-F.col("cid")).alias("nc"))).alias("b")
+    )
+    return best.select(
+        "id", (-F.col("b.nc")).cast("int").alias("cid"), F.col("b.s").alias("s")
+    )
+
+
+def double_cell_scores_frame(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(``id``, ``cid``, ``s``) per vector × centroid with PLAIN DOUBLE
+    term sums — the frame form of :func:`_cell_scores` for paths that
+    do not need engine-reproducible values. The double hash-aggregate
+    sum is NOT addition-order-stable across jobs, so use this ONLY
+    where the scores are consumed inside the same job that computes
+    them (the k-means training trajectory: assignment and the means
+    that consume it materialize in one collect). For scores reused
+    across jobs (radii + join sides) use
+    :func:`exact_cell_scores_frame`, whose quantized-long sums are
+    order-invariant. Replaces the per-row 16-fold projection whose
+    k×dim literal tree cost seconds of driver-side plan work PER
+    ACTION (measured: 13.3s of q_embedding_near_dup's 21s at sf0.01
+    was the two fold-form training iterations)."""
+    spark = corpus.sparkSession
+    crows = [
+        (cid, i + 1, float(x))
+        for cid, c in enumerate(centroids)
+        for i, x in enumerate(c)
+    ]
+    cd = literal_frame(spark, crows, "cid int, i int, cx double")
+    ch = literal_frame(
+        spark,
+        [(cid, sum(x * x for x in c) / 2.0) for cid, c in enumerate(centroids)],
+        "cid int, h2 double",
+    )
+    dims = corpus.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("p", "x")
+    ).select("id", (F.col("p") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    agg = (
+        dims.join(F.broadcast(cd), "i")
+        .select("id", "cid", (F.col("x") * F.col("cx")).alias("t"))
+        .groupBy("id", "cid")
+        .agg(F.sum("t").alias("d"))
+    )
+    return agg.join(F.broadcast(ch), "cid").select(
+        "id", "cid", (F.col("d") - F.col("h2")).alias("s")
     )
 
 
@@ -547,14 +635,20 @@ def ivf_centroids(
             assign = exact_assignments(
                 corpus, centroids, id_col, vec_col, spread=True
             ).select("id", "cid")
-            exploded = corpus.select(
-                F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "x")
-            ).join(assign, "id")
         else:
-            cid = assign_cell(F.col(vec_col), centroids)
-            exploded = corpus.select(
-                cid.alias("cid"), F.posexplode(F.col(vec_col)).alias("pos", "x")
-            )
+            # frame-form double scores: assignment and the means that
+            # consume it materialize in ONE collect, so the double
+            # sum's order-instability cannot leak across jobs (see
+            # double_cell_scores_frame) — and the k×dim literal tree
+            # that cost seconds of plan work per action is gone
+            assign = _argmax_cell(
+                double_cell_scores_frame(
+                    _spread_small_scan(corpus), centroids, id_col, vec_col
+                )
+            ).select("id", "cid")
+        exploded = corpus.select(
+            F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+        ).join(assign, "id")
         per_dim = (
             exploded.groupBy("cid", "pos")
             .agg(
