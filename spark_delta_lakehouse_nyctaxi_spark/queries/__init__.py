@@ -174,6 +174,7 @@ _PRIORITY: list[str] = [
     "q_image_palette",
     "q_substring_excision",
     "q_sequence_packing",
+    "q_audio_resample",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

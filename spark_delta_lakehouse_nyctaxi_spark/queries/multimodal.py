@@ -1305,3 +1305,73 @@ def q_image_palette(spark, sf_dir):
             "pal_r", "pal_g", "pal_b",
         )
     )
+
+
+# Audio resampling (round 6): integer-factor DECIMATION over real
+# decoded PCM — the sample-rate normalization step (16 kHz → 4 kHz)
+# every speech pipeline runs before feature extraction. Box prefilter
+# (mean of each R=4 block: integer sum < 2^53, /4 a pure exponent
+# shift — exact in float64) then keep one value per block; emitted
+# per-block so the oracle re-derives every output sample from the
+# closed-form generator. A mis-parsed RIFF chunk, wrong block
+# boundary, or off-by-one in the phase changes the values.
+_AUDIO_RESAMPLE_ORACLE = """
+    WITH sig AS (
+        SELECT m.m AS media_id, i.i AS idx,
+               CAST((m.m * 37 + i.i * 11) % 4001 - 2000 AS DOUBLE) AS s
+        FROM range(16) m(m), range(2048) i(i)
+    )
+    SELECT media_id, CAST(idx // 4 AS BIGINT) AS out_idx,
+           SUM(s) / 4.0 AS value
+    FROM sig GROUP BY media_id, idx // 4
+"""
+
+
+@register(
+    "q_audio_resample",
+    _AUDIO_RESAMPLE_ORACLE,
+    doc="AUDIO RESAMPLING over REAL decoded WAV payloads: 16 kHz PCM16 "
+        "decimated 4× with a box prefilter (anti-alias mean of each "
+        "4-sample block — integer sums make every output value exact "
+        "in float64, so the 512 output samples per file value-check "
+        "bitwise against the closed-form generator). Genuine RIFF "
+        "files decoded by the pure-Python codec inside Arrow-batched "
+        "mapInPandas, blocks computed vectorized in numpy. Completes "
+        "the audio tier's preprocessing axis beside frame features "
+        "(VAD primitives) and the WHT sequency spectrum.",
+)
+def q_audio_resample(spark, sf_dir):
+    import numpy as np
+
+    rows = []
+    for m in range(16):
+        i = np.arange(2048)
+        samples = (m * 37 + i * 11) % 4001 - 2000
+        rows.append(
+            (
+                m,
+                "audio",
+                bytearray(M.encode_wav(samples)),
+                {"width": None, "height": None, "sample_rate": 16000,
+                 "duration_s": 2048 / 16000.0, "format": "wav"},
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = M.decode_wav(bytes(payload)).astype(np.float64)
+                blocks = s.reshape(-1, 4)
+                vals = blocks.sum(axis=1) / 4.0
+                for j in range(vals.shape[0]):
+                    out.append((int(mid), j, float(vals[j])))
+            if out:
+                yield pd.DataFrame(out, columns=["media_id", "out_idx", "value"])
+
+    return media.mapInPandas(
+        gen, "media_id long, out_idx long, value double"
+    )
