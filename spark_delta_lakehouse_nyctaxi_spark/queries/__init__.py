@@ -175,6 +175,8 @@ _PRIORITY: list[str] = [
     "q_substring_excision",
     "q_sequence_packing",
     "q_audio_resample",
+    "q_packing_stats",
+    "q_palette_quantize",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

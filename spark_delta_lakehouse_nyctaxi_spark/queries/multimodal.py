@@ -1202,25 +1202,15 @@ def _palette_oracle_sql(k=4, iters=2) -> str:
     return "".join(parts)
 
 
-@register(
-    "q_image_palette",
-    _palette_oracle_sql(),
-    doc="IMAGE K-MEANS PALETTE over REAL truecolor-PNG decode: 16 "
-        "genuine RGB PNGs (filter-cycled scanlines, CRC-checked, "
-        "zlib-inflated) decode inside Arrow-batched mapInPandas into "
-        "12,288 pixel vectors; the certified exact-k-means machinery "
-        "(md5 init, scale-7 decimal scores under the in-query |x| < 1 "
-        "certificate, 2 Lloyd passes) clusters them and emits the "
-        "4-color palette as per-cluster decimal-exact channel means — "
-        "the dominant-color signature step of an image dedup/indexing "
-        "pipeline, composed entirely from the oracled IVF primitives "
-        "and value-checked bitwise against the shared unrolled-CTE "
-        "k-means oracle over the generation formula.",
-)
-def q_image_palette(spark, sf_dir):
+def _palette_pixels(spark):
+    """The shared 16-image truecolor-PNG pixel frame: encode the
+    formula images, decode them through the REAL PNG codec inside
+    mapInPandas, and emit (vec_id, vr, vg, vb, embedding) with
+    channels /256 (|x| < 1 for the exact machinery). Persisted — the
+    trainer's certify/init/Lloyd actions would otherwise re-run the
+    PNG decode per action (~6×); the frame is 12,288 fixed-size rows,
+    bounded by the 16-image batch, not the SF."""
     import numpy as np
-
-    from ..operators import similarity as S
 
     r, c = np.divmod(np.arange(24 * 32), 32)
     rows = []
@@ -1262,17 +1252,51 @@ def q_image_palette(spark, sf_dir):
             if out:
                 yield pd.DataFrame(out, columns=["vec_id", "vr", "vg", "vb"])
 
-    # persist: the trainer's certify/init/Lloyd actions would otherwise
-    # re-run the PNG decode per action (~6×). The frame is 12,288
-    # fixed-size rows — bounded by the 16-image batch, not the SF.
-    pixels = media.mapInPandas(
+    return media.mapInPandas(
         gen, "vec_id long, vr double, vg double, vb double"
     ).select(
-        "vec_id",
+        "vec_id", "vr", "vg", "vb",
         F.array(
             F.col("vr") / 256, F.col("vg") / 256, F.col("vb") / 256
         ).alias("embedding"),
     ).persist()
+
+
+# trained palette shared per process (the quantization audit measures
+# the palette q_image_palette builds — same policy as the IVF/PQ
+# recall memo): deterministic pure function of the fixed image batch
+_PALETTE_MEMO: dict = {}
+
+
+def _trained_palette(spark) -> list:
+    from ..operators import similarity as S
+
+    if "cents" not in _PALETTE_MEMO:
+        _PALETTE_MEMO["cents"] = S.ivf_centroids(
+            _palette_pixels(spark), n_centroids=4, iters=2, exact=True
+        )
+    return _PALETTE_MEMO["cents"]
+
+
+@register(
+    "q_image_palette",
+    _palette_oracle_sql(),
+    doc="IMAGE K-MEANS PALETTE over REAL truecolor-PNG decode: 16 "
+        "genuine RGB PNGs (filter-cycled scanlines, CRC-checked, "
+        "zlib-inflated) decode inside Arrow-batched mapInPandas into "
+        "12,288 pixel vectors; the certified exact-k-means machinery "
+        "(md5 init, scale-7 decimal scores under the in-query |x| < 1 "
+        "certificate, 2 Lloyd passes) clusters them and emits the "
+        "4-color palette as per-cluster decimal-exact channel means — "
+        "the dominant-color signature step of an image dedup/indexing "
+        "pipeline, composed entirely from the oracled IVF primitives "
+        "and value-checked bitwise against the shared unrolled-CTE "
+        "k-means oracle over the generation formula.",
+)
+def q_image_palette(spark, sf_dir):
+    from ..operators import similarity as S
+
+    pixels = _palette_pixels(spark)
     cents = S.ivf_centroids(pixels, n_centroids=4, iters=2, exact=True)
     assign = S.exact_assignments(pixels, cents, spread=True).select("id", "cid")
     dims = pixels.select(
@@ -1374,4 +1398,89 @@ def q_audio_resample(spark, sf_dir):
 
     return media.mapInPandas(
         gen, "media_id long, out_idx long, value double"
+    )
+
+
+def _palette_quantize_oracle_sql(k=4, iters=2) -> str:
+    from .similarity import _ivf_assignment_parts
+
+    parts = _ivf_assignment_parts(n_centroids=k, iters=iters)
+    parts[0] = """
+    WITH px AS (
+        SELECT CAST(m.m * 768 + r.r * 32 + c.c AS BIGINT) AS vec_id,
+               CAST(20 + 56 * ((m.m + r.r + c.c) % 4)
+                    + (m.m * 13 + r.r * 7 + c.c * 5) % 16 AS DOUBLE) AS vr,
+               CAST(200 - 48 * ((m.m + r.r + c.c) % 4)
+                    + (m.m * 5 + r.r * 11 + c.c * 3) % 16 AS DOUBLE) AS vg,
+               CAST(35 + 50 * ((m.m + r.r + c.c) % 4)
+                    + (m.m * 3 + r.r * 17 + c.c * 13) % 16 AS DOUBLE) AS vb
+        FROM range(16) m(m), range(24) r(r), range(32) c(c)
+    ),
+    emb AS (
+        SELECT vec_id, [vr / 256, vg / 256, vb / 256] AS embedding FROM px
+    ),"""
+    parts.append(f"""
+    won AS (
+        SELECT s.vec_id, s.s
+        FROM s{iters} s JOIN a{iters} a
+          ON a.vec_id = s.vec_id AND a.cid = s.cid
+    ),
+    pxn AS (
+        SELECT vec_id,
+               (vr * vr + vg * vg + vb * vb) / 65536 AS n2
+        FROM px
+    ),
+    terms AS (
+        SELECT CAST(w.vec_id // 768 AS BIGINT) AS media_id,
+               CAST((p.n2 - 2 * w.s) / 4 AS DECIMAL(28,7)) AS t
+        FROM won w JOIN pxn p USING (vec_id)
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(t) AS DOUBLE) * 4 * 65536 / 768 AS mse
+    FROM terms GROUP BY media_id""")
+    return "".join(parts)
+
+
+@register(
+    "q_palette_quantize",
+    _palette_quantize_oracle_sql(),
+    doc="PALETTE QUANTIZATION ERROR (the compression-quality audit of "
+        "q_image_palette's trained palette): every decoded pixel maps "
+        "to its nearest palette color through the same quantized-exact "
+        "score frame, and the per-image MSE assembles from |v|² − 2s "
+        "identities — |v|² is exact (integer squares over 65536), s is "
+        "the decimal-exact winning score, and the per-pixel terms are "
+        "scale-7 quantized under |t| < 1 (÷4 rescale) so the 768-term "
+        "per-image sums are exact longs, order-invariant, and "
+        "engine-identical. The number you read before shipping an "
+        "8-bit palette-quantized image store. Shares the trained "
+        "palette with q_image_palette via a process memo (the audit "
+        "measures the index its companion built).",
+)
+def q_palette_quantize(spark, sf_dir):
+    from ..operators import similarity as S
+
+    pixels = _palette_pixels(spark)
+    cents = _trained_palette(spark)
+    sc = S.exact_cell_scores_frame(pixels, cents, "vec_id", "embedding")
+    best = S._argmax_cell(sc).select("id", "s")
+    n2 = (
+        F.col("vr") * F.col("vr")
+        + F.col("vg") * F.col("vg")
+        + F.col("vb") * F.col("vb")
+    ) / 65536
+    terms = (
+        pixels.select("vec_id", n2.alias("n2"))
+        .join(best.withColumnRenamed("id", "vec_id"), "vec_id")
+        .select(
+            F.expr("vec_id div 768").alias("media_id"),
+            ((F.col("n2") - 2 * F.col("s")) / 4)
+            .cast("decimal(16,7)")
+            .alias("t"),
+        )
+    )
+    return terms.groupBy("media_id").agg(
+        F.count("*").alias("n_pixels"),
+        (F.sum("t").cast("double") * 4 * 65536 / 768).alias("mse"),
     )

@@ -1951,3 +1951,81 @@ def q_sequence_packing(spark, sf_dir):
         last_seq.alias("last_seq"),
         (last_seq - first_seq + 1).alias("n_seqs"),
     )
+
+
+@register(
+    "q_packing_stats",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               SUM(CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT))
+                   OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id,
+               CAST(cum - n_tokens AS BIGINT) AS tok_start,
+               CAST(cum AS BIGINT) AS tok_end,
+               CAST((cum - n_tokens) // 512 AS BIGINT) AS first_seq,
+               CAST((cum - 1) // 512 AS BIGINT) AS last_seq
+        FROM c
+    ),
+    per_seq AS (
+        SELECT CAST(unnest(range(first_seq, last_seq + 1)) AS BIGINT)
+                   AS seq_id,
+               doc_id, tok_start, tok_end
+        FROM placed
+    )
+    SELECT seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(least(tok_end, (seq_id + 1) * 512)
+                    - greatest(tok_start, seq_id * 512)) AS BIGINT)
+               AS n_tokens,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_boundaries
+    FROM per_seq
+    GROUP BY seq_id
+    """,
+    doc="PACKED-SEQUENCE STATS (companion of q_sequence_packing): per "
+        "512-token packed sequence, how many documents it contains, "
+        "its filled token count (512 everywhere except the final "
+        "partial sequence — concat-and-chunk never pads mid-stream), "
+        "and the cross-document attention boundaries a trainer must "
+        "mask. Each document explodes into only the sequences it "
+        "touches (1 + spillovers — linear, bounded fan-out), then one "
+        "hash aggregate per sequence; the per-sequence token count is "
+        "the interval intersection, exact integers end to end.",
+)
+def q_packing_stats(spark, sf_dir):
+    from ..operators.indexing import distributed_prefix_sum
+    from ..operators.text import token_count
+
+    seq_len = 512
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    cum = distributed_prefix_sum(counts, ["doc_id"], ["n_tokens"])
+    placed = cum.select(
+        "doc_id",
+        (F.col("cum_n_tokens") - F.col("n_tokens")).alias("tok_start"),
+        F.col("cum_n_tokens").alias("tok_end"),
+        F.expr(f"(cum_n_tokens - n_tokens) div {seq_len}").alias("first_seq"),
+        F.expr(f"(cum_n_tokens - 1) div {seq_len}").alias("last_seq"),
+    )
+    per_seq = placed.select(
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+        "doc_id",
+        "tok_start",
+        "tok_end",
+    )
+    return per_seq.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.least(F.col("tok_end"), (F.col("seq_id") + 1) * seq_len)
+            - F.greatest(F.col("tok_start"), F.col("seq_id") * seq_len)
+        ).alias("n_tokens"),
+        (F.count("*") - 1).alias("n_boundaries"),
+    )
