@@ -177,6 +177,15 @@ _PRIORITY: list[str] = [
     "q_audio_resample",
     "q_packing_stats",
     "q_palette_quantize",
+    # round-6 second wave: TPC-H completed to 22/22 shapes via the
+    # derived partsupp / ship columns (deterministic in both engines)
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q21",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

@@ -574,3 +574,499 @@ def q_tpch_q22(spark, sf_dir):
         .groupBy(F.col("c_nationkey").alias("cntry"))
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
     )
+
+
+# ---- derived partsupp (rounds out the 7 data-blocked TPC-H shapes) --
+# /root/testdata has no partsupp table (probed every round), so the
+# five partsupp queries were data-blocked, not code-blocked (VERDICT
+# r5 "What's missing" #2). The shapes are unblocked with a DERIVED
+# partsupp: the distinct (l_partkey, l_suppkey) pairs actually traded
+# in lineitem (so Q9's two-key join is covered, as the TPC-H generator
+# guarantees) UNION four formula suppliers per part (so never-ordered
+# pairs exist, which Q16/Q20 semantics need), with availqty/supplycost
+# as deterministic integer formulas of the key pair. Both engines
+# derive the identical table from the same parquet, so every query
+# below is value-oracled bitwise like any other. At scale the
+# derivation is one distinct over lineitem's two key columns (a single
+# shuffle) plus a part-sized formula frame.
+_PARTSUPP_SQL = """
+    ps0 AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem
+        UNION
+        SELECT p_partkey,
+               (p_partkey * 7 + i.i * 13)
+                   % (SELECT COUNT(*) FROM supplier)
+        FROM part, range(4) i(i)
+    ),
+    partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               (ps_partkey * 11 + ps_suppkey * 3) % 9999 + 1 AS ps_availqty,
+               CAST((ps_partkey * 13 + ps_suppkey * 29) % 90000 + 10000
+                    AS DOUBLE) / 100.0 AS ps_supplycost
+        FROM ps0
+    )"""
+
+
+def _partsupp(spark, sf_dir):
+    """Spark side of the derived partsupp — see _PARTSUPP_SQL."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    )
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    form = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            "ps_partkey",
+            ((F.col("ps_partkey") * 7 + F.col("i") * 13) % F.lit(n_supp))
+            .cast("long")
+            .alias("ps_suppkey"),
+        )
+    )
+    ps0 = li.union(form).distinct()
+    return ps0.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 11 + F.col("ps_suppkey") * 3) % 9999 + 1).alias(
+            "ps_availqty"
+        ),
+        (
+            ((F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 29) % 90000
+             + 10000).cast("double")
+            / 100.0
+        ).alias("ps_supplycost"),
+    )
+
+
+@register(
+    "q_tpch_q11",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    val AS (
+        SELECT ps_partkey,
+               {dsum_sql('ps_supplycost * ps_availqty')} AS value
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value FROM val
+    WHERE value > (SELECT SUM(value) * 0.0005 FROM val)
+    """,
+    doc="TPC-H Q11 (important stock) over the derived partsupp: "
+        "per-part inventory value within one nation, kept only above a "
+        "fraction of the nation's total — the grouped aggregate "
+        "compared against a scalar subquery over ITSELF. Plans as one "
+        "hash aggregate reused on both sides of a broadcast scalar; "
+        "supplycost*availqty sums are decimal-exact, and the 0.0005 "
+        "threshold multiply is one IEEE op on both engines.",
+)
+def q_tpch_q11(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(dsum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"))
+    )
+    from .aggregates import attach_scalar
+
+    total = val.agg((F.sum("value") * 0.0005).alias("t"))
+    return (
+        attach_scalar(val, total)
+        .filter(F.col("value") > F.col("t"))
+        .select("ps_partkey", "value")
+    )
+
+
+@register(
+    "q_tpch_q16",
+    f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 (parts/supplier relationship) over the derived "
+        "partsupp: distinct-supplier counts by part attributes with "
+        "brand/type/size exclusions and a NOT IN over a supplier "
+        "denylist (negative account balance stands in for the "
+        "complaints comment filter — the testdata has no s_comment). "
+        "NOT IN compiles to a null-safe anti-join (keys are non-null "
+        "here); COUNT(DISTINCT) is the two-phase expand aggregate.",
+)
+def q_tpch_q16(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & ~F.col("p_type").startswith("MEDIUM")
+        & F.col("p_size").isin([1, 4, 9, 14, 19, 23, 36, 45])
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_tpch_q2",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    rs AS (
+        SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    mn AS (
+        SELECT ps_partkey, MIN(ps_supplycost) AS mc
+        FROM rs GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+    FROM rs
+    JOIN mn   ON rs.ps_partkey = mn.ps_partkey AND rs.ps_supplycost = mn.mc
+    JOIN part ON p_partkey = rs.ps_partkey
+    WHERE p_size = 15 AND p_type = 'LARGE'
+    """,
+    doc="TPC-H Q2 (minimum-cost supplier) over the derived partsupp: "
+        "the classic correlated MIN subquery decorrelated into a "
+        "grouped minimum re-joined on (part, cost) — every "
+        "minimum-cost European supplier for LARGE size-15 parts, "
+        "ties kept like the official query. Double equality on the "
+        "cost is engine-safe because both engines derive the identical "
+        "doubles from the same integer formula. (p_brand stands in "
+        "for the absent p_mfgr output column.)",
+)
+def q_tpch_q2(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rs = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    mn = rs.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("mc"))
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        rs.join(
+            mn,
+            (rs.ps_partkey == mn.ps_partkey)
+            & (rs.ps_supplycost == mn.mc),
+        )
+        .drop(mn.ps_partkey)
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost",
+        )
+    )
+
+
+@register(
+    "q_tpch_q9",
+    f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity', 4)}
+               AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey  = l_partkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN partsupp ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT)
+    """,
+    doc="TPC-H Q9 (product-type profit) over the derived partsupp: the "
+        "six-table profit rollup whose signature is the TWO-KEY join "
+        "lineitem⋈partsupp on (suppkey, partkey) — covered because the "
+        "derived partsupp contains every traded pair by construction. "
+        "The per-row profit expression is one IEEE chain identical in "
+        "both engines, summed decimal-exact at scale 4; dims "
+        "broadcast; the p_name filter pushes to the part scan.",
+)
+def q_tpch_q9(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    ps = _partsupp(spark, sf_dir)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            ps,
+            (F.col("ps_suppkey") == F.col("l_suppkey"))
+            & (F.col("ps_partkey") == F.col("l_partkey")),
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(amount, 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "q_tpch_q20",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               {dsum_sql('l_quantity')} AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    cands AS (
+        SELECT DISTINCT ps_suppkey
+        FROM partsupp
+        JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        )
+          AND ps_availqty > 0.5 * qty
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name LIKE 'NATION_1%'
+      AND s_suppkey IN (SELECT ps_suppkey FROM cands)
+    """,
+    doc="TPC-H Q20 (potential part promotion) over the derived "
+        "partsupp: suppliers in a nation band holding excess stock "
+        "(availqty > half of what they shipped in 1996) of red parts. "
+        "The official correlated scalar subquery is decorrelated into "
+        "a grouped shipped-quantity join — identical semantics on both "
+        "engines (pairs with no 1996 shipments drop on the inner "
+        "join). Exact-decimal quantity sums; the 0.5 multiply is one "
+        "IEEE op; three nested IN/semi stages compile to semi-joins.",
+)
+def q_tpch_q20(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_quantity").alias("qty")
+    )
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    ps = _partsupp(spark, sf_dir)
+    cands = (
+        ps.join(red, ps.ps_partkey == red.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").startswith("NATION_1")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cands, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# ---- derived ship columns (unblocks Q12/Q21) ------------------------
+# lineitem has no commitdate/receiptdate/shipmode; derive all three as
+# deterministic functions of (orderkey, linenumber, shipdate) so both
+# engines build the identical extended lineitem and the two remaining
+# reference shapes run value-oracled.
+_SHIPCOLS_SQL = """
+    l2 AS (
+        SELECT l_orderkey, l_linenumber, l_suppkey,
+               CAST(l_shipdate AS DATE) AS ship_d,
+               CAST(l_shipdate AS DATE)
+                   + CAST((l_orderkey * 3 + l_linenumber * 5) % 30 + 1 AS INT)
+                   AS commit_d,
+               CAST(l_shipdate AS DATE)
+                   + CAST((l_orderkey * 5 + l_linenumber * 7) % 60 + 1 AS INT)
+                   AS receipt_d,
+               ['MAIL','SHIP','AIR','TRUCK','RAIL','FOB','REG AIR']
+                   [CAST((l_orderkey + l_linenumber) % 7 AS INT) + 1]
+                   AS shipmode
+        FROM lineitem
+    )"""
+
+_SHIPMODES = ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR"]
+
+
+def _shipcols(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    ship_d = F.col("l_shipdate").cast("date")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        ship_d.alias("ship_d"),
+        F.date_add(
+            ship_d,
+            ((F.col("l_orderkey") * 3 + F.col("l_linenumber") * 5) % 30 + 1)
+            .cast("int"),
+        ).alias("commit_d"),
+        F.date_add(
+            ship_d,
+            ((F.col("l_orderkey") * 5 + F.col("l_linenumber") * 7) % 60 + 1)
+            .cast("int"),
+        ).alias("receipt_d"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _SHIPMODES]),
+            ((F.col("l_orderkey") + F.col("l_linenumber")) % 7).cast("int") + 1,
+        ).alias("shipmode"),
+    )
+
+
+@register(
+    "q_tpch_q12",
+    f"""
+    WITH {_SHIPCOLS_SQL}
+    SELECT shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN l2 ON o_orderkey = l_orderkey
+    WHERE shipmode IN ('MAIL', 'SHIP')
+      AND commit_d < receipt_d
+      AND ship_d < commit_d
+      AND receipt_d >= DATE '1997-01-01'
+      AND receipt_d <  DATE '1998-01-01'
+    GROUP BY shipmode
+    """,
+    doc="TPC-H Q12 (shipping modes / order priority) over the derived "
+        "ship columns: late-receipt lines of two ship modes in one "
+        "receipt year, split into high/low-priority counts by "
+        "conditional aggregation. Exact integer counts; the date "
+        "arithmetic is date+int in both engines.",
+)
+def q_tpch_q12(spark, sf_dir):
+    l2 = _shipcols(spark, sf_dir).filter(
+        F.col("shipmode").isin(["MAIL", "SHIP"])
+        & (F.col("commit_d") < F.col("receipt_d"))
+        & (F.col("ship_d") < F.col("commit_d"))
+        & (F.col("receipt_d") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("receipt_d") < F.lit("1998-01-01").cast("date"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    return (
+        o.join(l2, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q21",
+    f"""
+    WITH {_SHIPCOLS_SQL}
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN l2 l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.receipt_d > l1.commit_d
+      AND n_name LIKE 'NATION_2%'
+      AND EXISTS (
+          SELECT 1 FROM l2 x
+          WHERE x.l_orderkey = l1.l_orderkey
+            AND x.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM l2 y
+          WHERE y.l_orderkey = l1.l_orderkey
+            AND y.l_suppkey <> l1.l_suppkey
+            AND y.receipt_d > y.commit_d
+      )
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 (suppliers who kept orders waiting) over the "
+        "derived ship columns: the only supplier whose line arrived "
+        "late on a finalized multi-supplier order — an EXISTS "
+        "(another supplier participated) plus a NOT EXISTS (no other "
+        "supplier was late), compiled to a left-semi and a left-anti "
+        "join on the order key with the supplier inequality as the "
+        "join residual. The classic decorrelation double-self-join "
+        "shape; exact integer counts.",
+)
+def q_tpch_q21(spark, sf_dir):
+    l2 = _shipcols(spark, sf_dir)
+    l1 = l2.filter(F.col("receipt_d") > F.col("commit_d")).alias("l1")
+    x = l2.alias("x")
+    y = l2.filter(F.col("receipt_d") > F.col("commit_d")).alias("y")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").startswith("NATION_2")
+    )
+    core = (
+        l1.join(
+            x,
+            (F.col("x.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("x.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            y,
+            (F.col("y.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("y.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+        .join(o, F.col("o_orderkey") == F.col("l1.l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return core.groupBy("s_name").agg(F.count("*").alias("numwait"))

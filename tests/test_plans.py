@@ -435,6 +435,7 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_chi2_independence",     # 1-row grand total attaches to the 35-cell table
     "q_simpson_audit",         # 1-row overall-gap frame attaches to the strata
     "q_calibration_bins",      # 1-row total + 1-row ECE attach to the 10-bin frame
+    "q_tpch_q11",              # 1-row 0.0005*total threshold attaches to the value frame
     "q_mann_kendall",          # day-pair join bounded by the CALENDAR squared
                                # (the stream collapses to one row per day first)
     "q_abc_classification",    # 1-row total attaches to the classed frame

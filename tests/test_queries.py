@@ -23,6 +23,12 @@ MAY_BE_EMPTY = {
     # non-empty at sf0.01 (1971 rows); sf0.001's sparser co-purchase
     # graph has an empty 70-core (oracle agrees — 0 == 0)
     "q_k_core",
+    # non-empty at sf0.01 (735 rows); sf0.001 has ≤1 supplier per
+    # nation, so the fixed Q11 nation can have none (oracle agrees)
+    "q_tpch_q11",
+    # non-empty at sf0.01/0.1; sf0.001's 200 parts may miss the
+    # size-15 LARGE selection entirely (oracle agrees)
+    "q_tpch_q2",
 }
 
 
