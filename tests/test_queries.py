@@ -74,3 +74,35 @@ def test_stateful_queries_tolerate_double_invocation(spark, name):
     n1 = REGISTRY[name].fn(spark, SF_SMALL).count()
     n2 = REGISTRY[name].fn(spark, SF_SMALL).count()
     assert n1 == n2
+
+
+def test_derived_partsupp_invariants(spark):
+    """The derived partsupp must (a) contain every traded
+    (partkey, suppkey) pair from lineitem — Q9's two-key join contract,
+    (b) have unique keys, (c) keep availqty in [1, 9999] and
+    supplycost in [100.00, 1000.00) per the derivation formulas."""
+    from pyspark.sql import functions as F
+
+    from spark_delta_lakehouse_nyctaxi_spark.queries.tpch import _partsupp
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    ps = _partsupp(spark, SF_SMALL)
+    li = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    missing = li.join(ps, ["ps_partkey", "ps_suppkey"], "left_anti").count()
+    assert missing == 0, f"{missing} traded pairs absent from derived partsupp"
+    total = ps.count()
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == total
+    bad = ps.filter(
+        (F.col("ps_availqty") < 1)
+        | (F.col("ps_availqty") > 9999)
+        | (F.col("ps_supplycost") < 100.0)
+        | (F.col("ps_supplycost") >= 1000.0)
+    ).count()
+    assert bad == 0

@@ -123,6 +123,20 @@ EXTRA = [
     "q_nucleus_selection",
     "q_audio_wht",
     "q_image_whash",
+    # round 6: substring dedup, palette, packing, TPC-H completion
+    "q_substring_dedup",
+    "q_substring_excision",
+    "q_image_palette",
+    "q_palette_quantize",
+    "q_sequence_packing",
+    "q_packing_stats",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q21",
 ]
 
 SF = "/root/testdata/sf0.01"
