@@ -211,10 +211,14 @@ def main() -> None:
             "(asserted no-cartesian in tests/test_plans.py).\n"
             "- q_bfs_levels' exchange count is the STATIC lineage of "
             "the 6-level Pregel frontier loop (per level: propagate "
-            "join + distinct + anti-join); the visited frame is "
-            "localCheckpointed every 4 levels so the EXECUTED depth "
-            "stays bounded, and each level's frontier is tiny relative "
-            "to the edge list. Same contract as q_pagerank.\n"
+            "join + distinct + anti-join); the FRONTIER is eagerly "
+            "localCheckpointed every 2 levels (round 6), bounding both "
+            "the frontier plan and the visited union — 240 → 75 "
+            "static exchanges, gated ≤100 in tests/test_plans.py. "
+            "Same contract as q_pagerank.\n"
+            "- q_tpch_q11's cartesian is the documented 1-row "
+            "attach_scalar (the 0.0005·total threshold) — same "
+            "allowlisted class as q_tpch_q22/q_ks_test.\n"
         )
     print(f"wrote PLANS.md ({len(rows)} queries)")
 
