@@ -186,6 +186,7 @@ _PRIORITY: list[str] = [
     "q_tpch_q16",
     "q_tpch_q20",
     "q_tpch_q21",
+    "q_dup_spectrum",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

@@ -3,7 +3,7 @@ SimHash, n-gram Jaccard — all over the documents table."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..operators import dedup as D
 from ..operators.text import fingerprint
@@ -1630,3 +1630,107 @@ def q_substring_excision(spark, sf_dir):
             F.coalesce(F.col("clean_hash"), empty_hash).alias("clean_hash"),
         )
     )
+
+
+def _dup_spectrum_oracle_sql(max_k: int = 6) -> str:
+    """Unrolled binary-lifting chain: p{L}(doc_id, p, h) hashes the
+    L-token block at p; p{2L} composes two adjacent L-hashes. AS
+    MATERIALIZED is load-bearing — each level is referenced three
+    times (stats + both sides of the next doubling), and DuckDB's
+    default CTE inlining would re-evaluate the chain exponentially
+    (the q_k_core lesson)."""
+    parts = ["""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents
+    ),
+    p1 AS MATERIALIZED (
+        SELECT doc_id, CAST(u.s.i - 1 AS BIGINT) AS p, md5(u.s.x) AS h
+        FROM toks,
+             unnest(list_transform(ts, (x, i) -> {'i': i, 'x': x})) u(s)
+    )"""]
+    L = 1
+    for _ in range(max_k):
+        parts.append(f""",
+    p{2 * L} AS MATERIALIZED (
+        SELECT a.doc_id, a.p, md5(a.h || b.h) AS h
+        FROM p{L} a JOIN p{L} b
+          ON b.doc_id = a.doc_id AND b.p = a.p + {L}
+    )""")
+        L *= 2
+    stats = []
+    L = 1
+    for _ in range(max_k + 1):
+        stats.append(f"""
+    SELECT CAST({L} AS BIGINT) AS block_len,
+           COUNT(*) AS n_dup_positions,
+           COUNT(DISTINCT doc_id) AS n_docs_with_dup
+    FROM p{L}
+    WHERE h IN (SELECT h FROM p{L} GROUP BY h HAVING COUNT(*) >= 2)""")
+        L *= 2
+    return "".join(parts) + "\n    UNION ALL".join(stats)
+
+
+@register(
+    "q_dup_spectrum",
+    _dup_spectrum_oracle_sql(),
+    doc="DUPLICATION SPECTRUM by dyadic block length (the "
+        "binary-lifting half of a distributed suffix array): level L "
+        "hashes every L-token block, level 2L composes two adjacent "
+        "L-hashes — 7 levels (1..64 tokens) built with one "
+        "shifted-self equi-join each, never re-hashing raw text past "
+        "level 1. Per level: how many positions sit inside a block "
+        "duplicated ANYWHERE in the corpus and how many documents "
+        "contain one — the curve that tells you where repetition "
+        "lives (token-level noise vs long verbatim boilerplate) and "
+        "the largest power-of-two duplicated run. Linear rows per "
+        "level, hash-keyed shuffles only; each level frame persists "
+        "so the three consumers (dup set, stats, next doubling) "
+        "share one materialization. Exact integers end to end.",
+)
+def q_dup_spectrum(spark, sf_dir):
+    from ..operators.text import tokens as tok_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = (
+        docs.select("doc_id", F.posexplode(tok_col("text")).alias("p", "tok"))
+        .select("doc_id", F.col("p").cast("long").alias("p"),
+                F.md5("tok").alias("h"))
+        .persist()
+    )
+    out = None
+    L = 1
+    for _ in range(7):  # L = 1, 2, 4, 8, 16, 32, 64
+        # one exchange on the hash (window count), not groupBy + semi
+        cnt = F.count("*").over(Window.partitionBy("h"))
+        stats = (
+            cur.withColumn("c", cnt)
+            .filter(F.col("c") >= 2)
+            .agg(
+                F.count("*").alias("n_dup_positions"),
+                F.countDistinct("doc_id").alias("n_docs_with_dup"),
+            )
+            .select(
+                F.lit(L).cast("long").alias("block_len"),
+                "n_dup_positions",
+                "n_docs_with_dup",
+            )
+        )
+        out = stats if out is None else out.union(stats)
+        if L < 64:
+            a, b = cur.alias("a"), cur.alias("b")
+            cur = (
+                a.join(
+                    b,
+                    (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("b.p") == F.col("a.p") + L),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_id"),
+                    F.col("a.p").alias("p"),
+                    F.md5(F.concat(F.col("a.h"), F.col("b.h"))).alias("h"),
+                )
+                .persist()
+            )
+        L *= 2
+    return out
