@@ -187,6 +187,9 @@ _PRIORITY: list[str] = [
     "q_tpch_q20",
     "q_tpch_q21",
     "q_dup_spectrum",
+    "q_collation",
+    "q_ann_ivf_pq",
+    "q_ivfpq_recall",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

@@ -951,3 +951,56 @@ def q_sql_udf(spark, sf_dir):
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "q_collation",
+    """
+    WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                    ELSE p_name END AS name,
+               p_retailprice
+        FROM part
+    )
+    SELECT lower(name) AS name_ci,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT name) AS n_case_variants,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(22,2))) AS DOUBLE)
+               AS total_price
+    FROM mixed
+    GROUP BY lower(name)
+    """,
+    doc="CASE-INSENSITIVE COLLATION (Spark 4 collation surface): part "
+        "names deterministically mixed-cased, then grouped under "
+        "COLLATE UTF8_LCASE — upper/lower variants of one name merge "
+        "into a single group whose case-variant count and exact price "
+        "total prove the collation actually drove the aggregation "
+        "(a binary group-by would split them). The emitted key is "
+        "lower()ed so the group representative is deterministic; the "
+        "oracle expresses the same semantics with lower() grouping — "
+        "the collation is Spark's native feature under test, not a "
+        "rewrite.",
+)
+def q_collation(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .otherwise(F.col("p_name"))
+        .alias("name"),
+        "p_retailprice",
+    )
+    ci = F.expr("COLLATE(name, 'UTF8_LCASE')")
+    return (
+        mixed.groupBy(ci.alias("k"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("name").alias("n_case_variants"),
+            dsum("p_retailprice").alias("total_price"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("name_ci"),
+            "n_parts",
+            "n_case_variants",
+            "total_price",
+        )
+    )

@@ -830,7 +830,11 @@ def q_semantic_dedup(spark, sf_dir):
 # value -0.27392578125 is an exact scale-10 midpoint.) Codes,
 # codebooks, and ADC scores are bit-identical in both engines —
 # "approximate" is only recall vs brute force.
-def _pq_oracle_sql(ds=2, ksub=32, iters=1, k=5, n_queries=10) -> str:
+def _pq_oracle_sql(ds=2, ksub=32, iters=1, k=5, n_queries=10,
+                   cut: bool = True) -> str:
+    """``cut=False`` returns the chain up to the full scored pair set
+    (query_id, neighbor_id, adc_score) — reused as a nested-WITH
+    subquery by the IVF-PQ composition oracle."""
     sub_d = f"(d.i - 1) // {ds}"
     parts = [
         "WITH emb AS (SELECT vec_id, embedding FROM embeddings),",
@@ -899,13 +903,18 @@ def _pq_oracle_sql(ds=2, ksub=32, iters=1, k=5, n_queries=10) -> str:
         JOIN lut l ON l.sub = cd.sub AND l.cid = cd.cid
         WHERE cd.vec_id <> l.query_id
         GROUP BY 1, 2
-    )
+    )""")
+    if cut:
+        parts.append(f"""
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_score FROM (
         SELECT query_id, neighbor_id, adc_score,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY adc_score DESC, neighbor_id) AS rank
         FROM scored
     ) WHERE rank <= {k}""")
+    else:
+        parts.append("""
+    SELECT query_id, neighbor_id, adc_score FROM scored""")
     return "\n".join(parts)
 
 
@@ -1441,4 +1450,131 @@ def q_knn_classifier(spark, sf_dir):
             F.col("n_votes").cast("long").alias("n_votes"),
             (F.col("n_label") == F.col("true_label")).alias("correct"),
         )
+    )
+
+
+# ---- IVF-PQ composition (FAISS's production shape) ------------------
+def _ivf_chain_subsql(select: str, n_centroids=16, iters=2) -> str:
+    """The IVF assignment chain as a self-contained nested-WITH
+    subquery ending in ``select`` — composable under another WITH
+    without CTE-name collisions (both the IVF and PQ chains define
+    d/h/c0/...)."""
+    chain = "".join(_ivf_assignment_parts(n_centroids, iters)).rstrip()
+    if chain.endswith(","):
+        chain = chain[:-1]
+    return f"({chain}\n    {select})"
+
+
+def _ivfpq_oracle_sql(n_centroids=16, iters=2, n_probe=4, ds=2, ksub=32,
+                      pq_iters=1, k=5, n_queries=10) -> str:
+    cells = _ivf_chain_subsql(
+        f"SELECT vec_id, cid FROM a{iters}", n_centroids, iters
+    )
+    probes = _ivf_chain_subsql(
+        f"""SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cid) AS pr
+            FROM s{iters} WHERE vec_id < {n_queries}
+        ) WHERE pr <= {n_probe}""",
+        n_centroids,
+        iters,
+    )
+    adc = "(" + _pq_oracle_sql(ds, ksub, pq_iters, k, n_queries, cut=False) + ")"
+    return f"""
+    WITH cells AS MATERIALIZED (SELECT * FROM {cells} t1),
+    probes AS MATERIALIZED (SELECT * FROM {probes} t2),
+    adc AS MATERIALIZED (SELECT * FROM {adc} t3)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_score
+    FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id, a.adc_score,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY a.adc_score DESC, c.vec_id)
+                   AS rank
+        FROM probes p
+        JOIN cells c ON c.cid = p.cid AND c.vec_id <> p.query_id
+        JOIN adc a ON a.query_id = p.query_id AND a.neighbor_id = c.vec_id
+    ) WHERE rank <= {k}"""
+
+
+@register(
+    "q_ann_ivf_pq",
+    _ivfpq_oracle_sql(),
+    doc="IVF-PQ ANN (the FAISS production composition, by_residual="
+        "False mode): the 16-cell coarse quantizer PRUNES — each query "
+        "ADC-scores only its 4 probed cells' members — and the 32×2 "
+        "product codes COMPRESS — the corpus is searched from 5-bit "
+        "codes, never raw floats. One cell equi-join narrows the "
+        "candidates, one broadcast LUT join + map-side-combining sum "
+        "scores them: at 100 TB the scan touches n_probe/n_centroids "
+        "of an 8× smaller index. Both constituent indexes are the "
+        "certified decimal-exact machinery (md5 init, tie-proof "
+        "scale-7 scores), so the composed search value-checks bitwise "
+        "— the oracle composes the same two chains as nested-WITH "
+        "subqueries. Recall audited by q_ivfpq_recall.",
+)
+def q_ann_ivf_pq(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2, exact=True)
+    cents_pq = S.pq_train_codebooks(emb, ds=2, ksub=32, iters=1)
+    return S.ivf_pq_topk(
+        emb, queries, centroids, cents_pq, n_probe=4, ds=2, k=5
+    )
+
+
+@register(
+    "q_ivfpq_recall",
+    f"""
+    WITH truth AS (
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS_SQL} AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 10
+        )
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS sim_rank
+            FROM scored
+        ) WHERE sim_rank <= 5
+    ),
+    approx AS (
+        {_ivfpq_oracle_sql()}
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM truth t
+             JOIN approx a ON t.query_id = a.query_id
+                          AND t.neighbor_id = a.neighbor_id) AS n_hit,
+           CAST((SELECT COUNT(*) FROM truth t
+                 JOIN approx a ON t.query_id = a.query_id
+                              AND t.neighbor_id = a.neighbor_id) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth) AS recall_at_5
+    """,
+    doc="IVF-PQ RECALL EVALUATION: recall@5 of the composed index "
+        "(cell pruning × code compression — BOTH approximations "
+        "stacked) against brute-force cosine ground truth, completing "
+        "the recall-audit family (LSH / IVF / PQ / IVF-PQ). The number "
+        "that tells you what the production composition costs in "
+        "quality before deploying it. Shares the ground truth and both "
+        "trained indexes with its companions via the process memo "
+        "(the audit measures the indexes they built). Deterministic "
+        "on both sides; value-checks bitwise.",
+)
+def q_ivfpq_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = _ground_truth_topk(spark, sf_dir, k=5, n_queries=10)
+    centroids = _trained_ivf_centroids(spark, sf_dir, n_centroids=16,
+                                       iters=2, exact=True)
+    cents_pq = _trained_pq_codebooks(spark, sf_dir, ds=2, ksub=32, iters=1)
+    approx = S.ivf_pq_topk(
+        emb, queries, centroids, cents_pq, n_probe=4, ds=2, k=5
+    ).select("query_id", "neighbor_id")
+    n_truth = truth.count()
+    n_hit = truth.join(approx, ["query_id", "neighbor_id"]).count()
+    return spark.createDataFrame(
+        [(n_truth, n_hit, float(n_hit) / n_truth if n_truth else None)],
+        "n_truth long, n_hit long, recall_at_5 double",
     )
