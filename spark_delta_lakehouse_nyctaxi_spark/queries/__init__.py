@@ -190,6 +190,7 @@ _PRIORITY: list[str] = [
     "q_collation",
     "q_ann_ivf_pq",
     "q_ivfpq_recall",
+    "q_longest_dup_run",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

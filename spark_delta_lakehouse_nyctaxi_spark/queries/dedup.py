@@ -1734,3 +1734,128 @@ def q_dup_spectrum(spark, sf_dir):
             )
         L *= 2
     return out
+
+
+def _longest_run_oracle_sql() -> str:
+    """p64 via the same MATERIALIZED doubling chain as
+    q_dup_spectrum, then every run length M in 64..100 tested at once
+    with the sparse-table overlap composition: the length-M block at p
+    equals another iff md5(h64(p) || h64(p + M - 64)) collides —
+    two OVERLAPPING 64-blocks cover any M ≤ 128 exactly (the classic
+    sparse-table equality argument)."""
+    parts = ["""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents
+    ),
+    p1 AS MATERIALIZED (
+        SELECT doc_id, CAST(u.s.i - 1 AS BIGINT) AS p, md5(u.s.x) AS h
+        FROM toks,
+             unnest(list_transform(ts, (x, i) -> {'i': i, 'x': x})) u(s)
+    )"""]
+    L = 1
+    for _ in range(6):
+        parts.append(f""",
+    p{2 * L} AS MATERIALIZED (
+        SELECT a.doc_id, a.p, md5(a.h || b.h) AS h
+        FROM p{L} a JOIN p{L} b
+          ON b.doc_id = a.doc_id AND b.p = a.p + {L}
+    )""")
+        L *= 2
+    parts.append("""
+    ,
+    g AS MATERIALIZED (
+        SELECT CAST(m.m AS BIGINT) AS run_len, a.doc_id, a.p,
+               CASE WHEN m.m = 64 THEN a.h
+                    ELSE md5(a.h || b.h) END AS gh
+        FROM p64 a
+        JOIN range(64, 101) m(m) ON true
+        JOIN p64 b ON b.doc_id = a.doc_id AND b.p = a.p + (m.m - 64)
+    ),
+    c AS (
+        SELECT run_len, doc_id, p,
+               COUNT(*) OVER (PARTITION BY run_len, gh) AS cnt
+        FROM g
+    )
+    SELECT run_len,
+           COUNT(*) FILTER (WHERE cnt >= 2) AS n_dup_positions,
+           COUNT(DISTINCT doc_id) FILTER (WHERE cnt >= 2)
+               AS n_docs_with_dup
+    FROM c GROUP BY run_len""")
+    return "".join(parts)
+
+
+@register(
+    "q_longest_dup_run",
+    _longest_run_oracle_sql(),
+    doc="EXACT LONGEST DUPLICATED RUN (the capstone over "
+        "q_dup_spectrum's dyadic levels): every run length M in "
+        "64..100 tokens tested in ONE pass via the sparse-table "
+        "overlap composition — the length-M block at p equals another "
+        "iff the hashes of its two OVERLAPPING 64-blocks "
+        "(p and p+M−64) collide, so no level beyond 64 is ever built. "
+        "Emits per-M duplicated-position/document counts; the max M "
+        "with a nonzero count IS the corpus's longest verbatim "
+        "duplicated run (100 = the doc-length cap — exact-duplicate "
+        "documents). Plan: the 6-level doubling chain + one "
+        "37-way shifted self-join + one window count — rows linear in "
+        "positions × 37, hash-keyed shuffles only.",
+)
+def q_longest_dup_run(spark, sf_dir):
+    from ..operators.text import tokens as tok_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = (
+        docs.select("doc_id", F.posexplode(tok_col("text")).alias("p", "tok"))
+        .select("doc_id", F.col("p").cast("long").alias("p"),
+                F.md5("tok").alias("h"))
+    )
+    L = 1
+    for _ in range(6):
+        a, b = cur.alias("a"), cur.alias("b")
+        cur = (
+            a.join(
+                b,
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("b.p") == F.col("a.p") + L),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("a.p").alias("p"),
+                F.md5(F.concat(F.col("a.h"), F.col("b.h"))).alias("h"),
+            )
+        )
+        L *= 2
+    p64 = cur.persist()
+    a, b = p64.alias("a"), p64.alias("b")
+    left = a.select(
+        "a.doc_id", "a.p", "a.h",
+        F.explode(F.sequence(F.lit(64), F.lit(100))).alias("m"),
+    ).alias("l")
+    g = (
+        left.join(
+            b,
+            (F.col("b.doc_id") == F.col("l.doc_id"))
+            & (F.col("b.p") == F.col("l.p") + F.col("l.m") - 64),
+        )
+        .select(
+            F.col("l.m").cast("long").alias("run_len"),
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("l.p").alias("p"),
+            F.when(F.col("l.m") == 64, F.col("l.h"))
+            .otherwise(F.md5(F.concat(F.col("l.h"), F.col("b.h"))))
+            .alias("gh"),
+        )
+    )
+    cnt = F.count("*").over(Window.partitionBy("run_len", "gh"))
+    dup = F.col("cnt") >= 2
+    return (
+        g.withColumn("cnt", cnt)
+        .groupBy("run_len")
+        .agg(
+            F.count(F.when(dup, 1)).alias("n_dup_positions"),
+            F.countDistinct(F.when(dup, F.col("doc_id"))).alias(
+                "n_docs_with_dup"
+            ),
+        )
+    )

@@ -137,6 +137,11 @@ EXTRA = [
     "q_tpch_q16",
     "q_tpch_q20",
     "q_tpch_q21",
+    "q_dup_spectrum",
+    "q_longest_dup_run",
+    "q_ann_ivf_pq",
+    "q_collation",
+    "q_audio_resample",
 ]
 
 SF = "/root/testdata/sf0.01"
