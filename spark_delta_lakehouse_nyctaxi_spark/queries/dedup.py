@@ -1692,11 +1692,15 @@ def q_dup_spectrum(spark, sf_dir):
     from ..operators.text import tokens as tok_col
 
     docs = load_table(spark, sf_dir, "documents")
+    # eager localCheckpoint per level (the q_bfs_levels discipline):
+    # each level frame is consumed twice (stats + the next doubling's
+    # two sides), so truncating lineage keeps the 7-level union plan
+    # bounded instead of re-embedding the whole chain per branch
     cur = (
         docs.select("doc_id", F.posexplode(tok_col("text")).alias("p", "tok"))
         .select("doc_id", F.col("p").cast("long").alias("p"),
                 F.md5("tok").alias("h"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     out = None
     L = 1
@@ -1730,7 +1734,7 @@ def q_dup_spectrum(spark, sf_dir):
                     F.col("a.p").alias("p"),
                     F.md5(F.concat(F.col("a.h"), F.col("b.h"))).alias("h"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
         L *= 2
     return out
