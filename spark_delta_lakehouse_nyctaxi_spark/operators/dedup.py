@@ -578,19 +578,25 @@ def duplicated_spans(
     min_repeats: int = 2,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """MAXIMAL duplicated substrings (Lee et al. 2022, "Deduplicating
-    Training Data Makes Language Models Better"): every maximal token
-    span of length ≥ ``l`` whose every ``l``-gram occurs ≥
-    ``min_repeats`` times anywhere in the corpus (cross-document or
-    within one document). Returns (``doc_id``, ``span_start``,
-    ``span_end``, ``span_tokens``) with 0-based inclusive token
-    offsets — the excision list a substring-dedup pass feeds to the
-    text surgery step.
+    """MAXIMAL duplicated-coverage islands (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): each
+    returned span is a maximal contiguous island of tokens covered by
+    the extents of ``l``-grams that occur ≥ ``min_repeats`` times
+    anywhere in the corpus (cross-document or within one document),
+    with islands whose gap is ≤ ``l`` merged. Token COVERAGE — what
+    the excision step needs — is exactly the union of duplicated-gram
+    extents; interior ``l``-grams of a merged island need not
+    themselves be duplicated (e.g. duplicated grams at positions 0 and
+    8 with ``l=8`` merge into one island whose grams 1..7 were never
+    tested). Returns (``doc_id``, ``span_start``, ``span_end``,
+    ``span_tokens``) with 0-based inclusive token offsets — the
+    excision list a substring-dedup pass feeds to the text surgery
+    step.
 
     The reference formulation builds a corpus-wide suffix array; the
-    Spark-first equivalent is ``l``-gram anchoring, exact for spans at
-    this granularity: a span is duplicated iff all its constituent
-    ``l``-grams are duplicated, so (1) posexplode every token position
+    Spark-first equivalent is ``l``-gram anchoring: a duplicated
+    substring of length ≥ ``l`` is always covered by duplicated
+    ``l``-grams, so (1) posexplode every token position
     into its ``l``-gram fingerprint (md5 of the joined window — the
     engine-reproducible hash family), (2) count occurrences per
     fingerprint with ONE window over the fingerprint partition (huge

@@ -68,11 +68,36 @@ def literal_frame(
     ``createDataFrame`` for empty input (VALUES needs ≥1 row).
     """
     cols = []
+    # a naive split(",") would silently mis-split parameterized types
+    # (decimal(10,2), array<...>) — reject anything _render_cell can't
+    # render AT PARSE TIME so a future caller gets an error, not a
+    # frame with wrong columns
     for field in schema.split(","):
-        name, typ = field.strip().split(None, 1)
+        parts = field.strip().split(None, 1)
+        if len(parts) != 2:
+            raise ValueError(
+                f"literal_frame: cannot parse schema field {field.strip()!r} "
+                f"(only simple 'name type' fields with scalar types are "
+                f"supported — no decimal(p,s)/array<>/map<>/struct<>)"
+            )
+        name, typ = parts
+        t = typ.strip().lower()
+        if t not in _INT_TYPES | {"double", "float", "real", "string",
+                                  "varchar", "boolean"}:
+            raise ValueError(
+                f"literal_frame: unsupported type {typ.strip()!r} for "
+                f"column {name!r} (parameterized/nested types would "
+                f"mis-split on the comma parse)"
+            )
         cols.append((name, typ.strip()))
     if not rows:
         return spark.createDataFrame([], schema)
+    for i, r in enumerate(rows):
+        if len(r) != len(cols):
+            raise ValueError(
+                f"literal_frame: row {i} has {len(r)} cells for "
+                f"{len(cols)} columns"
+            )
     rendered = ",".join(
         "(" + ",".join(_render_cell(v, typ) for v, (_, typ) in zip(r, cols)) + ")"
         for r in rows

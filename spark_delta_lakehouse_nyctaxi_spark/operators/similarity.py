@@ -262,11 +262,15 @@ def embedding_near_dups(
 
     r_max = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
     # Slack so the bound never prunes a boundary pair: the scale-7
-    # quantization perturbs s′ by ≤ 64 dims · 0.5e-7, i.e. ≤ 1.28e-5
-    # on s, ≤ 2.56e-5 on the squared distance — sqrt amplifies that to
-    # ≤ ~5.1e-3 near zero, doubled for the two radii in the bound.
-    # Pruning less is always safe; the exact cosine filter decides.
-    eps = 2e-2
+    # quantization perturbs s′ by ≤ dim · 0.5e-7, i.e. ≤ 4·dim·0.5e-7
+    # on s, ≤ 8·dim·0.5e-7 on the squared distance — sqrt amplifies
+    # that to ≤ sqrt(8·dim·0.5e-7) near zero, doubled for the two
+    # radii in the bound. Derived from the ACTUAL dimension (a fixed
+    # 2e-2 was exceeded by the bound itself at dim ≳ 250), plus a
+    # 1e-2 absolute margin. Pruning less is always safe; the exact
+    # cosine filter decides.
+    dim = len(centroids[0])
+    eps = 2.0 * math.sqrt(8.0 * dim * 0.5e-7) + 1e-2
     cand = []
     for i in radius:
         for j in radius:

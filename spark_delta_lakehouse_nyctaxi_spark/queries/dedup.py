@@ -1515,12 +1515,14 @@ _SUBSTRING_SPANS_SQL = """
     """,
     doc="EXACT-SUBSTRING DEDUP EXCISION LIST (Lee et al. 2022, "
         "'Deduplicating Training Data Makes Language Models Better'): "
-        "every MAXIMAL token span of length >= 8 whose every 8-gram "
-        "occurs >= 2 times anywhere in the corpus — the span list the "
-        "substring-surgery pass removes before LM training. The "
-        "reference builds a corpus-wide suffix array; the Spark-first "
-        "equivalent is l-gram anchoring (a span is duplicated iff all "
-        "its l-grams are), exact at this granularity: position-explode "
+        "maximal contiguous islands of tokens covered by 8-grams that "
+        "occur >= 2 times anywhere in the corpus (gap <= 8 islands "
+        "merged) — the span list the substring-surgery pass removes "
+        "before LM training; token COVERAGE is exactly the union of "
+        "duplicated-gram extents. The reference builds a corpus-wide "
+        "suffix array; the Spark-first equivalent is l-gram anchoring "
+        "(a duplicated run of length >= 8 is always covered by "
+        "duplicated 8-grams): position-explode "
         "md5 8-gram fingerprints, ONE window count over the "
         "fingerprint partition (the only corpus-sized exchange — "
         "linear (id, pos, hash) rows, uniform keys), keep repeated "
@@ -1809,10 +1811,17 @@ def q_longest_dup_run(spark, sf_dir):
     from ..operators.text import tokens as tok_col
 
     docs = load_table(spark, sf_dir, "documents")
+    # eager localCheckpoint per doubling level (the q_dup_spectrum
+    # discipline, r6 verdict item 1): each level frame feeds BOTH
+    # sides of the next self-join, so without truncation the level-L
+    # subplan is re-embedded twice per level above it — 67 cold
+    # exchanges in the unbounded form vs ≤30 bounded (gated in
+    # tests/test_plans.py::test_longest_dup_run_lineage_bounded).
     cur = (
         docs.select("doc_id", F.posexplode(tok_col("text")).alias("p", "tok"))
         .select("doc_id", F.col("p").cast("long").alias("p"),
                 F.md5("tok").alias("h"))
+        .localCheckpoint(eager=True)
     )
     L = 1
     for _ in range(6):
@@ -1828,9 +1837,10 @@ def q_longest_dup_run(spark, sf_dir):
                 F.col("a.p").alias("p"),
                 F.md5(F.concat(F.col("a.h"), F.col("b.h"))).alias("h"),
             )
+            .localCheckpoint(eager=True)
         )
         L *= 2
-    p64 = cur.persist()
+    p64 = cur
     a, b = p64.alias("a"), p64.alias("b")
     left = a.select(
         "a.doc_id", "a.p", "a.h",

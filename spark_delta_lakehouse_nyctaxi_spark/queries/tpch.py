@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .aggregates import dsum, dsum_sql
+from .aggregates import dec0_to_double_sql, dsum, dsum_sql
 from . import register
 
 
@@ -657,15 +657,24 @@ def _partsupp(spark, sf_dir):
         GROUP BY ps_partkey
     )
     SELECT ps_partkey, value FROM val
-    WHERE value > (SELECT SUM(value) * 0.0005 FROM val)
+    WHERE value * 100 > (
+        SELECT {dec0_to_double_sql('SUM(CAST(value * 100 AS DECIMAL(38,0)))')}
+               * 5e-4
+        FROM val
+    )
     """,
     doc="TPC-H Q11 (important stock) over the derived partsupp: "
         "per-part inventory value within one nation, kept only above a "
         "fraction of the nation's total — the grouped aggregate "
         "compared against a scalar subquery over ITSELF. Plans as one "
-        "hash aggregate reused on both sides of a broadcast scalar; "
-        "supplycost*availqty sums are decimal-exact, and the 0.0005 "
-        "threshold multiply is one IEEE op on both engines.",
+        "hash aggregate reused on both sides of a broadcast scalar. "
+        "The threshold total is summed EXACTLY: per-part values are "
+        "scale-2-decimal-derived, so value·100 is an exact integer "
+        "double, the decimal(38,0) cent sum is addition-order-free, "
+        "and dec0_to_double renders it as THE nearest double on both "
+        "engines — the only IEEE op left is the single ×5e-4 multiply "
+        "(an IEEE sum of doubles here would be addition-order-"
+        "dependent and could flip a borderline part nondeterministically).",
 )
 def q_tpch_q11(spark, sf_dir):
     ps = _partsupp(spark, sf_dir)
@@ -677,12 +686,24 @@ def q_tpch_q11(spark, sf_dir):
         .groupBy("ps_partkey")
         .agg(dsum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"))
     )
-    from .aggregates import attach_scalar
+    from .aggregates import attach_scalar, dec0_to_double
 
-    total = val.agg((F.sum("value") * 0.0005).alias("t"))
+    # exact cent total (see the oracle docstring): value·100 is an
+    # exact integer double, the decimal sum is order-free, and the
+    # correctly-rounded dec0→double conversion leaves ×5e-4 as the
+    # only IEEE op — the threshold compare is deterministic across
+    # partitionings, AQE re-plans, and engines.
+    total = val.agg(
+        (
+            dec0_to_double(
+                F.sum((F.col("value") * 100).cast("decimal(38,0)"))
+            )
+            * F.lit(5e-4)
+        ).alias("t")
+    )
     return (
         attach_scalar(val, total)
-        .filter(F.col("value") > F.col("t"))
+        .filter(F.col("value") * 100 > F.col("t"))
         .select("ps_partkey", "value")
     )
 

@@ -1528,3 +1528,30 @@ def test_duplicated_spans_matches_python_bruteforce(spark):
         for r in duplicated_spans(df, "doc_id", "text", l=l).collect()
     }
     assert got == expected and expected  # non-vacuous
+
+
+def test_literal_frame_roundtrip_and_validation(spark):
+    """literal_frame renders a JVM LocalRelation: doubles must
+    round-trip bit-exactly via the repr/CAST path, the plan must show
+    LocalTableScan (not a Python-RDD scan), and the r6 advisor's two
+    latent misuse classes must be loud errors — parameterized types
+    (a naive comma split would silently mis-assign columns) and rows
+    that don't match the column count (zip would silently truncate)."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.local_frames import (
+        literal_frame,
+    )
+
+    vals = [(1, 0.1 + 0.2), (2, -0.27392578125), (3, None)]
+    df = literal_frame(spark, vals, "id int, x double")
+    got = {r.id: r.x for r in df.collect()}
+    assert got[1] == 0.1 + 0.2 and got[2] == -0.27392578125
+    assert got[3] is None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+
+    with pytest.raises(ValueError, match="unsupported type"):
+        literal_frame(spark, [(1, 1.5)], "id int, x decimal(10,2)")
+    with pytest.raises(ValueError, match="cannot parse|unsupported"):
+        literal_frame(spark, [(1, [1.0])], "id int, x array<double>")
+    with pytest.raises(ValueError, match="cells for"):
+        literal_frame(spark, [(1, 2.0, 3.0)], "id int, x double")

@@ -389,6 +389,23 @@ def test_bfs_levels_lineage_bounded(spark):
     assert P.exchange_count(q("q_bfs_levels", spark)) <= 100
 
 
+def test_longest_dup_run_lineage_bounded(spark):
+    """r6 VERDICT item 1: the 6 binary-lifting levels each feed BOTH
+    sides of the next self-join, so without per-level eager
+    checkpoints the level-L subplan re-embeds twice per level above it
+    — 67 cold exchanges in the unbounded form vs 5 bounded. Gate well
+    below the unbounded shape (the sibling q_dup_spectrum discipline,
+    commit 6e972cd)."""
+    assert P.exchange_count(q("q_longest_dup_run", spark)) <= 30
+
+
+def test_dup_spectrum_lineage_bounded(spark):
+    """Companion gate: 21 cold exchanges with the per-level eager
+    checkpoints vs 52 unbounded (r6 fix). Headroom for optimizer
+    drift, far below the unbounded shape."""
+    assert P.exchange_count(q("q_dup_spectrum", spark)) <= 35
+
+
 _SINGLE_PARTITION_WINDOW_ALLOWLIST = {
     # Documented tiny-frame global windows (metadata-sized, NOT
     # data-sized): the frame under the window is bounded by construction.
@@ -442,6 +459,19 @@ _BOUNDED_BNLJ_ALLOWLIST = {
 }
 
 
+# Documented static-lineage bounds for iterative queries whose plan
+# legitimately exceeds the registry-wide 25-exchange budget. Every
+# entry must state WHY the count is bounded (checkpoint cadence ×
+# per-iteration shuffles), and the cold reference number (PLANS.md).
+_EXCHANGE_BUDGET_ALLOWLIST = {
+    # 6-level Pregel BFS, frontier checkpointed every 2 levels: per
+    # un-truncated level the visited-union carries ~6 exchanges
+    # (propagate join + distinct + anti-join, × 2 levels of lineage).
+    # Cold 75 (was 240 unbounded); gated ≤100 in the targeted test too.
+    "q_bfs_levels": 100,
+}
+
+
 def test_no_single_partition_windows_registry_wide(spark):
     """No registry query may plan a Window over an Exchange
     SinglePartition except the documented bounded-frame allowlist, and
@@ -451,6 +481,7 @@ def test_no_single_partition_windows_registry_wide(spark):
     gates that turn the r3 RFM finding and the r4 'bounded BNLJ is
     prose-only' finding into one-time classes of bug."""
     window_offenders, cartesian_offenders, tail_frame_offenders = {}, [], {}
+    lineage_offenders = {}
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, SF_SMALL)
         n = P.single_partition_windows(df)
@@ -458,6 +489,19 @@ def test_no_single_partition_windows_registry_wide(spark):
             window_offenders[name] = n
         if name not in _BOUNDED_BNLJ_ALLOWLIST and P.has_cartesian(df):
             cartesian_offenders.append(name)
+        # r6 verdict item 7: the generalized iterative-lineage gate.
+        # PageRank, BFS, k-core, dup-spectrum, longest-dup-run each got
+        # a bespoke bound reactively; this sweep catches ANY registry
+        # query whose static plan exceeds the exchange budget unless it
+        # carries a documented per-query bound. NOTE: this sweep runs
+        # queries back-to-back, so sibling-warmed caches can only
+        # REDUCE a count (the gate stays an upper bound); the cold
+        # reference numbers live in PLANS.md (tools/explain_plans.py
+        # resets all caches between queries).
+        xc = P.exchange_count(df)
+        budget = _EXCHANGE_BUDGET_ALLOWLIST.get(name, 25)
+        if xc > budget:
+            lineage_offenders[name] = (xc, budget)
         # r5 lesson (q_resample_interpolate, 10×): a frame ending at
         # unboundedFollowing with a bounded start is O(n²) per
         # partition — Spark re-scans the tail for every row. No
@@ -480,4 +524,11 @@ def test_no_single_partition_windows_registry_wide(spark):
         f"O(n²) (bounded-start, unboundedFollowing) window frames in: "
         f"{tail_frame_offenders} — rewrite as last()/first() over the "
         "DESCENDING running frame (the q_resample_interpolate fix)"
+    )
+    assert not lineage_offenders, (
+        f"static plans over the exchange budget (count, budget): "
+        f"{lineage_offenders} — iterative queries must truncate "
+        "lineage (localCheckpoint(eager=True) per level, the "
+        "q_dup_spectrum/q_longest_dup_run discipline) or document a "
+        "bound in _EXCHANGE_BUDGET_ALLOWLIST"
     )

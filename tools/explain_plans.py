@@ -147,6 +147,30 @@ EXTRA = [
 SF = "/root/testdata/sf0.01"
 
 
+def reset_caches(spark) -> None:
+    """COLD-measurement protocol (r6 verdict item 2): clear the SQL
+    cache, unpersist every RDD, and empty the module-level memo dicts
+    between queries, so no row in PLANS.md is shaped by a sibling's
+    warm cache. (The r6 table had q_dup_spectrum at 52 — its pre-fix
+    number — and q_longest_dup_run at 16 — a warm-cache artifact of
+    the real 67; both directions of error came from measuring in one
+    shared-cache session.)"""
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist()
+    except Exception as e:  # measurement hygiene only — never fail the run
+        print(f"unpersist-all failed: {e}", file=sys.stderr)
+    import spark_delta_lakehouse_nyctaxi_spark.queries.dedup as _d
+    import spark_delta_lakehouse_nyctaxi_spark.queries.multimodal as _m
+    import spark_delta_lakehouse_nyctaxi_spark.queries.similarity as _s
+
+    _d._LSH_TRUTH_MEMO.clear()
+    _s._RECALL_MEMO.clear()
+    _m._PALETTE_MEMO.clear()
+
+
 def describe(df) -> dict:
     # Execute through the frame's own QueryExecution (collect, not a
     # write — a write plans a fresh execution): AQE only finalizes the
@@ -168,6 +192,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
     for name in HEADLINE + EXTRA:
+        reset_caches(spark)
         try:
             d = describe(REGISTRY[name].fn(spark, SF))
         except Exception as e:  # plan-only pass; queries with side effects may need data
@@ -183,6 +208,11 @@ def main() -> None:
             "headline query. `exchanges` counts shuffle boundaries in "
             "the final plan (AQE may further coalesce at runtime); "
             "`pushed` is whether data filters reach the parquet scan.\n\n"
+            "Measurement protocol: every query is measured COLD — the "
+            "SQL cache, all persisted RDDs, and the module-level memo "
+            "dicts are cleared before each row (r6 verdict item 2: a "
+            "shared-cache session mis-measured q_dup_spectrum 52-vs-21 "
+            "and q_longest_dup_run 16-vs-67, in opposite directions).\n\n"
             "| query | exchanges | broadcast join | cartesian | codegen spans | TakeOrdered | pushed filters |\n"
             "|---|---|---|---|---|---|---|\n"
         )
@@ -224,6 +254,13 @@ def main() -> None:
             "- q_tpch_q11's cartesian is the documented 1-row "
             "attach_scalar (the 0.0005·total threshold) — same "
             "allowlisted class as q_tpch_q22/q_ks_test.\n"
+            "- q_dup_spectrum / q_longest_dup_run eagerly "
+            "localCheckpoint every binary-lifting level (each level "
+            "feeds BOTH sides of the next self-join — unbounded "
+            "lineage re-embeds the chain twice per level: 52→21 and "
+            "67→5 cold exchanges respectively); gated in "
+            "tests/test_plans.py plus the registry-wide 25-exchange "
+            "budget sweep.\n"
         )
     print(f"wrote PLANS.md ({len(rows)} queries)")
 
