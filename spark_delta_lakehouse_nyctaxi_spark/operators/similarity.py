@@ -1043,6 +1043,59 @@ def pq_train_codebooks(
     return centroids
 
 
+def pq_distortion(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    ds: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT PQ quantization distortion: one row
+    ``(n_vectors, n_terms, dist_q4_units)`` where dist_q4_units is the
+    scaled-long sum of per-dimension QUARTERED squared residuals
+    round7(((x − c_x)/2)²) — the objective OPQ's dimension allocation
+    minimizes, in units of 1e-7·4 (quartering keeps every quantized
+    atom strictly below 1: |x|<1 certified and |c_x|<1 as a mean of
+    such, so |x−c_x|<2 and the atom sits in the tie-proof scale-7
+    half-up regime; an un-quartered (x−c_x)² can reach 4, where a
+    9-significant-digit tie flips DuckDB to half-even — the
+    cross-engine divergence class NOTES documents).
+
+    One exploded-dims frame joins the PQ codes on (id, sub) and the
+    broadcast codebook on (cid, i): linear rows, one hash aggregate,
+    exact integers end to end."""
+    codes = pq_assign_frame(corpus, centroids, ds, id_col, vec_col)
+    dim = len(centroids[0])
+    m = dim // ds
+    cb_rows = [
+        (s * ds + j + 1, cid, float(c[s * ds + j]))
+        for cid, c in enumerate(centroids)
+        for s in range(m)
+        for j in range(ds)
+    ]
+    cb = literal_frame(corpus.sparkSession, cb_rows, "i int, cid int, cx double")
+    dims = corpus.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("p", "x")
+    ).select(
+        "id",
+        (F.col("p") + 1).alias("i"),
+        (F.col("p") / ds).cast("int").alias("sub"),
+        F.col("x").cast("double").alias("x"),
+    )
+    half = (F.col("x") - F.col("cx")) * 0.5
+    term = ((half * half).cast("decimal(16,7)") * F.lit(10**7)).cast("long")
+    joined = dims.join(codes, ["id", "sub"]).join(F.broadcast(cb), ["i", "cid"])
+    from ..queries.aggregates import dec0_to_double
+
+    return joined.agg(
+        F.countDistinct("id").cast("long").alias("n_vectors"),
+        F.count("*").cast("long").alias("n_terms"),
+        dec0_to_double(
+            F.sum(term.cast("decimal(28,0)"))
+        ).alias("dist_q4_units"),
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

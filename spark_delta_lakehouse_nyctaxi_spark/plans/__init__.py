@@ -61,10 +61,20 @@ def unbounded_following_frames(df: DataFrame) -> int:
 
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (formatted mode
-    prints each operator once as a `(N) Exchange` detail header)."""
+    prints each operator once as a `(N) Exchange` detail header).
+
+    On an EXECUTED AQE plan, formatted mode prints the tree twice
+    (`== Final Plan ==` + `== Initial Plan ==`) and emits detail
+    headers for both, double-counting every exchange (found while
+    regenerating PLANS.md cold, r6 verdict item 2: q_longest_dup_run
+    read 10 post-collect vs its true 5). Count unique node ids from
+    the Final Plan tree section in that case."""
     import re
 
     plan = explain_str(df)
+    if "== Final Plan ==" in plan:
+        final = plan.split("== Initial Plan ==")[0]
+        return len(set(re.findall(r"\bExchange \((\d+)\)", final)))
     return len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
 
 

@@ -191,6 +191,12 @@ _PRIORITY: list[str] = [
     "q_ann_ivf_pq",
     "q_ivfpq_recall",
     "q_longest_dup_run",
+    # --- R7-NEW: new round-7 value-oracled queries slot here (after
+    # the r7 driver window slots 51-100, which r6's verdict froze) ---
+    "q_attention_mask",
+    "q_shuffle_certificate",
+    "q_pq_dim_alloc",
+    "q_opq_distortion",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

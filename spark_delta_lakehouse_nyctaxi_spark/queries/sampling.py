@@ -158,6 +158,73 @@ def q_shuffle_shards(spark, sf_dir):
 
 
 @register(
+    "q_shuffle_certificate",
+    f"""
+    WITH sh AS (
+        SELECT doc_id,
+               CAST({_SHARD_SQL} AS INTEGER) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {_SHARD_SQL}
+                   ORDER BY md5('shuffle:pos' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS pos
+        FROM documents
+    ),
+    per_shard AS (
+        SELECT shard,
+               COUNT(*) AS sz,
+               MIN(pos) AS min_pos,
+               MAX(pos) AS max_pos,
+               COUNT(DISTINCT pos) AS n_distinct,
+               CAST(SUM(CAST(pos AS BIGINT)) AS BIGINT) AS pos_sum
+        FROM sh GROUP BY shard
+    )
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(MIN(sz) AS BIGINT) AS min_shard_rows,
+           CAST(MAX(sz) AS BIGINT) AS max_shard_rows,
+           BOOL_AND(min_pos = 1 AND max_pos = sz AND n_distinct = sz
+                    AND pos_sum = sz * (sz + 1) // 2) AS is_permutation
+    FROM per_shard
+    """,
+    doc="GLOBAL-SHUFFLE PERMUTATION CERTIFICATE (r6-verdict flagship): "
+        "PROVES the seeded shard-shuffle q_shuffle_shards emits is a "
+        "bijection onto 0..N-1 — per shard, positions must be exactly "
+        "1..size (min=1, max=size, all distinct, and the exact "
+        "Gauss-sum size·(size+1)/2 as a redundant integrity check), "
+        "which makes base(shard)+pos-1 over the shard-size prefix a "
+        "permutation BY CONSTRUCTION. A training run that resumes "
+        "from shard checkpoints can assert this before consuming the "
+        "order; shard balance (min/max rows) is emitted beside it "
+        "because a skewed seeded hash would serialize one reader. One "
+        "exchange on the shard key, then an 8-row aggregate — exact "
+        "integers end to end, value-checks bitwise.",
+)
+def q_shuffle_certificate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = SA.shuffle_shards(docs, "doc_id", _N_SHARDS, salt="shuffle")
+    per_shard = sh.groupBy("shard").agg(
+        F.count("*").alias("sz"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+        F.countDistinct("pos").alias("n_distinct"),
+        F.sum(F.col("pos").cast("long")).alias("pos_sum"),
+    )
+    ok = (
+        (F.col("min_pos") == 1)
+        & (F.col("max_pos") == F.col("sz"))
+        & (F.col("n_distinct") == F.col("sz"))
+        & (F.col("pos_sum") == F.expr("sz * (sz + 1) div 2"))
+    )
+    return per_shard.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_shards"),
+        F.min("sz").cast("long").alias("min_shard_rows"),
+        F.max("sz").cast("long").alias("max_shard_rows"),
+        F.bool_and(ok).alias("is_permutation"),
+    )
+
+
+@register(
     "q_token_budget",
     f"""
     SELECT doc_id, lang, n_tokens, cum_tokens FROM (

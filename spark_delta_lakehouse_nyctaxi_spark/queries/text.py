@@ -2029,3 +2029,101 @@ def q_packing_stats(spark, sf_dir):
         ).alias("n_tokens"),
         (F.count("*") - 1).alias("n_boundaries"),
     )
+
+
+@register(
+    "q_attention_mask",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               SUM(CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT))
+                   OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id,
+               CAST(cum - n_tokens AS BIGINT) AS tok_start,
+               CAST(cum AS BIGINT) AS tok_end,
+               CAST((cum - n_tokens) // 512 AS BIGINT) AS first_seq,
+               CAST((cum - 1) // 512 AS BIGINT) AS last_seq
+        FROM c
+    ),
+    per_seq AS (
+        SELECT CAST(unnest(range(first_seq, last_seq + 1)) AS BIGINT)
+                   AS seq_id,
+               doc_id, tok_start, tok_end
+        FROM placed
+    )
+    SELECT seq_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY seq_id
+                                   ORDER BY tok_start, doc_id) - 1
+                AS BIGINT) AS seg_idx,
+           doc_id,
+           CAST(greatest(tok_start, seq_id * 512) - seq_id * 512
+                AS BIGINT) AS local_start,
+           CAST(least(tok_end, (seq_id + 1) * 512) - seq_id * 512
+                AS BIGINT) AS local_end,
+           CAST(least(tok_end, (seq_id + 1) * 512)
+                - greatest(tok_start, seq_id * 512) AS BIGINT) AS seg_len,
+           CAST(greatest(tok_start, seq_id * 512) - tok_start
+                AS BIGINT) AS doc_tok_offset
+    FROM per_seq
+    """,
+    doc="DOCUMENT-BOUNDARY ATTENTION-MASK EXPORT (the r6-verdict "
+        "flagship completing the packing tier): per packed 512-token "
+        "sequence, the ordered segment intervals a trainer needs to "
+        "build the block-diagonal attention mask and reset/continue "
+        "position ids — (seg_idx, doc_id, [local_start, local_end), "
+        "seg_len, doc_tok_offset), where doc_tok_offset is how far "
+        "into the document this sequence's slice begins (nonzero "
+        "exactly for spillover continuations, so position ids can "
+        "continue across sequence boundaries). Composes "
+        "q_sequence_packing's distributed_prefix_sum placement (range "
+        "exchange + per-partition bases, NO single-partition window); "
+        "each document explodes into only the sequences it touches, "
+        "the seg_idx window partitions by seq_id (hash-keyed, bounded "
+        "frames — a 512-token sequence holds ≤512 segments). Pure "
+        "integer interval arithmetic — value-checks bitwise.",
+)
+def q_attention_mask(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ..operators.indexing import distributed_prefix_sum
+    from ..operators.text import token_count
+
+    seq_len = 512
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    cum = distributed_prefix_sum(counts, ["doc_id"], ["n_tokens"])
+    placed = cum.select(
+        "doc_id",
+        (F.col("cum_n_tokens") - F.col("n_tokens")).alias("tok_start"),
+        F.col("cum_n_tokens").alias("tok_end"),
+        F.expr(f"(cum_n_tokens - n_tokens) div {seq_len}").alias("first_seq"),
+        F.expr(f"(cum_n_tokens - 1) div {seq_len}").alias("last_seq"),
+    )
+    per_seq = placed.select(
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+        "doc_id",
+        "tok_start",
+        "tok_end",
+    )
+    seq_lo = F.col("seq_id") * seq_len
+    seq_hi = (F.col("seq_id") + 1) * seq_len
+    seg_start = F.greatest(F.col("tok_start"), seq_lo)
+    seg_end = F.least(F.col("tok_end"), seq_hi)
+    w = Window.partitionBy("seq_id").orderBy("tok_start", "doc_id")
+    return per_seq.select(
+        "seq_id",
+        (F.row_number().over(w) - 1).cast("long").alias("seg_idx"),
+        "doc_id",
+        (seg_start - seq_lo).alias("local_start"),
+        (seg_end - seq_lo).alias("local_end"),
+        (seg_end - seg_start).alias("seg_len"),
+        (seg_start - F.col("tok_start")).alias("doc_tok_offset"),
+    )

@@ -142,6 +142,11 @@ EXTRA = [
     "q_ann_ivf_pq",
     "q_collation",
     "q_audio_resample",
+    # round 7: packing-mask export + shuffle permutation certificate
+    "q_attention_mask",
+    "q_shuffle_certificate",
+    "q_pq_dim_alloc",
+    "q_opq_distortion",
 ]
 
 SF = "/root/testdata/sf0.01"
@@ -172,13 +177,20 @@ def reset_caches(spark) -> None:
 
 
 def describe(df) -> dict:
+    # Exchange count is taken from the STATIC (pre-execution) plan —
+    # the same protocol as the test_plans gates and the judge's cold
+    # measurements; the executed AQE Final Plan only shows the LAST
+    # job's exchanges, under-representing iterative queries whose
+    # earlier levels already materialized (q_bfs_levels reads 3 final
+    # vs 75 static).
+    static_exchanges = P.exchange_count(df)
     # Execute through the frame's own QueryExecution (collect, not a
     # write — a write plans a fresh execution): AQE only finalizes the
     # plan (and stamps the *(N) codegen markers) after it runs.
     df.collect()
     plan = P.explain_str(df)
     return {
-        "exchanges": P.exchange_count(df),
+        "exchanges": static_exchanges,
         "broadcast": P.uses_broadcast_join(df),
         "cartesian": P.has_cartesian(df),
         "codegen_spans": P.wholestage_codegen_spans(df),
