@@ -1681,6 +1681,31 @@ def q_pq_dim_alloc(spark, sf_dir):
     )
 
 
+def _opq_orig_order(sf_dir: str, emb) -> list:
+    """The snake-allocation permutation as [orig dim index] per new
+    position 1..dim — driver-derived from the EXACT integer variances
+    (one 64-row bounded fetch), memoized per SF and shared by
+    q_opq_distortion / q_opq_recall."""
+    m, ds = _ALLOC_M, _ALLOC_DS
+
+    def build_perm():
+        rows = _dim_moments(emb).collect()  # one row per DIMENSION (64)
+        v = {
+            int(r.i): int(r.n) * int(r.s2) - int(r.s1) * int(r.s1)
+            for r in rows
+        }
+        ranked = sorted(v, key=lambda i: (-v[i], i))
+        new_i = {}
+        for rnk0, orig in enumerate(ranked):
+            q, pos = divmod(rnk0, m)
+            sub = pos if q % 2 == 0 else m - 1 - pos
+            new_i[orig] = sub * ds + q + 1
+        # orig dim index for each new position 1..dim
+        return [o for o, _ in sorted(new_i.items(), key=lambda kv: kv[1])]
+
+    return _memo(("opq_perm", sf_dir), build_perm)
+
+
 def _dim_moments(emb):
     """Per-dimension exact scaled-integer moments (n, s1=Σx·10⁷,
     s2=Σx²·10¹⁴) — every term a tie-proof scale-7 quantize of a value
@@ -1841,23 +1866,7 @@ def _opq_distortion_oracle() -> str:
 def q_opq_distortion(spark, sf_dir):
     m, ds = _ALLOC_M, _ALLOC_DS
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def build_perm():
-        rows = _dim_moments(emb).collect()  # one row per DIMENSION (64)
-        v = {
-            int(r.i): int(r.n) * int(r.s2) - int(r.s1) * int(r.s1)
-            for r in rows
-        }
-        ranked = sorted(v, key=lambda i: (-v[i], i))
-        new_i = {}
-        for rnk0, orig in enumerate(ranked):
-            q, pos = divmod(rnk0, m)
-            sub = pos if q % 2 == 0 else m - 1 - pos
-            new_i[orig] = sub * ds + q + 1
-        # orig dim index for each new position 1..dim
-        return [o for o, _ in sorted(new_i.items(), key=lambda kv: kv[1])]
-
-    orig_order = _memo(("opq_perm", sf_dir), build_perm)
+    orig_order = _opq_orig_order(sf_dir, emb)
     permuted = emb.select(
         "vec_id",
         F.array(
@@ -1877,3 +1886,140 @@ def q_opq_distortion(spark, sf_dir):
         F.lit("allocated").alias("layout"), *out_cols
     )
     return nat.union(alloc)
+
+
+def _pq_adc_tail(p: str, dsrc: str, ds: int = 2, iters: int = 1,
+                 k: int = 5, n_queries: int = 10) -> str:
+    """ADC search tail over a prefixed trained chain (the LUT/scored/
+    top shape of `_pq_oracle_sql`, parameterized like
+    `_pq_train_parts`)."""
+    return f"""
+    {p}lut AS (
+        SELECT d.vec_id AS query_id, (d.i - 1) // {ds} AS sub, c.cid,
+               SUM(CAST(d.x * c.x AS DECIMAL(28,7))) AS dt
+        FROM {dsrc} d JOIN {p}c{iters} c USING (i)
+        WHERE d.vec_id < {n_queries}
+        GROUP BY 1, 2, c.cid
+    ),
+    {p}scored AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(l.dt) AS DOUBLE) AS adc_score
+        FROM {p}a{iters} cd
+        JOIN {p}lut l ON l.sub = cd.sub AND l.cid = cd.cid
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    {p}top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_score DESC, neighbor_id)
+                       AS rank
+            FROM {p}scored
+        ) WHERE rank <= {k}
+    )"""
+
+
+def _opq_recall_oracle() -> str:
+    m, ds = _ALLOC_M, _ALLOC_DS
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+    {_VARIANCE_SQL.lstrip()},
+    h AS (SELECT vec_id,
+                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                     AS hh
+          FROM emb),
+    map AS (
+        SELECT i AS orig_i,
+               CAST({_SNAKE_SUB_SQL} * {ds} + {_SNAKE_SLOT_SQL} + 1
+                    AS BIGINT) AS new_i
+        FROM vr
+    ),
+    dp AS (
+        SELECT d0.vec_id, m.new_i AS i, d0.x
+        FROM d0 JOIN map m ON m.orig_i = d0.i
+    ),
+    {_pq_train_parts('n', 'd0', ds=ds, ksub=m, iters=1)},
+    {_pq_train_parts('p', 'dp', ds=ds, ksub=m, iters=1)},
+    {_pq_adc_tail('n', 'd0', ds=ds, iters=1)},
+    {_pq_adc_tail('p', 'dp', ds=ds, iters=1)},
+    truth AS (
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS_SQL} AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 10
+        )
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS sim_rank
+            FROM scored
+        ) WHERE sim_rank <= 5
+    )
+    SELECT 'natural' AS layout,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM truth t
+             JOIN ntop a USING (query_id, neighbor_id)) AS n_hit,
+           CAST((SELECT COUNT(*) FROM truth t
+                 JOIN ntop a USING (query_id, neighbor_id)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth) AS recall_at_5
+    UNION ALL
+    SELECT 'allocated',
+           (SELECT COUNT(*) FROM truth),
+           (SELECT COUNT(*) FROM truth t
+             JOIN ptop a USING (query_id, neighbor_id)),
+           CAST((SELECT COUNT(*) FROM truth t
+                 JOIN ptop a USING (query_id, neighbor_id)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth)
+    """
+
+
+@register(
+    "q_opq_recall",
+    _opq_recall_oracle(),
+    doc="OPQ ALLOCATION RECALL COMPARISON (the third leg of the OPQ "
+        "trio): recall@5 of PQ ADC search under the NATURAL dimension "
+        "layout vs the variance-balanced allocation, against ONE "
+        "brute-force cosine ground truth — valid for both layouts "
+        "because a coordinate permutation preserves every dot product, "
+        "so exact top-k is layout-invariant while the PQ approximation "
+        "is not: the recall delta isolates what the allocation buys "
+        "(on near-isotropic random embeddings, honestly ≈0 — the "
+        "measurement, not the assumption). Shares the trained "
+        "codebooks and ground truth with q_opq_distortion / q_ann_pq "
+        "via the process memo. Deterministic both sides; value-checks "
+        "bitwise.",
+)
+def q_opq_recall(spark, sf_dir):
+    m, ds = _ALLOC_M, _ALLOC_DS
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = _ground_truth_topk(spark, sf_dir, k=5, n_queries=10)
+    orig_order = _opq_orig_order(sf_dir, emb)
+    permuted = emb.select(
+        "vec_id",
+        F.array(
+            *[F.element_at("embedding", int(oi)) for oi in orig_order]
+        ).alias("embedding"),
+    )
+    cb_nat = _trained_pq_codebooks(spark, sf_dir, ds=ds, ksub=m, iters=1)
+    cb_alloc = _memo(
+        ("pq_alloc", sf_dir, ds, m),
+        lambda: S.pq_train_codebooks(permuted, ds=ds, ksub=m, iters=1),
+    )
+
+    def recall(corpus, cb, layout):
+        q = corpus.filter(F.col("vec_id") < 10)
+        approx = S.pq_topk(corpus, q, cb, ds, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        n_truth = truth.count()
+        n_hit = truth.join(approx, ["query_id", "neighbor_id"]).count()
+        return (layout, n_truth, n_hit,
+                float(n_hit) / n_truth if n_truth else None)
+
+    rows = [recall(emb, cb_nat, "natural"),
+            recall(permuted, cb_alloc, "allocated")]
+    return spark.createDataFrame(
+        rows, "layout string, n_truth long, n_hit long, recall_at_5 double"
+    )

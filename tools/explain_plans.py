@@ -147,6 +147,7 @@ EXTRA = [
     "q_shuffle_certificate",
     "q_pq_dim_alloc",
     "q_opq_distortion",
+    "q_opq_recall",
 ]
 
 SF = "/root/testdata/sf0.01"
