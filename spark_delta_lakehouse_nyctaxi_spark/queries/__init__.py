@@ -198,6 +198,7 @@ _PRIORITY: list[str] = [
     "q_pq_dim_alloc",
     "q_opq_distortion",
     "q_opq_recall",
+    "q_audio_overlap_add",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

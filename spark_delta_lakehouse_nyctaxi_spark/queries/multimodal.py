@@ -1484,3 +1484,116 @@ def q_palette_quantize(spark, sf_dir):
         F.count("*").alias("n_pixels"),
         (F.sum("t").cast("double") * 4 * 65536 / 768).alias("mse"),
     )
+
+
+# Audio overlap-add (round 7): STFT-style framing with a triangular
+# (Bartlett) window at 50% overlap — the constant-overlap-add (COLA)
+# pair every spectral pipeline is built on. Window weights k/32 and
+# (64-k)/32 are multiples of 2^-5, so every windowed sample s·w is an
+# EXACT float64 (int16 sample × dyadic rational) and frame sums/energies
+# stay on the 2^-10 grid far below 2^53 — exact regardless of
+# summation order, no decimal machinery needed (the q_ewma_smoother
+# dyadic-weights class).
+_AUDIO_OLA_ORACLE = """
+    WITH sig AS (
+        SELECT m.m AS media_id, i.i AS idx,
+               CAST((m.m * 37 + i.i * 11) % 4001 - 2000 AS DOUBLE) AS s
+        FROM range(16) m(m), range(2048) i(i)
+    ),
+    frames AS (
+        SELECT s.media_id, f.f AS frame_idx, k.k AS k, s.s,
+               s.s * CAST(CASE WHEN k.k < 32 THEN k.k
+                               ELSE 64 - k.k END AS DOUBLE) * 3.125e-2
+                   AS ws
+        FROM range(63) f(f)
+        JOIN range(64) k(k) ON true
+        JOIN sig s ON s.idx = f.f * 32 + k.k
+    )
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           SUM(ws) AS wsum,
+           SUM(ws * ws) AS energy,
+           CAST(frame_idx = 0 OR BOOL_AND(
+               k >= 32 OR
+               ws + s * CAST(64 - (k + 32) AS DOUBLE) * 3.125e-2 = s
+           ) AS BOOLEAN) AS ola_ok
+    FROM frames
+    GROUP BY media_id, frame_idx
+"""
+
+
+@register(
+    "q_audio_overlap_add",
+    _AUDIO_OLA_ORACLE,
+    doc="AUDIO OVERLAP-ADD FRAMING over REAL decoded WAV (the COLA "
+        "certificate): 64-sample triangular-window frames at hop 32 "
+        "over genuine RIFF payloads decoded in Arrow-batched "
+        "mapInPandas — per frame the windowed sum, the windowed "
+        "energy (both exact float64: dyadic k/32 weights × int16 "
+        "samples live on the 2^-10 grid, order-invariant), and an "
+        "in-frame COLA reconstruction certificate (w[k]+w[k+32]=1 ⇒ "
+        "overlap-add returns the original sample bit-exactly; any "
+        "off-by-one in the frame boundaries or window phase breaks "
+        "it). The framing/window/OLA step every STFT, spectrogram, "
+        "and speech-feature pipeline runs before its transform — "
+        "completes the audio tier beside decimation (q_audio_resample) "
+        "and the WHT sequency spectrum (q_audio_wht). Fixed 16-file "
+        "probe corpus; at scale the same mapInPandas kernel streams "
+        "per-file, no shuffle until the per-frame aggregate.",
+)
+def q_audio_overlap_add(spark, sf_dir):
+    import numpy as np
+
+    rows = []
+    for m in range(16):
+        i = np.arange(2048)
+        samples = (m * 37 + i * 11) % 4001 - 2000
+        rows.append(
+            (
+                m,
+                "audio",
+                bytearray(M.encode_wav(samples)),
+                {"width": None, "height": None, "sample_rate": 16000,
+                 "duration_s": 2048 / 16000.0, "format": "wav"},
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+    n_frame, hop = 64, 32
+    w = np.concatenate([np.arange(32), 64 - np.arange(32, 64)]) * 0.03125
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = M.decode_wav(bytes(payload)).astype(np.float64)
+                n_frames = (len(s) - n_frame) // hop + 1
+                for f in range(n_frames):
+                    seg = s[f * hop : f * hop + n_frame]
+                    ws = seg * w
+                    if f == 0:
+                        ok = True
+                    else:
+                        prev = s[(f - 1) * hop : (f - 1) * hop + n_frame]
+                        # overlap region: this frame's k<32 against the
+                        # previous frame's k+32 — COLA says the sum IS
+                        # the original sample, bit-exactly
+                        ok = bool(
+                            np.all(ws[:32] + (prev * w)[32:] == seg[:32])
+                        )
+                    out.append(
+                        (int(mid), f, float(ws.sum()),
+                         float((ws * ws).sum()), ok)
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["media_id", "frame_idx", "wsum", "energy",
+                             "ola_ok"],
+                )
+
+    return media.mapInPandas(
+        gen,
+        "media_id long, frame_idx long, wsum double, energy double, "
+        "ola_ok boolean",
+    )

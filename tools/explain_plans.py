@@ -148,6 +148,7 @@ EXTRA = [
     "q_pq_dim_alloc",
     "q_opq_distortion",
     "q_opq_recall",
+    "q_audio_overlap_add",
 ]
 
 SF = "/root/testdata/sf0.01"
