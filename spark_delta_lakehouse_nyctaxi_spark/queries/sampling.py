@@ -345,3 +345,69 @@ def q_temperature_mixture(spark, sf_dir):
         "temp_mix_docs_v"
     )
     return spark.sql(_TEMPERATURE_MIX_SQL.format(tbl="temp_mix_docs_v"))
+
+
+@register(
+    "q_shuffled_packing",
+    f"""
+    WITH sh AS (
+        SELECT doc_id,
+               CAST({_SHARD_SQL} AS INTEGER) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {_SHARD_SQL}
+                   ORDER BY md5('shuffle:pos' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS pos
+        FROM documents
+    ),
+    c AS (
+        SELECT d.doc_id, sh.shard, sh.pos,
+               CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               SUM(CAST(len(string_split_regex(trim(d.text), '\\s+'))
+                        AS BIGINT))
+                   OVER (ORDER BY sh.shard, sh.pos
+                         ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents d JOIN sh USING (doc_id)
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos,
+           n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS tok_start,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS first_seq,
+           CAST((cum - 1) // 512 AS BIGINT) AS last_seq
+    FROM c
+    """,
+    doc="SHUFFLED SEQUENCE PACKING (the composition a pretraining run "
+        "actually executes): documents concatenate in the SEEDED "
+        "GLOBAL SHUFFLE order — (shard, intra-shard hash rank), the "
+        "permutation q_shuffle_certificate proves is a bijection — "
+        "and split into 512-token sequences, emitting each document's "
+        "shuffled placement. The global running offset is "
+        "operators/indexing.distributed_prefix_sum ordered by "
+        "(shard, pos): one range exchange + per-partition bases, no "
+        "single-partition window, exactly the shape that packs a "
+        "100 TB corpus. Composes three oracled primitives (shuffle, "
+        "prefix sum, chunk placement) into the end-to-end data-order "
+        "pipeline; pure integer arithmetic, value-checks bitwise.",
+)
+def q_shuffled_packing(spark, sf_dir):
+    from ..operators.indexing import distributed_prefix_sum
+    from ..operators.text import token_count
+
+    seq_len = 512
+    docs = load_table(spark, sf_dir, "documents")
+    sh = SA.shuffle_shards(docs, "doc_id", _N_SHARDS, salt="shuffle").select(
+        "doc_id", "shard", F.col("pos").cast("long").alias("pos")
+    )
+    counts = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    ).join(sh, "doc_id")
+    cum = distributed_prefix_sum(counts, ["shard", "pos"], ["n_tokens"])
+    return cum.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        "pos",
+        "n_tokens",
+        (F.col("cum_n_tokens") - F.col("n_tokens")).alias("tok_start"),
+        F.expr(f"(cum_n_tokens - n_tokens) div {seq_len}").alias("first_seq"),
+        F.expr(f"(cum_n_tokens - 1) div {seq_len}").alias("last_seq"),
+    )

@@ -149,6 +149,7 @@ EXTRA = [
     "q_opq_distortion",
     "q_opq_recall",
     "q_audio_overlap_add",
+    "q_shuffled_packing",
 ]
 
 SF = "/root/testdata/sf0.01"
