@@ -2127,3 +2127,75 @@ def q_attention_mask(spark, sf_dir):
         (seg_end - seg_start).alias("seg_len"),
         (seg_start - F.col("tok_start")).alias("doc_tok_offset"),
     )
+
+
+@register(
+    "q_span_corruption",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, CAST(u.w AS BIGINT) AS sentinel_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                   CAST(u.w AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM c, unnest(range(n_tokens // 20)) u(w)
+        WHERE n_tokens >= 20
+    )
+    SELECT doc_id, sentinel_id,
+           CAST(sentinel_id * 20 + h % 15 AS BIGINT) AS span_start,
+           CAST(sentinel_id * 20 + h % 15 + 1 + (h // 15) % 5 - 1
+                AS BIGINT) AS span_end,
+           CAST(1 + (h // 15) % 5 AS BIGINT) AS span_len
+    FROM w
+    """,
+    doc="T5-STYLE SPAN-CORRUPTION PLAN (blocked deterministic variant): "
+        "each document splits into 20-token windows; within window w a "
+        "single span is selected by the engine-reproducible 60-bit md5 "
+        "hash of (doc_id, w) — offset h%15, length 1+(h//15)%5 (1..5, "
+        "mean 3, ~15% corruption), guaranteed inside its window so "
+        "spans never overlap WITHOUT the sequential greedy resolution "
+        "a suffix-order scan would need (the property that makes the "
+        "plan one shuffle-free projection + explode, embarrassingly "
+        "parallel at 100 TB). Emits the (sentinel_id, span) table a "
+        "denoising-objective trainer consumes; 0-based inclusive "
+        "token offsets. Pure integer/hash arithmetic — value-checks "
+        "bitwise.",
+)
+def q_span_corruption(spark, sf_dir):
+    from ..operators.dedup import md5_id
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 20)
+    w = c.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"),
+                       F.expr("n_tokens div 20") - 1)
+        ).alias("sentinel_id"),
+    ).select(
+        "doc_id",
+        F.col("sentinel_id").cast("long").alias("sentinel_id"),
+        md5_id(
+            F.concat_ws(":", F.col("doc_id").cast("string"),
+                        F.col("sentinel_id").cast("string"))
+        ).alias("h"),
+    )
+    start = F.col("sentinel_id") * 20 + F.col("h") % 15
+    # h div 15 MUST be integer division — double `/` on a 60-bit hash
+    # rounds above 2^53 and corrupts the modulus
+    length = 1 + F.expr("(h div 15) % 5")
+    return w.select(
+        "doc_id",
+        "sentinel_id",
+        start.alias("span_start"),
+        (start + length - 1).alias("span_end"),
+        length.alias("span_len"),
+    )

@@ -150,6 +150,7 @@ EXTRA = [
     "q_opq_recall",
     "q_audio_overlap_add",
     "q_shuffled_packing",
+    "q_span_corruption",
 ]
 
 SF = "/root/testdata/sf0.01"
