@@ -2199,3 +2199,65 @@ def q_span_corruption(spark, sf_dir):
         (start + length - 1).alias("span_end"),
         length.alias("span_len"),
     )
+
+
+@register(
+    "q_doc_entropy",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    dc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    ),
+    dn AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               COUNT(*) AS n_types, MAX(c) AS max_c
+        FROM dc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(n.n AS BIGINT) AS n_tokens,
+           CAST(n.n_types AS BIGINT) AS n_types,
+           CAST(n.max_c AS BIGINT) AS max_type_count,
+           CAST(SUM(d.c * (length(bin(n.n // d.c)) - 1)) AS BIGINT)
+               AS self_bits_total
+    FROM dc d JOIN dn n USING (doc_id)
+    GROUP BY d.doc_id, n.n, n.n_types, n.max_c
+    """,
+    doc="PER-DOCUMENT SELF-ENTROPY (integer-bits): each document "
+        "scored under its OWN unigram distribution — "
+        "Σ_types c·floor(log2(n/c)) via the libm-free "
+        "len(bin(n DIV c))−1 recipe (exact integers, no FP anywhere) "
+        "— the repetitiveness signal that separates boilerplate/"
+        "keyword-stuffed documents (near-zero self-entropy) from "
+        "natural prose, complementing q_unigram_surprisal's "
+        "CORPUS-model score (a doc can be corpus-typical yet "
+        "internally degenerate, and vice versa). n_types and the "
+        "dominant type count ride along for type-token diagnostics. "
+        "Two hash-keyed exchanges ((doc,token) count then per-doc "
+        "fold), linear rows, no broadcast model needed — the model IS "
+        "the group.",
+)
+def q_doc_entropy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+    dc = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    dn = dc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").alias("n_types"),
+        F.max("c").alias("max_c"),
+    )
+    bits = F.length(F.bin(F.expr("n DIV c"))) - 1
+    return (
+        dc.join(dn, "doc_id")
+        .groupBy("doc_id", "n", "n_types", "max_c")
+        .agg(F.sum(F.col("c") * bits).cast("long").alias("self_bits_total"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("max_c").cast("long").alias("max_type_count"),
+            "self_bits_total",
+        )
+    )

@@ -151,6 +151,7 @@ EXTRA = [
     "q_audio_overlap_add",
     "q_shuffled_packing",
     "q_span_corruption",
+    "q_doc_entropy",
 ]
 
 SF = "/root/testdata/sf0.01"
