@@ -2261,3 +2261,79 @@ def q_doc_entropy(spark, sf_dir):
             "self_bits_total",
         )
     )
+
+
+@register(
+    "q_bigram_surprisal",
+    """
+    WITH tok AS (
+        SELECT doc_id, u.s.i AS pos, u.s.x AS w
+        FROM documents,
+             unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                                   (x, i) -> {'i': i, 'x': x})) u(s)
+    ),
+    big AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM tok a JOIN tok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    uni AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY w1),
+    bi AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2),
+    model AS (
+        SELECT b.w1, b.w2,
+               CAST(length(bin(u.cu // b.cb)) - 1 AS BIGINT) AS bits
+        FROM bi b JOIN uni u USING (w1)
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(m.bits) AS BIGINT) AS sum_bits,
+           CAST(MAX(m.bits) AS BIGINT) AS max_bits,
+           CAST(SUM(m.bits) AS DOUBLE) / COUNT(*) AS mean_bits
+    FROM big g JOIN model m USING (w1, w2)
+    GROUP BY g.doc_id
+    """,
+    doc="BIGRAM-LM SURPRISAL (the conditional upgrade of "
+        "q_unigram_surprisal): train P(w2|w1) = c(w1,w2)/c(w1·) ON the "
+        "corpus bigram stream, then score each document's total/mean "
+        "per-bigram surprisal in EXACT INTEGER BITS "
+        "(len(bin(cu DIV cb))−1 — libm-free, engine-identical). A "
+        "document of common words in unusual ORDER scores high here "
+        "while the unigram filter passes it — the word-salad detector. "
+        "Bigrams come from ONE position-shifted self-join per doc "
+        "(hash-keyed on doc_id, linear rows); the model joins back on "
+        "the bigram key — at 100 TB the model frame is corpus-sized "
+        "but uniformly keyed, the same shuffle class as exact dedup. "
+        "The single mean division is one IEEE op on exact integers — "
+        "bitwise.",
+)
+def q_bigram_surprisal(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("p", "w")
+    ).select("doc_id", (F.col("p") + 1).alias("pos"), "w")
+    a, b = tok.alias("a"), tok.alias("b")
+    big = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.w").alias("w1"),
+        F.col("b.w").alias("w2"),
+    )
+    uni = big.groupBy("w1").agg(F.count("*").alias("cu"))
+    bi = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    model = bi.join(uni, "w1").select(
+        "w1", "w2",
+        (F.length(F.bin(F.expr("cu DIV cb"))) - 1).cast("long").alias("bits"),
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+            F.max("bits").cast("long").alias("max_bits"),
+            (F.sum("bits").cast("double") / F.count("*")).alias("mean_bits"),
+        )
+    )

@@ -152,6 +152,7 @@ EXTRA = [
     "q_shuffled_packing",
     "q_span_corruption",
     "q_doc_entropy",
+    "q_bigram_surprisal",
 ]
 
 SF = "/root/testdata/sf0.01"
