@@ -2168,3 +2168,105 @@ def q_degree_histogram(spark, sf_dir):
         F.min("d").cast("long").alias("min_degree"),
         F.max("d").cast("long").alias("max_degree"),
     )
+
+
+def _holt_weights(terms: int = 12):
+    """Stationary truncated impulse response of the alpha=beta=1/2 Holt
+    linear smoother: l_t = ½y+½l'+½b', b_t = ¼y−¼l'+¾b' — input
+    vector (½,¼) propagated by M = [[½,½],[−¼,¾]]. With dyadic
+    parameters every weight is an exact dyadic rational (denominator
+    ≤ 2^(2·terms)) and exactly representable as a double, so the
+    unrolled weighted sums are the q_ewma_smoother 'no-decimal
+    bitwise' class: same literals + same left-fold tree on both
+    engines ⇒ bit-identical output with plain double arithmetic."""
+    from fractions import Fraction as Fr
+
+    cur = (Fr(1, 2), Fr(1, 4))
+    m = ((Fr(1, 2), Fr(1, 2)), (Fr(-1, 4), Fr(3, 4)))
+    out = []
+    for _ in range(terms):
+        out.append((float(cur[0]), float(cur[1])))
+        cur = (
+            m[0][0] * cur[0] + m[0][1] * cur[1],
+            m[1][0] * cur[0] + m[1][1] * cur[1],
+        )
+    return out
+
+
+_HOLT_TERMS = 12
+_HOLT_W = _holt_weights(_HOLT_TERMS)
+
+
+def _holt_oracle_sql() -> str:
+    lags = ", ".join(
+        f"LAG(y, {i}) OVER w AS x{i}" for i in range(_HOLT_TERMS)
+    )
+    lvl = " + ".join(
+        f"x{i} * {dlit(_HOLT_W[i][0])}" for i in range(_HOLT_TERMS)
+    )
+    trd = " + ".join(
+        f"x{i} * {dlit(_HOLT_W[i][1])}" for i in range(_HOLT_TERMS)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(14,0)))
+                         AS DECIMAL(16,0)) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT d, y, {lags}
+        FROM daily
+        WINDOW w AS (ORDER BY d)
+    )
+    SELECT d, y AS revenue_cents,
+           ({lvl}) AS level_cents,
+           ({trd}) AS trend_cents,
+           ({lvl}) + ({trd}) AS forecast_next_cents
+    FROM lagged WHERE x{_HOLT_TERMS - 1} IS NOT NULL
+    """
+
+
+@register(
+    "q_holt_linear",
+    _holt_oracle_sql(),
+    doc="HOLT LINEAR-TREND SMOOTHER (double exponential, α=β=1/2) on "
+        "daily revenue — the level+trend state and one-step forecast "
+        "every ops dashboard runs, as the COUPLED-recursion extension "
+        "of the q_ewma dyadic family: the stationary impulse response "
+        "of l_t=½y+½l'+½b', b_t=¼y−¼l'+¾b' is an exact dyadic weight "
+        "vector (M=[[½,½],[−¼,¾]] applied to (½,¼)), truncated at 12 "
+        "lags (complex eigenvalue modulus √½ ⇒ 98.3% level mass kept) "
+        "and unrolled as one fixed left-fold per column — identical "
+        "literals + identical operation tree = bitwise with plain "
+        "double arithmetic, no decimal machinery. Shape: map-side "
+        "daily collapse, then the lag window on the BOUNDED daily "
+        "frame (one row per calendar day — the q_cusum allowlist "
+        "class). Values in exact integer cents rendered as doubles.",
+)
+def q_holt_linear(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(14,0)"))
+        .cast("decimal(16,0)")
+        .cast("double")
+        .alias("y")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "y",
+        *[F.lag("y", i).over(w).alias(f"x{i}") for i in range(_HOLT_TERMS)],
+    )
+    lvl = F.col("x0") * F.lit(_HOLT_W[0][0])
+    trd = F.col("x0") * F.lit(_HOLT_W[0][1])
+    for i in range(1, _HOLT_TERMS):
+        lvl = lvl + F.col(f"x{i}") * F.lit(_HOLT_W[i][0])
+        trd = trd + F.col(f"x{i}") * F.lit(_HOLT_W[i][1])
+    return lagged.filter(F.col(f"x{_HOLT_TERMS - 1}").isNotNull()).select(
+        "d",
+        F.col("y").alias("revenue_cents"),
+        lvl.alias("level_cents"),
+        trd.alias("trend_cents"),
+        (lvl + trd).alias("forecast_next_cents"),
+    )

@@ -153,6 +153,7 @@ EXTRA = [
     "q_span_corruption",
     "q_doc_entropy",
     "q_bigram_surprisal",
+    "q_holt_linear",
 ]
 
 SF = "/root/testdata/sf0.01"
