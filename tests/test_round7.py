@@ -1,0 +1,180 @@
+"""Targeted property gates for the round-7 additions — invariants the
+generic runner and oracle compare can't express (tiling, bijection,
+COLA, allocation balance, dyadic exactness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def q(name, spark):
+    return REGISTRY[name].fn(spark, SF_SMALL)
+
+
+def test_attention_mask_segments_tile_each_sequence(spark):
+    """Within every packed sequence the segments must tile [0, fill)
+    exactly: ordered by seg_idx, each segment starts where the previous
+    ended, the first starts at 0, lengths are positive, and the total
+    fill matches q_packing_stats' n_tokens for the same sequence."""
+    segs = q("q_attention_mask", spark)
+    bad_len = segs.filter(
+        (F.col("seg_len") <= 0)
+        | (F.col("local_end") - F.col("local_start") != F.col("seg_len"))
+        | (F.col("local_start") < 0)
+        | (F.col("local_end") > 512)
+    ).count()
+    assert bad_len == 0
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("seq_id").orderBy("seg_idx")
+    gaps = (
+        segs.withColumn("prev_end", F.lag("local_end").over(w))
+        .filter(
+            F.coalesce(F.col("prev_end"), F.lit(0)) != F.col("local_start")
+        )
+        .count()
+    )
+    assert gaps == 0
+    fills = segs.groupBy("seq_id").agg(F.sum("seg_len").alias("fill"))
+    stats = q("q_packing_stats", spark).select("seq_id", "n_tokens")
+    mismatched = fills.join(stats, "seq_id").filter(
+        F.col("fill") != F.col("n_tokens")
+    ).count()
+    assert mismatched == 0
+
+
+def test_attention_mask_offsets_continue_across_spill(spark):
+    """A document spilling across sequences must resume at the exact
+    token offset where the previous slice ended: per doc, offsets
+    ordered by seq_id are 0, len0, len0+len1, ..."""
+    from pyspark.sql.window import Window
+
+    segs = q("q_attention_mask", spark)
+    w = Window.partitionBy("doc_id").orderBy("seq_id")
+    bad = (
+        segs.withColumn(
+            "expected",
+            F.coalesce(
+                F.lag(F.col("doc_tok_offset") + F.col("seg_len")).over(w),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("doc_tok_offset") != F.col("expected"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_shuffle_certificate_holds(spark):
+    row = q("q_shuffle_certificate", spark).collect()[0]
+    assert row.is_permutation is True
+    assert row.n_shards == 8
+    assert row.min_shard_rows >= 1
+
+
+def test_opq_allocation_is_balanced_permutation(spark):
+    """The snake allocation must be a bijection dims→slots with every
+    subspace receiving exactly ds dims, and consecutive-rank dims never
+    landing in the same subspace on the same pass."""
+    rows = q("q_pq_dim_alloc", spark).collect()
+    dims = sorted(r.dim_idx for r in rows)
+    new_is = sorted(r.new_i for r in rows)
+    assert dims == list(range(1, 65))
+    assert new_is == list(range(1, 65))
+    per_sub = {}
+    for r in rows:
+        per_sub.setdefault(r.sub, []).append(r.slot)
+    assert len(per_sub) == 32
+    assert all(sorted(v) == [0, 1] for v in per_sub.values())
+    # variances ranked: rank 1 has the max variance
+    by_rank = sorted(rows, key=lambda r: r.alloc_rank)
+    vs = [r.var_units for r in by_rank]
+    assert vs == sorted(vs, reverse=True)
+
+
+def test_opq_distortion_layouts_comparable(spark):
+    rows = {r.layout: r for r in q("q_opq_distortion", spark).collect()}
+    assert set(rows) == {"natural", "allocated"}
+    # same corpus on both sides: identical term/vector counts
+    assert rows["natural"].n_terms == rows["allocated"].n_terms
+    assert rows["natural"].n_vectors == rows["allocated"].n_vectors
+    assert rows["natural"].dist_q4_units > 0
+
+
+def test_audio_overlap_add_cola_certificate(spark):
+    df = q("q_audio_overlap_add", spark)
+    assert df.filter(~F.col("ola_ok")).count() == 0
+    # 16 files × 63 frames
+    assert df.count() == 16 * 63
+
+
+def test_span_corruption_spans_stay_in_window(spark):
+    spans = q("q_span_corruption", spark)
+    bad = spans.filter(
+        (F.col("span_start") < F.col("sentinel_id") * 20)
+        | (F.col("span_end") >= (F.col("sentinel_id") + 1) * 20)
+        | (F.col("span_len") < 1)
+        | (F.col("span_len") > 5)
+        | (F.col("span_end") - F.col("span_start") + 1 != F.col("span_len"))
+    ).count()
+    assert bad == 0
+
+
+def test_holt_weights_are_exact_dyadics():
+    """Every unrolled Holt weight must be an exactly-representable
+    double of a dyadic rational — the property the bitwise contract
+    rests on (a non-representable weight would round differently when
+    parsed from the oracle's literal)."""
+    from fractions import Fraction
+
+    from spark_delta_lakehouse_nyctaxi_spark.queries.analytics import (
+        _HOLT_W,
+        _holt_weights,
+    )
+
+    from_fracs = _holt_weights(len(_HOLT_W))
+    assert _HOLT_W == from_fracs
+    for wl, wb in _HOLT_W:
+        assert Fraction(wl).denominator & (Fraction(wl).denominator - 1) == 0
+        assert Fraction(wb).denominator & (Fraction(wb).denominator - 1) == 0
+
+
+def test_doc_entropy_bounds(spark):
+    """0 ≤ self_bits_total, and a doc of n identical tokens has exactly
+    0 self-bits while max possible is n·floor(log2(n))."""
+    import math
+
+    rows = q("q_doc_entropy", spark).collect()
+    for r in rows:
+        assert 0 <= r.self_bits_total <= r.n_tokens * max(
+            0, int(math.floor(math.log2(r.n_tokens)))
+        )
+        assert 1 <= r.n_types <= r.n_tokens
+        if r.n_types == 1:
+            assert r.self_bits_total == 0
+
+
+def test_shuffled_packing_offsets_are_consistent(spark):
+    """tok_start must be the exact prefix sum of n_tokens in (shard,
+    pos) order — re-derived independently with a window."""
+    from pyspark.sql.window import Window
+
+    df = q("q_shuffled_packing", spark)
+    w = Window.orderBy("shard", "pos")
+    bad = (
+        df.withColumn(
+            "expected",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("tok_start") != F.col("expected"))
+        .count()
+    )
+    assert bad == 0
