@@ -204,6 +204,7 @@ _PRIORITY: list[str] = [
     "q_doc_entropy",
     "q_bigram_surprisal",
     "q_holt_linear",
+    "q_pq_rotation",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

@@ -1598,27 +1598,34 @@ def q_ivfpq_recall(spark, sf_dir):
 _ALLOC_M = 32  # subspaces (dim 64 / ds 2)
 _ALLOC_DS = 2
 
-_VARIANCE_SQL = """
-    d0 AS (
-        SELECT vec_id, u.s.i AS i, CAST(u.s.x AS DOUBLE) AS x
-        FROM embeddings,
-             unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) u(s)
-    ),
-    mom AS (
+def _variance_parts(dsrc: str, p: str = "") -> str:
+    """Exact scaled-integer per-dim variance + rank CTEs over any
+    exploded-dims source (the q_pq_dim_alloc moments, source- and
+    prefix-parameterized so q_pq_rotation can rank ROTATED dims)."""
+    return f"""
+    {p}mom AS (
         SELECT i, COUNT(*) AS n,
                SUM(CAST(CAST(x AS DECIMAL(16,7)) * 10000000 AS HUGEINT))
                    AS s1,
                SUM(CAST(CAST(x * x AS DECIMAL(16,7)) * 100000000000000
                         AS HUGEINT)) AS s2
-        FROM d0 GROUP BY i
+        FROM {dsrc} GROUP BY i
     ),
-    vr AS (
+    {p}vr AS (
         SELECT i, CAST(n AS HUGEINT) * s2 - s1 * s1 AS v,
                row_number() OVER (
                    ORDER BY CAST(n AS HUGEINT) * s2 - s1 * s1 DESC, i
                ) AS rnk
-        FROM mom
+        FROM {p}mom
     )"""
+
+
+_VARIANCE_SQL = ("""
+    d0 AS (
+        SELECT vec_id, u.s.i AS i, CAST(u.s.x AS DOUBLE) AS x
+        FROM embeddings,
+             unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) u(s)
+    ),""" + _variance_parts("d0"))
 
 _SNAKE_SUB_SQL = (
     f"(CASE WHEN ((rnk - 1) // {_ALLOC_M}) % 2 = 0"
@@ -2023,3 +2030,197 @@ def q_opq_recall(spark, sf_dir):
     return spark.createDataFrame(
         rows, "layout string, n_truth long, n_hit long, recall_at_5 double"
     )
+
+
+# ---- Structured-rotation PQ (r7 second wave) -------------------------
+# FAISS OPQ's "random rotation" mode with a STRUCTURED orthogonal
+# rotation: R = H₆₄/8, the Walsh-Hadamard matrix (entries ±1 via
+# parity of popcount((i−1)&(j−1))) scaled by 1/8 — HᵀH = 64·I makes
+# R exactly orthogonal, and every entry ±0.125 is dyadic, so x·r is an
+# EXACT float64 and the rotation needs no trained parameters: the
+# oracle stays static SQL (a trained Givens/Procrustes R would be
+# data-dependent and unexpressible in a registration-time oracle).
+# This is the Ailon–Chazelle FJLT/SRHT rotation PQ implementations
+# ship as the cheap OPQ baseline: it spreads energy uniformly across
+# subspaces (a Hadamard row mixes ALL input dims), which is exactly
+# what product quantization wants when the data has axis-aligned
+# variance imbalance.
+
+_ROT_SIGN_SQL = (
+    "(CASE WHEN bit_count(CAST((d.i - 1) AS BIGINT) "
+    "& CAST((j.j - 1) AS BIGINT)) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+)
+
+
+def _pq_rotation_oracle() -> str:
+    m, ds = _ALLOC_M, _ALLOC_DS
+    snake_sub = _SNAKE_SUB_SQL
+    snake_slot = _SNAKE_SLOT_SQL
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+    d0 AS (
+        SELECT vec_id, u.s.i AS i, CAST(u.s.x AS DOUBLE) AS x
+        FROM emb,
+             unnest(list_transform(embedding, (x, i) -> {{'i': i, 'x': x}})) u(s)
+    ),
+    h AS (SELECT vec_id,
+                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                     AS hh
+          FROM emb),
+    d8 AS MATERIALIZED (
+        SELECT vec_id, i, x * 1.25e-1 AS x FROM d0
+    ),
+    dr AS MATERIALIZED (
+        SELECT d.vec_id, CAST(j.j AS BIGINT) AS i,
+               CAST(SUM(CAST(d.x * 1.25e-1 * {_ROT_SIGN_SQL}
+                             AS DECIMAL(28,7))) AS DOUBLE) AS x
+        FROM d0 d JOIN range(1, 65) j(j) ON true
+        GROUP BY d.vec_id, j.j
+    ),
+    {_variance_parts('dr', 'r')},
+    map AS (
+        SELECT i AS orig_i,
+               CAST({snake_sub} * {ds} + {snake_slot} + 1 AS BIGINT) AS new_i
+        FROM rvr
+    ),
+    dp AS MATERIALIZED (
+        SELECT dr.vec_id, m.new_i AS i, dr.x
+        FROM dr JOIN map m ON m.orig_i = dr.i
+    ),
+    {_pq_train_parts('n', 'd8', ds=ds, ksub=m, iters=1)},
+    {_pq_train_parts('r', 'dr', ds=ds, ksub=m, iters=1)},
+    {_pq_train_parts('p', 'dp', ds=ds, ksub=m, iters=1)},
+    {_pq_dist_tail('n', 'd8', ds=ds, iters=1)},
+    {_pq_dist_tail('r', 'dr', ds=ds, iters=1)},
+    {_pq_dist_tail('p', 'dp', ds=ds, iters=1)}
+    SELECT 'natural8' AS layout,
+           CAST(n_vectors AS BIGINT) AS n_vectors,
+           CAST(n_terms AS BIGINT) AS n_terms,
+           {A.dec0_to_double_sql('dist')} AS dist_q4_units
+    FROM ndist
+    UNION ALL
+    SELECT 'rotated',
+           CAST(n_vectors AS BIGINT), CAST(n_terms AS BIGINT),
+           {A.dec0_to_double_sql('dist')}
+    FROM rdist
+    UNION ALL
+    SELECT 'rotated_allocated',
+           CAST(n_vectors AS BIGINT), CAST(n_terms AS BIGINT),
+           {A.dec0_to_double_sql('dist')}
+    FROM pdist
+    """
+
+
+@register(
+    "q_pq_rotation",
+    _pq_rotation_oracle(),
+    doc="STRUCTURED-ROTATION PQ (FAISS OPQ's random-rotation mode with "
+        "the SRHT/Walsh-Hadamard rotation R = H₆₄/8): the corpus is "
+        "rotated by an exactly-orthogonal ±1/8 matrix (sign = parity "
+        "of popcount((i−1)&(j−1)) — every x·r an EXACT float64, "
+        "rotation terms tie-proof at scale 7 since |x/8| ≤ 0.125), "
+        "then PQ-trained and distortion-scored in THREE layouts: the "
+        "1/8-scaled natural baseline, the rotation alone, and the "
+        "rotation composed with the variance-balanced snake "
+        "allocation over the ROTATED dims (full OPQ-lite: rotate to "
+        "mix energy, allocate to balance it). A Hadamard row mixes "
+        "ALL input dims into every subspace, which is what PQ wants "
+        "under axis-aligned variance imbalance; the exact distortion "
+        "triple MEASURES what it buys. Data-independent rotation "
+        "keeps the oracle static SQL (a trained Procrustes R could "
+        "not be mirrored at registration time); at scale the rotation "
+        "is one n·d·d term fan-out through one hash aggregate — or a "
+        "d·log d FWHT butterfly inside mapInPandas when d grows. All "
+        "three trainings are the certified q_ann_pq machinery; "
+        "value-checks bitwise.",
+)
+def q_pq_rotation(spark, sf_dir):
+    m, ds = _ALLOC_M, _ALLOC_DS
+    factor = 10**7
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def build_frames():
+        d8 = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x * F.lit(0.125)).alias(
+                "embedding"
+            ),
+        ).localCheckpoint(eager=True)
+        dims = emb.select(
+            "vec_id", F.posexplode("embedding").alias("p", "x")
+        ).select(
+            "vec_id",
+            (F.col("p") + 1).alias("i"),
+            F.col("x").cast("double").alias("x"),
+        )
+        rows = dims.select(
+            "vec_id", "i", "x", F.explode(F.sequence(F.lit(1), F.lit(64))).alias("j")
+        )
+        sign = F.when(
+            F.bit_count(F.expr("(i - 1) & (j - 1)")) % 2 == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+        term = (
+            (F.col("x") * F.lit(0.125) * sign).cast("decimal(16,7)")
+            * F.lit(factor)
+        ).cast("long")
+        rot = (
+            rows.groupBy("vec_id", "j")
+            .agg(F.sum(term).alias("t"))
+            .select(
+                "vec_id",
+                "j",
+                (F.col("t").cast("decimal(20,0)") / F.lit(factor))
+                .cast("double")
+                .alias("xr"),
+            )
+        )
+        dr = (
+            rot.groupBy("vec_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("j"), F.col("xr")))
+                ).alias("s")
+            )
+            .select(
+                "vec_id",
+                F.transform("s", lambda s: s.xr).alias("embedding"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rows_mom = _dim_moments(dr).collect()
+        v = {
+            int(r.i): int(r.n) * int(r.s2) - int(r.s1) * int(r.s1)
+            for r in rows_mom
+        }
+        ranked = sorted(v, key=lambda i: (-v[i], i))
+        new_i = {}
+        for rnk0, orig in enumerate(ranked):
+            q, pos = divmod(rnk0, m)
+            sub = pos if q % 2 == 0 else m - 1 - pos
+            new_i[orig] = sub * ds + q + 1
+        order = [o for o, _ in sorted(new_i.items(), key=lambda kv: kv[1])]
+        dp = dr.select(
+            "vec_id",
+            F.array(
+                *[F.element_at("embedding", int(oi)) for oi in order]
+            ).alias("embedding"),
+        ).localCheckpoint(eager=True)
+        return d8, dr, dp
+
+    d8, dr, dp = _memo(("rot_frames", sf_dir), build_frames)
+    out = None
+    for layout, frame in (
+        ("natural8", d8), ("rotated", dr), ("rotated_allocated", dp)
+    ):
+        cb = _memo(
+            ("rot_pq", sf_dir, layout),
+            lambda f=frame: S.pq_train_codebooks(f, ds=ds, ksub=m, iters=1),
+        )
+        row = S.pq_distortion(frame, cb, ds).select(
+            F.lit(layout).alias("layout"),
+            "n_vectors",
+            "n_terms",
+            "dist_q4_units",
+        )
+        out = row if out is None else out.union(row)
+    return out

@@ -154,6 +154,7 @@ EXTRA = [
     "q_doc_entropy",
     "q_bigram_surprisal",
     "q_holt_linear",
+    "q_pq_rotation",
 ]
 
 SF = "/root/testdata/sf0.01"
