@@ -205,6 +205,7 @@ _PRIORITY: list[str] = [
     "q_bigram_surprisal",
     "q_holt_linear",
     "q_pq_rotation",
+    "q_dp_noise_calibration",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

@@ -805,3 +805,75 @@ def q_table_profile(spark, sf_dir):
             "distinct_ratio"
         ),
     )
+
+
+@register(
+    "q_dp_noise_calibration",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS true_n
+        FROM orders GROUP BY 1
+    ),
+    seeded AS (
+        SELECT d, true_n,
+               ('0x' || substr(md5('dp:' || CAST(d AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+        FROM daily
+    ),
+    halves AS (
+        SELECT d, true_n,
+               h % 1073741824 AS h1,
+               (h // 1073741824) % 1073741824 AS h2
+        FROM seeded
+    )
+    SELECT d, CAST(true_n AS BIGINT) AS true_n,
+           CAST((bit_count(xor(h1, h1 + 1)) - 1)
+                - (bit_count(xor(h2, h2 + 1)) - 1) AS BIGINT) AS noise,
+           CAST(true_n + (bit_count(xor(h1, h1 + 1)) - 1)
+                - (bit_count(xor(h2, h2 + 1)) - 1) AS BIGINT) AS noised_n
+    FROM halves
+    """,
+    doc="DIFFERENTIAL-PRIVACY NOISE CALIBRATION (two-sided geometric / "
+        "discrete Laplace, the Ghosh–Roughgarden–Sundararajan "
+        "universally-optimal count mechanism at ε = ln 2): per-day "
+        "order counts released as true_n + (G₁ − G₂) where each "
+        "Gᵢ ~ Geometric(½) is the trailing-ones count of an "
+        "independent 30-bit half of the md5 seed (P(G=k)=2⁻⁽ᵏ⁺¹⁾ "
+        "exactly — trailing-ones = bit_count(h XOR (h+1)) − 1, pure "
+        "integer ops on both engines). A PRODUCTION release must draw "
+        "the seed from a CSPRNG; pinning it to the partition key is "
+        "what makes the MECHANISM itself auditable (this query is the "
+        "calibration harness — noise distribution, sensitivity-1 "
+        "additivity, integer support — not the release path, and it "
+        "deliberately emits the noise beside the count so tests can "
+        "gate the calibration). Shape: one map-side daily collapse, "
+        "then pure projections — shuffle count 1, embarrassingly "
+        "parallel. Exact integers end to end.",
+)
+def q_dp_noise_calibration(spark, sf_dir):
+    from ..operators.dedup import md5_id
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").alias("true_n")
+    )
+    half = 1 << 30
+    seeded = daily.select(
+        "d",
+        F.col("true_n").cast("long").alias("true_n"),
+        md5_id(F.concat(F.lit("dp:"), F.col("d").cast("string"))).alias("h"),
+    ).select(
+        "d",
+        "true_n",
+        (F.col("h") % half).alias("h1"),
+        # integer div is load-bearing: double `/` rounds 60-bit hashes
+        (F.expr(f"h div {half}") % half).alias("h2"),
+    )
+    g1 = F.bit_count(F.expr("h1 ^ (h1 + 1)")) - 1
+    g2 = F.bit_count(F.expr("h2 ^ (h2 + 1)")) - 1
+    return seeded.select(
+        "d",
+        "true_n",
+        (g1 - g2).cast("long").alias("noise"),
+        (F.col("true_n") + g1 - g2).cast("long").alias("noised_n"),
+    )

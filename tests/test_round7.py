@@ -178,3 +178,19 @@ def test_shuffled_packing_offsets_are_consistent(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_dp_geometric_noise_calibration(spark):
+    """The seeded two-sided geometric noise must behave like the
+    mechanism it claims: integer support, noised = true + noise
+    row-wise, P(noise=0) ≈ 1/3 (= Σ 4^-(k+1)·2 ... the two-sided
+    geometric's atom at 0), and no absurd tails (P(|N|>20) < 2^-19)."""
+    rows = q("q_dp_noise_calibration", spark).collect()
+    n = len(rows)
+    assert n > 100
+    assert all(r.noised_n == r.true_n + r.noise for r in rows)
+    zero_frac = sum(1 for r in rows if r.noise == 0) / n
+    assert 0.2 < zero_frac < 0.45
+    assert max(abs(r.noise) for r in rows) <= 25
+    mean = sum(r.noise for r in rows) / n
+    assert abs(mean) < 0.5

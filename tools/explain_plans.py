@@ -155,6 +155,7 @@ EXTRA = [
     "q_bigram_surprisal",
     "q_holt_linear",
     "q_pq_rotation",
+    "q_dp_noise_calibration",
 ]
 
 SF = "/root/testdata/sf0.01"
