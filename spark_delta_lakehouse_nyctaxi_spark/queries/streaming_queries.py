@@ -960,3 +960,121 @@ def q_stream_hll(spark, sf_dir):
         (alpha / denom.cast("double")).alias("hll_estimate"),
         F.col("n_exact").cast("long").alias("n_exact"),
     )
+
+
+_PACKING_ORACLE_SQL = """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               SUM(CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT))
+                   OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS tok_start,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS first_seq,
+           CAST((cum - 1) // 512 AS BIGINT) AS last_seq,
+           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT)
+               AS n_seqs
+    FROM c
+"""
+
+
+@register(
+    "q_stream_packing",
+    _PACKING_ORACLE_SQL,
+    doc="STREAMING SEQUENCE-PACKING MAINTENANCE: the q_sequence_packing "
+        "placement map maintained INCREMENTALLY as document batches "
+        "arrive — the corpus is staged as four doc_id-contiguous files "
+        "drained one per micro-batch (maxFilesPerTrigger=1, "
+        "availableNow), and each batch extends the pack from a 1-row "
+        "running token-offset state: within-batch placement via "
+        "distributed_prefix_sum (+ the accumulated base), placements "
+        "appended, state advanced under a batch-id idempotence guard "
+        "(an additive fold is NOT replay-safe by algebra, unlike "
+        "q_stream_hll's max-merge — the guard is what makes crash "
+        "replay harmless, the q_stream_exactly_once discipline). "
+        "Because arrival order = doc_id order by construction, the "
+        "final table is BIT-IDENTICAL to the batch q_sequence_packing "
+        "— so this streaming query is fully VALUE-ORACLED against the "
+        "batch SQL, certifying that incremental maintenance converges "
+        "to the batch answer. The continuation property an LLM "
+        "ingestion pipeline needs: appending a corpus shard never "
+        "repacks history, it extends from the stored offset. State is "
+        "1 row however large the stream.",
+)
+def q_stream_packing(spark, sf_dir):
+    from ..operators.indexing import distributed_prefix_sum
+    from ..operators.text import token_count
+    from ..sources.table import VersionedTable
+
+    seq_len = 512
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    path = scratch_dir("stream_docs")
+    span = int(hi) - int(lo) + 1
+    # four doc_id-contiguous shards written SEQUENTIALLY so the file
+    # stream (ordered by modification time) delivers them in doc_id
+    # order — arrival order IS pack order, which is what lets the
+    # batch SQL oracle the streaming result bitwise
+    for i in range(4):
+        a = int(lo) + i * span // 4
+        b = int(lo) + (i + 1) * span // 4
+        docs.filter(
+            (F.col("doc_id") >= a) & (F.col("doc_id") < b)
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    t_out = VersionedTable(spark, scratch_dir("pack_out"))
+    t_state = VersionedTable(spark, scratch_dir("pack_state"))
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        base, last = 0, -1
+        if t_state.exists():
+            r = t_state.read().collect()[0]
+            base, last = int(r.base), int(r.last_batch)
+        if batch_id <= last:  # replay after crash: additive fold guard
+            return
+        cum = distributed_prefix_sum(
+            batch_df.select("doc_id", "n_tokens"), ["doc_id"], ["n_tokens"]
+        )
+        placed = cum.select(
+            "doc_id",
+            "n_tokens",
+            (F.lit(base) + F.col("cum_n_tokens") - F.col("n_tokens")).alias(
+                "tok_start"
+            ),
+        )
+        t_out.write(placed.localCheckpoint(), mode="append")
+        total = cum.agg(F.max("cum_n_tokens")).collect()[0][0]
+        t_state.write(
+            spark.createDataFrame(
+                [(base + int(total), int(batch_id))],
+                "base long, last_batch long",
+            ),
+            mode="overwrite",
+        )
+
+    sdf = (
+        spark.readStream.schema("doc_id bigint, n_tokens bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_available_now(sdf, scratch_dir("ckpt_pack"), foreach_batch=fold)
+    placed = t_out.read()
+    first_seq = F.expr(f"tok_start div {seq_len}")
+    last_seq = F.expr(f"(tok_start + n_tokens - 1) div {seq_len}")
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
+    )
