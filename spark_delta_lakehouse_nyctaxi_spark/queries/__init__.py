@@ -206,6 +206,8 @@ _PRIORITY: list[str] = [
     "q_holt_linear",
     "q_pq_rotation",
     "q_dp_noise_calibration",
+    "q_stream_packing",
+    "q_corpus_overlap",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

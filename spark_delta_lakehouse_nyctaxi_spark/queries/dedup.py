@@ -1873,3 +1873,145 @@ def q_longest_dup_run(spark, sf_dir):
             ),
         )
     )
+
+
+# ---- q_corpus_overlap ------------------------------------------------
+# Corpus-level shard-overlap triage: the question a 100 TB ingestion
+# pipeline asks BEFORE any pairwise dedup is "which source shards even
+# overlap?".  MinHash registers answer it with CONSTANT state per
+# shard: min over the shard's shingle set of each permutation hash —
+# a single map-side-combinable aggregate whose output is 4 rows × 32
+# longs no matter how large the corpus.  The exact-Jaccard columns are
+# the small-SF audit tier (corpus-sized distinct + co-shingle
+# equi-join), the q_lsh_recall pattern: at production scale you run
+# only the register pass and compare register vectors.
+_OVERLAP_SHARDS = 4
+_OVERLAP_MINS = ",\n               ".join(
+    f"MIN(({a} * (x % {_MH_P}) + {b}) % {_MH_P}) AS h{i}"
+    for i, (a, b) in enumerate(_MH_COEFFS)
+)
+_OVERLAP_MATCHES = " + ".join(
+    f"CASE WHEN ra.h{i} = rb.h{i} THEN 1 ELSE 0 END" for i in range(32)
+)
+
+_CORPUS_OVERLAP_SQL = f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sh AS (
+        SELECT id % {_OVERLAP_SHARDS} AS shard,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x
+        FROM sh0
+    ),
+    regs AS (
+        SELECT shard,
+               {_OVERLAP_MINS}
+        FROM sh GROUP BY shard
+    ),
+    d AS (SELECT DISTINCT shard, x FROM sh),
+    sizes AS (SELECT shard, COUNT(*) AS n FROM d GROUP BY shard),
+    pairs AS (
+        SELECT a.shard AS shard_a, b.shard AS shard_b
+        FROM sizes a JOIN sizes b ON a.shard < b.shard
+    ),
+    inter AS (
+        SELECT a.shard AS shard_a, b.shard AS shard_b, COUNT(*) AS n_inter
+        FROM d a JOIN d b ON a.x = b.x AND a.shard < b.shard
+        GROUP BY 1, 2
+    )
+    SELECT p.shard_a, p.shard_b,
+           CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+           CAST({_OVERLAP_MATCHES} AS DOUBLE) / 32 AS est_jaccard,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS exact_jaccard
+    FROM pairs p
+    JOIN regs ra ON ra.shard = p.shard_a
+    JOIN regs rb ON rb.shard = p.shard_b
+    JOIN sizes sa ON sa.shard = p.shard_a
+    JOIN sizes sb ON sb.shard = p.shard_b
+    LEFT JOIN inter i ON i.shard_a = p.shard_a AND i.shard_b = p.shard_b
+"""
+
+
+@register(
+    "q_corpus_overlap",
+    _CORPUS_OVERLAP_SQL,
+    doc="CORPUS-SHARD OVERLAP TRIAGE: pairwise Jaccard between the 4 "
+        "doc_id%4 shards estimated from corpus-level MinHash registers "
+        "(32 linear permutations over 60-bit md5 shingle ids, min-"
+        "merged per shard — CONSTANT 4×32-long state however large "
+        "the corpus, one map-side-combinable aggregate), alongside the "
+        "EXACT shard Jaccard as the audit tier (shard-distinct "
+        "shingles + co-shingle equi-join; each shingle fans out to at "
+        "most C(4,2) pairs, no hot keys). est_jaccard = register "
+        "matches/32 — /32 is exact in binary, so both the estimate "
+        "and the exact ratio are single correctly-rounded IEEE ops: "
+        "fully VALUE-ORACLED. The 100 TB contract: run ONLY the "
+        "register pass (triage which shard pairs deserve pairwise "
+        "dedup); the exact columns are the small-SF certificate, the "
+        "q_lsh_recall audit pattern.",
+)
+def q_corpus_overlap(spark, sf_dir):
+    from ..operators.local_frames import literal_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = D.doc_shingle_arrays(docs, "doc_id", "text", k=3, hashed="md5")
+    sh = arrs.select(
+        (F.col("id") % _OVERLAP_SHARDS).alias("id"),
+        F.explode("sh_arr").alias("shingle"),
+    )
+    # constant-state register pass: ONE aggregate, 4 rows out
+    regs = D.minhash_signatures_linear(sh, _MH_COEFFS).select("id", "signature")
+    # exact audit tier: shard-level distinct + bounded co-shingle join
+    d = sh.distinct()
+    sizes = d.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("shard_a"), F.col("b.id").alias("shard_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    pairs = literal_frame(
+        spark,
+        [
+            (a, b)
+            for a in range(_OVERLAP_SHARDS)
+            for b in range(a + 1, _OVERLAP_SHARDS)
+        ],
+        "shard_a bigint, shard_b bigint",
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b",
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        pairs.join(
+            F.broadcast(regs.select(F.col("id").alias("shard_a"),
+                                    F.col("signature").alias("sig_a"))),
+            "shard_a",
+        )
+        .join(
+            F.broadcast(regs.select(F.col("id").alias("shard_b"),
+                                    F.col("signature").alias("sig_b"))),
+            "shard_b",
+        )
+        .join(F.broadcast(sizes.select(F.col("id").alias("shard_a"),
+                                       F.col("n").alias("n_a"))), "shard_a")
+        .join(F.broadcast(sizes.select(F.col("id").alias("shard_b"),
+                                       F.col("n").alias("n_b"))), "shard_b")
+        .join(F.broadcast(inter), ["shard_a", "shard_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .select(
+            "shard_a",
+            "shard_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            n_union.cast("long").alias("n_union"),
+            (matches.cast("double") / F.lit(32)).alias("est_jaccard"),
+            (F.col("n_inter").cast("double") / n_union).alias("exact_jaccard"),
+        )
+    )
