@@ -1078,3 +1078,89 @@ def q_stream_packing(spark, sf_dir):
         last_seq.alias("last_seq"),
         (last_seq - first_seq + 1).alias("n_seqs"),
     )
+
+
+def _minhash_oracle_sql():
+    from .dedup import _MH_COEFFS, _MH_P, _SHINGLES_SQL
+
+    coef_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_COEFFS)
+    )
+    return f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sh AS (
+        SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x
+        FROM sh0
+    ),
+    coef(i, a, b) AS (VALUES {coef_rows})
+    SELECT c.i AS perm_id,
+           MIN((c.a * (s.x % {_MH_P}) + c.b) % {_MH_P}) AS register
+    FROM sh s CROSS JOIN coef c
+    GROUP BY c.i
+    """
+
+
+@register(
+    "q_stream_minhash",
+    _minhash_oracle_sql(),
+    doc="STREAMING MINHASH REGISTER MAINTENANCE: the corpus-level "
+        "32-register MinHash sketch (the q_corpus_overlap primitive) "
+        "maintained incrementally over 4 document micro-batches "
+        "(maxFilesPerTrigger=1, availableNow). Each batch computes its "
+        "own 32 permutation mins in ONE aggregate, then min-merges "
+        "into the stored register table. Unlike q_stream_packing's "
+        "additive fold, min-merge is IDEMPOTENT and COMMUTATIVE — "
+        "replaying a batch after a crash re-merges the same mins and "
+        "changes nothing, so NO batch-id guard is needed: exactly-once "
+        "by ALGEBRA, not by bookkeeping (the q_stream_hll max-merge "
+        "discipline). The final register table is bitwise equal to the "
+        "batch computation whatever the arrival order or replay "
+        "history, so the streaming result is fully VALUE-ORACLED "
+        "against the batch SQL. 100 TB contract: state is 32 longs "
+        "however large the corpus; each batch contributes one "
+        "map-side-combinable aggregate.",
+)
+def q_stream_minhash(spark, sf_dir):
+    from ..operators import dedup as D
+    from ..queries.dedup import _MH_COEFFS
+    from ..sources.table import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    path = scratch_dir("stream_mh_docs")
+    span = int(hi) - int(lo) + 1
+    for i in range(4):
+        a = int(lo) + i * span // 4
+        b = int(lo) + (i + 1) * span // 4
+        docs.filter(
+            (F.col("doc_id") >= a) & (F.col("doc_id") < b)
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    t_state = VersionedTable(spark, scratch_dir("mh_state"))
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        arrs = D.doc_shingle_arrays(batch_df, "doc_id", "text", k=3, hashed="md5")
+        sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+        sig = D.minhash_signatures_linear(
+            sh.select(F.lit(0).alias("id"), "shingle"), _MH_COEFFS
+        )
+        regs = sig.select(
+            F.posexplode("signature").alias("perm_id", "register")
+        ).select(F.col("perm_id").cast("long"), "register")
+        if t_state.exists():
+            regs = (
+                t_state.read().unionByName(regs)
+                .groupBy("perm_id")
+                .agg(F.min("register").alias("register"))
+            )
+        t_state.write(regs.localCheckpoint(), mode="overwrite")
+
+    sdf = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_available_now(sdf, scratch_dir("ckpt_mh"), foreach_batch=fold)
+    return t_state.read().select("perm_id", "register")
