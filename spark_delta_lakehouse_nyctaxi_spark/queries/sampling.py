@@ -411,3 +411,57 @@ def q_shuffled_packing(spark, sf_dir):
         F.expr(f"(cum_n_tokens - n_tokens) div {seq_len}").alias("first_seq"),
         F.expr(f"(cum_n_tokens - 1) div {seq_len}").alias("last_seq"),
     )
+
+
+_NTOK = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+_HT_SAMPLED = f"{_H} < '{SA.hex_threshold(0.1)}'"
+
+
+@register(
+    "q_ht_estimate",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN {_HT_SAMPLED} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(SUM({_NTOK}) AS BIGINT) AS exact_total_tokens,
+           CAST(10 * SUM(CASE WHEN {_HT_SAMPLED} THEN {_NTOK} ELSE 0 END)
+                AS BIGINT) AS ht_total_tokens,
+           CAST(10 * SUM(CASE WHEN {_HT_SAMPLED} THEN {_NTOK} ELSE 0 END)
+                - SUM({_NTOK}) AS DOUBLE) / SUM({_NTOK}) AS rel_err
+    FROM documents
+    GROUP BY source
+    """,
+    doc="HORVITZ-THOMPSON ESTIMATION CERTIFICATE: per-source corpus "
+        "token totals estimated from the deterministic 10% "
+        "md5-threshold sample (inclusion probability p=0.1 exactly, "
+        "by hex-threshold construction) via the HT estimator "
+        "sum(n_tok)/p, side-by-side with the exact total and the "
+        "realized relative error. 1/p = 10 exactly, so the estimate "
+        "is INTEGER arithmetic end-to-end (exact long sums, one "
+        "multiply); rel_err is a single IEEE division of exact longs "
+        "— fully VALUE-ORACLED. This is the certificate a 100 TB "
+        "pipeline wants before trusting sampled statistics: ONE "
+        "conditional aggregate (no join, no second pass — the sample "
+        "indicator is a projection), map-side combinable, single "
+        "exchange on source.",
+)
+def q_ht_estimate(spark, sf_dir):
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = SA.hash_key(F.col("doc_id")) < F.lit(SA.hex_threshold(0.1))
+    d = docs.select(
+        "source",
+        token_count("text").cast("long").alias("n_tok"),
+        sampled.alias("s"),
+    )
+    ht = F.lit(10) * F.sum(F.when(F.col("s"), F.col("n_tok")).otherwise(F.lit(0)))
+    exact = F.sum("n_tok")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("s"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+        exact.cast("long").alias("exact_total_tokens"),
+        ht.cast("long").alias("ht_total_tokens"),
+        ((ht - exact).cast("double") / exact).alias("rel_err"),
+    )
