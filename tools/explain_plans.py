@@ -156,6 +156,10 @@ EXTRA = [
     "q_holt_linear",
     "q_pq_rotation",
     "q_dp_noise_calibration",
+    "q_stream_packing",
+    "q_corpus_overlap",
+    "q_stream_minhash",
+    "q_ht_estimate",
 ]
 
 SF = "/root/testdata/sf0.01"
