@@ -194,3 +194,66 @@ def test_dp_geometric_noise_calibration(spark):
     assert max(abs(r.noise) for r in rows) <= 25
     mean = sum(r.noise for r in rows) / n
     assert abs(mean) < 0.5
+
+
+def test_stream_packing_equals_batch_packing(spark):
+    """Incremental maintenance must CONVERGE to the batch answer: the
+    streaming placement map (4 micro-batches, running-offset state) is
+    bitwise equal to q_sequence_packing's single-pass map."""
+    stream = q("q_stream_packing", spark)
+    batch = q("q_sequence_packing", spark)
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+
+
+def test_stream_minhash_equals_batch_registers(spark):
+    """Min-merge maintenance must equal the one-shot batch registers —
+    the algebraic exactly-once claim, re-derived independently."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators import dedup as D
+    from spark_delta_lakehouse_nyctaxi_spark.queries.dedup import _MH_COEFFS
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    stream = {r.perm_id: r.register for r in q("q_stream_minhash", spark).collect()}
+    docs = load_table(spark, SF_SMALL, "documents")
+    arrs = D.doc_shingle_arrays(docs, "doc_id", "text", k=3, hashed="md5")
+    sh = arrs.select(F.lit(0).alias("id"), F.explode("sh_arr").alias("shingle"))
+    sig = D.minhash_signatures_linear(sh, _MH_COEFFS).collect()[0].signature
+    assert stream == {i: v for i, v in enumerate(sig)}
+
+
+def test_corpus_overlap_bounds_and_pair_coverage(spark):
+    """All C(4,2) shard pairs present; estimates and exact Jaccards in
+    [0,1]; intersection never exceeds union; union consistent with a
+    nonempty corpus."""
+    rows = q("q_corpus_overlap", spark).collect()
+    assert sorted((r.shard_a, r.shard_b) for r in rows) == [
+        (a, b) for a in range(4) for b in range(a + 1, 4)
+    ]
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert 0 <= r.n_inter <= r.n_union
+        assert r.n_union > 0
+
+
+def test_ht_estimate_rederives(spark):
+    """The HT estimate must equal 10× the independently re-derived
+    sampled token sum, and rel_err must be the exact IEEE division of
+    (ht - exact) by exact."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators import sampling as SA
+    from spark_delta_lakehouse_nyctaxi_spark.operators.text import token_count
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    rows = {r.source: r for r in q("q_ht_estimate", spark).collect()}
+    docs = load_table(spark, SF_SMALL, "documents")
+    sampled = (
+        SA.bernoulli_sample(docs, "doc_id", 0.1)
+        .groupBy("source")
+        .agg(F.sum(token_count("text").cast("long")).alias("s"))
+        .collect()
+    )
+    for r in sampled:
+        assert rows[r.source].ht_total_tokens == 10 * r.s
+    for r in rows.values():
+        assert 0 <= r.n_sampled <= r.n_docs
+        assert r.rel_err == (r.ht_total_tokens - r.exact_total_tokens) / r.exact_total_tokens
