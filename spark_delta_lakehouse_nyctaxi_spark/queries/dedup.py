@@ -2015,3 +2015,127 @@ def q_corpus_overlap(spark, sf_dir):
             (F.col("n_inter").cast("double") / n_union).alias("exact_jaccard"),
         )
     )
+
+
+# ---- q_record_linkage ------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage, made bitwise-oracled by
+# computing the field weights OFFLINE: w_agree = round(1000·ln(m/u)),
+# w_disagree = round(1000·ln((1-m)/(1-u))) are integer milli-log-odds
+# LITERALS both engines embed, so the pair score is exact int64
+# arithmetic end to end (no transcendental evaluated in-query).
+_FS_FIELDS = {
+    # field: (m, u, w_agree, w_disagree) — m/u documented, w precomputed
+    "source": (0.70, 0.25, 1030, -916),
+    "len": (0.90, 0.05, 2890, -2251),
+    "ntok": (0.90, 0.05, 2890, -2251),
+    "tail": (0.80, 0.01, 4382, -1599),
+}
+_FS_THRESHOLD = 3000
+_FS_CAP = 1000
+
+_FS_SCORE_SQL = " + ".join(
+    f"CASE WHEN a_{f} THEN {wa} ELSE {wd} END"
+    for f, (_, _, wa, wd) in _FS_FIELDS.items()
+)
+
+_RECORD_LINKAGE_SQL = f"""
+    WITH r AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(len(t) AS BIGINT) AS ntok,
+               md5(array_to_string(list_slice(t, 1, 4), ' ')) AS block_key,
+               md5(array_to_string(
+                   list_slice(t, greatest(len(t) - 7, 1), len(t)), ' '
+               )) AS tail_fp
+        FROM (SELECT doc_id, lang, source, n_chars,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+    ),
+    b AS (
+        SELECT r.*,
+               COUNT(*) OVER (PARTITION BY lang, block_key) AS bsz
+        FROM r
+    ),
+    cand AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               x.source = y.source AS a_source,
+               abs(x.n_chars - y.n_chars) <= 5 AS a_len,
+               abs(x.ntok - y.ntok) <= 3 AS a_ntok,
+               x.tail_fp = y.tail_fp AS a_tail
+        FROM b x
+        JOIN b y ON x.lang = y.lang AND x.block_key = y.block_key
+                AND x.doc_id < y.doc_id
+        WHERE x.bsz <= {_FS_CAP}
+    )
+    SELECT id_a, id_b, a_source, a_len, a_ntok, a_tail,
+           CAST({_FS_SCORE_SQL} AS BIGINT) AS score
+    FROM cand
+    WHERE {_FS_SCORE_SQL} >= {_FS_THRESHOLD}
+"""
+
+
+@register(
+    "q_record_linkage",
+    _RECORD_LINKAGE_SQL,
+    doc="FELLEGI–SUNTER PROBABILISTIC RECORD LINKAGE: candidate pairs "
+        "from prefix blocking (md5 of the first 4 tokens + lang — a "
+        "blocking key whose CARDINALITY grows with the corpus, so "
+        "block sizes stay bounded by the true duplication rate, not "
+        "by corpus size; hot-block cap 1000 mirrors the LSH guard), "
+        "then a 4-field agreement vector (source, |n_chars| diff ≤ 5, "
+        "|token count| diff ≤ 3, last-8-token fingerprint) scored "
+        "with integer milli-log-odds weights round(1000·ln(m/u)) / "
+        "round(1000·ln((1-m)/(1-u))) precomputed offline — the FS "
+        "decision rule as exact int64 arithmetic, fully VALUE-ORACLED "
+        "(no transcendental in-query). Pairs scoring ≥ 3000 are "
+        "declared matches. 100 TB: one exchange on the block key, "
+        "pair volume O(duplicate clusters), no all-pairs stage.",
+)
+def q_record_linkage(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    r = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        n.cast("long").alias("ntok"),
+        F.md5(F.concat_ws(" ", F.slice(t, 1, 4))).alias("block_key"),
+        F.md5(
+            F.concat_ws(" ", F.slice(t, F.greatest(n - 7, F.lit(1)), n))
+        ).alias("tail_fp"),
+    )
+    b = r.withColumn(
+        "bsz", F.count("*").over(W.partitionBy("lang", "block_key"))
+    ).filter(F.col("bsz") <= _FS_CAP)
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.block_key") == F.col("y.block_key")),
+        )
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            (F.col("x.source") == F.col("y.source")).alias("a_source"),
+            (F.abs(F.col("x.n_chars") - F.col("y.n_chars")) <= 5).alias("a_len"),
+            (F.abs(F.col("x.ntok") - F.col("y.ntok")) <= 3).alias("a_ntok"),
+            (F.col("x.tail_fp") == F.col("y.tail_fp")).alias("a_tail"),
+        )
+    )
+    score = sum(
+        [
+            F.when(F.col(f"a_{f}"), F.lit(wa)).otherwise(F.lit(wd))
+            for f, (_, _, wa, wd) in _FS_FIELDS.items()
+        ],
+        F.lit(0),
+    )
+    return cand.withColumn("score", score.cast("long")).filter(
+        F.col("score") >= _FS_THRESHOLD
+    )
