@@ -211,6 +211,7 @@ _PRIORITY: list[str] = [
     "q_stream_minhash",
     "q_ht_estimate",
     "q_record_linkage",
+    "q_mmr_select",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

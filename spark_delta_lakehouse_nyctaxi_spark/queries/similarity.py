@@ -2224,3 +2224,133 @@ def q_pq_rotation(spark, sf_dir):
         )
         out = row if out is None else out.union(row)
     return out
+
+
+# ---- q_mmr_select ----------------------------------------------------
+# Maximal Marginal Relevance — the sequential-greedy selection family
+# (RAG context packing, diverse few-shot pools, eval-set curation).
+# Greedy argmax_x [ rel(x) - max_{s in S} sim(x, s) ] (λ=0.5 up to the
+# constant factor, which preserves the argmax), k rounds.  Cosines are
+# the left-fold double accumulation both engines share (_COS_SQL /
+# operators.similarity.cosine), so every round's argmax + (score,
+# vec_id) tie-break is engine-identical and the WHOLE greedy trace is
+# value-oracled against an unrolled chain of DuckDB CTEs.
+_MMR_K = 8
+
+
+def _cos_between(x: str, y: str) -> str:
+    return _COS_SQL.replace("a.embedding", f"{x}.embedding").replace(
+        "b.embedding", f"{y}.embedding"
+    )
+
+
+def _mmr_oracle_sql(k: int = _MMR_K) -> str:
+    parts = [
+        f"""rel AS MATERIALIZED (
+        SELECT b.vec_id AS vec_id, {_cos_between('a', 'b')} AS rel
+        FROM embeddings b JOIN embeddings a ON a.vec_id = 0
+        WHERE b.vec_id <> 0
+    ),
+    all1 AS MATERIALIZED (
+        SELECT vec_id, rel, CAST(NULL AS DOUBLE) AS max_sim,
+               CAST(1 AS BIGINT) AS rank
+        FROM rel ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(f"""cand{r} AS MATERIALIZED (
+        SELECT c.vec_id, c.rel, MAX({_cos_between('a', 'b')}) AS ms
+        FROM rel c
+        JOIN embeddings b ON b.vec_id = c.vec_id
+        JOIN all{r - 1} sl ON c.vec_id <> sl.vec_id
+        JOIN embeddings a ON a.vec_id = sl.vec_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM all{r - 1})
+        GROUP BY c.vec_id, c.rel
+    ),
+    all{r} AS MATERIALIZED (
+        SELECT * FROM all{r - 1}
+        UNION ALL
+        SELECT * FROM (
+            SELECT vec_id, rel, ms AS max_sim, CAST({r} AS BIGINT) AS rank
+            FROM cand{r} ORDER BY rel - ms DESC, vec_id LIMIT 1
+        )
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT rank, vec_id, rel AS relevance, max_sim,
+           CASE WHEN max_sim IS NULL THEN rel ELSE rel - max_sim END AS mmr
+    FROM all{k}
+    """
+    )
+
+
+@register(
+    "q_mmr_select",
+    _mmr_oracle_sql(),
+    doc="MAXIMAL MARGINAL RELEVANCE diverse top-8: greedy rounds of "
+        "argmax[rel(x) − max sim(x, selected)] against query vector 0, "
+        "ties broken by vec_id. Each round is ONE distributed pass: "
+        "candidates × (≤8 broadcast selected vectors) → per-candidate "
+        "max-sim aggregate → 1-row argmax to the driver (a bounded "
+        "scalar fetch, the k-means-centroid pattern) — no all-pairs "
+        "stage ever materializes, so the 100 TB cost is k scans. The "
+        "full greedy TRACE (selection order, relevance, max-sim at "
+        "selection, margin) is VALUE-ORACLED bitwise against an "
+        "unrolled 8-stage DuckDB CTE chain — both engines share the "
+        "left-fold cosine, so every argmax decision is "
+        "engine-identical. Returned as a JVM literal frame "
+        "(LocalTableScan) with exact double round-trip rendering.",
+)
+def q_mmr_select(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    rel = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            S.cosine(F.col("embedding"), F.col("q_emb")).alias("rel"),
+        )
+        .persist()
+    )
+    try:
+        first = rel.orderBy(F.desc("rel"), "vec_id").limit(1).collect()[0]
+        picked = [(1, int(first.vec_id), float(first.rel), None)]
+        for r in range(2, _MMR_K + 1):
+            sel_ids = [p[1] for p in picked]
+            sel = F.broadcast(
+                emb.filter(F.col("vec_id").isin(sel_ids)).select(
+                    F.col("embedding").alias("s_emb")
+                )
+            )
+            row = (
+                rel.filter(~F.col("vec_id").isin(sel_ids))
+                .crossJoin(sel)
+                .groupBy("vec_id", "rel")
+                .agg(
+                    F.max(
+                        S.cosine(F.col("embedding"), F.col("s_emb"))
+                    ).alias("ms")
+                )
+                .orderBy(F.desc(F.col("rel") - F.col("ms")), "vec_id")
+                .limit(1)
+                .collect()[0]
+            )
+            picked.append((r, int(row.vec_id), float(row.rel), float(row.ms)))
+    finally:
+        rel.unpersist()
+    rows = [
+        (rank, vid, rl, ms, rl if ms is None else rl - ms)
+        for rank, vid, rl, ms in picked
+    ]
+    return literal_frame(
+        spark,
+        rows,
+        "rank bigint, vec_id bigint, relevance double, max_sim double,"
+        " mmr double",
+    )
