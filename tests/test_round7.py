@@ -257,3 +257,70 @@ def test_ht_estimate_rederives(spark):
     for r in rows.values():
         assert 0 <= r.n_sampled <= r.n_docs
         assert r.rel_err == (r.ht_total_tokens - r.exact_total_tokens) / r.exact_total_tokens
+
+
+def test_record_linkage_scores_rederive(spark):
+    """Every emitted pair's score must equal the integer log-odds sum
+    of its agreement vector, meet the match threshold, and id_a < id_b."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.dedup import (
+        _FS_FIELDS,
+        _FS_THRESHOLD,
+    )
+
+    rows = q("q_record_linkage", spark).collect()
+    assert rows, "expected at least one match pair on the test corpus"
+    for r in rows:
+        expected = sum(
+            wa if getattr(r, f"a_{f}") else wd
+            for f, (_, _, wa, wd) in _FS_FIELDS.items()
+        )
+        assert r.score == expected
+        assert r.score >= _FS_THRESHOLD
+        assert r.id_a < r.id_b
+
+
+def test_mmr_trace_invariants(spark):
+    """Greedy MMR: ranks are 1..8 over distinct ids; the selected
+    margin sequence is non-increasing (max_sim only grows as the
+    selected set grows, so each round's best margin is bounded by the
+    previous round's); max_sim at rank r re-derives as the max cosine
+    against the first r-1 picks."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators import similarity as S
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    rows = sorted(q("q_mmr_select", spark).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, 9))
+    assert len({r.vec_id for r in rows}) == 8
+    # Monotone from rank 2 on: for any remaining candidate the margin
+    # rel - max_sim can only shrink as the selected set grows, so each
+    # round's best margin is bounded by the previous round's best.
+    # (Rank 1 is excluded: its mmr is the bare relevance, and a
+    # NEGATIVE max_sim at rank 2 can push rel - max_sim above it —
+    # observed on the test corpus: 0.4212 at rank 2 vs 0.3345 at 1.)
+    mmrs = [r.mmr for r in rows[1:]]
+    assert all(a >= b for a, b in zip(mmrs, mmrs[1:]))
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    vecs = {
+        r.vec_id: r.embedding
+        for r in emb.filter(
+            F.col("vec_id").isin([x.vec_id for x in rows])
+        ).collect()
+    }
+    pairs = [
+        (rows[i].vec_id, rows[j].vec_id)
+        for j in range(1, len(rows))
+        for i in range(j)
+    ]
+    pf = spark.createDataFrame(
+        [(a, b, list(map(float, vecs[a])), list(map(float, vecs[b]))) for a, b in pairs],
+        "id_a long, id_b long, va array<double>, vb array<double>",
+    )
+    cos = {
+        (r.id_a, r.id_b): r.c
+        for r in pf.select(
+            "id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("c")
+        ).collect()
+    }
+    for j in range(1, len(rows)):
+        expect = max(cos[(rows[i].vec_id, rows[j].vec_id)] for i in range(j))
+        assert abs(rows[j].max_sim - expect) < 1e-12
