@@ -212,6 +212,8 @@ _PRIORITY: list[str] = [
     "q_ht_estimate",
     "q_record_linkage",
     "q_mmr_select",
+    "q_layout_skipping",
+    "q_tokenizer_fertility",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

@@ -1474,3 +1474,204 @@ def q_mv_rewrite(spark, sf_dir):
     if fb != "base":
         raise AssertionError(f"non-derivable query wrongly matched {fb!r}")
     return out
+
+# ---- q_layout_skipping -----------------------------------------------
+# The quantitative companion to q_zorder_layout/q_hilbert_layout: those
+# oracles prove layout INDEPENDENCE of results; this one measures the
+# thing a layout is FOR — how many files a manifest min/max check
+# admits under a 1-D (lexicographic) layout vs a Morton
+# (bit-interleaved) layout, for BOTH predicate shapes that matter:
+# a range on the leading key (lexicographic's best case) and a range
+# on the trailing key ONLY (lexicographic's blind spot — every file
+# spans the whole trailing-key domain, zero pruning). Keys are scaled
+# into 10 bits from the table's own min/max (NOT modulo — wrapping
+# destroys locality, measured: a %1024 Morton admitted MORE files
+# than lexicographic), so the simulation is SF-independent; the
+# predicate boxes are percentile slices of the key ranges for the
+# same reason. NTILE file assignment makes both engines derive
+# identical file populations; all metrics exact integers.
+_SKIP_FILES = 16
+_SKIP_BITS = 10
+
+
+def _morton_sql(u: str, v: str, shift: str) -> str:
+    """Morton interleave as engine-portable SQL: u bit b -> 2b,
+    v bit b -> 2b+1. ``shift`` is 'duck' (<</>>) or 'spark'
+    (shiftleft/shiftright)."""
+    terms = []
+    for b in range(_SKIP_BITS):
+        if shift == "duck":
+            terms.append(f"((({u} >> {b}) & 1) << {2 * b})")
+            terms.append(f"((({v} >> {b}) & 1) << {2 * b + 1})")
+        else:
+            terms.append(f"shiftleft(shiftright({u}, {b}) & 1, {2 * b})")
+            terms.append(
+                f"shiftleft(shiftright({v}, {b}) & 1, {2 * b + 1})"
+            )
+    return " + ".join(terms)
+
+
+def _skip_arm_sql(layout: str, order: str, pred: str, lo: str, hi: str,
+                  key: str) -> str:
+    return f"""
+    SELECT '{layout}' AS layout, '{pred}' AS predicate,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN mn <= _h AND mx >= _l THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_candidate_files,
+           CAST(SUM(CASE WHEN mn <= _h AND mx >= _l THEN sz ELSE 0 END)
+                AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS true_rows
+    FROM (
+        SELECT f, COUNT(*) AS sz,
+               MIN({key}) AS mn, MAX({key}) AS mx,
+               SUM(CASE WHEN {key} BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END)
+                   AS n_match,
+               ANY_VALUE({lo}) AS _l, ANY_VALUE({hi}) AS _h
+        FROM (
+            SELECT b.*, NTILE({_SKIP_FILES}) OVER (ORDER BY {order}) AS f
+            FROM base b
+        )
+        GROUP BY f
+    )
+    """
+
+
+_SKIP_STATS_SQL = """
+    stats AS (
+        SELECT MIN(l_partkey) AS pk_mn, MAX(l_partkey) AS pk_mx,
+               MIN(l_suppkey) AS sk_mn, MAX(l_suppkey) AS sk_mx
+        FROM lineitem
+    ),
+    base AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               pk_mn + (pk_mx - pk_mn) * 5 // 100 AS pk_lo,
+               pk_mn + (pk_mx - pk_mn) * 15 // 100 AS pk_hi,
+               sk_mn + (sk_mx - sk_mn) * 10 // 100 AS sk_lo,
+               sk_mn + (sk_mx - sk_mn) * 30 // 100 AS sk_hi,
+               {z} AS z
+        FROM (
+            SELECT l.*,
+                   s.pk_mn, s.pk_mx, s.sk_mn, s.sk_mx,
+                   CASE WHEN s.pk_mx = s.pk_mn THEN 0
+                        ELSE ((l.l_partkey - s.pk_mn) * 1023)
+                             // (s.pk_mx - s.pk_mn) END AS u,
+                   CASE WHEN s.sk_mx = s.sk_mn THEN 0
+                        ELSE ((l.l_suppkey - s.sk_mn) * 1023)
+                             // (s.sk_mx - s.sk_mn) END AS v
+            FROM lineitem l CROSS JOIN stats s
+        )
+    )
+"""
+
+_LIN_ORDER = "l_partkey, l_suppkey, l_orderkey, l_linenumber"
+_Z_ORDER = "z, l_orderkey, l_linenumber"
+
+_LAYOUT_SKIPPING_SQL = (
+    "WITH "
+    + _SKIP_STATS_SQL.format(z=_morton_sql("u", "v", "duck"))
+    + _skip_arm_sql("linear", _LIN_ORDER, "leading_key_range",
+                    "pk_lo", "pk_hi", "l_partkey")
+    + " UNION ALL "
+    + _skip_arm_sql("linear", _LIN_ORDER, "trailing_key_range",
+                    "sk_lo", "sk_hi", "l_suppkey")
+    + " UNION ALL "
+    + _skip_arm_sql("zorder", _Z_ORDER, "leading_key_range",
+                    "pk_lo", "pk_hi", "l_partkey")
+    + " UNION ALL "
+    + _skip_arm_sql("zorder", _Z_ORDER, "trailing_key_range",
+                    "sk_lo", "sk_hi", "l_suppkey")
+)
+
+
+@register(
+    "q_layout_skipping",
+    _LAYOUT_SKIPPING_SQL,
+    doc="FILE-SKIPPING EFFICIENCY CERTIFICATE, linear vs Z-order × "
+        "leading-key vs trailing-key predicates: assign lineitem rows "
+        "to 16 simulated files by NTILE under (a) lexicographic "
+        "(l_partkey, l_suppkey) order and (b) Morton order (10-bit "
+        "interleave of min/max-scaled keys — scaled, NOT modulo: "
+        "wrapping destroys locality, measured live), compute each "
+        "file's min/max manifest stats, and count the files a range "
+        "predicate ADMITS under the min/max intersection rule — the "
+        "exact skipping logic VersionedTable's manifest scan runs. "
+        "The two predicate shapes certify the 100 TB trade: on the "
+        "leading key lexicographic is optimal; on the trailing key "
+        "alone it admits EVERY file while Morton still prunes "
+        "(~sqrt(x) of files for an x-selective box). true_rows is "
+        "layout-invariant (re-certified per arm). File assignment "
+        "runs through distributed_ntile (range exchange + closed-form "
+        "bucket sizes — never a single-partition window); all metrics "
+        "exact integers, fully VALUE-ORACLED.",
+)
+def q_layout_skipping(spark, sf_dir):
+    from ..operators.indexing import distributed_ntile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    st = li.agg(
+        F.min("l_partkey").alias("pk_mn"), F.max("l_partkey").alias("pk_mx"),
+        F.min("l_suppkey").alias("sk_mn"), F.max("l_suppkey").alias("sk_mx"),
+    ).collect()[0]  # 4 longs — the same metadata-sized stats pass OPTIMIZE does
+    pk_mn, pk_mx, sk_mn, sk_mx = st.pk_mn, st.pk_mx, st.sk_mn, st.sk_mx
+
+    def scaled(col, mn, mx):
+        if mx == mn:
+            return "0"
+        return f"(({col} - {mn}) * 1023) div ({mx} - {mn})"
+
+    base = li.withColumn(
+        "u", F.expr(scaled("l_partkey", pk_mn, pk_mx)).cast("long")
+    ).withColumn(
+        "v", F.expr(scaled("l_suppkey", sk_mn, sk_mx)).cast("long")
+    ).withColumn("z", F.expr(_morton_sql("u", "v", "spark")).cast("long"))
+
+    boxes = {
+        "leading_key_range": (
+            "l_partkey",
+            pk_mn + (pk_mx - pk_mn) * 5 // 100,
+            pk_mn + (pk_mx - pk_mn) * 15 // 100,
+        ),
+        "trailing_key_range": (
+            "l_suppkey",
+            sk_mn + (sk_mx - sk_mn) * 10 // 100,
+            sk_mn + (sk_mx - sk_mn) * 30 // 100,
+        ),
+    }
+    orders = {
+        "linear": ["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"],
+        "zorder": ["z", "l_orderkey", "l_linenumber"],
+    }
+    out = None
+    for layout, order in orders.items():
+        files = distributed_ntile(base, _SKIP_FILES, order, "f")
+        for pred, (key, lo, hi) in boxes.items():
+            per_file = files.groupBy("f").agg(
+                F.count("*").alias("sz"),
+                F.min(key).alias("mn"),
+                F.max(key).alias("mx"),
+                F.sum(
+                    F.when(F.col(key).between(lo, hi), 1).otherwise(0)
+                ).alias("n_match"),
+            )
+            cand = (F.col("mn") <= hi) & (F.col("mx") >= lo)
+            row = per_file.agg(
+                F.count("*").cast("long").alias("n_files"),
+                F.sum(F.when(cand, 1).otherwise(0))
+                .cast("long")
+                .alias("n_candidate_files"),
+                F.sum(F.when(cand, F.col("sz")).otherwise(0))
+                .cast("long")
+                .alias("rows_scanned"),
+                F.sum("n_match").cast("long").alias("true_rows"),
+            ).select(
+                F.lit(layout).alias("layout"),
+                F.lit(pred).alias("predicate"),
+                "n_files",
+                "n_candidate_files",
+                "rows_scanned",
+                "true_rows",
+            )
+            out = row if out is None else out.unionByName(row)
+    return out

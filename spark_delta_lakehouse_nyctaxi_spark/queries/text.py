@@ -2337,3 +2337,47 @@ def q_bigram_surprisal(spark, sf_dir):
             (F.sum("bits").cast("double") / F.count("*")).alias("mean_bits"),
         )
     )
+
+
+@register(
+    "q_tokenizer_fertility",
+    r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+'))) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+'))) AS DOUBLE)
+               / SUM(len(string_split_regex(trim(text), '\s+'))) AS fertility,
+           CAST(SUM(n_chars) AS DOUBLE)
+               / SUM(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+'))) AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="TOKENIZER FERTILITY per language: subword-tokens-per-word and "
+        "chars-per-subword-token under the GPT-2-style pretokenizer "
+        "regex, aggregated by lang — the report that decides whether a "
+        "tokenizer (and hence a token budget) is equitable across the "
+        "corpus's languages before a 100 TB tokenization run. Exact "
+        "long sums per group; each ratio is one IEEE division of exact "
+        "longs — fully VALUE-ORACLED. One map-side-combinable "
+        "aggregate, single exchange on lang; the regex runs JVM-side "
+        "(regexp_extract_all inside codegen), no UDF.",
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "n_chars",
+        T.bpe_token_count("text").cast("long").alias("bpe"),
+        T.token_count("text").cast("long").alias("ws"),
+    )
+    bpe, ws, chars = F.sum("bpe"), F.sum("ws"), F.sum("n_chars")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        bpe.alias("bpe_tokens"),
+        ws.alias("ws_tokens"),
+        chars.cast("long").alias("total_chars"),
+        (bpe.cast("double") / ws).alias("fertility"),
+        (chars.cast("double") / bpe).alias("chars_per_token"),
+    )

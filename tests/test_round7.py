@@ -324,3 +324,31 @@ def test_mmr_trace_invariants(spark):
     for j in range(1, len(rows)):
         expect = max(cos[(rows[i].vec_id, rows[j].vec_id)] for i in range(j))
         assert abs(rows[j].max_sim - expect) < 1e-12
+
+
+def test_layout_skipping_certificate(spark):
+    """Layout never changes answers (true_rows invariant per
+    predicate); lexicographic order admits EVERY file for the
+    trailing-key predicate while Morton prunes it; candidate sets are
+    sound (scanned rows always cover the true rows)."""
+    rows = q("q_layout_skipping", spark).collect()
+    by = {(r.layout, r.predicate): r for r in rows}
+    assert len(by) == 4
+    for pred in ("leading_key_range", "trailing_key_range"):
+        assert by[("linear", pred)].true_rows == by[("zorder", pred)].true_rows
+    lin_trail = by[("linear", "trailing_key_range")]
+    z_trail = by[("zorder", "trailing_key_range")]
+    assert lin_trail.n_candidate_files == lin_trail.n_files
+    assert z_trail.n_candidate_files < z_trail.n_files
+    for r in rows:
+        assert r.rows_scanned >= r.true_rows
+
+
+def test_tokenizer_fertility_rederives(spark):
+    """fertility × ws_tokens must reproduce bpe_tokens (one IEEE
+    division), and BPE subword counts are never below whitespace word
+    counts for this pretokenizer."""
+    for r in q("q_tokenizer_fertility", spark).collect():
+        assert r.fertility == r.bpe_tokens / r.ws_tokens
+        assert r.chars_per_token == r.total_chars / r.bpe_tokens
+        assert r.bpe_tokens >= r.ws_tokens
