@@ -214,6 +214,8 @@ _PRIORITY: list[str] = [
     "q_mmr_select",
     "q_layout_skipping",
     "q_tokenizer_fertility",
+    "q_hard_negatives",
+    "q_matryoshka_recall",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

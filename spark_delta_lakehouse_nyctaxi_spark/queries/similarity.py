@@ -2354,3 +2354,200 @@ def q_mmr_select(spark, sf_dir):
         "rank bigint, vec_id bigint, relevance double, max_sim double,"
         " mmr double",
     )
+
+
+# ---- q_hard_negatives / q_matryoshka_recall ---------------------------
+@register(
+    "q_hard_negatives",
+    f"""
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           sim_rank, cos_sim
+    FROM (
+        SELECT a.vec_id AS query_id, a.label AS query_label,
+               b.vec_id AS neighbor_id, b.label AS neighbor_label,
+               {_COS_SQL} AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id
+               ) AS sim_rank
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.vec_id <> b.vec_id AND a.label <> b.label
+        WHERE a.vec_id < 10
+    ) WHERE sim_rank <= 3
+    """,
+    doc="HARD-NEGATIVE MINING for contrastive training: for each of "
+        "the 10 audit query vectors, the 3 nearest-by-cosine vectors "
+        "carrying a DIFFERENT label — the pairs that teach a "
+        "contrastive model the most (closest impostors). Same bounded "
+        "broadcast shape as q_ann_bruteforce (10 query rows × corpus, "
+        "documented BNLJ allowlist class); the label inequality rides "
+        "the join condition so impostors are filtered BEFORE the "
+        "top-k window. Left-fold cosine shared with the oracle — "
+        "fully VALUE-ORACLED. At 100 TB the broadcast side stays the "
+        "query batch; corpus-side cost is one scan per batch.",
+)
+def q_hard_negatives(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("query_label")),
+        )
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            S.cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= 3)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "sim_rank", "cos_sim",
+        )
+    )
+
+
+_MRL_DIMS = (16, 32, 64)
+
+
+def _mrl_cos_sql(d: int) -> str:
+    return f"""
+    list_sum(list_transform(range(1, {d} + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(list_slice(a.embedding, 1, {d}), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(list_slice(b.embedding, 1, {d}), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+
+
+def _mrl_arm_sql(d: int) -> str:
+    return f"""
+    SELECT {d} AS trunc_dim, CAST(SUM(hit) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall_at_5
+    FROM (
+        SELECT t.query_id, t.neighbor_id,
+               CASE WHEN p.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+        FROM truth t
+        LEFT JOIN (
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_mrl_cos_sql(d)} DESC, b.vec_id
+                       ) AS r
+                FROM embeddings a
+                JOIN embeddings b ON a.vec_id <> b.vec_id
+                WHERE a.vec_id < 10
+            ) WHERE r <= 5
+        ) p ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+    )
+    """
+
+
+_MATRYOSHKA_SQL = (
+    """
+    WITH truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY """
+    + _COS_SQL
+    + """ DESC, b.vec_id
+                   ) AS r
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 10
+        ) WHERE r <= 5
+    )
+    """
+    + " UNION ALL ".join(_mrl_arm_sql(d) for d in _MRL_DIMS)
+)
+
+
+@register(
+    "q_matryoshka_recall",
+    _MATRYOSHKA_SQL,
+    doc="MATRYOSHKA (MRL) TRUNCATION QUALITY: recall@5 of cosine "
+        "search over the first 16 / 32 / 64 dims against the full-"
+        "64-dim brute-force truth, over the 10 audit queries — the "
+        "measurement that decides how far a Matryoshka-style index "
+        "can truncate embeddings before retrieval degrades (the "
+        "memory/recall dial a 100 TB vector store actually turns). "
+        "The 64-dim arm must read recall 1.0 (self-consistency, "
+        "gated in tests). Bounded broadcast shape (10 queries × "
+        "corpus, allowlist class); prefix slices are projections, so "
+        "the truncated searches reuse one scan. Hits are exact "
+        "integers; recall is one IEEE division — fully VALUE-ORACLED.",
+)
+def q_matryoshka_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    joined = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).persist()
+    try:
+        def topk(d):
+            sim = S.cosine(
+                F.slice(F.col("embedding"), 1, d),
+                F.slice(F.col("q_emb"), 1, d),
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("sim"), "neighbor_id"
+            )
+            return (
+                joined.select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    sim.alias("sim"),
+                )
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= 5)
+                .select("query_id", "neighbor_id")
+            )
+
+        truth = topk(64).persist()
+        out = None
+        for d in _MRL_DIMS:
+            pred = topk(d).withColumn("hit", F.lit(1))
+            row = (
+                truth.join(pred, ["query_id", "neighbor_id"], "left")
+                .agg(
+                    F.sum(F.coalesce("hit", F.lit(0)))
+                    .cast("long")
+                    .alias("n_hits"),
+                    F.count("*").cast("long").alias("n_truth"),
+                )
+                .select(
+                    F.lit(d).alias("trunc_dim"),
+                    "n_hits",
+                    "n_truth",
+                    (
+                        F.col("n_hits").cast("double") / F.col("n_truth")
+                    ).alias("recall_at_5"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+        return out.localCheckpoint()
+    finally:
+        joined.unpersist()
+        try:
+            truth.unpersist()
+        except Exception:
+            pass

@@ -435,6 +435,8 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_ann_quantized",         # 10 broadcast query vectors (queries/similarity.py)
     "q_negative_sampling",     # 20 broadcast anchors (queries/dedup.py)
     "q_trajectory_similarity", # bounded broadcast trajectory sample
+    "q_hard_negatives",        # 10 broadcast query vectors (q_ann_bruteforce class)
+    "q_matryoshka_recall",     # 10 broadcast query vectors × 4 prefix searches
     # 1-row global-aggregate attaches via aggregates.attach_scalar
     # (O(N·1) scalar-subquery equivalents — a constant-key equi-join
     # cannot replace them because Catalyst folds lit=lit to true):

