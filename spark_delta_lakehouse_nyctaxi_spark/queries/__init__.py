@@ -216,6 +216,8 @@ _PRIORITY: list[str] = [
     "q_tokenizer_fertility",
     "q_hard_negatives",
     "q_matryoshka_recall",
+    "q_join_size_estimate",
+    "q_shard_manifest",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

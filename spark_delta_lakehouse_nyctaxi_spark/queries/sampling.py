@@ -465,3 +465,78 @@ def q_ht_estimate(spark, sf_dir):
         ht.cast("long").alias("ht_total_tokens"),
         ((ht - exact).cast("double") / exact).alias("rel_err"),
     )
+
+
+@register(
+    "q_join_size_estimate",
+    f"""
+    WITH keyed AS (
+        SELECT o.o_custkey AS k,
+               md5(CAST(o.o_custkey AS VARCHAR)) < '{SA.hex_threshold(0.1)}'
+                   AS s,
+               COUNT(*) AS n_o
+        FROM orders o GROUP BY 1, 2
+    ),
+    li AS (
+        SELECT l.l_orderkey, o.o_custkey AS k FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per_key AS (
+        SELECT k2.k, k2.s, k2.n_o, COUNT(*) AS n_l
+        FROM (SELECT k, s, n_o FROM keyed) k2
+        JOIN li ON li.k = k2.k
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(SUM(n_o * n_l) AS BIGINT) AS exact_join_rows,
+           CAST(10 * SUM(CASE WHEN s THEN n_o * n_l ELSE 0 END) AS BIGINT)
+               AS ht_join_rows,
+           CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(10 * SUM(CASE WHEN s THEN n_o * n_l ELSE 0 END)
+                - SUM(n_o * n_l) AS DOUBLE) / SUM(n_o * n_l) AS rel_err
+    FROM per_key
+    """,
+    doc="JOIN-CARDINALITY ESTIMATION CERTIFICATE (the CBO question "
+        "before any big join): |orders ⋈_custkey (lineitem ⋈ orders)| "
+        "estimated by KEY-sampling — a deterministic 10% md5 sample "
+        "of join KEYS (sampling keys, not rows, keeps both sides of "
+        "a sampled key intact, so per-key products are exact and the "
+        "HT estimator is unbiased over key space), scaled by 1/p = "
+        "10 exactly. Estimate, exact size, and realized rel_err side "
+        "by side — integer arithmetic end to end except the one IEEE "
+        "rel_err division, fully VALUE-ORACLED. 100 TB: the sample "
+        "predicate is a projection (no shuffle added); per-key counts "
+        "are one map-side-combinable aggregate per side.",
+)
+def q_join_size_estimate(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    keyed = orders.groupBy(
+        F.col("o_custkey").alias("k"),
+        (
+            SA.hash_key(F.col("o_custkey"))
+            < F.lit(SA.hex_threshold(0.1))
+        ).alias("s"),
+    ).agg(F.count("*").alias("n_o"))
+    li_keyed = li.join(
+        orders.select("o_orderkey", F.col("o_custkey").alias("k")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("k")
+    per_key = (
+        li_keyed.groupBy("k")
+        .agg(F.count("*").alias("n_l"))
+        .join(keyed, "k")
+    )
+    prod = F.col("n_o") * F.col("n_l")
+    exact = F.sum(prod)
+    ht = F.lit(10) * F.sum(F.when(F.col("s"), prod).otherwise(F.lit(0)))
+    return per_key.agg(
+        exact.cast("long").alias("exact_join_rows"),
+        ht.cast("long").alias("ht_join_rows"),
+        F.sum(F.when(F.col("s"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled_keys"),
+        F.count("*").cast("long").alias("n_keys"),
+        ((ht - exact).cast("double") / exact).alias("rel_err"),
+    )

@@ -2381,3 +2381,84 @@ def q_tokenizer_fertility(spark, sf_dir):
         (bpe.cast("double") / ws).alias("fertility"),
         (chars.cast("double") / bpe).alias("chars_per_token"),
     )
+
+
+@register(
+    "q_shard_manifest",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               SUM(CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT))
+                   OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    ),
+    seqs AS (
+        SELECT DISTINCT s.seq_id
+        FROM c, LATERAL (
+            SELECT unnest(range(CAST((cum - n_tokens) // 512 AS BIGINT),
+                                CAST((cum - 1) // 512 + 1 AS BIGINT)))
+                AS seq_id
+        ) s
+    ),
+    n AS (SELECT COUNT(*) AS n_seq FROM seqs),
+    sharded AS (
+        SELECT seq_id,
+               seq_id // ((n_seq + 7) // 8) AS shard_id
+        FROM seqs CROSS JOIN n
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(MIN(seq_id) AS BIGINT) AS first_seq,
+           CAST(MAX(seq_id) AS BIGINT) AS last_seq,
+           CAST(COUNT(*) * 512 AS BIGINT) AS shard_tokens
+    FROM sharded GROUP BY shard_id
+    """,
+    doc="WRITER-PLANNING SHARD MANIFEST: the packed-sequence space "
+        "(q_sequence_packing's seq ids, including spill sequences a "
+        "document straddles) dealt into 8 contiguous output shards of "
+        "ceil(n/8) sequences — the deterministic file plan a 100 TB "
+        "tokenization job hands its writers (contiguous ranges keep "
+        "each writer's input a single sorted scan slice; shard token "
+        "budgets are exact because every sequence is seq_len tokens "
+        "by construction). Manifest rows: sequence count, seq-id "
+        "range, token budget per shard — exact integers, fully "
+        "VALUE-ORACLED. Derivation is the oracled packing map + one "
+        "distinct + one aggregate; the sequence universe comes from "
+        "each doc's [first_seq, last_seq] interval (no per-token "
+        "explode).",
+)
+def q_shard_manifest(spark, sf_dir):
+    from ..operators.indexing import distributed_prefix_sum
+    from ..operators.text import token_count
+
+    seq_len, n_shards = 512, 8
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    cum = distributed_prefix_sum(counts, ["doc_id"], ["n_tokens"])
+    seqs = (
+        cum.select(
+            F.explode(
+                F.sequence(
+                    F.expr(f"(cum_n_tokens - n_tokens) div {seq_len}"),
+                    F.expr(f"(cum_n_tokens - 1) div {seq_len}"),
+                )
+            ).alias("seq_id")
+        )
+        .distinct()
+    )
+    n_seq = seqs.count()  # one scalar to the driver (manifest-sized)
+    per = (n_seq + n_shards - 1) // n_shards
+    return (
+        seqs.groupBy(F.expr(f"seq_id div {per}").alias("shard_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_seqs"),
+            F.min("seq_id").cast("long").alias("first_seq"),
+            F.max("seq_id").cast("long").alias("last_seq"),
+            (F.count("*") * seq_len).cast("long").alias("shard_tokens"),
+        )
+    )

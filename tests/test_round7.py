@@ -376,3 +376,30 @@ def test_matryoshka_self_consistency(spark):
     assert rows[64].recall_at_5 == 1.0
     assert rows[64].n_hits == rows[64].n_truth == 50
     assert rows[16].n_hits <= rows[32].n_hits <= rows[64].n_hits
+
+
+def test_join_size_estimate_certificate(spark):
+    """HT join-size estimate re-derives: 10× the sampled-key exact
+    products; sampled keys a subset of all keys; rel_err exact."""
+    r = q("q_join_size_estimate", spark).collect()[0]
+    assert 0 < r.n_sampled_keys < r.n_keys
+    assert r.exact_join_rows > 0
+    assert r.ht_join_rows % 10 == 0
+    assert r.rel_err == (r.ht_join_rows - r.exact_join_rows) / r.exact_join_rows
+
+
+def test_shard_manifest_covers_sequence_space(spark):
+    """Shards tile the sequence space contiguously: counts sum to the
+    number of distinct sequences, ranges don't overlap, every shard
+    except possibly the last holds ceil(n/8) sequences."""
+    rows = sorted(q("q_shard_manifest", spark).collect(), key=lambda r: r.shard_id)
+    n_seq = sum(r.n_seqs for r in rows)
+    per = -(-n_seq // 8)
+    stats = q("q_packing_stats", spark)
+    assert n_seq == stats.count()
+    for i, r in enumerate(rows):
+        assert r.shard_tokens == r.n_seqs * 512
+        assert r.first_seq <= r.last_seq
+        if i + 1 < len(rows):
+            assert r.n_seqs == per
+            assert r.last_seq < rows[i + 1].first_seq
