@@ -160,6 +160,14 @@ EXTRA = [
     "q_corpus_overlap",
     "q_stream_minhash",
     "q_ht_estimate",
+    "q_record_linkage",
+    "q_mmr_select",
+    "q_layout_skipping",
+    "q_tokenizer_fertility",
+    "q_hard_negatives",
+    "q_matryoshka_recall",
+    "q_join_size_estimate",
+    "q_shard_manifest",
 ]
 
 SF = "/root/testdata/sf0.01"
