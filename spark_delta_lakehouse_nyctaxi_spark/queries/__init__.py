@@ -218,6 +218,7 @@ _PRIORITY: list[str] = [
     "q_matryoshka_recall",
     "q_join_size_estimate",
     "q_shard_manifest",
+    "q_proportional_allocation",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

@@ -540,3 +540,84 @@ def q_join_size_estimate(spark, sf_dir):
         F.count("*").cast("long").alias("n_keys"),
         ((ht - exact).cast("double") / exact).alias("rel_err"),
     )
+
+
+_ALLOC_BUDGET = 1000
+
+
+@register(
+    "q_proportional_allocation",
+    f"""
+    WITH g AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(n_docs) AS total FROM g),
+    base AS (
+        SELECT source, n_docs,
+               ({_ALLOC_BUDGET} * n_docs) // total AS floor_seats,
+               ({_ALLOC_BUDGET} * n_docs) % total AS remainder
+        FROM g CROSS JOIN t
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
+                   AS rem_rank,
+               {_ALLOC_BUDGET} - SUM(floor_seats) OVER () AS extra
+        FROM base
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(floor_seats AS BIGINT) AS floor_seats,
+           CAST(remainder AS BIGINT) AS remainder,
+           CAST(floor_seats + CASE WHEN rem_rank <= extra THEN 1 ELSE 0 END
+                AS BIGINT) AS seats
+    FROM ranked
+    """,
+    doc="LARGEST-REMAINDER (Hamilton) PROPORTIONAL ALLOCATION: deal a "
+        "1000-doc sampling budget across sources exactly proportional "
+        "to corpus share — floor(B·n/N) seats each, then the leftover "
+        "seats to the largest integer remainders (B·n mod N), ties by "
+        "source. The exact-integer answer to 'how many docs does each "
+        "source contribute to a fixed training budget' (md5-threshold "
+        "mixtures are rate-based and only hit a budget in expectation; "
+        "this is the exact-count complement). Σ seats = B by "
+        "construction (gated in tests). All integer arithmetic — "
+        "fully VALUE-ORACLED. The window runs over the |sources|-row "
+        "AGGREGATED frame (metadata-sized, the q_mixture_weights "
+        "allowlist class), never the corpus; the corpus sees one "
+        "map-side-combinable count aggregate.",
+)
+def q_proportional_allocation(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    total = F.sum("n_docs").over(W.partitionBy())
+    b = F.lit(_ALLOC_BUDGET)
+    base = g.select(
+        "source",
+        "n_docs",
+        F.expr(f"({_ALLOC_BUDGET} * n_docs)").alias("bn"),
+        total.alias("total"),
+    ).select(
+        "source",
+        "n_docs",
+        F.expr("bn div total").alias("floor_seats"),
+        (F.col("bn") % F.col("total")).alias("remainder"),
+    )
+    w = W.orderBy(F.desc("remainder"), "source")
+    ranked = base.select(
+        "*",
+        F.row_number().over(w).alias("rem_rank"),
+        (b - F.sum("floor_seats").over(W.partitionBy())).alias("extra"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("floor_seats").cast("long").alias("floor_seats"),
+        F.col("remainder").cast("long").alias("remainder"),
+        (
+            F.col("floor_seats")
+            + F.when(F.col("rem_rank") <= F.col("extra"), 1).otherwise(0)
+        ).cast("long").alias("seats"),
+    )

@@ -417,6 +417,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWLIST = {
     "q_poisson_bootstrap",    # order stats over the 64-row replicate frame
     "q_pq_dim_alloc",         # variance rank over the 64-row DIMENSION frame
     "q_holt_linear",          # lag window over the one-row-per-DAY frame
+    "q_proportional_allocation",  # remainder rank over the |sources|-row frame
 }
 # (q_bm25_search's rank window sits AFTER .limit(20) — the plan shows no
 # single-partition window exchange at all, so no allowlist entry needed.)

@@ -403,3 +403,19 @@ def test_shard_manifest_covers_sequence_space(spark):
         if i + 1 < len(rows):
             assert r.n_seqs == per
             assert r.last_seq < rows[i + 1].first_seq
+
+
+def test_proportional_allocation_sums_to_budget(spark):
+    """Hamilton allocation: Σ seats = budget exactly; every source gets
+    floor or floor+1; the +1s go to the largest remainders."""
+    rows = q("q_proportional_allocation", spark).collect()
+    assert sum(r.seats for r in rows) == 1000
+    bumps = [r for r in rows if r.seats == r.floor_seats + 1]
+    rest = [r for r in rows if r.seats == r.floor_seats]
+    assert len(bumps) + len(rest) == len(rows)
+    if bumps and rest:
+        assert min(b.remainder for b in bumps) >= max(
+            x.remainder for x in rest
+        ) or any(
+            b.remainder == x.remainder for b in bumps for x in rest
+        )  # ties broken by source name

@@ -168,6 +168,7 @@ EXTRA = [
     "q_matryoshka_recall",
     "q_join_size_estimate",
     "q_shard_manifest",
+    "q_proportional_allocation",
 ]
 
 SF = "/root/testdata/sf0.01"
