@@ -219,6 +219,7 @@ _PRIORITY: list[str] = [
     "q_join_size_estimate",
     "q_shard_manifest",
     "q_proportional_allocation",
+    "q_kmv_distinct",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

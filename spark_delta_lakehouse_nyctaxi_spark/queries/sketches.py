@@ -668,3 +668,84 @@ def q_hll_intersection(spark, sf_dir):
             "est_intersection"
         ),
     )
+
+
+# ---- q_kmv_distinct ----------------------------------------------------
+_KMV_K = 256
+_KMV_EST = f"CAST({_KMV_K - 1} AS DOUBLE) * 1152921504606846976 / kth_hash"
+
+
+@register(
+    "q_kmv_distinct",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')
+                   )) AS sh
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents)
+        )
+        WHERE sh <> ''
+    ),
+    mink AS (
+        SELECT MAX(h) AS kth_hash, COUNT(*) AS k
+        FROM (SELECT h FROM sh ORDER BY h LIMIT {_KMV_K})
+    ),
+    exact AS (SELECT COUNT(*) AS exact_distinct FROM sh)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(kth_hash AS BIGINT) AS kth_hash,
+           {_KMV_EST} AS est_distinct,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           ({_KMV_EST} - exact_distinct) / exact_distinct AS rel_err
+    FROM mink CROSS JOIN exact
+    """,
+    doc="KMV (k-minimum-values / bottom-k) DISTINCT ESTIMATOR with an "
+        "EXACT value oracle — unlike HLL (register layout is "
+        "implementation-defined, rows-only), the KMV estimate is a "
+        "pure function of the k-th smallest hash: est = (k−1)·2^60 / "
+        "h_(k) over 60-bit md5 shingle ids. (k−1)·2^60 is an exactly-"
+        "representable double (8-bit mantissa), so the estimate is ONE "
+        "correctly-rounded IEEE division both engines reproduce "
+        "bitwise; exact distinct count and realized rel_err ride "
+        "alongside (the sketch-certificate discipline). 100 TB: "
+        "bottom-k is a TakeOrdered (k per partition, merged on the "
+        "driver — no global sort, no single-partition window); "
+        "mergeability across shards = union + re-bottom-k, the same "
+        "algebra as q_stream_minhash. 1-row attach via attach_scalar "
+        "(documented BNLJ allowlist class).",
+)
+def q_kmv_distinct(spark, sf_dir):
+    from ..operators import dedup as D
+    from .aggregates import attach_scalar
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = D.doc_shingle_arrays(docs, "doc_id", "text", k=3, hashed="md5")
+    d = arrs.select(F.explode("sh_arr").alias("h")).distinct().persist()
+    try:
+        mink = (
+            d.orderBy("h")
+            .limit(_KMV_K)
+            .agg(
+                F.max("h").alias("kth_hash"),
+                F.count("*").cast("long").alias("k"),
+            )
+        )
+        exact = d.agg(F.count("*").cast("long").alias("exact_distinct"))
+        est = (
+            F.lit(float(_KMV_K - 1)) * F.lit(float(2**60)) / F.col("kth_hash")
+        )
+        return attach_scalar(mink, exact).select(
+            "k",
+            F.col("kth_hash").cast("long").alias("kth_hash"),
+            est.alias("est_distinct"),
+            "exact_distinct",
+            (
+                (est - F.col("exact_distinct")) / F.col("exact_distinct")
+            ).alias("rel_err"),
+        ).localCheckpoint()
+    finally:
+        d.unpersist()

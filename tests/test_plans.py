@@ -450,6 +450,7 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_cusum_changepoint",     # 1-row (n, total) attaches to the daily frame
     "q_lorenz_deciles",        # 1-row total attaches to the 10-row decile frame
     "q_hll_intersection",      # two 1-row exact frames attach to the register fold
+    "q_kmv_distinct",          # 1-row exact-distinct frame attaches to the bottom-k row
     "q_poisson_bootstrap",     # two 1-row order-stat frames attach to the point estimate
     "q_stream_hll",            # 1-row exact-distinct frame attaches to the register fold
     "q_ks_test",               # 1-row (n1, n2) totals attach to the CDF frame

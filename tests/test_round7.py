@@ -419,3 +419,13 @@ def test_proportional_allocation_sums_to_budget(spark):
         ) or any(
             b.remainder == x.remainder for b in bumps for x in rest
         )  # ties broken by source name
+
+
+def test_kmv_estimate_rederives(spark):
+    """KMV: k = 256 (corpus has more distinct shingles), the estimate
+    is exactly (k-1)*2^60/kth_hash, and the estimator is within 3
+    standard errors (~1/sqrt(k)) of the exact count on this corpus."""
+    r = q("q_kmv_distinct", spark).collect()[0]
+    assert r.k == 256
+    assert r.est_distinct == (r.k - 1) * float(2**60) / r.kth_hash
+    assert abs(r.rel_err) < 3.0 / (256 ** 0.5)
