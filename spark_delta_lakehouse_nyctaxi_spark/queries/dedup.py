@@ -2224,3 +2224,190 @@ def q_graph_modularity(spark, sf_dir):
         ).localCheckpoint()
     finally:
         pairs.unpersist()
+
+
+# ---- q_clustering_ari --------------------------------------------------
+# Adjusted Rand Index between the EXACT-Jaccard near-dup clustering and
+# the LSH-derived clustering — the cluster-LEVEL complement of the
+# pair-level q_lsh_recall audit.  ARI is pure pair counting, so with
+# deterministic partitions on both engines it reduces to exact int64
+# arithmetic and one final IEEE division:
+#   ari = (2·C·Σij − 2·Σa·Σb) / (C·(Σa + Σb) − 2·Σa·Σb)
+# with C = C(n,2), Σij = Σ C(n_ij,2) over the contingency cells,
+# Σa/Σb = Σ C(size,2) per partition (docs outside a partition are
+# singletons and contribute 0 to every pair sum; n is the corpus).
+_ARI_SQL = f"""
+    WITH RECURSIVE sh0 AS ({_SHINGLES_SQL}),
+    shh AS (
+        SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+        FROM sh0
+    ),
+    szs AS (SELECT id, COUNT(*) AS n_sh FROM shh GROUP BY id),
+    xinter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    xpairs AS (
+        SELECT id_a, id_b FROM xinter
+        JOIN szs sa ON sa.id = id_a JOIN szs sb ON sb.id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= 0.1
+    ),
+    sigs AS (
+        SELECT id, {_MH_MINS}
+        FROM shh GROUP BY id
+    ),
+    bands AS ({_MH_BAND_ARMS}),
+    buckets AS (
+        SELECT id, band, key,
+               COUNT(*) OVER (PARTITION BY band, key) AS bsz
+        FROM bands
+    ),
+    lcand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM buckets x
+        JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.id < y.id
+        WHERE x.bsz <= 1000
+    ),
+    lpairs AS (
+        SELECT c.id_a, c.id_b FROM (
+            SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+            FROM lcand c
+            JOIN shh a ON a.id = c.id_a
+            JOIN shh b ON b.id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        ) c
+        JOIN szs sa ON sa.id = c.id_a JOIN szs sb ON sb.id = c.id_b
+        WHERE CAST(c.n_common AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - c.n_common) >= 0.1
+    ),
+    xedges AS (SELECT id_a AS src, id_b AS dst FROM xpairs
+               UNION SELECT id_b, id_a FROM xpairs),
+    xwalk(node, label) AS (
+        SELECT src, src FROM xedges
+        UNION
+        SELECT e.dst, w.label FROM xwalk w JOIN xedges e ON e.src = w.node
+    ),
+    xclusters AS (SELECT node AS doc_id, MIN(label) AS cl
+                  FROM xwalk GROUP BY node),
+    ledges AS (SELECT id_a AS src, id_b AS dst FROM lpairs
+               UNION SELECT id_b, id_a FROM lpairs),
+    lwalk(node, label) AS (
+        SELECT src, src FROM ledges
+        UNION
+        SELECT e.dst, w.label FROM lwalk w JOIN ledges e ON e.src = w.node
+    ),
+    lclusters AS (SELECT node AS doc_id, MIN(label) AS cl
+                  FROM lwalk GROUP BY node),
+    joined AS (
+        SELECT COALESCE(x.doc_id, l.doc_id) AS doc_id,
+               COALESCE(x.cl, COALESCE(x.doc_id, l.doc_id)) AS la,
+               COALESCE(l.cl, COALESCE(x.doc_id, l.doc_id)) AS lb
+        FROM xclusters x FULL OUTER JOIN lclusters l
+          ON x.doc_id = l.doc_id
+    ),
+    cells AS (
+        SELECT SUM(c * (c - 1) // 2) AS sum_ij FROM (
+            SELECT la, lb, COUNT(*) AS c FROM joined GROUP BY 1, 2
+        )
+    ),
+    pa AS (
+        SELECT SUM(c * (c - 1) // 2) AS sum_a FROM (
+            SELECT cl, COUNT(*) AS c FROM xclusters GROUP BY 1
+        )
+    ),
+    pb AS (
+        SELECT SUM(c * (c - 1) // 2) AS sum_b FROM (
+            SELECT cl, COUNT(*) AS c FROM lclusters GROUP BY 1
+        )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(sum_ij AS BIGINT) AS sum_c2_cells,
+           CAST(sum_a AS BIGINT) AS sum_c2_exact,
+           CAST(sum_b AS BIGINT) AS sum_c2_lsh,
+           CAST(2 * (n * (n - 1) // 2) * sum_ij - 2 * sum_a * sum_b
+                AS BIGINT) AS ari_num,
+           CAST((n * (n - 1) // 2) * (sum_a + sum_b) - 2 * sum_a * sum_b
+                AS BIGINT) AS ari_den,
+           CAST(2 * (n * (n - 1) // 2) * sum_ij - 2 * sum_a * sum_b
+                AS DOUBLE)
+               / ((n * (n - 1) // 2) * (sum_a + sum_b) - 2 * sum_a * sum_b)
+               AS ari
+    FROM cells CROSS JOIN pa CROSS JOIN pb CROSS JOIN nn
+"""
+
+
+@register(
+    "q_clustering_ari",
+    _ARI_SQL,
+    doc="ADJUSTED RAND INDEX between the exact-Jaccard near-dup "
+        "clustering and the LSH-banded clustering — the cluster-LEVEL "
+        "audit completing q_lsh_recall's pair-level one (banding can "
+        "miss pairs yet still produce the same components via "
+        "transitive paths; ARI measures what survives clustering). "
+        "Both partitions are deterministic, so ARI's pair counting is "
+        "EXACT int64 arithmetic (contingency C(n_ij,2) sums via one "
+        "full-outer join of the two cluster maps — docs in neither "
+        "partition are singletons in both and contribute 0) and ONE "
+        "final IEEE division — fully VALUE-ORACLED incl. the recursive "
+        "components on both sides. Scalars reach the driver as 5 "
+        "bounded fetches and return as a JVM literal frame. 100 TB: "
+        "everything downstream of the pair stages operates on "
+        "cluster-map-sized frames (≪ corpus).",
+)
+def q_clustering_ari(spark, sf_dir):
+    from ..operators.local_frames import literal_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    exact_pairs = _prefix_jaccard_pairs(docs, threshold=0.1).select(
+        "id_a", "id_b"
+    )
+    arrs = D.doc_shingle_arrays(docs, "doc_id", "text", k=3, hashed="md5").persist()
+    try:
+        sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+        sig = D.minhash_signatures_linear(sh, _MH_COEFFS)
+        cand = D.lsh_candidate_pairs_grouped(
+            sig, bands=8, max_bucket_size=1000, exact_keys=True
+        )
+        lsh_pairs = D.jaccard_pairs_from_arrays(arrs, cand, threshold=0.1).select(
+            "id_a", "id_b"
+        )
+        ca = D.duplicate_clusters(exact_pairs).select(
+            F.col("id").alias("doc_id"), F.col("cluster_id").alias("la")
+        )
+        cb = D.duplicate_clusters(lsh_pairs).select(
+            F.col("id").alias("doc_id"), F.col("cluster_id").alias("lb")
+        )
+        joined = ca.join(cb, "doc_id", "full_outer").select(
+            F.coalesce("la", "doc_id").alias("la"),
+            F.coalesce("lb", "doc_id").alias("lb"),
+        )
+        c2 = lambda c: F.sum(F.expr("c * (c - 1) div 2")).cast("long")  # noqa: E731
+        sum_ij = (
+            joined.groupBy("la", "lb")
+            .agg(F.count("*").alias("c"))
+            .agg(c2(F.col("c")).alias("s"))
+            .collect()[0].s
+        )
+        sum_a = (
+            ca.groupBy("la").agg(F.count("*").alias("c"))
+            .agg(c2(F.col("c")).alias("s")).collect()[0].s
+        )
+        sum_b = (
+            cb.groupBy("lb").agg(F.count("*").alias("c"))
+            .agg(c2(F.col("c")).alias("s")).collect()[0].s
+        )
+    finally:
+        arrs.unpersist()
+    big_c = n * (n - 1) // 2
+    num = 2 * big_c * sum_ij - 2 * sum_a * sum_b
+    den = big_c * (sum_a + sum_b) - 2 * sum_a * sum_b
+    return literal_frame(
+        spark,
+        [(n, sum_ij, sum_a, sum_b, num, den, num / den)],
+        "n_docs bigint, sum_c2_cells bigint, sum_c2_exact bigint,"
+        " sum_c2_lsh bigint, ari_num bigint, ari_den bigint, ari double",
+    )

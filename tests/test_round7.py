@@ -441,3 +441,15 @@ def test_graph_modularity_rederives(spark):
     assert -1.0 <= r.modularity < 1.0
     assert r.n_clusters >= 1 and r.max_cluster_size >= 2
     assert r.n_nodes >= r.max_cluster_size
+
+
+def test_clustering_ari_certificate(spark):
+    """ARI re-derives from its own integer parts; on this corpus the
+    LSH partition reproduces the exact partition (ARI = 1, and the
+    three pair sums coincide) — the cluster-level equivalence that
+    q_lsh_recall's pair recall only implies."""
+    r = q("q_clustering_ari", spark).collect()[0]
+    assert r.ari == r.ari_num / r.ari_den
+    assert -1.0 <= r.ari <= 1.0
+    assert r.ari == 1.0
+    assert r.sum_c2_cells == r.sum_c2_exact == r.sum_c2_lsh

@@ -171,6 +171,7 @@ EXTRA = [
     "q_proportional_allocation",
     "q_kmv_distinct",
     "q_graph_modularity",
+    "q_clustering_ari",
 ]
 
 SF = "/root/testdata/sf0.01"
