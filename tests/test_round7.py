@@ -453,3 +453,17 @@ def test_clustering_ari_certificate(spark):
     assert -1.0 <= r.ari <= 1.0
     assert r.ari == 1.0
     assert r.sum_c2_cells == r.sum_c2_exact == r.sum_c2_lsh
+
+
+def test_salting_balance_improves(spark):
+    """Salting must strictly improve the straggler profile: more
+    partitions used, lower max load, lower imbalance; row totals
+    unchanged; imbalance re-derives from its integer parts."""
+    rows = {r.variant: r for r in q("q_salting_balance", spark).collect()}
+    u, s = rows["unsalted"], rows["salted"]
+    assert u.n_rows == s.n_rows
+    assert s.n_partitions_used > u.n_partitions_used
+    assert s.max_load < u.max_load
+    assert s.imbalance < u.imbalance
+    for r in (u, s):
+        assert r.imbalance == r.max_load / (r.n_rows / 32)

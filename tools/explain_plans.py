@@ -172,6 +172,7 @@ EXTRA = [
     "q_kmv_distinct",
     "q_graph_modularity",
     "q_clustering_ari",
+    "q_salting_balance",
 ]
 
 SF = "/root/testdata/sf0.01"
