@@ -223,6 +223,7 @@ _PRIORITY: list[str] = [
     "q_graph_modularity",
     "q_clustering_ari",
     "q_salting_balance",
+    "q_stream_kmv",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

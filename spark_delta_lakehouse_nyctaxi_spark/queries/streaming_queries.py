@@ -1164,3 +1164,85 @@ def q_stream_minhash(spark, sf_dir):
     )
     run_available_now(sdf, scratch_dir("ckpt_mh"), foreach_batch=fold)
     return t_state.read().select("perm_id", "register")
+
+
+_KMV_STREAM_SQL = """
+    SELECT h FROM (
+        SELECT DISTINCT ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')
+                   )) AS sh
+            FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents)
+        )
+        WHERE sh <> ''
+        ORDER BY h LIMIT 256
+    )
+"""
+
+
+@register(
+    "q_stream_kmv",
+    _KMV_STREAM_SQL,
+    doc="STREAMING KMV (bottom-k) SKETCH MAINTENANCE — the third "
+        "mergeable-sketch algebra in the streaming tier alongside "
+        "q_stream_hll (max-merge) and q_stream_minhash (min-merge): "
+        "per micro-batch, the batch's bottom-256 distinct shingle "
+        "hashes; merge = union ∪ state → distinct → re-bottom-256. "
+        "Set-union + order-statistic truncation is IDEMPOTENT and "
+        "COMMUTATIVE, so crash replay re-merges the same hashes and "
+        "changes nothing — exactly-once by ALGEBRA, no batch-id "
+        "guard. The final 256-hash state is bitwise equal to the "
+        "batch bottom-k whatever the arrival/replay history, so the "
+        "ENTIRE SKETCH STATE is value-oracled row-for-row (not just "
+        "a derived estimate — the q_kmv_distinct estimator is a pure "
+        "function of this state). 100 TB: state is 256 longs; each "
+        "batch contributes one TakeOrdered (k per partition, no "
+        "global sort).",
+)
+def q_stream_kmv(spark, sf_dir):
+    from ..operators import dedup as D
+    from ..sources.table import VersionedTable
+
+    k = 256
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    path = scratch_dir("stream_kmv_docs")
+    span = int(hi) - int(lo) + 1
+    for i in range(4):
+        a = int(lo) + i * span // 4
+        b = int(lo) + (i + 1) * span // 4
+        docs.filter(
+            (F.col("doc_id") >= a) & (F.col("doc_id") < b)
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    t_state = VersionedTable(spark, scratch_dir("kmv_state"))
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        arrs = D.doc_shingle_arrays(batch_df, "doc_id", "text", k=3, hashed="md5")
+        bottom = (
+            arrs.select(F.explode("sh_arr").alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+        if t_state.exists():
+            bottom = (
+                t_state.read().unionByName(bottom)
+                .distinct()
+                .orderBy("h")
+                .limit(k)
+            )
+        t_state.write(bottom.localCheckpoint(), mode="overwrite")
+
+    sdf = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_available_now(sdf, scratch_dir("ckpt_kmv"), foreach_batch=fold)
+    return t_state.read().select("h")

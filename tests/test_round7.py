@@ -467,3 +467,25 @@ def test_salting_balance_improves(spark):
     assert s.imbalance < u.imbalance
     for r in (u, s):
         assert r.imbalance == r.max_load / (r.n_rows / 32)
+
+
+def test_stream_kmv_equals_batch_bottom_k(spark):
+    """Bottom-k union-merge maintenance must equal the one-shot batch
+    bottom-256 — the set-algebra exactly-once claim, re-derived
+    independently."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators import dedup as D
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    stream = sorted(r.h for r in q("q_stream_kmv", spark).collect())
+    docs = load_table(spark, SF_SMALL, "documents")
+    arrs = D.doc_shingle_arrays(docs, "doc_id", "text", k=3, hashed="md5")
+    batch = sorted(
+        r.h
+        for r in arrs.select(F.explode("sh_arr").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(256)
+        .collect()
+    )
+    assert stream == batch
+    assert len(stream) == 256
