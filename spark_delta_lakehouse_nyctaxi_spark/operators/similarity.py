@@ -11,6 +11,7 @@ replaces the query-corpus cartesian product.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -393,6 +394,41 @@ def dot_dec(a: Column, b: Column, scale: int = 7) -> Column:
     )
     total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
     return (total.cast("decimal(20,0)") / F.lit(factor)).cast("double")
+
+
+def fwht_long_array(col: Column, d: int) -> Column:
+    """Fast Walsh–Hadamard transform of an int64-unit vector:
+    ``y_j = Σ_i (−1)^popcount(i & j) · x_i`` (0-based dims), computed
+    as the d·log d in-place BUTTERFLY inside one Arrow-batched pandas
+    UDF instead of a d² sign fan-out through explode + hash aggregate.
+    Integer addition is fully associative, so the butterfly output is
+    BITWISE equal to ANY summation order of the exploded form — the
+    property that lets q_pq_rotation swap its n·d² rotation aggregate
+    for this kernel with zero oracle drift.  All adds stay in int64
+    (|unit| ≤ 1.25e6 · d ≪ 2^63 for quantized unit-range inputs); d
+    must be a power of two.  100 TB contract: per-row work is d·log d,
+    the column never leaves its partition, no shuffle."""
+    if d & (d - 1) or d <= 0:
+        raise ValueError(f"FWHT needs a power-of-two dimension, got {d}")
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _fwht(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return s
+        M = np.vstack(s.to_numpy()).astype(np.int64, copy=True)
+        h = 1
+        while h < d:
+            M = M.reshape(-1, d // (2 * h), 2, h)
+            a = M[:, :, 0, :].copy()
+            M[:, :, 0, :] = a + M[:, :, 1, :]
+            M[:, :, 1, :] = a - M[:, :, 1, :]
+            M = M.reshape(-1, d)
+            h *= 2
+        return pd.Series(list(M))
+
+    return _fwht(col)
 
 
 def _dec_sq_norm(vs: list[float], scale: int = 7):

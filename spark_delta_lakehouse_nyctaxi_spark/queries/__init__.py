@@ -74,21 +74,114 @@ from . import sketches  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 
 
-# Round-6 rotation.  The driver verifies ~50 registry entries per round
-# in order.  At round-5 close 244 of the 325 registry queries had a
-# driver row (CORRECTNESS_r01..r05); the 81 that never have are rotated
-# to the front here: the 79 value-oracled ones fill slots 1-79 so the
-# r6 window (slots 1-50) and the r7 window (slots 51+) sweep them all.
-# Every one of them passed the strict local oracle gate
-# (tools/check_oracle.py, exact compare) at sf0.001 + sf0.01 + sf0.1 in
-# round 5, and the round-5 judge re-ran all 81 independently (81/81
-# bitwise, VERDICT r5) — residual risk is driver-environment drift
-# only.  New round-6 queries are inserted at the R6-NEW marker (slot
-# 51+, i.e. the r7 window).  The 5 fundamentally rows-only queries stay
+# Round-8 rotation.  Empirically (CORRECTNESS_r06 vs _r07: identical
+# 50-key sets) the driver verifies the FIRST 50 registry entries every
+# round — the window does NOT advance on its own.  So each round the
+# never-driver-checked queries must be rotated INTO slots 1-50.  At
+# round-7 close 81 registry queries had no driver row (79 value-oracled
+# + 2 rows-only).  The 50 below (all 31 R7-NEW + all 19 R6-NEW) fill
+# slots 1-50 for the r8 driver window — covering every round-7 flagship
+# the r7 verdict named (q_attention_mask, q_shuffle_certificate, the
+# OPQ trio, the streaming-sketch trio, q_record_linkage, q_mmr_select,
+# TPC-H q2/q9/q11/q12/q16/q20/q21).  The remaining 29 (the old r7-era
+# slots-51+ block) sit at slots 51-79 so a future rotation sweeps them
+# in r9.  Every one of the 81 passed the strict local oracle gate
+# (tools/check_oracle.py --plain, exact compare) at sf0.001 + sf0.01 +
+# sf0.1, and the round-7 judge re-ran all 81 independently (81/81
+# bitwise, VERDICT r7) — residual risk is driver-environment drift
+# only.  New round-8 queries are inserted at the R8-NEW marker (slot
+# 80+, i.e. the r9 window).  The 5 fundamentally rows-only queries stay
 # permanently below the cap per VERDICT r3 item 8; each has an oracled
-# deterministic companion.
+# deterministic companion.  DO NOT reorder slots 1-50 until
+# CORRECTNESS_r08 lands (VERDICT r7 item 1).
 _PRIORITY: list[str] = [
-    # --- slots 1-50: the r6 driver window (never-driver-checked) ---
+    # --- slots 1-50: the r8 driver window (never-driver-checked) ---
+    # round-7 additions (31)
+    "q_attention_mask",
+    "q_shuffle_certificate",
+    "q_pq_dim_alloc",
+    "q_opq_distortion",
+    "q_opq_recall",
+    "q_audio_overlap_add",
+    "q_shuffled_packing",
+    "q_span_corruption",
+    "q_doc_entropy",
+    "q_bigram_surprisal",
+    "q_holt_linear",
+    "q_pq_rotation",
+    "q_dp_noise_calibration",
+    "q_stream_packing",
+    "q_corpus_overlap",
+    "q_stream_minhash",
+    "q_ht_estimate",
+    "q_record_linkage",
+    "q_mmr_select",
+    "q_layout_skipping",
+    "q_tokenizer_fertility",
+    "q_hard_negatives",
+    "q_matryoshka_recall",
+    "q_join_size_estimate",
+    "q_shard_manifest",
+    "q_proportional_allocation",
+    "q_kmv_distinct",
+    "q_graph_modularity",
+    "q_clustering_ari",
+    "q_salting_balance",
+    "q_stream_kmv",
+    # round-6 additions (19)
+    "q_substring_dedup",
+    "q_image_palette",
+    "q_substring_excision",
+    "q_sequence_packing",
+    "q_audio_resample",
+    "q_packing_stats",
+    "q_palette_quantize",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_dup_spectrum",
+    "q_collation",
+    "q_ann_ivf_pq",
+    "q_ivfpq_recall",
+    "q_longest_dup_run",
+    # --- slots 51-79: never-driver-checked remainder (the r9 window;
+    # rotate these into slots 1-50 once CORRECTNESS_r08 lands) ---
+    "q_hll_intersection",
+    "q_audio_wht",
+    "q_image_whash",
+    "q_nucleus_selection",
+    "q_poisson_bootstrap",
+    "q_l_diversity",
+    "q_forecast_backtest",
+    "q_stream_hll",
+    "q_table_profile",
+    "q_cross_correlation",
+    "q_sql_udf",
+    "q_burstiness",
+    "q_diff_in_diff",
+    "q_survival_hazard",
+    "q_knn_classifier",
+    "q_ks_test",
+    "q_association_rules",
+    "q_winsorized_mean",
+    "q_mann_whitney",
+    "q_chi2_independence",
+    "q_cohort_ltv",
+    "q_simpson_audit",
+    "q_calibration_bins",
+    "q_mann_kendall",
+    "q_lm_generate",
+    "q_abc_classification",
+    "q_time_to_convert",
+    "q_graph_assortativity",
+    "q_degree_histogram",
+    # --- R8-NEW: new round-8 value-oracled queries slot here (after
+    # the never-driver-checked remainder, joining the r9 window) ---
+    # --- driver-green queries from prior windows (r6/r7 slots 1-50) ---
     "q_interval_join",
     "q_dpp_certified",
     "q_log_checkpoint",
@@ -139,91 +232,6 @@ _PRIORITY: list[str] = [
     "q_gini_concentration",
     "q_cusum_changepoint",
     "q_lorenz_deciles",
-    # --- slots 51+: the r7 driver window (never-driver-checked) ---
-    "q_hll_intersection",
-    "q_audio_wht",
-    "q_image_whash",
-    "q_nucleus_selection",
-    "q_poisson_bootstrap",
-    "q_l_diversity",
-    "q_forecast_backtest",
-    "q_stream_hll",
-    "q_table_profile",
-    "q_cross_correlation",
-    "q_sql_udf",
-    "q_burstiness",
-    "q_diff_in_diff",
-    "q_survival_hazard",
-    "q_knn_classifier",
-    "q_ks_test",
-    "q_association_rules",
-    "q_winsorized_mean",
-    "q_mann_whitney",
-    "q_chi2_independence",
-    "q_cohort_ltv",
-    "q_simpson_audit",
-    "q_calibration_bins",
-    "q_mann_kendall",
-    "q_lm_generate",
-    "q_abc_classification",
-    "q_time_to_convert",
-    "q_graph_assortativity",
-    "q_degree_histogram",
-    # --- R6-NEW: new round-6 value-oracled queries slot here ---
-    "q_substring_dedup",
-    "q_image_palette",
-    "q_substring_excision",
-    "q_sequence_packing",
-    "q_audio_resample",
-    "q_packing_stats",
-    "q_palette_quantize",
-    # round-6 second wave: TPC-H completed to 22/22 shapes via the
-    # derived partsupp / ship columns (deterministic in both engines)
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_dup_spectrum",
-    "q_collation",
-    "q_ann_ivf_pq",
-    "q_ivfpq_recall",
-    "q_longest_dup_run",
-    # --- R7-NEW: new round-7 value-oracled queries slot here (after
-    # the r7 driver window slots 51-100, which r6's verdict froze) ---
-    "q_attention_mask",
-    "q_shuffle_certificate",
-    "q_pq_dim_alloc",
-    "q_opq_distortion",
-    "q_opq_recall",
-    "q_audio_overlap_add",
-    "q_shuffled_packing",
-    "q_span_corruption",
-    "q_doc_entropy",
-    "q_bigram_surprisal",
-    "q_holt_linear",
-    "q_pq_rotation",
-    "q_dp_noise_calibration",
-    "q_stream_packing",
-    "q_corpus_overlap",
-    "q_stream_minhash",
-    "q_ht_estimate",
-    "q_record_linkage",
-    "q_mmr_select",
-    "q_layout_skipping",
-    "q_tokenizer_fertility",
-    "q_hard_negatives",
-    "q_matryoshka_recall",
-    "q_join_size_estimate",
-    "q_shard_manifest",
-    "q_proportional_allocation",
-    "q_kmv_distinct",
-    "q_graph_modularity",
-    "q_clustering_ari",
-    "q_salting_balance",
-    "q_stream_kmv",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
     # is pytest-gated and has an oracled deterministic companion)
     "q_stream_dedup",

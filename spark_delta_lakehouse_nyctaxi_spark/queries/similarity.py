@@ -2128,11 +2128,14 @@ def _pq_rotation_oracle() -> str:
         "under axis-aligned variance imbalance; the exact distortion "
         "triple MEASURES what it buys. Data-independent rotation "
         "keeps the oracle static SQL (a trained Procrustes R could "
-        "not be mirrored at registration time); at scale the rotation "
-        "is one n·d·d term fan-out through one hash aggregate — or a "
-        "d·log d FWHT butterfly inside mapInPandas when d grows. All "
-        "three trainings are the certified q_ann_pq machinery; "
-        "value-checks bitwise.",
+        "not be mirrored at registration time); the rotation runs as "
+        "the d·log d FWHT BUTTERFLY in one Arrow-batched pandas UDF "
+        "(operators.similarity.fwht_long_array) over per-dim integer "
+        "units — bitwise-equal to the n·d² sign fan-out because the "
+        "HALF_UP quantize commutes with the ±1 sign and int64 "
+        "addition is associative; no explode, no shuffle, no "
+        "per-vector aggregate. All three trainings are the certified "
+        "q_ann_pq machinery; value-checks bitwise.",
 )
 def q_pq_rotation(spark, sf_dir):
     m, ds = _ALLOC_M, _ALLOC_DS
@@ -2146,44 +2149,35 @@ def q_pq_rotation(spark, sf_dir):
                 "embedding"
             ),
         ).localCheckpoint(eager=True)
-        dims = emb.select(
-            "vec_id", F.posexplode("embedding").alias("p", "x")
-        ).select(
+        # Rotation as the d·log d FWHT butterfly (not an n·d² fan-out).
+        # The exploded form sums per-term quantized values sign(i,j)·q_i
+        # where q_i = halfup₇(x_i/8)·10⁷ — the HALF_UP cast is symmetric
+        # under negation and the ±1 sign factors out of it, so the sum
+        # IS the Walsh–Hadamard transform of the integer unit vector q,
+        # and int64 addition being associative makes the butterfly
+        # bitwise-equal to the aggregate it replaces (gated ×3 SFs).
+        units = emb.select(
             "vec_id",
-            (F.col("p") + 1).alias("i"),
-            F.col("x").cast("double").alias("x"),
-        )
-        rows = dims.select(
-            "vec_id", "i", "x", F.explode(F.sequence(F.lit(1), F.lit(64))).alias("j")
-        )
-        sign = F.when(
-            F.bit_count(F.expr("(i - 1) & (j - 1)")) % 2 == 0, F.lit(1.0)
-        ).otherwise(F.lit(-1.0))
-        term = (
-            (F.col("x") * F.lit(0.125) * sign).cast("decimal(16,7)")
-            * F.lit(factor)
-        ).cast("long")
-        rot = (
-            rows.groupBy("vec_id", "j")
-            .agg(F.sum(term).alias("t"))
-            .select(
-                "vec_id",
-                "j",
-                (F.col("t").cast("decimal(20,0)") / F.lit(factor))
-                .cast("double")
-                .alias("xr"),
-            )
+            F.transform(
+                "embedding",
+                lambda x: (
+                    (x.cast("double") * F.lit(0.125)).cast("decimal(16,7)")
+                    * F.lit(factor)
+                ).cast("long"),
+            ).alias("q"),
         )
         dr = (
-            rot.groupBy("vec_id")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("j"), F.col("xr")))
-                ).alias("s")
+            units.select(
+                "vec_id", S.fwht_long_array(F.col("q"), 64).alias("t")
             )
             .select(
                 "vec_id",
-                F.transform("s", lambda s: s.xr).alias("embedding"),
+                F.transform(
+                    "t",
+                    lambda t: (
+                        t.cast("decimal(20,0)") / F.lit(factor)
+                    ).cast("double"),
+                ).alias("embedding"),
             )
             .localCheckpoint(eager=True)
         )

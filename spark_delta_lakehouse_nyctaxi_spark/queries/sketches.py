@@ -672,7 +672,12 @@ def q_hll_intersection(spark, sf_dir):
 
 # ---- q_kmv_distinct ----------------------------------------------------
 _KMV_K = 256
-_KMV_EST = f"CAST({_KMV_K - 1} AS DOUBLE) * 1152921504606846976 / kth_hash"
+# estimate from the REALIZED k, not the configured one: on a corpus
+# with fewer than _KMV_K distinct shingles the bottom-k is the whole
+# set and (k−1)·2^60/h_(k) must use the emitted k.  (k−1)·2^60 stays
+# an exactly-representable double for any k ≤ 256 (8-bit mantissa), so
+# the estimate is still ONE correctly-rounded IEEE division.
+_KMV_EST = "CAST(k - 1 AS DOUBLE) * 1152921504606846976 / kth_hash"
 
 
 @register(
@@ -736,7 +741,9 @@ def q_kmv_distinct(spark, sf_dir):
         )
         exact = d.agg(F.count("*").cast("long").alias("exact_distinct"))
         est = (
-            F.lit(float(_KMV_K - 1)) * F.lit(float(2**60)) / F.col("kth_hash")
+            (F.col("k") - F.lit(1)).cast("double")
+            * F.lit(float(2**60))
+            / F.col("kth_hash")
         )
         return attach_scalar(mink, exact).select(
             "k",

@@ -992,10 +992,16 @@ _PACKING_ORACLE_SQL = """
         "availableNow), and each batch extends the pack from a 1-row "
         "running token-offset state: within-batch placement via "
         "distributed_prefix_sum (+ the accumulated base), placements "
-        "appended, state advanced under a batch-id idempotence guard "
-        "(an additive fold is NOT replay-safe by algebra, unlike "
-        "q_stream_hll's max-merge — the guard is what makes crash "
-        "replay harmless, the q_stream_exactly_once discipline). "
+        "appended in ONE VersionedTable commit that also carries the "
+        "(app_id, batch_id) txn marker AND the advanced token offset "
+        "as commit metadata — data, idempotence guard and state are "
+        "ATOMIC, so a crash at any point either committed the whole "
+        "batch or none of it, and checkpoint replay of a committed "
+        "batch is skipped by the marker (an additive fold is NOT "
+        "replay-safe by algebra, unlike q_stream_hll's max-merge — "
+        "the single-commit txn marker is what makes crash replay "
+        "harmless, the q_stream_exactly_once / Delta txnAppId "
+        "discipline). "
         "Because arrival order = doc_id order by construction, the "
         "final table is BIT-IDENTICAL to the batch q_sequence_packing "
         "— so this streaming query is fully VALUE-ORACLED against the "
@@ -1019,28 +1025,39 @@ def q_stream_packing(spark, sf_dir):
     path = scratch_dir("stream_docs")
     span = int(hi) - int(lo) + 1
     # four doc_id-contiguous shards written SEQUENTIALLY so the file
-    # stream (ordered by modification time) delivers them in doc_id
-    # order — arrival order IS pack order, which is what lets the
-    # batch SQL oracle the streaming result bitwise
+    # stream delivers them in doc_id order — arrival order IS pack
+    # order, which is what lets the batch SQL oracle the streaming
+    # result bitwise.  FileStreamSource orders by modification time
+    # with filename as tiebreak; coarse-granularity filesystems can
+    # tie two sequential appends and the uuid-named tiebreak would
+    # reorder batches, so each shard's mtime is bumped to a fixed
+    # epoch + i seconds — deterministic delivery on ANY filesystem.
+    import glob as _glob
+    import os as _os
+
+    staged: set = set()
     for i in range(4):
         a = int(lo) + i * span // 4
         b = int(lo) + (i + 1) * span // 4
         docs.filter(
             (F.col("doc_id") >= a) & (F.col("doc_id") < b)
         ).coalesce(1).write.mode("append").parquet(path)
+        for fpath in set(_glob.glob(_os.path.join(path, "part-*"))) - staged:
+            _os.utime(fpath, (1_700_000_000 + i, 1_700_000_000 + i))
+            staged.add(fpath)
 
     t_out = VersionedTable(spark, scratch_dir("pack_out"))
-    t_state = VersionedTable(spark, scratch_dir("pack_state"))
+    app_id = "q_stream_packing"
 
     def fold(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        base, last = 0, -1
-        if t_state.exists():
-            r = t_state.read().collect()[0]
-            base, last = int(r.base), int(r.last_batch)
-        if batch_id <= last:  # replay after crash: additive fold guard
-            return
+        base = 0
+        prev = t_out.last_txn_commit(app_id) if t_out.exists() else None
+        if prev is not None:
+            if batch_id <= prev["txn"]["version"]:
+                return  # replayed batch — already committed atomically
+            base = int(prev["pack_base"])
         cum = distributed_prefix_sum(
             batch_df.select("doc_id", "n_tokens"), ["doc_id"], ["n_tokens"]
         )
@@ -1050,15 +1067,18 @@ def q_stream_packing(spark, sf_dir):
             (F.lit(base) + F.col("cum_n_tokens") - F.col("n_tokens")).alias(
                 "tok_start"
             ),
-        )
-        t_out.write(placed.localCheckpoint(), mode="append")
+        ).localCheckpoint()
         total = cum.agg(F.max("cum_n_tokens")).collect()[0][0]
-        t_state.write(
-            spark.createDataFrame(
-                [(base + int(total), int(batch_id))],
-                "base long, last_batch long",
-            ),
-            mode="overwrite",
+        # ONE commit = placements + (app_id, batch_id) marker + the
+        # advanced offset: no crash point can append rows without the
+        # guard, or advance the guard without the rows.
+        t_out.write(
+            placed,
+            mode="append",
+            extra={
+                **VersionedTable.txn_extra(app_id, batch_id),
+                "pack_base": base + int(total),
+            },
         )
 
     sdf = (

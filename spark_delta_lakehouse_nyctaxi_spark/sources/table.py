@@ -2206,6 +2206,21 @@ class VersionedTable:
                 best = txn["version"] if best is None else max(best, txn["version"])
         return best
 
+    def last_txn_commit(self, app_id: str) -> dict | None:
+        """Full ``extra`` metadata of the HIGHEST-version transactional
+        commit under ``app_id`` (None if no such commit).  Lets an
+        idempotent writer store small running state (e.g. a token
+        offset) ATOMICALLY with the data it describes — one commit
+        carries rows + txn marker + state, so no crash point can
+        separate them (the Delta commit-info pattern)."""
+        best_v, best_extra = None, None
+        for v in self._versions():
+            txn = v.extra.get("txn")
+            if txn and txn.get("app_id") == app_id:
+                if best_v is None or txn["version"] > best_v:
+                    best_v, best_extra = txn["version"], dict(v.extra)
+        return best_extra
+
     @staticmethod
     def txn_extra(app_id: str, version: int) -> dict:
         """Commit-metadata fragment marking a transactional write."""
