@@ -181,6 +181,7 @@ _PRIORITY: list[str] = [
     "q_degree_histogram",
     # --- R8-NEW: new round-8 value-oracled queries slot here (after
     # the never-driver-checked remainder, joining the r9 window) ---
+    "q_stream_count_min",
     # --- driver-green queries from prior windows (r6/r7 slots 1-50) ---
     "q_interval_join",
     "q_dpp_certified",

@@ -1266,3 +1266,96 @@ def q_stream_kmv(spark, sf_dir):
     )
     run_available_now(sdf, scratch_dir("ckpt_kmv"), foreach_batch=fold)
     return t_state.read().select("h")
+
+
+def _stream_cms_oracle_sql() -> str:
+    from .sketches import _cms_oracle_sql
+
+    return _cms_oracle_sql()
+
+
+@register(
+    "q_stream_count_min",
+    _stream_cms_oracle_sql(),
+    doc="STREAMING COUNT-MIN MAINTENANCE — the GUARDED-ADDITIVE corner "
+        "of the mergeable-sketch taxonomy: q_stream_hll (max-merge) "
+        "and q_stream_minhash (min-merge) are exactly-once by ALGEBRA "
+        "(idempotent merges shrug off batch replay), q_stream_kmv is "
+        "exactly-once by SET algebra (union∘bottom-k), but Count-Min "
+        "counter ADDITION is not idempotent — replaying a batch "
+        "double-counts — so each micro-batch's partial (r, c, cnt) "
+        "cells fold into the sketch table through refresh_aggregate's "
+        "(app_id, batch_id) txn guard, the q_stream_incremental_agg / "
+        "Delta txnAppId discipline, with the marker committed "
+        "ATOMICALLY with the merged counters. Integer counter addition "
+        "is exact and associative, so the drained sketch is bitwise "
+        "the batch q_count_min sketch under ANY micro-batch split — "
+        "the probe at the exact top-20 heavy users is therefore fully "
+        "VALUE-ORACLED by the same static SQL. 100 TB: per-batch state "
+        "touched is ≤ d·w = 2048 counter rows however large the "
+        "stream; the partial build is one map-side-combining groupBy "
+        "per batch.",
+)
+def q_stream_count_min(spark, sf_dir):
+    from ..incremental import refresh_aggregate
+    from ..sources.table import VersionedTable
+    from .sketches import _CMS_COEFFS, _CMS_W, _P
+
+    path = _staged_events(spark, sf_dir)
+    sdf = read_parquet_stream(spark, path, _SCHEMA)
+    t = VersionedTable(spark, scratch_dir("stream_cms"))
+    app_id = "q_stream_count_min"
+
+    def cell_cols():
+        return F.posexplode(
+            F.array(
+                *[
+                    ((F.lit(a) * F.col("user_id") + F.lit(b)) % _P % _CMS_W)
+                    for a, b in _CMS_COEFFS
+                ]
+            )
+        ).alias("r", "c")
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        partial = (
+            batch_df.select(cell_cols())
+            .groupBy("r", "c")
+            .agg(F.count("*").alias("cnt"))
+        )
+        if not t.exists():
+            t.write(
+                partial.localCheckpoint(),
+                mode="overwrite",
+                extra=VersionedTable.txn_extra(app_id, batch_id),
+            )
+        else:
+            refresh_aggregate(
+                t, partial, keys=["r", "c"], add_columns=["cnt"],
+                txn=(app_id, batch_id),
+            )
+
+    run_available_now(sdf, scratch_dir("ckpt_cms"), foreach_batch=fold)
+    sketch = t.read()
+    truth = (
+        spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "user_id")
+        .limit(20)
+    )
+    melted = truth.select("user_id", cell_cols())
+    est = (
+        melted.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return truth.join(F.broadcast(est), "user_id").select(
+        "user_id",
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("true_count"))
+        .cast("long")
+        .alias("overestimate"),
+    )

@@ -139,6 +139,19 @@ def test_stream_packing_commits_are_atomic(spark):
     assert bases[-1] == total  # the final committed offset IS the total
 
 
+def test_stream_count_min_equals_batch(spark):
+    """The guarded-additive corner of the streaming-sketch taxonomy:
+    integer counter addition is exact and associative, so the drained
+    streaming sketch must probe BITWISE equal to the one-shot batch
+    q_count_min at the same top-20 heavy keys — and the txn guard is
+    what makes that claim survive replay (refresh_aggregate skips
+    batch ids ≤ the committed marker)."""
+    stream = q("q_stream_count_min", spark)
+    batch = q("q_count_min", spark)
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+
+
 def test_kmv_estimate_uses_realized_k(spark):
     """ADVICE r7 low: on a corpus with fewer distinct shingles than the
     configured k=256, the estimator must use the realized k (and then
