@@ -92,15 +92,64 @@ EXTRA = [
     "q_graph_modularity",
     "q_clustering_ari",
     "q_salting_balance",
+    # round 8 (r7 VERDICT item 3): the full PQ family in ONE table with
+    # memo state explicit per row — no more prose-footnote numbers
+    "q_pq_recall",
+    "q_ivfpq_recall",
+    "q_pq_dim_alloc",
+    "q_opq_distortion",
+    "q_opq_recall",
+    "q_pq_rotation",
 ]
 
+# Queries that share process-global trained artifacts via
+# queries.similarity._RECALL_MEMO (exact ground truth, trained
+# codebooks, rotation frames).  For these the sweep measures BOTH memo
+# states: cold = memo cleared before every sample (full train + search,
+# the round-over-round comparable number) and warm = memo populated
+# (steady-state search against an already-built index).  The
+# train/search split is measured as (cold − warm, warm): the memo holds
+# exactly the train-side artifacts, so the cold−warm delta IS the
+# training cost (truth derivation + codebook/rotation fitting).
+PQ_FAMILY = {
+    "q_ann_pq",
+    "q_pq_recall",
+    "q_lsh_recall",
+    "q_ivf_recall",
+    "q_ann_ivf_pq",
+    "q_ivfpq_recall",
+    "q_pq_dim_alloc",
+    "q_opq_distortion",
+    "q_opq_recall",
+    "q_pq_rotation",
+    "q_matryoshka_recall",
+}
 
-def timed(spark, name: str, sf_dir: str) -> float:
+
+def _clear_memo() -> None:
+    from spark_delta_lakehouse_nyctaxi_spark.queries import similarity
+
+    similarity._RECALL_MEMO.clear()
+
+
+def timed(spark, name: str, sf_dir: str, memo: str = "n/a") -> float:
+    """Median of 3 with cache cleared between runs.
+
+    memo='cold'  → _RECALL_MEMO cleared before the warmup AND every
+                   sample (each run pays full train + search);
+    memo='warm'  → warmup populates the memo, samples reuse it
+                   (steady-state search);
+    memo='n/a'   → query doesn't use the memo; leave it alone.
+    """
     fn = REGISTRY[name].fn
+    if memo == "cold":
+        _clear_memo()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     spark.catalog.clearCache()
     samples = []
     for _ in range(3):
+        if memo == "cold":
+            _clear_memo()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples.append(time.time() - t0)
@@ -113,13 +162,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
     for name in HEADLINE + [q for q in EXTRA if q not in HEADLINE]:
-        ts = {label: timed(spark, name, d) for label, d in SFS}
+        if name in PQ_FAMILY:
+            ts = {label: timed(spark, name, d, memo="cold") for label, d in SFS}
+            warm01 = timed(spark, name, SFS[-1][1], memo="warm")
+        else:
+            ts = {label: timed(spark, name, d) for label, d in SFS}
+            warm01 = None
         r_small = ts["0.01"] / ts["0.001"]
         r_big = ts["0.1"] / ts["0.01"]
         # log-log slope over the top decade (the overhead-free regime)
         slope = math.log10(max(r_big, 1e-9))
-        rows.append((name, ts, r_small, r_big, slope))
-        print(f"{name}: {ts} 10x-ratio={r_big:.2f}")
+        rows.append((name, ts, r_small, r_big, slope, warm01))
+        print(f"{name}: {ts} 10x-ratio={r_big:.2f} warm0.1={warm01}")
 
     # Preserve hand-written narrative sections (## ...) appended after
     # the generated table — the per-round decompositions are part of
@@ -147,13 +201,28 @@ def main() -> None:
             "super-linear (a pair stage whose candidate set grows faster\n"
             "than the corpus — expected for near-dup PAIR outputs, which\n"
             "grow with the number of true duplicate pairs, not rows).\n\n"
-            "| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | 10× ratio | exponent |\n"
-            "|---|---|---|---|---|---|\n"
+            "PQ-family rows (ann/recall/OPQ/rotation) state their memo\n"
+            "protocol explicitly: the three timed columns are **cold**\n"
+            "(`_RECALL_MEMO` cleared before every sample — each run pays\n"
+            "full train + search; the round-over-round comparable number);\n"
+            "`warm(0.1)` is the steady-state search at sf0.1 with the memo\n"
+            "populated; `train(0.1)` = cold − warm is the measured training\n"
+            "cost (truth derivation + codebook/rotation fit) — the memo\n"
+            "holds exactly the train-side artifacts, so the delta is the\n"
+            "split. Non-memo rows show `—`.\n\n"
+            "| query | memo | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | 10× ratio | exponent | warm(0.1) s | train(0.1) s |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
         )
-        for name, ts, r_small, r_big, slope in rows:
+        for name, ts, r_small, r_big, slope, warm01 in rows:
+            if warm01 is not None:
+                memo_col = "cold"
+                warm_col = f"{warm01:.3f}"
+                train_col = f"{max(ts['0.1'] - warm01, 0.0):.3f}"
+            else:
+                memo_col, warm_col, train_col = "—", "—", "—"
             f.write(
-                f"| {name} | {ts['0.001']:.3f} | {ts['0.01']:.3f} | "
-                f"{ts['0.1']:.3f} | {r_big:.2f}× | {slope:.2f} |\n"
+                f"| {name} | {memo_col} | {ts['0.001']:.3f} | {ts['0.01']:.3f} | "
+                f"{ts['0.1']:.3f} | {r_big:.2f}× | {slope:.2f} | {warm_col} | {train_col} |\n"
             )
         f.write(
             "\nReading: every query below ~3× at the 10× step is dominated\n"
