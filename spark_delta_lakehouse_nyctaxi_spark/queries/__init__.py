@@ -72,6 +72,8 @@ from . import subqueries  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import suffix  # noqa: E402,F401
+from . import corpus  # noqa: E402,F401
 
 
 # Round-8 rotation.  Empirically (CORRECTNESS_r06 vs _r07: identical
@@ -182,6 +184,15 @@ _PRIORITY: list[str] = [
     # --- R8-NEW: new round-8 value-oracled queries slot here (after
     # the never-driver-checked remainder, joining the r9 window) ---
     "q_stream_count_min",
+    "q_suffix_array",
+    "q_lcp_stats",
+    "q_bm25_rerank",
+    "q_heaps_law",
+    "q_kneser_ney",
+    "q_edit_distance_verify",
+    "q_curriculum_stages",
+    "q_langid_confusion",
+    "q_data_card",
     # --- driver-green queries from prior windows (r6/r7 slots 1-50) ---
     "q_interval_join",
     "q_dpp_certified",

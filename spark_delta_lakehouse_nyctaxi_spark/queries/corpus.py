@@ -1,0 +1,780 @@
+"""Round-8 LLM-corpus operators: two-stage retrieval reranking, corpus
+growth laws, smoothed language-model estimation, candidate-pair edit
+verification, curriculum staging, language-ID evaluation, and the
+multi-source data card.
+
+All value-oracled.  Determinism notes per query; the shared recipe is
+the repo standard — integer features and counts wherever possible, a
+single identical IEEE expression tree where a division is inherent,
+decimal-cast sums for anything accumulated across rows.
+
+Reference parity: none of these exist in the reference (its text
+surface is the taxi-zone lookup join, utils/silver_job.py) — they are
+the mandated LLM-training-data extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..operators import text as T
+from ..operators.indexing import global_row_number
+from ..sources.readers import load_table
+from . import register
+from .aggregates import attach_scalar
+from .text import _BM25_B, _BM25_K1, _BM25_TERMS
+
+# ---- q_bm25_rerank ----------------------------------------------------
+# Two-stage retrieval: BM25 recall (stage 1, the q_bm25_search scorer,
+# k=50) then an exact "cross-encoder-style" linear rerank (stage 2)
+# over interaction features a bi-encoder cannot see: full query-term
+# coverage, phrase adjacency (consecutive query terms adjacent in the
+# document), earliness of the first hit, and a length penalty.  The
+# stage-2 scorer is a literal integer weight vector over integer
+# features, so reranking is EXACT; stage-1 scores are the bitwise-
+# reproducible BM25 doubles (see q_bm25_search's determinism note) and
+# only break score ties.
+
+_RERANK_K = 50
+# integer feature weights: coverage dominates, then phrase adjacency,
+# then total tf, then earliness; long docs pay their length.
+_W_COV, _W_ADJ, _W_TFT, _W_EARLY, _W_LEN = 100000, 10000, 1000, 10, 1
+
+_RERANK_SQL = f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents
+    ),
+    pos AS MATERIALIZED (
+        SELECT doc_id, CAST(u.s.i - 1 AS BIGINT) AS p, u.s.x AS t
+        FROM tok, unnest(list_transform(ts, (x, i) -> {{'i': i, 'x': x}})) u(s)
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS len FROM pos GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM pos WHERE t IN ('stream', 'join', 'filter')
+        GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * (CAST(dl.len AS DOUBLE) / stats.avgdl)))
+               AS s
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (t), stats
+    ),
+    total AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS bm25
+        FROM scored GROUP BY doc_id
+    ),
+    cand AS MATERIALIZED (
+        SELECT doc_id, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+                   AS rank1
+        FROM total
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {_RERANK_K}
+    ),
+    seq AS (
+        SELECT pos.doc_id, pos.p, pos.t,
+               lead(pos.t) OVER (PARTITION BY pos.doc_id ORDER BY pos.p)
+                   AS nxt
+        FROM pos JOIN cand USING (doc_id)
+    ),
+    feats AS (
+        SELECT s.doc_id,
+               CAST(COUNT(DISTINCT CASE WHEN s.t IN ('stream','join','filter')
+                                        THEN s.t END) AS BIGINT) AS cov,
+               CAST(COUNT(*) FILTER (WHERE s.t IN ('stream','join','filter'))
+                    AS BIGINT) AS tft,
+               CAST(COUNT(*) FILTER (WHERE (s.t = 'stream' AND s.nxt = 'join')
+                                        OR (s.t = 'join' AND s.nxt = 'filter'))
+                    AS BIGINT) AS adj,
+               CAST(COALESCE(MIN(CASE WHEN s.t IN ('stream','join','filter')
+                                      THEN s.p END), 100) AS BIGINT) AS minpos,
+               CAST(COUNT(*) AS BIGINT) AS len
+        FROM seq s GROUP BY s.doc_id
+    )
+    SELECT c.doc_id, c.rank1, c.bm25, f.cov, f.tft, f.adj, f.minpos,
+           ({_W_COV} * f.cov + {_W_ADJ} * f.adj + {_W_TFT} * f.tft
+            + {_W_EARLY} * (100 - LEAST(f.minpos, 100)) - {_W_LEN} * f.len)
+               AS score,
+           CAST(row_number() OVER (
+               ORDER BY ({_W_COV} * f.cov + {_W_ADJ} * f.adj
+                         + {_W_TFT} * f.tft
+                         + {_W_EARLY} * (100 - LEAST(f.minpos, 100))
+                         - {_W_LEN} * f.len) DESC,
+                        c.bm25 DESC, c.doc_id) AS BIGINT) AS rank2
+    FROM cand c JOIN feats f USING (doc_id)
+    ORDER BY rank2
+    LIMIT 10
+"""
+
+
+@register(
+    "q_bm25_rerank",
+    _RERANK_SQL,
+    doc="TWO-STAGE RETRIEVAL TRACE (VERDICT r7 item 6b): BM25 recall "
+        "(top-50, the q_bm25_search scorer) then a cross-encoder-style "
+        "EXACT rerank — a literal integer weight vector over integer "
+        "interaction features (query-term coverage, phrase adjacency "
+        "stream->join->filter, total tf, first-hit earliness, length "
+        "penalty).  Integer scores rerank exactly; bitwise BM25 "
+        "doubles break ties; doc_id breaks the rest.  Scale: stage 2 "
+        "touches only the k=50 candidates (broadcast semi-join into "
+        "the token scan) — reranking cost is O(k·doclen) regardless "
+        "of corpus size, the standard retrieve-then-rerank shape.",
+)
+def q_bm25_rerank(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("p_i", "t")
+    ).select("doc_id", F.col("p_i").cast("long").alias("p"), "t")
+    dl = pos.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        pos.filter(F.col("t").isin(_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = attach_scalar(
+        tf.join(dl, "doc_id").join(F.broadcast(dfreq), "t"), stats
+    ).select(
+        "doc_id",
+        (
+            ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * (F.col("len").cast("double") / F.col("avgdl")))
+            )
+        ).alias("s"),
+    )
+    total = scored.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(28,12)")).cast("double").alias("bm25")
+    )
+    cand = total.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(_RERANK_K)
+    w1 = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    cand = cand.withColumn("rank1", F.row_number().over(w1).cast("long"))
+
+    seq = pos.join(F.broadcast(cand.select("doc_id")), "doc_id").withColumn(
+        "nxt", F.lead("t").over(Window.partitionBy("doc_id").orderBy("p"))
+    )
+    is_term = F.col("t").isin(_BM25_TERMS)
+    feats = seq.groupBy("doc_id").agg(
+        F.countDistinct(F.when(is_term, F.col("t"))).cast("long").alias("cov"),
+        F.sum(F.when(is_term, 1).otherwise(0)).cast("long").alias("tft"),
+        F.sum(
+            F.when(
+                ((F.col("t") == "stream") & (F.col("nxt") == "join"))
+                | ((F.col("t") == "join") & (F.col("nxt") == "filter")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("adj"),
+        F.coalesce(F.min(F.when(is_term, F.col("p"))), F.lit(100))
+        .cast("long")
+        .alias("minpos"),
+        F.count("*").cast("long").alias("len"),
+    )
+    score = (
+        _W_COV * F.col("cov")
+        + _W_ADJ * F.col("adj")
+        + _W_TFT * F.col("tft")
+        + _W_EARLY * (100 - F.least(F.col("minpos"), F.lit(100)))
+        - _W_LEN * F.col("len")
+    )
+    joined = cand.join(feats, "doc_id").withColumn("score", score)
+    w2 = Window.orderBy(
+        F.col("score").desc(), F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        joined.orderBy(F.col("score").desc(), F.col("bm25").desc(), F.col("doc_id"))
+        .limit(10)
+        .withColumn("rank2", F.row_number().over(w2).cast("long"))
+        .select(
+            "doc_id", "rank1", "bm25", "cov", "tft", "adj", "minpos",
+            "score", "rank2",
+        )
+    )
+
+
+# ---- q_heaps_law ------------------------------------------------------
+
+
+@register(
+    "q_heaps_law",
+    """
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts,
+               CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS ridx,
+               (SELECT COUNT(*) FROM documents) AS nd
+        FROM documents
+    ),
+    db AS MATERIALIZED (
+        SELECT doc_id, ridx, ts, len(ts) AS ntok,
+               (ridx - 1) * 10 // nd + 1 AS bucket
+        FROM d
+    ),
+    fo AS (
+        SELECT u.t, MIN(db.bucket) AS fb
+        FROM db, unnest(db.ts) u(t)
+        GROUP BY u.t
+    ),
+    newt AS (SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+             FROM fo GROUP BY fb),
+    per AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        FROM db GROUP BY bucket
+    )
+    SELECT p.bucket,
+           p.n_docs,
+           CAST(SUM(p.n_docs) OVER (ORDER BY p.bucket) AS BIGINT) AS cum_docs,
+           CAST(SUM(p.n_tokens) OVER (ORDER BY p.bucket) AS BIGINT)
+               AS cum_tokens,
+           COALESCE(n.new_types, 0) AS new_types,
+           CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY p.bucket)
+                AS BIGINT) AS cum_types
+    FROM per p LEFT JOIN newt n USING (bucket)
+    ORDER BY p.bucket
+    """,
+    doc="HEAPS'-LAW VOCABULARY GROWTH: split the corpus into 10 "
+        "deciles by doc_id order, count NEW token types per decile "
+        "(first-occurrence bucketing — one grouped min per type, "
+        "never a cumulative distinct), and emit the cumulative "
+        "types-vs-tokens curve whose log-log slope is the Heaps "
+        "exponent.  Exact integers end to end.  The final cumulative "
+        "window runs over the TEN-row decile frame (bounded, "
+        "allowlisted); the corpus-sized work is one explode + one "
+        "grouped min.",
+)
+def q_heaps_law(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens("text").alias("ts")
+    )
+    nd = docs.count()
+    # integer `div` keeps the bucket boundary exact (no double rounding)
+    ridx = global_row_number(docs, ["doc_id"], "ridx").withColumn(
+        "bucket", F.expr(f"((ridx - 1) * 10) div {nd}") + 1
+    )
+    db = ridx.select("doc_id", "bucket", F.size("ts").cast("long").alias("ntok"))
+    fo = (
+        ridx.select("bucket", F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.min("bucket").alias("fb"))
+    )
+    newt = fo.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count("*").cast("long").alias("new_types")
+    )
+    per = db.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.join(newt, "bucket", "left")
+        .withColumn("new_types", F.coalesce("new_types", F.lit(0)).cast("long"))
+        .select(
+            "bucket",
+            "n_docs",
+            F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            "new_types",
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+        )
+    )
+
+
+# ---- q_kneser_ney ------------------------------------------------------
+
+
+@register(
+    "q_kneser_ney",
+    """
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents
+    ),
+    pos AS MATERIALIZED (
+        SELECT doc_id, CAST(u.s.i - 1 AS BIGINT) AS p, u.s.x AS t
+        FROM d, unnest(list_transform(ts, (x, i) -> {'i': i, 'x': x})) u(s)
+    ),
+    bg AS MATERIALIZED (
+        SELECT a.t AS w1, b.t AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM pos a JOIN pos b
+          ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        GROUP BY a.t, b.t
+    ),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1fwd
+            FROM bg GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bwd FROM bg GROUP BY w2),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM bg)
+    SELECT bg.w1, bg.w2, bg.c12, ctx.c1, ctx.n1fwd, cont.n1bwd,
+           n_bigram_types,
+           (GREATEST(CAST(bg.c12 AS DOUBLE) - 0.75, 0.0)
+                / CAST(ctx.c1 AS DOUBLE))
+           + ((0.75 * CAST(ctx.n1fwd AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE))
+             * (CAST(cont.n1bwd AS DOUBLE) / CAST(n_bigram_types AS DOUBLE))
+               AS p_kn
+    FROM bg JOIN ctx USING (w1) JOIN cont USING (w2), nb
+    ORDER BY bg.c12 DESC, bg.w1, bg.w2
+    LIMIT 20
+    """,
+    doc="KNESER-NEY SMOOTHED BIGRAM LM (absolute discount D=0.75 — an "
+        "exact binary double, so the discount subtraction is exact): "
+        "P_KN(w2|w1) = max(c12-D,0)/c1 + (D*N1+(w1.)/c1) * "
+        "(N1+(.w2)/NB), every count an exact int64 from hash "
+        "aggregates, the probability one identical IEEE expression "
+        "tree per row on both engines.  Top-20 bigrams by raw count "
+        "(w1,w2 tiebreak).  The corpus-sized work: one position "
+        "self-join (p+1, within doc) + three hash aggregates — all "
+        "shuffle-on-key, no quadratic stage.",
+)
+def q_kneser_ney(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("p_i", "t")
+    ).select("doc_id", F.col("p_i").cast("long").alias("p"), "t")
+    a, b = pos.alias("a"), pos.alias("b")
+    bg = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.p") == F.col("a.p") + 1),
+        )
+        .groupBy(F.col("a.t").alias("w1"), F.col("b.t").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1fwd"),
+    )
+    cont = bg.groupBy("w2").agg(F.count("*").cast("long").alias("n1bwd"))
+    nb = bg.agg(F.count("*").cast("long").alias("n_bigram_types"))
+    p_kn = (
+        F.greatest(F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0))
+        / F.col("c1").cast("double")
+    ) + (
+        (F.lit(0.75) * F.col("n1fwd").cast("double"))
+        / F.col("c1").cast("double")
+    ) * (
+        F.col("n1bwd").cast("double") / F.col("n_bigram_types").cast("double")
+    )
+    return (
+        attach_scalar(bg.join(ctx, "w1").join(cont, "w2"), nb)
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(20)
+        .select(
+            "w1", "w2", "c12", "c1", "n1fwd", "n1bwd", "n_bigram_types",
+            p_kn.alias("p_kn"),
+        )
+    )
+
+
+# ---- q_edit_distance_verify --------------------------------------------
+
+
+@register(
+    "q_edit_distance_verify",
+    """
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, text,
+               array_to_string(list_slice(
+                   string_split_regex(trim(text), '\\s+'), 1, 5), ' ') AS blk
+        FROM documents
+    ),
+    ok_blk AS (
+        SELECT blk FROM d GROUP BY blk
+        HAVING COUNT(*) BETWEEN 2 AND 20
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        JOIN ok_blk o ON o.blk = a.blk
+    ),
+    cert AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(COUNT(*) FILTER (WHERE lev <= 30) AS BIGINT)
+                   AS n_verified
+        FROM pairs
+    )
+    SELECT doc_a, doc_b, lev, lev <= 30 AS verified,
+           n_candidates, n_verified
+    FROM pairs, cert
+    ORDER BY lev, doc_a, doc_b
+    LIMIT 15
+    """,
+    doc="NEAR-DUP CANDIDATE VERIFICATION BY EDIT DISTANCE: the "
+        "verify stage of a dedup pipeline — block on the first 5 "
+        "tokens (prefix blocking, hot blocks capped at 20 members "
+        "like q_record_linkage, so cost is sum-of-block-squared, "
+        "never corpus squared), pair within block, verify with exact "
+        "character Levenshtein (unit costs — the same DP both "
+        "engines implement), threshold at 30 edits.  Top-15 closest "
+        "pairs plus the global candidate/verified certificate.",
+)
+def q_edit_distance_verify(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.array_join(F.slice(T.tokens("text"), 1, 5), " ").alias("blk"),
+    )
+    ok = docs.groupBy("blk").agg(F.count("*").alias("nb")).filter(
+        (F.col("nb") >= 2) & (F.col("nb") <= 20)
+    )
+    d = docs.join(ok.select("blk"), "blk")
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("lev"),
+    )
+    cert = pairs.agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("lev") <= 30, 1).otherwise(0))
+        .cast("long")
+        .alias("n_verified"),
+    )
+    return (
+        attach_scalar(
+            pairs.withColumn("verified", F.col("lev") <= 30), cert
+        )
+        .orderBy("lev", "doc_a", "doc_b")
+        .limit(15)
+        .select("doc_a", "doc_b", "lev", "verified", "n_candidates", "n_verified")
+    )
+
+
+# ---- q_curriculum_stages -------------------------------------------------
+
+
+@register(
+    "q_curriculum_stages",
+    """
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, n_chars,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               (SELECT COUNT(*) FROM documents) AS nd
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_chars, n_tokens,
+               CAST(row_number() OVER (
+                   ORDER BY n_tokens * 1000 + n_chars, doc_id) AS BIGINT)
+                   AS rnk,
+               nd
+        FROM d
+    )
+    SELECT (rnk - 1) * 3 // nd + 1 AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens * 1000 + n_chars) AS BIGINT) AS min_difficulty,
+           CAST(MAX(n_tokens * 1000 + n_chars) AS BIGINT) AS max_difficulty,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+           CAST(SUM(rnk * doc_id) AS BIGINT) AS order_checksum
+    FROM r
+    GROUP BY stage
+    ORDER BY stage
+    """,
+    doc="CURRICULUM STAGING: order the corpus by an exact integer "
+        "difficulty score (1000*tokens + chars — length-based "
+        "curriculum, the standard baseline), split into 3 stages by "
+        "global rank thirds, and certify the ORDER itself with an "
+        "exact sum(rank*doc_id) checksum per stage (any swap across "
+        "a stage boundary changes it).  Rank via "
+        "operators.indexing.global_row_number — one range exchange, "
+        "no single-partition window.  Integer `div` stage boundary; "
+        "one IEEE division for mean_chars.",
+)
+def q_curriculum_stages(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        T.token_count("text").cast("long").alias("n_tokens"),
+    )
+    nd = docs.count()
+    diff = docs.withColumn(
+        "difficulty", F.col("n_tokens") * 1000 + F.col("n_chars")
+    )
+    r = global_row_number(diff, ["difficulty", "doc_id"], "rnk")
+    return (
+        r.withColumn("stage", F.expr(f"((rnk - 1) * 3) div {nd}") + 1)
+        .groupBy("stage")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("difficulty").cast("long").alias("min_difficulty"),
+            F.max("difficulty").cast("long").alias("max_difficulty"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
+            F.sum(F.col("rnk") * F.col("doc_id")).cast("long")
+            .alias("order_checksum"),
+        )
+        .orderBy("stage")
+    )
+
+
+# ---- q_langid_confusion ---------------------------------------------------
+
+from .text import _lang_score_sql  # noqa: E402
+
+_PRED_LANG_SQL = f"""
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(
+                        {_lang_score_sql(T.LANG_STOPWORDS['en'])},
+                        {_lang_score_sql(T.LANG_STOPWORDS['es'])},
+                        {_lang_score_sql(T.LANG_STOPWORDS['fr'])},
+                        {_lang_score_sql(T.LANG_STOPWORDS['de'])}) = 0 THEN 'und'
+                    WHEN {_lang_score_sql(T.LANG_STOPWORDS['en'])} >=
+                         {_lang_score_sql(T.LANG_STOPWORDS['es'])}
+                     AND {_lang_score_sql(T.LANG_STOPWORDS['en'])} >=
+                         {_lang_score_sql(T.LANG_STOPWORDS['fr'])}
+                     AND {_lang_score_sql(T.LANG_STOPWORDS['en'])} >=
+                         {_lang_score_sql(T.LANG_STOPWORDS['de'])} THEN 'en'
+                    WHEN {_lang_score_sql(T.LANG_STOPWORDS['es'])} >=
+                         {_lang_score_sql(T.LANG_STOPWORDS['fr'])}
+                     AND {_lang_score_sql(T.LANG_STOPWORDS['es'])} >=
+                         {_lang_score_sql(T.LANG_STOPWORDS['de'])} THEN 'es'
+                    WHEN {_lang_score_sql(T.LANG_STOPWORDS['fr'])} >=
+                         {_lang_score_sql(T.LANG_STOPWORDS['de'])} THEN 'fr'
+                    ELSE 'de' END AS pred_lang
+        FROM documents
+"""
+
+
+@register(
+    "q_langid_confusion",
+    f"""
+    WITH p AS MATERIALIZED ({_PRED_LANG_SQL}),
+    cells AS (
+        SELECT lang AS actual_lang, pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY lang, pred_lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(n) FILTER (WHERE actual_lang = pred_lang) AS BIGINT)
+                   AS n_correct
+        FROM cells
+    )
+    SELECT actual_lang, pred_lang, n, n_total, n_correct,
+           CAST(n_correct AS DOUBLE) / CAST(n_total AS DOUBLE) AS accuracy
+    FROM cells, tot
+    ORDER BY actual_lang, pred_lang
+    """,
+    doc="LANGUAGE-ID EVALUATION: confusion matrix of the heuristic "
+        "stopword language ID (operators.text.language_id — the "
+        "q_lang_id operator) against the labeled lang column, plus "
+        "the overall accuracy certificate.  Exact cell counts; one "
+        "IEEE division for accuracy; <= |langs|^2 output rows from "
+        "one grouped pass.  The eval loop every corpus filter model "
+        "ships with.",
+)
+def q_langid_confusion(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", T.language_id("text").alias("pred_lang")
+    )
+    cells = docs.groupBy(
+        F.col("lang").alias("actual_lang"), "pred_lang"
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("actual_lang") == F.col("pred_lang"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return (
+        attach_scalar(cells, tot)
+        .withColumn(
+            "accuracy",
+            F.col("n_correct").cast("double") / F.col("n_total").cast("double"),
+        )
+        .orderBy("actual_lang", "pred_lang")
+    )
+
+
+# ---- q_data_card ------------------------------------------------------
+# VERDICT r7 item 6c: one multi-source release certificate composing
+# the datasheet basics (q_corpus_datasheet), language-ID agreement
+# (q_langid_confusion's diagonal), and long-repeat exposure (the
+# dyadic 32-token duplicated-block machinery of q_dup_spectrum,
+# attributed per source) — per source plus a ROLLUP total row.
+
+_DATA_CARD_SQL = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ts,
+               md5(text) AS fp
+        FROM documents
+    ),
+    fp_counts AS (SELECT fp, COUNT(*) AS n_fp FROM toks GROUP BY fp),
+    pred AS MATERIALIZED ({_PRED_LANG_SQL}),
+    p1 AS MATERIALIZED (
+        SELECT doc_id, CAST(u.s.i - 1 AS BIGINT) AS p, md5(u.s.x) AS h
+        FROM toks,
+             unnest(list_transform(ts, (x, i) -> {{'i': i, 'x': x}})) u(s)
+    ),
+    p2 AS MATERIALIZED (
+        SELECT a.doc_id, a.p, md5(a.h || b.h) AS h
+        FROM p1 a JOIN p1 b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    ),
+    p4 AS MATERIALIZED (
+        SELECT a.doc_id, a.p, md5(a.h || b.h) AS h
+        FROM p2 a JOIN p2 b ON b.doc_id = a.doc_id AND b.p = a.p + 2
+    ),
+    p8 AS MATERIALIZED (
+        SELECT a.doc_id, a.p, md5(a.h || b.h) AS h
+        FROM p4 a JOIN p4 b ON b.doc_id = a.doc_id AND b.p = a.p + 4
+    ),
+    p16 AS MATERIALIZED (
+        SELECT a.doc_id, a.p, md5(a.h || b.h) AS h
+        FROM p8 a JOIN p8 b ON b.doc_id = a.doc_id AND b.p = a.p + 8
+    ),
+    p32 AS MATERIALIZED (
+        SELECT a.doc_id, a.p, md5(a.h || b.h) AS h
+        FROM p16 a JOIN p16 b ON b.doc_id = a.doc_id AND b.p = a.p + 16
+    ),
+    dup32 AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup32
+        FROM (SELECT doc_id,
+                     COUNT(*) OVER (PARTITION BY h) AS c
+              FROM p32)
+        WHERE c >= 2
+        GROUP BY doc_id
+    ),
+    per_doc AS (
+        SELECT t.source,
+               CAST(len(t.ts) AS BIGINT) AS n_tokens,
+               CASE WHEN f.n_fp > 1 THEN 1 ELSE 0 END AS is_exact_dup,
+               CASE WHEN pr.pred_lang = pr.lang THEN 1 ELSE 0 END AS lang_ok,
+               COALESCE(d.n_dup32, 0) AS n_dup32
+        FROM toks t
+        JOIN fp_counts f USING (fp)
+        JOIN pred pr USING (doc_id)
+        LEFT JOIN dup32 d USING (doc_id)
+    )
+    SELECT COALESCE(source, 'TOTAL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_exact_dup) AS BIGINT) AS n_exact_dup_docs,
+           CAST(SUM(lang_ok) AS BIGINT) AS n_lang_agree,
+           CAST(SUM(n_dup32) AS BIGINT) AS n_dup32_positions,
+           CAST(SUM(n_dup32) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+               AS dup32_share
+    FROM per_doc
+    GROUP BY ROLLUP (source)
+    ORDER BY source
+"""
+
+
+@register(
+    "q_data_card",
+    _DATA_CARD_SQL,
+    doc="MULTI-SOURCE DATA CARD (VERDICT r7 item 6c): the release "
+        "certificate a training-data drop ships — per source AND a "
+        "rollup TOTAL row: docs, tokens, exact-duplicate docs "
+        "(corpus-wide fingerprints), language-label agreement with "
+        "the heuristic lang-ID, and LONG-REPEAT EXPOSURE: how many "
+        "token positions sit inside a 32-token block duplicated "
+        "anywhere in the corpus (the q_dup_spectrum dyadic doubling "
+        "to level 32, attributed per source).  Exact integers plus "
+        "one IEEE division per row.  Scale: 5 shifted self-joins + "
+        "one hash-keyed window + one grouped pass — every stage "
+        "shuffles on a key, nothing pairs documents.",
+)
+def q_data_card(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", "lang", T.tokens("text").alias("ts"),
+        F.md5("text").alias("fp"),
+    )
+    fp_counts = toks.groupBy("fp").agg(F.count("*").alias("n_fp"))
+    pred = docs.select(
+        "doc_id", T.language_id("text").alias("pred_lang")
+    )
+    # dyadic doubling to the 32-token level (q_dup_spectrum discipline:
+    # eager localCheckpoint per level keeps the static plan bounded)
+    cur = (
+        toks.select("doc_id", F.posexplode("ts").alias("p", "tok"))
+        .select(
+            "doc_id", F.col("p").cast("long").alias("p"), F.md5("tok").alias("h")
+        )
+        .localCheckpoint(eager=True)
+    )
+    L = 1
+    while L < 32:
+        a, b = cur.alias("a"), cur.alias("b")
+        cur = (
+            a.join(
+                b,
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("b.p") == F.col("a.p") + L),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("a.p").alias("p"),
+                F.md5(F.concat(F.col("a.h"), F.col("b.h"))).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        L *= 2
+    dup32 = (
+        cur.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("c") >= 2)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_dup32"))
+    )
+    per_doc = (
+        toks.join(fp_counts, "fp")
+        .join(pred, "doc_id")
+        .join(dup32, "doc_id", "left")
+        .select(
+            "source",
+            F.size("ts").cast("long").alias("n_tokens"),
+            F.when(F.col("n_fp") > 1, 1).otherwise(0).alias("is_exact_dup"),
+            F.when(F.col("pred_lang") == F.col("lang"), 1)
+            .otherwise(0)
+            .alias("lang_ok"),
+            F.coalesce("n_dup32", F.lit(0)).alias("n_dup32"),
+        )
+    )
+    return (
+        per_doc.rollup("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("is_exact_dup").cast("long").alias("n_exact_dup_docs"),
+            F.sum("lang_ok").cast("long").alias("n_lang_agree"),
+            F.sum("n_dup32").cast("long").alias("n_dup32_positions"),
+            (
+                F.sum("n_dup32").cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("dup32_share"),
+        )
+        .select(
+            F.coalesce("source", F.lit("TOTAL")).alias("source"),
+            "n_docs", "n_tokens", "n_exact_dup_docs", "n_lang_agree",
+            "n_dup32_positions", "dup32_share",
+        )
+        .orderBy("source")
+    )

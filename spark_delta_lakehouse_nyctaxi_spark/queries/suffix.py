@@ -1,0 +1,408 @@
+"""Distributed suffix array over the concatenated corpus — the exact
+half of the Lee-et-al. "Deduplicating Training Data Makes Language
+Models Better" story (their ExactSubstr dedup builds a suffix array
+over the whole training corpus; github.com/google-research/deduplicate-
+text-datasets does it single-node in Rust — here it is Spark-native).
+
+Construction is Manber–Myers prefix doubling, the standard distributed
+SA algorithm (Flick & Aluru, "Parallel distributed memory construction
+of suffix and LCP arrays", SC'15): rank every position by its first
+token, then repeatedly re-rank by the pair (rank[i], rank[i+L]) to
+double the compared prefix length.  Every step is a range exchange
+(distributed rank via operators.indexing.global_row_number — no
+single-partition window anywhere) plus one hash-keyed self-join, so
+the whole build is O(log W) linear shuffles.
+
+The corpus is the documents table concatenated in doc_id order with a
+UNIQUE per-document sentinel token appended after each document
+(chr(1) + zero-padded doc_id — sorts before every real token; the
+certificate column n_bad_tokens proves per-run that no real token
+contains bytes <= 0x02).  Unique sentinels buy two strong properties:
+
+- TERMINATION AT A DATA-INDEPENDENT LEVEL: any two distinct suffixes
+  first differ within max_doc_tokens + 1 positions (the sentinels
+  differ even when all preceding tokens agree), so ranks are fully
+  distinct once the compared prefix reaches W = 128 > 100 tokens —
+  7 doublings REGARDLESS of corpus size.  The build asserts full rank
+  distinctness and raises if the bound is violated.
+- NO CROSS-DOCUMENT PHANTOM MATCHES: a common prefix of two suffixes
+  can never contain a sentinel (it appears once in the corpus), so
+  every LCP is a genuine repeated token run inside real text.
+
+DuckDB oracle is INDEPENDENT of the algorithm: because distinctness
+is resolved within 102 tokens, sorting the bounded 102-token window
+of every suffix equals sorting the full suffixes — the oracle
+materializes each window (joined with a chr(2) separator, which
+sorts below every corpus byte, so string order == token-list order)
+and ORDER BYs it directly.  No prefix doubling on the oracle side.
+
+Scale notes (100 TB): n = corpus tokens; each of the <=8 levels is
+one range exchange + one hash join over n rows — the Flick-Aluru
+communication pattern, bounded by the unique-sentinel level cap (the
+cap is max_doc_tokens, a data-model constant, not corpus size).  The
+int64 checksum certificate would need DECIMAL(38,0) once
+n * 1e6 * n overflows 2^63 (n beyond ~3e6 positions); the head rows
+and LCP statistics are scale-free.
+
+Reference parity: the reference has no suffix-array operator (its
+dedup surface is exact-hash only, utils/dq_checks.py); this module is
+part of the mandated LLM-training-data extension tier, extending
+q_dup_spectrum / q_longest_dup_run (queries/dedup.py) from dyadic
+block hashing to the full exact-substring index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.indexing import distributed_prefix_sum, global_row_number
+from ..operators.text import tokens as tok_col
+from ..sources.readers import load_table
+from . import register
+
+# Suffix-distinctness window: max documents.text token count is 100 in
+# the data model (TESTDATA.md); unique sentinels force the first
+# difference of any two suffixes within max_doc_tokens + 1 <= 101
+# positions, so prefix length 128 separates everything.  The build
+# VERIFIES this (rank-distinctness assert) rather than trusting it.
+_WINDOW = 128
+
+# Process-level memo for the built SA frames (same policy as
+# queries/similarity._RECALL_MEMO: a pure perf artifact — cleared vs
+# warm must be bitwise-identical, covered by tests/test_round8.py).
+# Keyed by Spark applicationId because the frames are eager
+# localCheckpoints, which die with their session.
+_SA_MEMO: dict = {}
+
+
+def _sentinel(doc_id_col) -> F.Column:
+    return F.concat(F.lit("\x01"), F.lpad(doc_id_col.cast("string"), 12, "0"))
+
+
+def corpus_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(g, doc_id, p, tok, is_sentinel): the documents table flattened
+    to one global token sequence in doc_id order, one unique sentinel
+    appended after each document.  g is the global position from a
+    distributed prefix sum over per-doc lengths (no single-partition
+    window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tok_col("text").alias("ts"))
+    lens = toks.select("doc_id", (F.size("ts") + F.lit(1)).cast("long").alias("l"))
+    offs = distributed_prefix_sum(lens, ["doc_id"], ["l"]).select(
+        "doc_id",
+        (F.col("cum_l") - F.col("l")).alias("off"),
+        (F.col("l") - 1).alias("dlen"),
+    )
+    real = (
+        toks.join(offs, "doc_id")
+        .select("doc_id", "off", F.posexplode("ts").alias("p", "tok"))
+        .select(
+            (F.col("off") + F.col("p")).alias("g"),
+            "doc_id",
+            F.col("p").cast("long").alias("p"),
+            "tok",
+            F.lit(False).alias("is_sentinel"),
+        )
+    )
+    sent = offs.select(
+        (F.col("off") + F.col("dlen")).alias("g"),
+        "doc_id",
+        F.col("dlen").alias("p"),
+        _sentinel(F.col("doc_id")).alias("tok"),
+        F.lit(True).alias("is_sentinel"),
+    )
+    return real.unionByName(sent)
+
+
+def build_suffix_array(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, DataFrame]], int]:
+    """Prefix-doubling SA build.  Returns (corpus, levels, n) where
+    corpus carries the final rank column ``r`` (a permutation of 1..n
+    — the inverse suffix array) and ``levels`` is
+    [(B, frame(g, r_B))] for every built prefix length B — the sparse
+    table the LCP descent walks.  Raises if ranks are not fully
+    distinct at the window cap (would mean a document longer than the
+    data-model bound)."""
+    key = ("sa", sf_dir, spark.sparkContext.applicationId)
+    if key in _SA_MEMO:
+        return _SA_MEMO[key]
+
+    corpus = corpus_positions(spark, sf_dir).localCheckpoint(eager=True)
+    n = corpus.count()
+
+    # level B=1: rank by the token itself.  Distributed dense rank =
+    # global row number under (tok, g), then min(row_id) per token —
+    # equal tokens share the FIRST row id, a dense-enough rank (order
+    # + equality are all doubling needs).
+    w_tok = Window.partitionBy("tok")
+    cur = (
+        global_row_number(corpus.select("g", "tok"), ["tok", "g"], "rid")
+        .withColumn("r", F.min("rid").over(w_tok))
+        .select("g", "r")
+        .localCheckpoint(eager=True)
+    )
+    levels: list[tuple[int, DataFrame]] = [(1, cur)]
+
+    B = 1
+    while B < _WINDOW:
+        # early exit: once ranks are a permutation the order is final
+        # (bounded scalar fetch, same pattern as the k-core fixpoint)
+        dist = cur.agg(
+            F.countDistinct("r").alias("d"), F.count("*").alias("c")
+        ).first()
+        if dist.d == dist.c:
+            break
+        shifted = cur.select((F.col("g") - B).alias("g"), F.col("r").alias("r2"))
+        paired = cur.join(shifted, "g", "left").withColumn(
+            "r2", F.coalesce("r2", F.lit(-1))
+        )
+        ranked = global_row_number(paired, ["r", "r2", "g"], "rid")
+        cur = (
+            ranked.withColumn(
+                "rn", F.min("rid").over(Window.partitionBy("r", "r2"))
+            )
+            .select("g", F.col("rn").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        B *= 2
+        levels.append((B, cur))
+
+    dist = cur.agg(F.countDistinct("r").alias("d"), F.count("*").alias("c")).first()
+    if dist.d != dist.c:
+        raise RuntimeError(
+            f"suffix-array ranks not distinct at prefix length {B} "
+            f"({dist.d} distinct of {dist.c}) — a document exceeds the "
+            f"{_WINDOW - 1}-token data-model bound; raise _WINDOW"
+        )
+
+    sa = corpus.join(cur, "g").localCheckpoint(eager=True)
+    _SA_MEMO[key] = (sa, levels, n)
+    return _SA_MEMO[key]
+
+
+# DuckDB corpus CTEs shared by both oracles (same tokenization as
+# operators.text.tokens: split trim(text) on whitespace).  The
+# 102-token suffix window is built join-free: each document's token
+# array is extended with the next 12 documents' arrays (docs are >= 10
+# tokens + 1 sentinel each, so 12 followers contribute >= 132 tokens —
+# enough to cover any window that is not truncated by the true corpus
+# end; the checksum gate against the independent Spark build would
+# catch a too-short lookahead loudly), then every suffix key is a
+# plain bounded list_slice of that per-doc array.  chr(2) as the join
+# separator sorts below every corpus byte (certified by n_bad_tokens),
+# so string order == token-list order == true suffix order.
+_CORPUS_SQL = """
+    toks AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents
+    ),
+    offs AS MATERIALIZED (
+        SELECT doc_id, ts,
+               CAST(sum(len(ts) + 1) OVER (ORDER BY doc_id)
+                    - (len(ts) + 1) AS BIGINT) AS off,
+               CAST(len(ts) AS BIGINT) AS dlen
+        FROM toks
+    ),
+    ext AS MATERIALIZED (
+        SELECT doc_id, off, dlen,
+               flatten(list(
+                   list_append(ts, chr(1) || lpad(CAST(doc_id AS VARCHAR), 12, '0'))
+               ) OVER (ORDER BY doc_id
+                       ROWS BETWEEN CURRENT ROW AND 12 FOLLOWING)) AS xt
+        FROM offs
+    ),
+    corpus AS MATERIALIZED (
+        SELECT off + j.p AS g, doc_id, CAST(j.p AS BIGINT) AS p,
+               xt[CAST(j.p AS BIGINT) + 1] AS tok,
+               j.p = dlen AS is_sentinel,
+               array_to_string(
+                   list_slice(xt, CAST(j.p AS BIGINT) + 1,
+                              CAST(j.p AS BIGINT) + 102), chr(2)) AS key
+        FROM ext, unnest(range(0, dlen + 1)) j(p)
+    ),
+    ranked AS MATERIALIZED (
+        SELECT g, doc_id, p, tok, is_sentinel,
+               CAST(row_number() OVER (ORDER BY key) AS BIGINT) AS r
+        FROM corpus
+    )
+"""
+
+
+@register(
+    "q_suffix_array",
+    "WITH "
+    + _CORPUS_SQL
+    + """,
+    cert AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_suffixes,
+               CAST(sum(r * ((g * 2654435761) % 1000003 + 1))
+                    AS BIGINT) AS sa_checksum,
+               CAST(count(*) FILTER (WHERE NOT is_sentinel
+                        AND (tok = '' OR regexp_matches(tok, '[\\x00-\\x02]')))
+                    AS BIGINT) AS n_bad_tokens
+        FROM ranked
+    )
+    SELECT r AS sa_rank, doc_id, p, tok AS first_tok,
+           n_suffixes, sa_checksum, n_bad_tokens
+    FROM ranked, cert
+    WHERE NOT is_sentinel
+    ORDER BY sa_rank
+    LIMIT 20
+    """,
+    doc="DISTRIBUTED SUFFIX ARRAY (prefix doubling): global corpus "
+        "suffix order certified two ways — the 20 lexicographically "
+        "smallest real suffixes (rank, doc, position, first token) "
+        "and an exact int64 checksum over the ENTIRE rank "
+        "permutation (sum of rank x position-derived weight), so any "
+        "transposition anywhere in the array changes the result.  "
+        "n_bad_tokens == 0 proves the sentinel byte-ordering "
+        "assumptions against the live corpus.  The oracle sorts "
+        "bounded 102-token suffix windows directly — a different "
+        "algorithm entirely.",
+)
+def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sa, _levels, _n = build_suffix_array(spark, sf_dir)
+    cert = sa.agg(
+        F.count("*").cast("long").alias("n_suffixes"),
+        F.sum(
+            F.col("r") * ((F.col("g") * F.lit(2654435761)) % F.lit(1000003) + 1)
+        )
+        .cast("long")
+        .alias("sa_checksum"),
+        F.sum(
+            F.when(
+                (~F.col("is_sentinel"))
+                & ((F.col("tok") == "") | F.col("tok").rlike("[\\x00-\\x02]")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bad_tokens"),
+    )
+    head = (
+        sa.filter(~F.col("is_sentinel"))
+        .orderBy("r")
+        .limit(20)
+        .select(
+            F.col("r").alias("sa_rank"),
+            "doc_id",
+            "p",
+            F.col("tok").alias("first_tok"),
+        )
+    )
+    return head.crossJoin(F.broadcast(cert))
+
+
+@register(
+    "q_lcp_stats",
+    "WITH "
+    + _CORPUS_SQL
+    + """,
+    adj AS MATERIALIZED (
+        SELECT g AS gb, lag(g) OVER (ORDER BY r) AS ga
+        FROM ranked
+    ),
+    lcps AS MATERIALIZED (
+        SELECT ga, gb, CAST(min(j) AS BIGINT) AS lcp
+        FROM (
+            SELECT a.ga, a.gb, j.j AS j, ca.tok AS ta, cb.tok AS tb
+            FROM adj a
+            CROSS JOIN range(0, 102) j(j)
+            LEFT JOIN corpus ca ON ca.g = a.ga + j.j
+            LEFT JOIN corpus cb ON cb.g = a.gb + j.j
+            WHERE a.ga IS NOT NULL
+        )
+        WHERE ta IS DISTINCT FROM tb
+        GROUP BY ga, gb
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(max(lcp) AS BIGINT) AS max_lcp,
+               CAST(sum(lcp) AS BIGINT) AS sum_lcp,
+               CAST(count(*) FILTER (WHERE lcp >= 8) AS BIGINT) AS n_ge_8,
+               CAST(count(*) FILTER (WHERE lcp >= 16) AS BIGINT) AS n_ge_16,
+               CAST(count(*) FILTER (WHERE lcp >= 32) AS BIGINT) AS n_ge_32,
+               CAST(count(*) FILTER (WHERE lcp >= 64) AS BIGINT) AS n_ge_64
+        FROM lcps
+    ),
+    arg AS (
+        SELECT c.doc_id AS arg_doc_id, c.p AS arg_p
+        FROM lcps l JOIN corpus c ON c.g = l.ga
+        ORDER BY l.lcp DESC, l.ga ASC
+        LIMIT 1
+    )
+    SELECT * FROM stats, arg
+    """,
+    doc="LCP ARRAY STATISTICS from the suffix array: the longest "
+        "repeated token run in the corpus (max adjacent-suffix LCP — "
+        "the ExactSubstr dedup threshold statistic), the repeated-run "
+        "length spectrum (pairs with LCP >= 8/16/32/64), total LCP "
+        "mass, and the position of the longest repeat.  Spark "
+        "computes every LCP EXACTLY by sparse-table descent over the "
+        "prefix-doubling rank levels (rank_B(a+acc) == rank_B(b+acc) "
+        "iff the B-blocks match — no hash-collision assumption); the "
+        "oracle compares token windows element-wise.  Adjacent pairs "
+        "come from a hash self-join on rank (r = r+1), never a "
+        "single-partition window.",
+)
+def q_lcp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sa, levels, n = build_suffix_array(spark, sf_dir)
+
+    left = sa.select(F.col("r").alias("rk"), F.col("g").alias("ga"))
+    right = sa.select((F.col("r") - 1).alias("rk"), F.col("g").alias("gb"))
+    pairs = (
+        left.join(right, "rk")
+        .select(
+            "ga",
+            "gb",
+            F.col("ga").alias("apos"),
+            F.col("gb").alias("bpos"),
+            F.lit(0).cast("long").alias("lcp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # sparse-table descent: greedily extend the match block by block.
+    # Levels above the final one are unnecessary (ranks distinct at
+    # the top level => every LCP < top B), so walk from the
+    # second-highest level down; the dyadic sum covers any LCP value
+    # below the top level exactly.
+    for B, frame in sorted(levels, key=lambda t: -t[0])[1:]:
+        ra = frame.select(F.col("g").alias("apos"), F.col("r").alias("ra"))
+        rb = frame.select(F.col("g").alias("bpos"), F.col("r").alias("rb"))
+        matched = (
+            F.col("ra").isNotNull()
+            & F.col("rb").isNotNull()
+            & (F.col("ra") == F.col("rb"))
+        )
+        pairs = (
+            pairs.join(ra, "apos", "left")
+            .join(rb, "bpos", "left")
+            .select(
+                "ga",
+                "gb",
+                F.when(matched, F.col("apos") + B).otherwise(F.col("apos")).alias("apos"),
+                F.when(matched, F.col("bpos") + B).otherwise(F.col("bpos")).alias("bpos"),
+                F.when(matched, F.col("lcp") + B).otherwise(F.col("lcp")).alias("lcp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    stats = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.max("lcp").cast("long").alias("max_lcp"),
+        F.sum("lcp").cast("long").alias("sum_lcp"),
+        F.sum(F.when(F.col("lcp") >= 8, 1).otherwise(0)).cast("long").alias("n_ge_8"),
+        F.sum(F.when(F.col("lcp") >= 16, 1).otherwise(0)).cast("long").alias("n_ge_16"),
+        F.sum(F.when(F.col("lcp") >= 32, 1).otherwise(0)).cast("long").alias("n_ge_32"),
+        F.sum(F.when(F.col("lcp") >= 64, 1).otherwise(0)).cast("long").alias("n_ge_64"),
+    )
+    pos = sa.select(F.col("g").alias("ga"), F.col("doc_id"), F.col("p"))
+    arg = (
+        pairs.join(pos, "ga")
+        .orderBy(F.col("lcp").desc(), F.col("ga").asc())
+        .limit(1)
+        .select(F.col("doc_id").alias("arg_doc_id"), F.col("p").alias("arg_p"))
+    )
+    return stats.crossJoin(F.broadcast(arg))

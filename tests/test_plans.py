@@ -418,6 +418,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWLIST = {
     "q_pq_dim_alloc",         # variance rank over the 64-row DIMENSION frame
     "q_holt_linear",          # lag window over the one-row-per-DAY frame
     "q_proportional_allocation",  # remainder rank over the |sources|-row frame
+    "q_heaps_law",            # cumulative sums over the TEN-row decile frame
 }
 # (q_bm25_search's rank window sits AFTER .limit(20) — the plan shows no
 # single-partition window exchange at all, so no allowlist entry needed.)
@@ -463,6 +464,12 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_mann_kendall",          # day-pair join bounded by the CALENDAR squared
                                # (the stream collapses to one row per day first)
     "q_abc_classification",    # 1-row total attaches to the classed frame
+    "q_suffix_array",          # 1-row SA-checksum certificate attaches to the 20-row head
+    "q_lcp_stats",             # 1-row argmax frame attaches to the 1-row stats row
+    "q_bm25_rerank",           # 1-row corpus stats attach (the q_bm25_search scorer)
+    "q_kneser_ney",            # 1-row bigram-type total attaches to the bigram frame
+    "q_edit_distance_verify",  # 1-row candidate/verified cert attaches to the pair frame
+    "q_langid_confusion",      # 1-row accuracy totals attach to the <=25-cell matrix
 }
 
 

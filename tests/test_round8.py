@@ -161,3 +161,51 @@ def test_kmv_estimate_uses_realized_k(spark):
     r = q("q_kmv_distinct", spark).collect()[0]
     assert r.est_distinct == (r.k - 1) * float(2**60) / r.kth_hash
     assert r.k <= _KMV_K
+
+
+def test_suffix_array_memo_is_pure_perf_artifact(spark):
+    """Same boundary as test_memo_is_pure_perf_artifact for the round-8
+    _SA_MEMO: the cached prefix-doubling frames must never change
+    results, and the memo key must pin both sf_dir AND the Spark
+    applicationId (the frames are localCheckpoints — they die with
+    their session, so a key that survives the session would serve dead
+    RDDs to a new one)."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import suffix as X
+
+    saved = dict(X._SA_MEMO)
+    try:
+        X._SA_MEMO.clear()
+        cold = sorted(map(tuple, q("q_lcp_stats", spark).collect()))
+        assert X._SA_MEMO, "q_lcp_stats should populate the SA memo"
+        warm = sorted(map(tuple, q("q_lcp_stats", spark).collect()))
+        assert cold == warm
+        app_id = spark.sparkContext.applicationId
+        for key in X._SA_MEMO:
+            assert any(
+                isinstance(p, str) and "/testdata/" in p for p in key
+            ), f"SA memo key {key!r} does not pin its sf_dir"
+            assert app_id in key, f"SA memo key {key!r} does not pin the session"
+    finally:
+        X._SA_MEMO.clear()
+        X._SA_MEMO.update(saved)
+
+
+def test_suffix_array_rank_is_permutation(spark):
+    """The prefix-doubling build must end with fully distinct ranks
+    forming exactly 1..n (the inverse suffix array) — the structural
+    fact both result certificates quantify over."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.suffix import (
+        build_suffix_array,
+    )
+
+    sa, levels, n = build_suffix_array(spark, SF_SMALL)
+    row = sa.agg(
+        F.countDistinct("r").alias("d"),
+        F.min("r").alias("lo"),
+        F.max("r").alias("hi"),
+        F.count("*").alias("c"),
+    ).first()
+    assert (row.d, row.lo, row.hi, row.c) == (n, 1, n, n)
+    # levels are strictly doubling prefix lengths starting at 1
+    bs = [b for b, _ in levels]
+    assert bs == [2**i for i in range(len(bs))]

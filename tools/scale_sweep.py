@@ -100,18 +100,24 @@ EXTRA = [
     "q_opq_distortion",
     "q_opq_recall",
     "q_pq_rotation",
+    # round 8: the suffix-array flagship pair (prefix-doubling build +
+    # LCP descent; shared via _SA_MEMO, measured under the same
+    # cold/warm memo protocol as the PQ family)
+    "q_suffix_array",
+    "q_lcp_stats",
 ]
 
-# Queries that share process-global trained artifacts via
-# queries.similarity._RECALL_MEMO (exact ground truth, trained
-# codebooks, rotation frames).  For these the sweep measures BOTH memo
-# states: cold = memo cleared before every sample (full train + search,
-# the round-over-round comparable number) and warm = memo populated
-# (steady-state search against an already-built index).  The
+# Queries that share process-global trained/built artifacts via a
+# module memo (queries.similarity._RECALL_MEMO: exact ground truth,
+# trained codebooks, rotation frames; queries.suffix._SA_MEMO: the
+# prefix-doubling frames).  For these the sweep measures BOTH memo
+# states: cold = memos cleared before every sample (full train/build +
+# search, the round-over-round comparable number) and warm = memo
+# populated (steady-state use of the already-built artifact).  The
 # train/search split is measured as (cold − warm, warm): the memo holds
-# exactly the train-side artifacts, so the cold−warm delta IS the
-# training cost (truth derivation + codebook/rotation fitting).
-PQ_FAMILY = {
+# exactly the build-side artifacts, so the cold−warm delta IS the
+# build cost (truth derivation + codebook/rotation/SA fitting).
+MEMO_FAMILY = {
     "q_ann_pq",
     "q_pq_recall",
     "q_lsh_recall",
@@ -123,13 +129,16 @@ PQ_FAMILY = {
     "q_opq_recall",
     "q_pq_rotation",
     "q_matryoshka_recall",
+    "q_suffix_array",
+    "q_lcp_stats",
 }
 
 
 def _clear_memo() -> None:
-    from spark_delta_lakehouse_nyctaxi_spark.queries import similarity
+    from spark_delta_lakehouse_nyctaxi_spark.queries import similarity, suffix
 
     similarity._RECALL_MEMO.clear()
+    suffix._SA_MEMO.clear()
 
 
 def timed(spark, name: str, sf_dir: str, memo: str = "n/a") -> float:
@@ -162,7 +171,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
     for name in HEADLINE + [q for q in EXTRA if q not in HEADLINE]:
-        if name in PQ_FAMILY:
+        if name in MEMO_FAMILY:
             ts = {label: timed(spark, name, d, memo="cold") for label, d in SFS}
             warm01 = timed(spark, name, SFS[-1][1], memo="warm")
         else:
