@@ -2545,3 +2545,111 @@ def q_matryoshka_recall(spark, sf_dir):
             truth.unpersist()
         except Exception:
             pass
+
+
+# ---- q_ivf_probe_curve ------------------------------------------------
+
+
+def _probe_curve_sql(n_centroids=16, iters=2, k=5, n_queries=10) -> str:
+    parts = _ivf_assignment_parts(n_centroids, iters)
+    parts.append(f"""
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < {n_queries}
+        ) WHERE rk <= {k}
+    ),
+    prank AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid) AS pr
+        FROM s{iters} WHERE vec_id < {n_queries}
+    ),
+    ranks AS (
+        SELECT pr.pr AS cell_rank
+        FROM truth t
+        JOIN a{iters} cm ON cm.vec_id = t.neighbor_id
+        JOIN prank pr ON pr.vec_id = t.query_id AND pr.cid = cm.cid
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT n_probe, n_found, n_truth,
+           CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+    FROM (
+        SELECT n.n AS n_probe,
+               CAST(COUNT(*) FILTER (WHERE r.cell_rank <= n.n) AS BIGINT)
+                   AS n_found,
+               n_truth
+        FROM range(1, {n_centroids} + 1) n(n), ranks r, tot
+        GROUP BY n.n, n_truth
+    )
+    ORDER BY n_probe""")
+    return "".join(parts)
+
+
+@register(
+    "q_ivf_probe_curve",
+    _probe_curve_sql(),
+    doc="IVF TUNING CERTIFICATE: the full recall@5-vs-n_probe curve "
+        "for the standard audit queries against the exact 16-cell "
+        "index — the artifact an ANN deployment records to justify "
+        "its probe count (q_ann_ivf_tuned consumes the first 0.9 "
+        "crossing of this curve; this query emits the whole curve).  "
+        "One distributed pass: a true neighbor is found iff its cell "
+        "is probed, so per-pair cell ranks give every n_probe's "
+        "recall at once — never re-running the search per candidate "
+        "probe count.  Ground truth and centroids are memo-shared "
+        "with the sibling audits.  Exact counts; recall reaches 1.0 "
+        "at n_probe=16 by construction (certifying the rank "
+        "domain).  The 16-row cumulative window and the 1-row truth "
+        "total are bounded metadata (allowlisted).",
+)
+def q_ivf_probe_curve(spark, sf_dir):
+    from .aggregates import attach_scalar
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _trained_ivf_centroids(spark, sf_dir, 16, 2, True)
+    truth = _ground_truth_topk(spark, sf_dir, 5, 10)
+    q = S.exact_assignments(
+        emb.filter(F.col("vec_id") < 10), cents, "vec_id", "embedding",
+        n_best=16,
+    ).select(
+        F.col("id").alias("q_query_id"), "cid", F.col("rn").alias("cell_rank")
+    )
+    c = S.exact_assignments(emb, cents, "vec_id", "embedding").select(
+        F.col("id").alias("neighbor_id"), F.col("cid").alias("cell")
+    )
+    ranks = (
+        truth.join(c, "neighbor_id")
+        .join(
+            q,
+            (F.col("query_id") == F.col("q_query_id"))
+            & (F.col("cell") == F.col("cid")),
+        )
+        .groupBy("cell_rank")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dom = spark.range(1, 17).select(F.col("id").cast("long").alias("n_probe"))
+    cur = dom.join(
+        ranks, dom["n_probe"] == ranks["cell_rank"], "left"
+    ).select("n_probe", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    w = Window.orderBy("n_probe").rowsBetween(Window.unboundedPreceding, 0)
+    tot = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    return (
+        attach_scalar(
+            cur.select(
+                "n_probe", F.sum("cnt").over(w).cast("long").alias("n_found")
+            ),
+            tot,
+        )
+        .select(
+            "n_probe",
+            "n_found",
+            "n_truth",
+            (F.col("n_found").cast("double") / F.col("n_truth").cast("double"))
+            .alias("recall"),
+        )
+        .orderBy("n_probe")
+    )

@@ -419,6 +419,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWLIST = {
     "q_holt_linear",          # lag window over the one-row-per-DAY frame
     "q_proportional_allocation",  # remainder rank over the |sources|-row frame
     "q_heaps_law",            # cumulative sums over the TEN-row decile frame
+    "q_ivf_probe_curve",      # cumulative recall over the 16-row probe frame
 }
 # (q_bm25_search's rank window sits AFTER .limit(20) — the plan shows no
 # single-partition window exchange at all, so no allowlist entry needed.)
@@ -470,6 +471,7 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_kneser_ney",            # 1-row bigram-type total attaches to the bigram frame
     "q_edit_distance_verify",  # 1-row candidate/verified cert attaches to the pair frame
     "q_langid_confusion",      # 1-row accuracy totals attach to the <=25-cell matrix
+    "q_ivf_probe_curve",       # 1-row truth total attaches to the 16-row curve
 }
 
 
