@@ -22,7 +22,7 @@ from ..operators.indexing import global_row_number
 from ..sources.readers import load_table
 from . import register
 from .aggregates import attach_scalar
-from .text import _BM25_B, _BM25_K1, _BM25_TERMS
+from .text import _BM25_SCORE_CTES, _BM25_TERMS, bm25_doc_scores
 
 # ---- q_bm25_rerank ----------------------------------------------------
 # Two-stage retrieval: BM25 recall (stage 1, the q_bm25_search scorer,
@@ -41,40 +41,16 @@ _RERANK_K = 50
 _W_COV, _W_ADJ, _W_TFT, _W_EARLY, _W_LEN = 100000, 10000, 1000, 10, 1
 
 _RERANK_SQL = f"""
-    WITH tok AS MATERIALIZED (
+    WITH ts0 AS MATERIALIZED (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
         FROM documents
     ),
     pos AS MATERIALIZED (
         SELECT doc_id, CAST(u.s.i - 1 AS BIGINT) AS p, u.s.x AS t
-        FROM tok, unnest(list_transform(ts, (x, i) -> {{'i': i, 'x': x}})) u(s)
+        FROM ts0, unnest(list_transform(ts, (x, i) -> {{'i': i, 'x': x}})) u(s)
     ),
-    dl AS (SELECT doc_id, COUNT(*) AS len FROM pos GROUP BY doc_id),
-    stats AS (
-        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-               CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
-        FROM dl
-    ),
-    tf AS (
-        SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
-        FROM pos WHERE t IN ('stream', 'join', 'filter')
-        GROUP BY doc_id, t
-    ),
-    df AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t),
-    scored AS (
-        SELECT tf.doc_id,
-               ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-               * (tf.tf * ({_BM25_K1} + 1.0))
-               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                  + {_BM25_B} * (CAST(dl.len AS DOUBLE) / stats.avgdl)))
-               AS s
-        FROM tf JOIN dl USING (doc_id) JOIN df USING (t), stats
-    ),
-    total AS (
-        SELECT doc_id,
-               CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS bm25
-        FROM scored GROUP BY doc_id
-    ),
+    tok AS (SELECT doc_id, t FROM pos),
+    {_BM25_SCORE_CTES.strip().rstrip()},
     cand AS MATERIALIZED (
         SELECT doc_id, bm25,
                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
@@ -138,34 +114,7 @@ def q_bm25_rerank(spark, sf_dir):
     pos = docs.select(
         "doc_id", F.posexplode(T.tokens("text")).alias("p_i", "t")
     ).select("doc_id", F.col("p_i").cast("long").alias("p"), "t")
-    dl = pos.groupBy("doc_id").agg(F.count("*").alias("len"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (F.sum("len").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tf = (
-        pos.filter(F.col("t").isin(_BM25_TERMS))
-        .groupBy("doc_id", "t")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
-    k1, b = _BM25_K1, _BM25_B
-    scored = attach_scalar(
-        tf.join(dl, "doc_id").join(F.broadcast(dfreq), "t"), stats
-    ).select(
-        "doc_id",
-        (
-            ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (F.col("tf") * (k1 + 1.0))
-            / (
-                F.col("tf")
-                + k1 * (1.0 - b + b * (F.col("len").cast("double") / F.col("avgdl")))
-            )
-        ).alias("s"),
-    )
-    total = scored.groupBy("doc_id").agg(
-        F.sum(F.col("s").cast("decimal(28,12)")).cast("double").alias("bm25")
-    )
+    total = bm25_doc_scores(pos.select("doc_id", "t"))
     cand = total.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(_RERANK_K)
     w1 = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
     cand = cand.withColumn("rank1", F.row_number().over(w1).cast("long"))
@@ -539,27 +488,24 @@ def q_curriculum_stages(spark, sf_dir):
 
 from .text import _lang_score_sql  # noqa: E402
 
+# same scored-CTE cascade as the q_lang_id oracle (queries/text.py),
+# plus the doc_id/lang passthrough the confusion matrix needs
 _PRED_LANG_SQL = f"""
         SELECT doc_id, lang,
-               CASE WHEN GREATEST(
-                        {_lang_score_sql(T.LANG_STOPWORDS['en'])},
-                        {_lang_score_sql(T.LANG_STOPWORDS['es'])},
-                        {_lang_score_sql(T.LANG_STOPWORDS['fr'])},
-                        {_lang_score_sql(T.LANG_STOPWORDS['de'])}) = 0 THEN 'und'
-                    WHEN {_lang_score_sql(T.LANG_STOPWORDS['en'])} >=
-                         {_lang_score_sql(T.LANG_STOPWORDS['es'])}
-                     AND {_lang_score_sql(T.LANG_STOPWORDS['en'])} >=
-                         {_lang_score_sql(T.LANG_STOPWORDS['fr'])}
-                     AND {_lang_score_sql(T.LANG_STOPWORDS['en'])} >=
-                         {_lang_score_sql(T.LANG_STOPWORDS['de'])} THEN 'en'
-                    WHEN {_lang_score_sql(T.LANG_STOPWORDS['es'])} >=
-                         {_lang_score_sql(T.LANG_STOPWORDS['fr'])}
-                     AND {_lang_score_sql(T.LANG_STOPWORDS['es'])} >=
-                         {_lang_score_sql(T.LANG_STOPWORDS['de'])} THEN 'es'
-                    WHEN {_lang_score_sql(T.LANG_STOPWORDS['fr'])} >=
-                         {_lang_score_sql(T.LANG_STOPWORDS['de'])} THEN 'fr'
+               CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+                        THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                    WHEN s_fr >= s_de THEN 'fr'
                     ELSE 'de' END AS pred_lang
-        FROM documents
+        FROM (
+            SELECT doc_id, lang,
+                   {_lang_score_sql(T.LANG_STOPWORDS['en'])} AS s_en,
+                   {_lang_score_sql(T.LANG_STOPWORDS['es'])} AS s_es,
+                   {_lang_score_sql(T.LANG_STOPWORDS['fr'])} AS s_fr,
+                   {_lang_score_sql(T.LANG_STOPWORDS['de'])} AS s_de
+            FROM documents
+        )
 """
 
 

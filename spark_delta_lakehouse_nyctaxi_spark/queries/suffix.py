@@ -145,6 +145,7 @@ def build_suffix_array(
     levels: list[tuple[int, DataFrame]] = [(1, cur)]
 
     B = 1
+    distinct_confirmed = False
     while B < _WINDOW:
         # early exit: once ranks are a permutation the order is final
         # (bounded scalar fetch, same pattern as the k-core fixpoint)
@@ -152,6 +153,7 @@ def build_suffix_array(
             F.countDistinct("r").alias("d"), F.count("*").alias("c")
         ).first()
         if dist.d == dist.c:
+            distinct_confirmed = True
             break
         shifted = cur.select((F.col("g") - B).alias("g"), F.col("r").alias("r2"))
         paired = cur.join(shifted, "g", "left").withColumn(
@@ -168,13 +170,16 @@ def build_suffix_array(
         B *= 2
         levels.append((B, cur))
 
-    dist = cur.agg(F.countDistinct("r").alias("d"), F.count("*").alias("c")).first()
-    if dist.d != dist.c:
-        raise RuntimeError(
-            f"suffix-array ranks not distinct at prefix length {B} "
-            f"({dist.d} distinct of {dist.c}) — a document exceeds the "
-            f"{_WINDOW - 1}-token data-model bound; raise _WINDOW"
-        )
+    if not distinct_confirmed:
+        dist = cur.agg(
+            F.countDistinct("r").alias("d"), F.count("*").alias("c")
+        ).first()
+        if dist.d != dist.c:
+            raise RuntimeError(
+                f"suffix-array ranks not distinct at prefix length {B} "
+                f"({dist.d} distinct of {dist.c}) — a document exceeds the "
+                f"{_WINDOW - 1}-token data-model bound; raise _WINDOW"
+            )
 
     sa = corpus.join(cur, "g").localCheckpoint(eager=True)
     _SA_MEMO[key] = (sa, levels, n)

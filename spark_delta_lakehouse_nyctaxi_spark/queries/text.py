@@ -799,11 +799,11 @@ def q_importance_weights(spark, sf_dir):
 _BM25_TERMS = ["stream", "join", "filter"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 
-_BM25_SQL = f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
-        FROM documents
-    ),
+# The dl/stats/tf/df/scored/total CTE chain over an upstream tok
+# (doc_id, t) CTE — shared verbatim by the q_bm25_search oracle and the
+# q_bm25_rerank stage-1 oracle (queries/corpus.py), so the two stay one
+# scorer by construction.
+_BM25_SCORE_CTES = f"""
     dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
     stats AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
@@ -830,6 +830,14 @@ _BM25_SQL = f"""
                CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS bm25
         FROM scored GROUP BY doc_id
     )
+"""
+
+_BM25_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    {_BM25_SCORE_CTES.strip().rstrip()}
     SELECT doc_id, bm25, rank FROM (
         SELECT doc_id, bm25,
                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
@@ -837,6 +845,45 @@ _BM25_SQL = f"""
         FROM total
     ) WHERE rank <= 20
 """
+
+
+def bm25_doc_scores(tok) -> "DataFrame":
+    """(doc_id, bm25) from a (doc_id, t) token frame — the one BM25
+    scorer (k1/b/terms above) behind q_bm25_search and
+    q_bm25_rerank's stage 1: Robertson idf, per-(doc,term) double
+    expression tree identical on both engines, decimal-cast
+    order-invariant over-terms sum."""
+    from .aggregates import attach_scalar
+
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("t").isin(_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = attach_scalar(
+        tf.join(dl, "doc_id").join(F.broadcast(dfreq), "t"), stats
+    ).select(
+        "doc_id",
+        (
+            ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * (F.col("len").cast("double") / F.col("avgdl")))
+            )
+        ).alias("s"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(28,12)")).cast("double").alias("bm25")
+    )
+
 
 
 @register(
@@ -854,46 +901,11 @@ _BM25_SQL = f"""
         "term-count-sized broadcasts.",
 )
 def q_bm25_search(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("t"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (F.sum("len").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tf = (
-        tok.filter(F.col("t").isin(_BM25_TERMS))
-        .groupBy("doc_id", "t")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
-    k1, b = _BM25_K1, _BM25_B
-    from .aggregates import attach_scalar
-
-    scored = (
-        attach_scalar(tf.join(dl, "doc_id").join(F.broadcast(dfreq), "t"), stats)
-        .select(
-            "doc_id",
-            (
-                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1
-                    * (
-                        1.0
-                        - b
-                        + b * (F.col("len").cast("double") / F.col("avgdl"))
-                    )
-                )
-            ).alias("s"),
-        )
-    )
     from pyspark.sql import Window
 
-    total = scored.groupBy("doc_id").agg(
-        F.sum(F.col("s").cast("decimal(28,12)")).cast("double").alias("bm25")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("t"))
+    total = bm25_doc_scores(tok)
     # TakeOrderedAndProject first (scale-safe top-k — per-partition
     # heaps, no global sort), THEN the rank window over the k=20
     # surviving rows: its single-partition exchange moves 20 rows —

@@ -173,6 +173,17 @@ EXTRA = [
     "q_graph_modularity",
     "q_clustering_ari",
     "q_salting_balance",
+    # round 8: suffix-array flagship pair + corpus tier + probe curve
+    "q_suffix_array",
+    "q_lcp_stats",
+    "q_bm25_rerank",
+    "q_heaps_law",
+    "q_kneser_ney",
+    "q_edit_distance_verify",
+    "q_curriculum_stages",
+    "q_langid_confusion",
+    "q_data_card",
+    "q_ivf_probe_curve",
 ]
 
 SF = "/root/testdata/sf0.01"
