@@ -724,3 +724,95 @@ def q_data_card(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---- q_vocab_coverage ----------------------------------------------------
+
+_VOCAB_KS = [100, 500, 1000, 5000]
+
+
+@register(
+    "q_vocab_coverage",
+    f"""
+    WITH freq AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+              FROM documents)
+        GROUP BY t
+    ),
+    r AS (
+        SELECT f, CAST(row_number() OVER (ORDER BY f DESC, t) AS BIGINT) AS rk
+        FROM freq
+    ),
+    a AS (
+        SELECT {", ".join(f"CAST(SUM(f) FILTER (WHERE rk <= {k}) AS BIGINT) AS c{k}" for k in _VOCAB_KS)},
+               CAST(SUM(f) AS BIGINT) AS total_occurrences,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM r
+    )
+    SELECT k, LEAST(k, n_types) AS vocab_size, covered, n_types,
+           total_occurrences,
+           CAST(covered AS DOUBLE) / CAST(total_occurrences AS DOUBLE)
+               AS coverage
+    FROM (
+        {" UNION ALL ".join(f"SELECT CAST({k} AS BIGINT) AS k, c{k} AS covered, n_types, total_occurrences FROM a" for k in _VOCAB_KS)}
+    )
+    ORDER BY k
+    """,
+    doc="TOKENIZER SIZING CERTIFICATE: occurrence coverage of the "
+        "top-k most frequent token types for k in 100/500/1000/5000 — "
+        "the curve that decides a vocabulary budget (coverage at the "
+        "knee) before a BPE train.  One grouped count + one "
+        "distributed rank + one conditional aggregate; the four "
+        "points are conditional sums in a single pass, never four "
+        "scans.  Exact integers; one IEEE division per row; "
+        "deterministic (freq desc, token) rank tiebreak.",
+)
+def q_vocab_coverage(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(T.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    # rank by frequency desc with token tiebreak: global_row_number
+    # needs ascending order columns, so rank on (-f, t)
+    r = global_row_number(
+        freq.withColumn("neg_f", -F.col("f")), ["neg_f", "t"], "rk"
+    )
+    a = r.agg(
+        *[
+            F.sum(F.when(F.col("rk") <= k, F.col("f")).otherwise(0))
+            .cast("long")
+            .alias(f"c{k}")
+            for k in _VOCAB_KS
+        ],
+        F.sum("f").cast("long").alias("total_occurrences"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    points = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.col(f"c{k}").alias("covered"),
+            )
+            for k in _VOCAB_KS
+        ]
+    )
+    return (
+        a.select(
+            F.explode(points).alias("s"), "n_types", "total_occurrences"
+        )
+        .select(
+            F.col("s.k").alias("k"),
+            F.least(F.col("s.k"), F.col("n_types")).alias("vocab_size"),
+            F.col("s.covered").alias("covered"),
+            "n_types",
+            "total_occurrences",
+            (
+                F.col("s.covered").cast("double")
+                / F.col("total_occurrences").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
