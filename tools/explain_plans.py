@@ -184,6 +184,7 @@ EXTRA = [
     "q_langid_confusion",
     "q_data_card",
     "q_ivf_probe_curve",
+    "q_vocab_coverage",
 ]
 
 SF = "/root/testdata/sf0.01"

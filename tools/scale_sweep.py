@@ -105,6 +105,14 @@ EXTRA = [
     # cold/warm memo protocol as the PQ family)
     "q_suffix_array",
     "q_lcp_stats",
+    # round 8: corpus tier (data-sized plans)
+    "q_bm25_rerank",
+    "q_heaps_law",
+    "q_kneser_ney",
+    "q_edit_distance_verify",
+    "q_curriculum_stages",
+    "q_data_card",
+    "q_vocab_coverage",
 ]
 
 # Queries that share process-global trained/built artifacts via a
