@@ -208,10 +208,16 @@ def reset_caches(spark) -> None:
     import spark_delta_lakehouse_nyctaxi_spark.queries.dedup as _d
     import spark_delta_lakehouse_nyctaxi_spark.queries.multimodal as _m
     import spark_delta_lakehouse_nyctaxi_spark.queries.similarity as _s
+    import spark_delta_lakehouse_nyctaxi_spark.queries.suffix as _x
 
     _d._LSH_TRUTH_MEMO.clear()
     _s._RECALL_MEMO.clear()
     _m._PALETTE_MEMO.clear()
+    # _SA_MEMO holds localCheckpointed frames whose blocks the
+    # unpersist-all above just destroyed (checkpoint = truncated
+    # lineage, so the frames are unrecoverable) — serving them would
+    # error, not just warm-skew the measurement
+    _x._SA_MEMO.clear()
 
 
 def describe(df) -> dict:
