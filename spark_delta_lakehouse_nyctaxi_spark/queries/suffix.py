@@ -299,61 +299,17 @@ def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.crossJoin(F.broadcast(cert))
 
 
-@register(
-    "q_lcp_stats",
-    "WITH "
-    + _CORPUS_SQL
-    + """,
-    adj AS MATERIALIZED (
-        SELECT g AS gb, lag(g) OVER (ORDER BY r) AS ga
-        FROM ranked
-    ),
-    lcps AS MATERIALIZED (
-        SELECT ga, gb, CAST(min(j) AS BIGINT) AS lcp
-        FROM (
-            SELECT a.ga, a.gb, j.j AS j, ca.tok AS ta, cb.tok AS tb
-            FROM adj a
-            CROSS JOIN range(0, 102) j(j)
-            LEFT JOIN corpus ca ON ca.g = a.ga + j.j
-            LEFT JOIN corpus cb ON cb.g = a.gb + j.j
-            WHERE a.ga IS NOT NULL
-        )
-        WHERE ta IS DISTINCT FROM tb
-        GROUP BY ga, gb
-    ),
-    stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(max(lcp) AS BIGINT) AS max_lcp,
-               CAST(sum(lcp) AS BIGINT) AS sum_lcp,
-               CAST(count(*) FILTER (WHERE lcp >= 8) AS BIGINT) AS n_ge_8,
-               CAST(count(*) FILTER (WHERE lcp >= 16) AS BIGINT) AS n_ge_16,
-               CAST(count(*) FILTER (WHERE lcp >= 32) AS BIGINT) AS n_ge_32,
-               CAST(count(*) FILTER (WHERE lcp >= 64) AS BIGINT) AS n_ge_64
-        FROM lcps
-    ),
-    arg AS (
-        SELECT c.doc_id AS arg_doc_id, c.p AS arg_p
-        FROM lcps l JOIN corpus c ON c.g = l.ga
-        ORDER BY l.lcp DESC, l.ga ASC
-        LIMIT 1
-    )
-    SELECT * FROM stats, arg
-    """,
-    doc="LCP ARRAY STATISTICS from the suffix array: the longest "
-        "repeated token run in the corpus (max adjacent-suffix LCP — "
-        "the ExactSubstr dedup threshold statistic), the repeated-run "
-        "length spectrum (pairs with LCP >= 8/16/32/64), total LCP "
-        "mass, and the position of the longest repeat.  Spark "
-        "computes every LCP EXACTLY by sparse-table descent over the "
-        "prefix-doubling rank levels (rank_B(a+acc) == rank_B(b+acc) "
-        "iff the B-blocks match — no hash-collision assumption); the "
-        "oracle compares token windows element-wise.  Adjacent pairs "
-        "come from a hash self-join on rank (r = r+1), never a "
-        "single-partition window.",
-)
-def q_lcp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sa, levels, n = build_suffix_array(spark, sf_dir)
+def lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ga, gb, lcp) for every adjacent suffix pair in SA order — the
+    LCP array.  Every LCP is EXACT via sparse-table descent over the
+    prefix-doubling rank levels (rank_B(a+acc) == rank_B(b+acc) iff
+    the B-blocks match — no hash-collision assumption).  Memoized with
+    the SA build (_SA_MEMO; pure perf artifact)."""
+    key = ("lcp", sf_dir, spark.sparkContext.applicationId)
+    if key in _SA_MEMO:
+        return _SA_MEMO[key]
 
+    sa, levels, _n = build_suffix_array(spark, sf_dir)
     left = sa.select(F.col("r").alias("rk"), F.col("g").alias("ga"))
     right = sa.select((F.col("r") - 1).alias("rk"), F.col("g").alias("gb"))
     pairs = (
@@ -394,6 +350,77 @@ def q_lcp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
+    _SA_MEMO[key] = pairs.select("ga", "gb", "lcp")
+    return _SA_MEMO[key]
+
+
+
+
+# Adjacent-pair LCPs from the ranked corpus — shared by the
+# q_lcp_stats and q_exact_substr_dedup oracles.  Element-wise
+# mismatch scan (two integer equi-joins), never list payloads.
+_LCP_SQL = """
+    adj AS MATERIALIZED (
+        SELECT g AS gb, lag(g) OVER (ORDER BY r) AS ga
+        FROM ranked
+    ),
+    lcps AS MATERIALIZED (
+        SELECT ga, gb, CAST(min(j) AS BIGINT) AS lcp
+        FROM (
+            SELECT a.ga, a.gb, j.j AS j, ca.tok AS ta, cb.tok AS tb
+            FROM adj a
+            CROSS JOIN range(0, 102) j(j)
+            LEFT JOIN corpus ca ON ca.g = a.ga + j.j
+            LEFT JOIN corpus cb ON cb.g = a.gb + j.j
+            WHERE a.ga IS NOT NULL
+        )
+        WHERE ta IS DISTINCT FROM tb
+        GROUP BY ga, gb
+    )
+"""
+
+
+@register(
+    "q_lcp_stats",
+    "WITH "
+    + _CORPUS_SQL
+    + ","
+    + _LCP_SQL
+    + """,
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(max(lcp) AS BIGINT) AS max_lcp,
+               CAST(sum(lcp) AS BIGINT) AS sum_lcp,
+               CAST(count(*) FILTER (WHERE lcp >= 8) AS BIGINT) AS n_ge_8,
+               CAST(count(*) FILTER (WHERE lcp >= 16) AS BIGINT) AS n_ge_16,
+               CAST(count(*) FILTER (WHERE lcp >= 32) AS BIGINT) AS n_ge_32,
+               CAST(count(*) FILTER (WHERE lcp >= 64) AS BIGINT) AS n_ge_64
+        FROM lcps
+    ),
+    arg AS (
+        SELECT c.doc_id AS arg_doc_id, c.p AS arg_p
+        FROM lcps l JOIN corpus c ON c.g = l.ga
+        ORDER BY l.lcp DESC, l.ga ASC
+        LIMIT 1
+    )
+    SELECT * FROM stats, arg
+    """,
+    doc="LCP ARRAY STATISTICS from the suffix array: the longest "
+        "repeated token run in the corpus (max adjacent-suffix LCP — "
+        "the ExactSubstr dedup threshold statistic), the repeated-run "
+        "length spectrum (pairs with LCP >= 8/16/32/64), total LCP "
+        "mass, and the position of the longest repeat.  Spark "
+        "computes every LCP EXACTLY by sparse-table descent over the "
+        "prefix-doubling rank levels (rank_B(a+acc) == rank_B(b+acc) "
+        "iff the B-blocks match — no hash-collision assumption); the "
+        "oracle compares token windows element-wise.  Adjacent pairs "
+        "come from a hash self-join on rank (r = r+1), never a "
+        "single-partition window.",
+)
+def q_lcp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sa, _levels, _n = build_suffix_array(spark, sf_dir)
+    pairs = lcp_pairs(spark, sf_dir)
+
     stats = pairs.agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.max("lcp").cast("long").alias("max_lcp"),
@@ -411,3 +438,123 @@ def q_lcp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("arg_doc_id"), F.col("p").alias("arg_p"))
     )
     return stats.crossJoin(F.broadcast(arg))
+
+
+# ---- q_exact_substr_dedup ----------------------------------------------
+
+# Lee et al. (ACL'22) ExactSubstr threshold: substrings of >= 50 tokens
+# that occur more than once in the corpus are duplicated content.
+_EXCISE_MIN = 50
+
+
+@register(
+    "q_exact_substr_dedup",
+    "WITH "
+    + _CORPUS_SQL
+    + ","
+    + _LCP_SQL
+    + f""",
+    dl AS MATERIALIZED (
+        SELECT g, CAST(MAX(lcp) AS BIGINT) AS dl
+        FROM (
+            SELECT ga AS g, lcp FROM lcps
+            UNION ALL
+            SELECT gb AS g, lcp FROM lcps
+        )
+        GROUP BY g
+    ),
+    m AS MATERIALIZED (
+        SELECT c.g, c.doc_id, COALESCE(d.dl, 0) AS dl,
+               CASE WHEN COALESCE(d.dl, 0) >= {_EXCISE_MIN}
+                    THEN c.g + COALESCE(d.dl, 0) ELSE -1 END AS reach
+        FROM corpus c LEFT JOIN dl d USING (g)
+        WHERE NOT c.is_sentinel
+    ),
+    pm AS (
+        SELECT g, doc_id, dl,
+               MAX(reach) OVER (ORDER BY g
+                   ROWS UNBOUNDED PRECEDING) > g AS covered
+        FROM m
+    )
+    SELECT CAST({_EXCISE_MIN} AS BIGINT) AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_positions,
+           CAST(COUNT(*) FILTER (WHERE dl >= {_EXCISE_MIN}) AS BIGINT)
+               AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE covered) AS BIGINT) AS n_covered,
+           CAST(COUNT(DISTINCT doc_id) FILTER (WHERE covered) AS BIGINT)
+               AS n_docs_affected,
+           CAST(MAX(dl) AS BIGINT) AS max_span_len,
+           CAST(COUNT(*) FILTER (WHERE NOT covered) AS BIGINT)
+               AS retained_tokens,
+           CAST(COUNT(*) FILTER (WHERE covered) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS covered_share
+    FROM pm
+    """,
+    doc="EXACT-SUBSTRING DEDUP CERTIFICATE — the Lee-et-al. (ACL'22) "
+        "ExactSubstr semantics realized END TO END on the suffix "
+        "array: a position starts a duplicated run of length L iff "
+        "its LCP with an SA-NEIGHBOR is >= L (suffixes sharing a "
+        "prefix are adjacent in SA order), so dup_len(g) = max of the "
+        "two adjacent LCPs; every position whose dup_len >= 50 opens "
+        "the excision interval [g, g+dup_len), and the corpus-wide "
+        "interval UNION is resolved by a distributed running max of "
+        "interval reach (operators.indexing.distributed_prefix_max — "
+        "one range exchange, never a single-partition window).  "
+        "Certifies: span count, covered positions, affected docs, "
+        "longest duplicated run (ANY length, not dyadic-capped), and "
+        "the retained-token budget after excision.  Exact integers; "
+        "one IEEE division.  At 100 TB: SA build is the capped "
+        "7-level doubling; everything after is one hash aggregate + "
+        "one range exchange.",
+)
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import distributed_prefix_max
+
+    sa, _levels, _n = build_suffix_array(spark, sf_dir)
+    pairs = lcp_pairs(spark, sf_dir)
+    dl = (
+        pairs.select(F.col("ga").alias("g"), "lcp")
+        .unionByName(pairs.select(F.col("gb").alias("g"), "lcp"))
+        .groupBy("g")
+        .agg(F.max("lcp").alias("dl"))
+    )
+    m = (
+        sa.filter(~F.col("is_sentinel"))
+        .join(dl, "g", "left")
+        .select(
+            "g",
+            "doc_id",
+            F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
+            F.when(
+                F.coalesce("dl", F.lit(0)) >= _EXCISE_MIN,
+                F.col("g") + F.coalesce("dl", F.lit(0)),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("reach"),
+        )
+    )
+    pm = distributed_prefix_max(m, ["g"], "reach", "cr").withColumn(
+        "covered", F.col("cr") > F.col("g")
+    )
+    return pm.agg(
+        F.lit(_EXCISE_MIN).cast("long").alias("threshold"),
+        F.count("*").cast("long").alias("n_positions"),
+        F.sum(F.when(F.col("dl") >= _EXCISE_MIN, 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans"),
+        F.sum(F.when(F.col("covered"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+        F.countDistinct(F.when(F.col("covered"), F.col("doc_id")))
+        .cast("long")
+        .alias("n_docs_affected"),
+        F.max("dl").cast("long").alias("max_span_len"),
+        F.sum(F.when(~F.col("covered"), 1).otherwise(0))
+        .cast("long")
+        .alias("retained_tokens"),
+        (
+            F.sum(F.when(F.col("covered"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("covered_share"),
+    )

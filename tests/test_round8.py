@@ -209,3 +209,41 @@ def test_suffix_array_rank_is_permutation(spark):
     # levels are strictly doubling prefix lengths starting at 1
     bs = [b for b, _ in levels]
     assert bs == [2**i for i in range(len(bs))]
+
+
+def test_distributed_prefix_max_matches_window(spark):
+    """The interval-union primitive must equal the single-partition
+    running-max window it replaces, including the LONG_MIN empty-prefix
+    convention, under a multi-partition range layout."""
+    from pyspark.sql import Window
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators.indexing import (
+        distributed_prefix_max,
+    )
+
+    rows = [(i, ((i * 37) % 101) - 50) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    got = {
+        r.g: r.cm
+        for r in distributed_prefix_max(
+            df, ["g"], "v", "cm", num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.g: r.cm
+        for r in df.withColumn("cm", F.max("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_exact_substr_dedup_consistency(spark):
+    """Structural invariants of the ExactSubstr certificate: covered
+    positions at least cover every span start; retained + covered =
+    all; max_span_len equals q_lcp_stats' max_lcp (same LCP array)."""
+    r = q("q_exact_substr_dedup", spark).collect()[0]
+    s = q("q_lcp_stats", spark).collect()[0]
+    assert r.n_covered >= r.n_spans
+    assert r.retained_tokens + r.n_covered == r.n_positions
+    assert r.max_span_len == s.max_lcp
+    assert (r.n_spans == 0) == (r.n_covered == 0)

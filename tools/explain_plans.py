@@ -185,6 +185,7 @@ EXTRA = [
     "q_data_card",
     "q_ivf_probe_curve",
     "q_vocab_coverage",
+    "q_exact_substr_dedup",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -113,6 +113,7 @@ EXTRA = [
     "q_curriculum_stages",
     "q_data_card",
     "q_vocab_coverage",
+    "q_exact_substr_dedup",
 ]
 
 # Queries that share process-global trained/built artifacts via a
@@ -139,6 +140,7 @@ MEMO_FAMILY = {
     "q_matryoshka_recall",
     "q_suffix_array",
     "q_lcp_stats",
+    "q_exact_substr_dedup",
 }
 
 
