@@ -433,73 +433,84 @@ def distributed_prefix_sum(
 def distributed_prefix_max(
     df: DataFrame,
     order_cols: list[str],
-    value_col: str,
+    value_cols: list[str] | str,
     out_col: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Global running maximum ``MAX(v) OVER (ORDER BY order_cols ROWS
-    UNBOUNDED PRECEDING)`` — the interval-union / merge-overlaps
-    primitive (covered(x) = running_max(start + len) > x) — without the
-    single-partition window exchange.
+    """Global running maxima ``MAX(v) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` for each LONG column in ``value_cols`` — the
+    interval-union / merge-overlaps primitive (covered(x) =
+    running_max(start + len) > x) — without the single-partition
+    window exchange.
 
     Same two-phase contract as :func:`distributed_prefix_sum`: one
     range exchange + in-partition sort, per-partition maxima ride a
-    metadata pass (k scalars to the driver), and the assign pass folds
-    each partition's cumulative base into a local running max.  The
-    value must be integer-typed; rows before any value default the
-    base to ``LONG_MIN`` (an empty prefix has no max — callers treat
-    LONG_MIN as "nothing yet").  Output column ``cum_max_<v>`` (or
-    ``out_col``)."""
-    out_col = out_col or f"cum_max_{value_col}"
+    metadata pass (k×m scalars to the driver), and the assign pass
+    folds each partition's cumulative base into a local running max.
+    Values must be integer-typed; rows before any value default the
+    base to ``LONG_MIN`` (an empty prefix has no max).  Output column
+    ``cum_max_<v>`` per value column (or ``out_col`` when a single
+    column name is passed)."""
+    single = isinstance(value_cols, str)
+    cols = [value_cols] if single else list(value_cols)
+    names = (
+        [out_col or f"cum_max_{cols[0]}"]
+        if single
+        else [f"cum_max_{v}" for v in cols]
+    )
     long_min = -(2**63)
     ranged, counts, offsets = _ranged_layout(
         df, [F.col(c) for c in order_cols], num_partitions
     )
 
     def _maxima(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        agg: dict[int, int] = {}
+        agg: dict[int, list[int]] = {}
         for b in it:
             if not len(b):
                 continue
             pid = int(b[_PID_COL].iloc[0])
-            m = int(b[value_col].max())
-            agg[pid] = max(agg.get(pid, long_min), m)
+            cur = agg.setdefault(pid, [long_min] * len(cols))
+            for i, v in enumerate(cols):
+                cur[i] = max(cur[i], int(b[v].max()))
+        rows = [[pid] + vals for pid, vals in agg.items()]
         yield pd.DataFrame(
-            {"pid": list(agg.keys()), "m": list(agg.values())}
+            rows, columns=["pid"] + [f"m{i}" for i in range(len(cols))]
         )
 
+    schema_m = "pid int, " + ", ".join(f"m{i} long" for i in range(len(cols)))
     maxima = {
-        int(r.pid): int(r.m)
-        for r in ranged.mapInPandas(_maxima, "pid int, m long").collect()
+        int(r.pid): [int(r[f"m{i}"]) for i in range(len(cols))]
+        for r in ranged.mapInPandas(_maxima, schema_m).collect()
     }
-    bases: dict[int, int] = {}
-    acc = long_min
+    bases: dict[int, list[int]] = {}
+    acc = [long_min] * len(cols)
     for pid in sorted(counts):
-        bases[pid] = acc
-        acc = max(acc, maxima.get(pid, long_min))
+        bases[pid] = list(acc)
+        for i in range(len(cols)):
+            acc[i] = max(acc[i], maxima.get(pid, [long_min] * len(cols))[i])
 
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(
         [f for f in ranged.schema.fields if f.name not in (_TAG_COL, _PID_COL)]
-        + [StructField(out_col, LongType())]
+        + [StructField(nm, LongType()) for nm in names]
     )
 
     def _assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen: dict[int, int] = {}
-        run: dict[int, int] = {}
+        run: dict[int, list[int]] = {}
         for b in it:
             if not len(b):
                 continue
             pid = int(b[_PID_COL].iloc[0])
             b = b.drop(columns=[_TAG_COL, _PID_COL])
-            state = run.setdefault(pid, bases.get(pid, long_min))
-            c = b[value_col].cummax().clip(lower=state)
-            # clip handles the running base; cummax is within-batch, so
-            # carry the last value forward across batches of the same
-            # partition
-            b[out_col] = c
-            run[pid] = int(c.iloc[-1])
+            state = run.setdefault(pid, list(bases.get(pid, [long_min] * len(cols))))
+            for i, v in enumerate(cols):
+                # cummax is within-batch; the clip folds in the running
+                # base carried across batches of the same partition
+                c = b[v].cummax().clip(lower=state[i])
+                b[names[i]] = c
+                state[i] = int(c.iloc[-1])
             seen[pid] = seen.get(pid, 0) + len(b)
             if seen[pid] > counts.get(pid, 0):
                 raise RuntimeError(

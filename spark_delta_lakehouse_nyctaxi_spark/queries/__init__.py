@@ -196,6 +196,7 @@ _PRIORITY: list[str] = [
     "q_ivf_probe_curve",
     "q_vocab_coverage",
     "q_exact_substr_dedup",
+    "q_excision_thresholds",
     # --- driver-green queries from prior windows (r6/r7 slots 1-50) ---
     "q_interval_join",
     "q_dpp_certified",

@@ -558,3 +558,135 @@ def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("covered_share"),
     )
+
+
+# ---- q_excision_thresholds ------------------------------------------------
+
+_EXCISE_SWEEP = [8, 16, 32, 50, 64]
+
+
+@register(
+    "q_excision_thresholds",
+    "WITH "
+    + _CORPUS_SQL
+    + ","
+    + _LCP_SQL
+    + f""",
+    dl AS MATERIALIZED (
+        SELECT g, CAST(MAX(lcp) AS BIGINT) AS dl
+        FROM (
+            SELECT ga AS g, lcp FROM lcps
+            UNION ALL
+            SELECT gb AS g, lcp FROM lcps
+        )
+        GROUP BY g
+    ),
+    m AS MATERIALIZED (
+        SELECT c.g, COALESCE(d.dl, 0) AS dl,
+               {", ".join(f"CASE WHEN COALESCE(d.dl, 0) >= {t} THEN c.g + COALESCE(d.dl, 0) ELSE -1 END AS reach{t}" for t in _EXCISE_SWEEP)}
+        FROM corpus c LEFT JOIN dl d USING (g)
+        WHERE NOT c.is_sentinel
+    ),
+    pm AS (
+        SELECT g, dl,
+               {", ".join(f"MAX(reach{t}) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) > g AS cov{t}" for t in _EXCISE_SWEEP)}
+        FROM m
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_positions,
+               {", ".join(f"CAST(COUNT(*) FILTER (WHERE dl >= {t}) AS BIGINT) AS s{t}, CAST(COUNT(*) FILTER (WHERE cov{t}) AS BIGINT) AS c{t}" for t in _EXCISE_SWEEP)}
+        FROM pm
+    )
+    SELECT threshold, n_spans, n_covered, n_positions,
+           n_positions - n_covered AS retained_tokens,
+           CAST(n_covered AS DOUBLE) / CAST(n_positions AS DOUBLE)
+               AS covered_share
+    FROM (
+        {" UNION ALL ".join(f"SELECT CAST({t} AS BIGINT) AS threshold, s{t} AS n_spans, c{t} AS n_covered, n_positions FROM a" for t in _EXCISE_SWEEP)}
+    )
+    ORDER BY threshold
+    """,
+    doc="EXCISION THRESHOLD SENSITIVITY — the tuning curve for "
+        "q_exact_substr_dedup: covered positions / spans / retained "
+        "tokens at duplicated-run thresholds 8/16/32/50/64, ALL FIVE "
+        "interval unions resolved in ONE multi-column "
+        "distributed_prefix_max pass (one range exchange, five "
+        "running maxima riding the same layout).  The artifact that "
+        "justifies the Lee-et-al. 50-token choice on a given corpus: "
+        "how much data each threshold would remove.  Exact integers; "
+        "one IEEE division per row.",
+)
+def q_excision_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import distributed_prefix_max
+
+    sa, _levels, _n = build_suffix_array(spark, sf_dir)
+    pairs = lcp_pairs(spark, sf_dir)
+    dl = (
+        pairs.select(F.col("ga").alias("g"), "lcp")
+        .unionByName(pairs.select(F.col("gb").alias("g"), "lcp"))
+        .groupBy("g")
+        .agg(F.max("lcp").alias("dl"))
+    )
+    dl0 = F.coalesce("dl", F.lit(0))
+    m = (
+        sa.filter(~F.col("is_sentinel"))
+        .join(dl, "g", "left")
+        .select(
+            "g",
+            dl0.cast("long").alias("dl"),
+            *[
+                F.when(dl0 >= t, F.col("g") + dl0)
+                .otherwise(F.lit(-1))
+                .cast("long")
+                .alias(f"reach{t}")
+                for t in _EXCISE_SWEEP
+            ],
+        )
+    )
+    pm = distributed_prefix_max(
+        m, ["g"], [f"reach{t}" for t in _EXCISE_SWEEP]
+    )
+    a = pm.agg(
+        F.count("*").cast("long").alias("n_positions"),
+        *[
+            F.sum(F.when(F.col("dl") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"s{t}")
+            for t in _EXCISE_SWEEP
+        ],
+        *[
+            F.sum(
+                F.when(F.col(f"cum_max_reach{t}") > F.col("g"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"c{t}")
+            for t in _EXCISE_SWEEP
+        ],
+    )
+    points = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("long").alias("threshold"),
+                F.col(f"s{t}").alias("n_spans"),
+                F.col(f"c{t}").alias("n_covered"),
+            )
+            for t in _EXCISE_SWEEP
+        ]
+    )
+    return (
+        a.select(F.explode(points).alias("s"), "n_positions")
+        .select(
+            F.col("s.threshold").alias("threshold"),
+            F.col("s.n_spans").alias("n_spans"),
+            F.col("s.n_covered").alias("n_covered"),
+            "n_positions",
+            (F.col("n_positions") - F.col("s.n_covered")).alias(
+                "retained_tokens"
+            ),
+            (
+                F.col("s.n_covered").cast("double")
+                / F.col("n_positions").cast("double")
+            ).alias("covered_share"),
+        )
+        .orderBy("threshold")
+    )

@@ -186,6 +186,7 @@ EXTRA = [
     "q_ivf_probe_curve",
     "q_vocab_coverage",
     "q_exact_substr_dedup",
+    "q_excision_thresholds",
 ]
 
 SF = "/root/testdata/sf0.01"

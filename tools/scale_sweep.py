@@ -114,6 +114,7 @@ EXTRA = [
     "q_data_card",
     "q_vocab_coverage",
     "q_exact_substr_dedup",
+    "q_excision_thresholds",
 ]
 
 # Queries that share process-global trained/built artifacts via a
@@ -141,6 +142,7 @@ MEMO_FAMILY = {
     "q_suffix_array",
     "q_lcp_stats",
     "q_exact_substr_dedup",
+    "q_excision_thresholds",
 }
 
 
