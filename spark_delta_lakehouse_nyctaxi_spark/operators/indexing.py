@@ -522,3 +522,140 @@ def distributed_prefix_max(
     result = ranged.mapInPandas(_assign, out_schema)
     _adopt_cache(result, ranged, df)
     return result
+
+
+def distributed_grouped_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    tiebreak_cols: list[str],
+    out_col: str = "r",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rank rows by ``key_cols`` so that EQUAL keys share a rank and
+    the rank value equals the global 1-based row number of the group's
+    FIRST row under ``key_cols + tiebreak_cols`` — exactly the
+    ``min(row_number()) OVER (PARTITION BY keys)`` construction,
+    without the hash-window exchange it would plan.
+
+    One range exchange (``_ranged_layout`` on keys + tiebreak), then a
+    metadata pass collects per partition (first key, last key, local
+    offset of the last boundary-blind group start).  The driver walks
+    partitions in range order carrying the OPEN group's (key, rank)
+    across boundaries; the assign pass re-detects group starts locally
+    against the carried boundary key.  Key columns must be long- or
+    string-typed (boundary keys travel as stringified tuples — str()
+    is injective for both).
+
+    Used by the suffix-array prefix-doubling build, where it replaces
+    global_row_number + min-over-window per level (3 exchanges → 2 per
+    level, one fewer Spark job)."""
+    import numpy as np
+
+    ranged, counts, offsets = _ranged_layout(
+        df, [F.col(c) for c in key_cols + tiebreak_cols], num_partitions
+    )
+
+    def _key_tuple(keys: pd.DataFrame, i: int) -> tuple:
+        return tuple(str(v) for v in keys.iloc[i])
+
+    def _meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per pid: [first_key, last_key, last_start_local, rows_seen]
+        state: dict[int, list] = {}
+        for b in it:
+            if not len(b):
+                continue
+            pid = int(b[_PID_COL].iloc[0])
+            keys = b[key_cols]
+            st = state.setdefault(pid, [None, None, 0, 0])
+            neq = (keys != keys.shift()).any(axis=1).to_numpy()
+            if st[1] is not None:
+                neq[0] = _key_tuple(keys, 0) != st[1]
+            else:
+                st[0] = _key_tuple(keys, 0)
+                neq[0] = True  # boundary-blind: partition row 0 starts
+            starts = np.flatnonzero(neq)
+            if len(starts):
+                st[2] = st[3] + int(starts[-1])
+            st[1] = _key_tuple(keys, -1)
+            st[3] += len(b)
+        rows = [
+            [pid, list(fk), list(lk), ls, n]
+            for pid, (fk, lk, ls, n) in state.items()
+        ]
+        yield pd.DataFrame(
+            rows, columns=["pid", "fk", "lk", "last_start", "n"]
+        )
+
+    meta = {
+        int(r.pid): (tuple(r.fk), tuple(r.lk), int(r.last_start))
+        for r in ranged.mapInPandas(
+            _meta,
+            "pid int, fk array<string>, lk array<string>, "
+            "last_start long, n long",
+        ).collect()
+    }
+    # driver walk: record each partition's INCOMING open group
+    carries: dict[int, tuple] = {}
+    carry_key, carry_rank = None, None
+    for pid in sorted(counts):
+        carries[pid] = (carry_key, carry_rank)
+        if pid not in meta:
+            continue  # empty partition: carry passes through
+        fk, lk, last_start = meta[pid]
+        if last_start == 0:
+            # the only boundary-blind start is row 0 ⇒ single-key
+            # partition (fk == lk); it either continues the carry...
+            if carry_key is not None and fk == carry_key:
+                pass  # carry unchanged
+            else:  # ...or opens a new group at its first row
+                carry_key, carry_rank = lk, offsets.get(pid, 0) + 1
+        else:
+            # a real internal start exists at last_start (> 0 starts
+            # are boundary-independent): the open group at the end is
+            # the one starting there
+            carry_key = lk
+            carry_rank = offsets.get(pid, 0) + last_start + 1
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in ranged.schema.fields if f.name not in (_TAG_COL, _PID_COL)]
+        + [StructField(out_col, LongType())]
+    )
+
+    def _assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per pid: [prev_key, prev_rank, rows_seen]
+        run: dict[int, list] = {}
+        for b in it:
+            if not len(b):
+                continue
+            pid = int(b[_PID_COL].iloc[0])
+            b = b.drop(columns=[_TAG_COL, _PID_COL])
+            ck, cr = carries.get(pid, (None, None))
+            st = run.setdefault(pid, [ck, cr, 0])
+            keys = b[key_cols]
+            neq = (keys != keys.shift()).any(axis=1).to_numpy()
+            neq[0] = st[0] is None or _key_tuple(keys, 0) != st[0]
+            rids = offsets.get(pid, 0) + st[2] + np.arange(1, len(b) + 1)
+            # nullable Int64 keeps the ffill exact past 2^53 (float64
+            # would round large global row numbers)
+            filled = pd.Series(
+                pd.array(np.where(neq, rids, 0), dtype="Int64")
+            ).replace(0, pd.NA).ffill()
+            if st[1] is not None:
+                filled = filled.fillna(st[1])
+            b[out_col] = filled.astype("int64").to_numpy()
+            st[0] = _key_tuple(keys, -1)
+            st[1] = int(b[out_col].iloc[-1])
+            st[2] += len(b)
+            if st[2] > counts.get(pid, 0):
+                raise RuntimeError(
+                    "distributed_grouped_rank: cached range layout "
+                    f"drifted (partition {pid} holds "
+                    f">{counts.get(pid, 0)} rows)"
+                )
+            yield b
+
+    result = ranged.mapInPandas(_assign, out_schema)
+    _adopt_cache(result, ranged, df)
+    return result

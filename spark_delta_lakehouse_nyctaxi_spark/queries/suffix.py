@@ -53,9 +53,12 @@ block hashing to the full exact-substring index.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.indexing import distributed_prefix_sum, global_row_number
+from ..operators.indexing import (
+    distributed_grouped_rank,
+    distributed_prefix_sum,
+)
 from ..operators.text import tokens as tok_col
 from ..sources.readers import load_table
 from . import register
@@ -131,14 +134,14 @@ def build_suffix_array(
     corpus = corpus_positions(spark, sf_dir).localCheckpoint(eager=True)
     n = corpus.count()
 
-    # level B=1: rank by the token itself.  Distributed dense rank =
-    # global row number under (tok, g), then min(row_id) per token —
-    # equal tokens share the FIRST row id, a dense-enough rank (order
-    # + equality are all doubling needs).
-    w_tok = Window.partitionBy("tok")
+    # level B=1: rank by the token itself.  distributed_grouped_rank
+    # gives equal tokens the FIRST row's global number under (tok, g)
+    # — the min(row_number)-over-token construction in ONE ranged pass
+    # (no hash-window exchange; order + equality are all doubling
+    # needs, and the final distinct ranks are the identity 1..n either
+    # way).
     cur = (
-        global_row_number(corpus.select("g", "tok"), ["tok", "g"], "rid")
-        .withColumn("r", F.min("rid").over(w_tok))
+        distributed_grouped_rank(corpus.select("g", "tok"), ["tok"], ["g"], "r")
         .select("g", "r")
         .localCheckpoint(eager=True)
     )
@@ -159,11 +162,8 @@ def build_suffix_array(
         paired = cur.join(shifted, "g", "left").withColumn(
             "r2", F.coalesce("r2", F.lit(-1))
         )
-        ranked = global_row_number(paired, ["r", "r2", "g"], "rid")
         cur = (
-            ranked.withColumn(
-                "rn", F.min("rid").over(Window.partitionBy("r", "r2"))
-            )
+            distributed_grouped_rank(paired, ["r", "r2"], ["g"], "rn")
             .select("g", F.col("rn").alias("r"))
             .localCheckpoint(eager=True)
         )

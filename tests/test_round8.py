@@ -247,3 +247,50 @@ def test_exact_substr_dedup_consistency(spark):
     assert r.retained_tokens + r.n_covered == r.n_positions
     assert r.max_span_len == s.max_lcp
     assert (r.n_spans == 0) == (r.n_covered == 0)
+
+
+def test_distributed_grouped_rank_matches_window(spark):
+    """The grouped-rank kernel (one ranged pass, no hash window) must
+    equal min(row_number) OVER (PARTITION BY keys) exactly — including
+    groups spanning range-partition boundaries (few distinct keys,
+    many partitions) and singleton tails, for long AND string keys."""
+    from pyspark.sql import Window
+
+    from spark_delta_lakehouse_nyctaxi_spark.operators.indexing import (
+        distributed_grouped_rank,
+        global_row_number,
+    )
+
+    rows = [(i % 7, (i * 13) % 3, i) for i in range(5000)] + [
+        (100 + i, 0, 10000 + i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "k1 long, k2 long, g long")
+    got = {
+        r.g: r.r
+        for r in distributed_grouped_rank(
+            df, ["k1", "k2"], ["g"], "r", num_partitions=11
+        ).collect()
+    }
+    ref = {
+        r.g: r.r
+        for r in global_row_number(df, ["k1", "k2", "g"], "rid")
+        .withColumn("r", F.min("rid").over(Window.partitionBy("k1", "k2")))
+        .collect()
+    }
+    assert got == ref
+
+    rows2 = [("tok%02d" % (i % 5), i) for i in range(1000)]
+    df2 = spark.createDataFrame(rows2, "tok string, g long")
+    got2 = {
+        r.g: r.r
+        for r in distributed_grouped_rank(
+            df2, ["tok"], ["g"], "r", num_partitions=6
+        ).collect()
+    }
+    ref2 = {
+        r.g: r.r
+        for r in global_row_number(df2, ["tok", "g"], "rid")
+        .withColumn("r", F.min("rid").over(Window.partitionBy("tok")))
+        .collect()
+    }
+    assert got2 == ref2
