@@ -138,26 +138,32 @@ def global_row_number(
     return result
 
 
-def _ranged_layout(df: DataFrame, exprs: list, num_partitions: int | None):
-    """Shared phase 1: range-exchange + in-partition sort, persisted,
-    with the partition id EMBEDDED as a data column. The embedded id —
-    not ``TaskContext.partitionId()`` — is what the later passes key
-    on: downstream operators (``union``, ``coalesce``) renumber task
+def _persist_ranged(df: DataFrame, exprs: list, num_partitions: int | None):
+    """Range-exchange + in-partition sort, persisted, with the
+    partition id EMBEDDED as a data column. The embedded id — not
+    ``TaskContext.partitionId()`` — is what the later passes key on:
+    downstream operators (``union``, ``coalesce``) renumber task
     partition ids, so the task id can differ from the ranged RDD's
     partition id even on the first materialization (latent r4 bug in
     the identity-merge path, caught by the drift guard). A data column
-    survives any renumbering, and once cached it is immutable data.
-    Returns (ranged, counts, offsets) where counts/offsets map embedded
-    pid → row count / cumulative offset (range partitions are ordered,
-    so offsets over sorted pids give the global rank base)."""
+    survives any renumbering, and once cached it is immutable data."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
+    return (
         df.withColumn(_TAG_COL, F.lit(_next_tag()))
         .repartitionByRange(n, *exprs)
         .sortWithinPartitions(*exprs)
         .withColumn(_PID_COL, F.spark_partition_id())
         .persist()
     )
+
+
+def _ranged_layout(df: DataFrame, exprs: list, num_partitions: int | None):
+    """Shared phase 1: :func:`_persist_ranged` plus the per-partition
+    row-count pass. Returns (ranged, counts, offsets) where
+    counts/offsets map embedded pid → row count / cumulative offset
+    (range partitions are ordered, so offsets over sorted pids give
+    the global rank base)."""
+    ranged = _persist_ranged(df, exprs, num_partitions)
 
     def _count(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         agg: dict[int, int] = {}
@@ -348,6 +354,37 @@ def distributed_kth_smallest(
     return lo / (10 ** scale)
 
 
+def _check_int_value_cols(df: DataFrame, cols, op: str) -> None:
+    """Value columns of the prefix-scan operators must be integral and
+    non-null: a null would turn the pandas batch float (silent dtype
+    drift) or make int(NaN) raise opaquely mid-task (ADVICE r8).
+    Schema check here; the per-batch pandas check catches nulls."""
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    for c in [cols] if isinstance(cols, str) else cols:
+        t = dict(df.dtypes).get(c)
+        if t not in integral:
+            raise TypeError(
+                f"{op}: value column {c!r} has type {t!r} — prefix scans "
+                "accumulate exact Python ints, so values must be "
+                "integer-typed and non-null (pre-scale money to cents, "
+                "coalesce nulls)"
+            )
+
+
+def _check_int_batch(s: pd.Series, name: str, op: str) -> None:
+    if s.isna().any():
+        raise TypeError(
+            f"{op}: value column {name!r} contains nulls — coalesce them "
+            "before the scan (a null would silently drift the running "
+            "total's dtype)"
+        )
+    if s.dtype.kind not in ("i", "u"):
+        raise TypeError(
+            f"{op}: value column {name!r} arrived as pandas dtype "
+            f"{s.dtype} — integer-typed non-null values required"
+        )
+
+
 def distributed_prefix_sum(
     df: DataFrame,
     order_cols: list[str],
@@ -361,35 +398,44 @@ def distributed_prefix_sum(
     Same two-phase contract as :func:`global_row_number` (include a
     unique tiebreaker in ``order_cols`` for a total order): one range
     exchange + in-partition sort, then per-partition value totals ride
-    the SAME metadata pass as the drift-guard row counts (k×(1+m)
-    scalars to the driver), and the assign pass adds each partition's
-    cumulative base to a local running sum. Output column ``cum_<v>``
-    per input value column. Values must be integer-typed (exact) —
-    callers pre-scale money to cents; partial sums accumulate in
-    Python ints driver-side, so only the per-partition int64 totals
-    bound the range (document |sum per partition| < 2^63)."""
-    ranged, counts, offsets = _ranged_layout(
+    ONE metadata pass together with the drift-guard row counts
+    (k×(1+m) scalars to the driver, a single collect), and the assign
+    pass adds each partition's cumulative base to a local running sum.
+    Output column ``cum_<v>`` per input value column. Values must be
+    integer-typed (exact, VALIDATED at entry) — callers pre-scale
+    money to cents; partial sums accumulate in Python ints
+    driver-side, so only the per-partition int64 totals bound the
+    range (document |sum per partition| < 2^63)."""
+    _check_int_value_cols(df, value_cols, "distributed_prefix_sum")
+    ranged = _persist_ranged(
         df, [F.col(c) for c in order_cols], num_partitions
     )
 
     def _totals(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fused counts+totals: one collect materializes the cache AND
+        # delivers both metadata families (was two passes)
         agg: dict[int, list[int]] = {}
         for b in it:
             if not len(b):
                 continue
             pid = int(b[_PID_COL].iloc[0])
-            cur = agg.setdefault(pid, [0] * len(value_cols))
+            cur = agg.setdefault(pid, [0] * (1 + len(value_cols)))
+            cur[0] += len(b)
             for i, v in enumerate(value_cols):
-                cur[i] += int(b[v].sum())
+                _check_int_batch(b[v], v, "distributed_prefix_sum")
+                cur[1 + i] += int(b[v].sum())
         rows = [[pid] + vals for pid, vals in agg.items()]
-        cols = ["pid"] + [f"t{i}" for i in range(len(value_cols))]
+        cols = ["pid", "cnt"] + [f"t{i}" for i in range(len(value_cols))]
         yield pd.DataFrame(rows, columns=cols)
 
-    schema_t = "pid int, " + ", ".join(f"t{i} long" for i in range(len(value_cols)))
-    totals = {
-        int(r.pid): [int(r[f"t{i}"]) for i in range(len(value_cols))]
-        for r in ranged.mapInPandas(_totals, schema_t).collect()
-    }
+    schema_t = "pid int, cnt long, " + ", ".join(
+        f"t{i} long" for i in range(len(value_cols))
+    )
+    counts: dict[int, int] = {}
+    totals: dict[int, list[int]] = {}
+    for r in ranged.mapInPandas(_totals, schema_t).collect():
+        counts[int(r.pid)] = int(r.cnt)
+        totals[int(r.pid)] = [int(r[f"t{i}"]) for i in range(len(value_cols))]
     bases: dict[int, list[int]] = {}
     acc = [0] * len(value_cols)
     for pid in sorted(counts):
@@ -444,11 +490,13 @@ def distributed_prefix_max(
     window exchange.
 
     Same two-phase contract as :func:`distributed_prefix_sum`: one
-    range exchange + in-partition sort, per-partition maxima ride a
-    metadata pass (k×m scalars to the driver), and the assign pass
+    range exchange + in-partition sort, per-partition maxima ride ONE
+    metadata pass together with the drift-guard row counts (k×(1+m)
+    scalars to the driver, a single collect), and the assign pass
     folds each partition's cumulative base into a local running max.
-    Values must be integer-typed; rows before any value default the
-    base to ``LONG_MIN`` (an empty prefix has no max).  Output column
+    Values must be integer-typed and non-null (VALIDATED at entry and
+    per batch — ADVICE r8); rows before any value default the base to
+    ``LONG_MIN`` (an empty prefix has no max).  Output column
     ``cum_max_<v>`` per value column (or ``out_col`` when a single
     column name is passed)."""
     single = isinstance(value_cols, str)
@@ -458,8 +506,9 @@ def distributed_prefix_max(
         if single
         else [f"cum_max_{v}" for v in cols]
     )
+    _check_int_value_cols(df, cols, "distributed_prefix_max")
     long_min = -(2**63)
-    ranged, counts, offsets = _ranged_layout(
+    ranged = _persist_ranged(
         df, [F.col(c) for c in order_cols], num_partitions
     )
 
@@ -469,19 +518,25 @@ def distributed_prefix_max(
             if not len(b):
                 continue
             pid = int(b[_PID_COL].iloc[0])
-            cur = agg.setdefault(pid, [long_min] * len(cols))
+            cur = agg.setdefault(pid, [0] + [long_min] * len(cols))
+            cur[0] += len(b)
             for i, v in enumerate(cols):
-                cur[i] = max(cur[i], int(b[v].max()))
+                _check_int_batch(b[v], v, "distributed_prefix_max")
+                cur[1 + i] = max(cur[1 + i], int(b[v].max()))
         rows = [[pid] + vals for pid, vals in agg.items()]
         yield pd.DataFrame(
-            rows, columns=["pid"] + [f"m{i}" for i in range(len(cols))]
+            rows,
+            columns=["pid", "cnt"] + [f"m{i}" for i in range(len(cols))],
         )
 
-    schema_m = "pid int, " + ", ".join(f"m{i} long" for i in range(len(cols)))
-    maxima = {
-        int(r.pid): [int(r[f"m{i}"]) for i in range(len(cols))]
-        for r in ranged.mapInPandas(_maxima, schema_m).collect()
-    }
+    schema_m = "pid int, cnt long, " + ", ".join(
+        f"m{i} long" for i in range(len(cols))
+    )
+    counts: dict[int, int] = {}
+    maxima: dict[int, list[int]] = {}
+    for r in ranged.mapInPandas(_maxima, schema_m).collect():
+        counts[int(r.pid)] = int(r.cnt)
+        maxima[int(r.pid)] = [int(r[f"m{i}"]) for i in range(len(cols))]
     bases: dict[int, list[int]] = {}
     acc = [long_min] * len(cols)
     for pid in sorted(counts):
@@ -530,6 +585,7 @@ def distributed_grouped_rank(
     tiebreak_cols: list[str],
     out_col: str = "r",
     num_partitions: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Rank rows by ``key_cols`` so that EQUAL keys share a rank and
     the rank value equals the global 1-based row number of the group's
@@ -537,36 +593,71 @@ def distributed_grouped_rank(
     ``min(row_number()) OVER (PARTITION BY keys)`` construction,
     without the hash-window exchange it would plan.
 
-    One range exchange (``_ranged_layout`` on keys + tiebreak), then a
-    metadata pass collects per partition (first key, last key, local
-    offset of the last boundary-blind group start).  The driver walks
-    partitions in range order carrying the OPEN group's (key, rank)
-    across boundaries; the assign pass re-detects group starts locally
-    against the carried boundary key.  Key columns must be long- or
-    string-typed (boundary keys travel as stringified tuples — str()
-    is injective for both).
+    One range exchange on keys + tiebreak, then a SINGLE metadata pass
+    collects per partition (row count, first key, last key, local
+    offset of the last boundary-blind group start, boundary-blind
+    start count) — the drift-guard counts and the boundary walk share
+    one collect.  The driver walks partitions in range order carrying
+    the OPEN group's (key, rank) across boundaries; the assign pass
+    re-detects group starts locally against the carried boundary key.
+    Key columns must be long- or string-typed and NON-NULL (boundary
+    keys travel as stringified tuples — str() is injective for both;
+    pandas NaN != NaN would silently split null-key groups, and
+    Arrow's int64-with-nulls → float64 batch conversion would render
+    boundary keys inconsistently across batches).  The metadata pass
+    VALIDATES both properties per batch and raises instead of
+    producing wrong ranks (ADVICE r8).
 
-    Used by the suffix-array prefix-doubling build, where it replaces
-    global_row_number + min-over-window per level (3 exchanges → 2 per
-    level, one fewer Spark job)."""
+    When ``stats`` (a dict) is passed, it is filled with ``n_rows``
+    and ``n_groups`` — the exact global distinct-key count, derived
+    from the boundary walk at no extra job.  The suffix-array
+    prefix-doubling build uses this as its rank-distinctness test,
+    retiring the per-level countDistinct action."""
     import numpy as np
 
-    ranged, counts, offsets = _ranged_layout(
-        df, [F.col(c) for c in key_cols + tiebreak_cols], num_partitions
+    ranged = (
+        df.withColumn(_TAG_COL, F.lit(_next_tag()))
+        .repartitionByRange(
+            num_partitions or df.sparkSession.sparkContext.defaultParallelism,
+            *[F.col(c) for c in key_cols + tiebreak_cols],
+        )
+        .sortWithinPartitions(*[F.col(c) for c in key_cols + tiebreak_cols])
+        .withColumn(_PID_COL, F.spark_partition_id())
+        .persist()
     )
 
     def _key_tuple(keys: pd.DataFrame, i: int) -> tuple:
         return tuple(str(v) for v in keys.iloc[i])
 
+    def _check_keys(keys: pd.DataFrame) -> None:
+        for c in key_cols:
+            s = keys[c]
+            if s.isna().any():
+                raise TypeError(
+                    f"distributed_grouped_rank: key column {c!r} contains "
+                    "nulls — null keys would split groups (NaN != NaN) and "
+                    "corrupt ranks; coalesce them to a sentinel first"
+                )
+            if s.dtype.kind not in ("i", "O", "U"):
+                raise TypeError(
+                    f"distributed_grouped_rank: key column {c!r} arrived "
+                    f"as pandas dtype {s.dtype} — only non-null long or "
+                    "string keys stringify consistently across batches "
+                    "(a float dtype here usually means an int column with "
+                    "nulls); cast the key explicitly"
+                )
+
     def _meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per pid: [first_key, last_key, last_start_local, rows_seen]
+        # per pid: [first_key, last_key, last_start_local, rows_seen,
+        #           n_starts (boundary-blind)]
         state: dict[int, list] = {}
         for b in it:
             if not len(b):
                 continue
             pid = int(b[_PID_COL].iloc[0])
             keys = b[key_cols]
-            st = state.setdefault(pid, [None, None, 0, 0])
+            _check_keys(keys)
+            st = state.setdefault(pid, [None, None, 0, 0, 0])
             neq = (keys != keys.shift()).any(axis=1).to_numpy()
             if st[1] is not None:
                 neq[0] = _key_tuple(keys, 0) != st[1]
@@ -578,30 +669,45 @@ def distributed_grouped_rank(
                 st[2] = st[3] + int(starts[-1])
             st[1] = _key_tuple(keys, -1)
             st[3] += len(b)
+            st[4] += int(neq.sum())
         rows = [
-            [pid, list(fk), list(lk), ls, n]
-            for pid, (fk, lk, ls, n) in state.items()
+            [pid, list(fk), list(lk), ls, n, ns]
+            for pid, (fk, lk, ls, n, ns) in state.items()
         ]
         yield pd.DataFrame(
-            rows, columns=["pid", "fk", "lk", "last_start", "n"]
+            rows, columns=["pid", "fk", "lk", "last_start", "n", "n_starts"]
         )
 
     meta = {
-        int(r.pid): (tuple(r.fk), tuple(r.lk), int(r.last_start))
+        int(r.pid): (
+            tuple(r.fk), tuple(r.lk), int(r.last_start),
+            int(r.n), int(r.n_starts),
+        )
         for r in ranged.mapInPandas(
             _meta,
             "pid int, fk array<string>, lk array<string>, "
-            "last_start long, n long",
+            "last_start long, n long, n_starts long",
         ).collect()
     }
-    # driver walk: record each partition's INCOMING open group
+    counts = {pid: m[3] for pid, m in meta.items()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    # driver walk: record each partition's INCOMING open group, and
+    # tally the true global group count (boundary-blind starts minus
+    # the partition-leading rows that merely continue the carry)
     carries: dict[int, tuple] = {}
     carry_key, carry_rank = None, None
+    n_groups = 0
     for pid in sorted(counts):
         carries[pid] = (carry_key, carry_rank)
         if pid not in meta:
             continue  # empty partition: carry passes through
-        fk, lk, last_start = meta[pid]
+        fk, lk, last_start, _n, n_starts = meta[pid]
+        n_groups += n_starts
+        if carry_key is not None and fk == carry_key:
+            n_groups -= 1  # row 0 continues the carried group
         if last_start == 0:
             # the only boundary-blind start is row 0 ⇒ single-key
             # partition (fk == lk); it either continues the carry...
@@ -615,6 +721,9 @@ def distributed_grouped_rank(
             # the one starting there
             carry_key = lk
             carry_rank = offsets.get(pid, 0) + last_start + 1
+    if stats is not None:
+        stats["n_rows"] = sum(counts.values())
+        stats["n_groups"] = n_groups
 
     from pyspark.sql.types import LongType, StructField, StructType
 

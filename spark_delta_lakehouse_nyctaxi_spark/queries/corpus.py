@@ -348,15 +348,26 @@ def q_kneser_ney(spark, sf_dir):
                    string_split_regex(trim(text), '\\s+'), 1, 5), ' ') AS blk
         FROM documents
     ),
-    ok_blk AS (
-        SELECT blk FROM d GROUP BY blk
-        HAVING COUNT(*) BETWEEN 2 AND 20
+    blks AS MATERIALIZED (
+        SELECT blk, CAST(COUNT(*) AS BIGINT) AS nb FROM d GROUP BY blk
+    ),
+    blk_cert AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE nb BETWEEN 2 AND 20) AS BIGINT)
+                   AS n_blocks_used,
+               CAST(COUNT(*) FILTER (WHERE nb > 20) AS BIGINT)
+                   AS n_hot_dropped,
+               CAST(COALESCE(SUM(nb * (nb - 1) // 2)
+                        FILTER (WHERE nb BETWEEN 2 AND 20), 0) AS BIGINT)
+                   AS pair_budget,
+               CAST(COALESCE(SUM(nb) FILTER (WHERE nb BETWEEN 2 AND 20), 0)
+                    AS DOUBLE) / CAST(SUM(nb) AS DOUBLE) AS coverage_share
+        FROM blks
     ),
     pairs AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
         FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        JOIN ok_blk o ON o.blk = a.blk
+        JOIN blks o ON o.blk = a.blk AND o.nb BETWEEN 2 AND 20
     ),
     cert AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
@@ -365,8 +376,9 @@ def q_kneser_ney(spark, sf_dir):
         FROM pairs
     )
     SELECT doc_a, doc_b, lev, lev <= 30 AS verified,
-           n_candidates, n_verified
-    FROM pairs, cert
+           n_candidates, n_verified,
+           n_blocks_used, n_hot_dropped, pair_budget, coverage_share
+    FROM pairs, cert, blk_cert
     ORDER BY lev, doc_a, doc_b
     LIMIT 15
     """,
@@ -377,7 +389,15 @@ def q_kneser_ney(spark, sf_dir):
         "never corpus squared), pair within block, verify with exact "
         "character Levenshtein (unit costs — the same DP both "
         "engines implement), threshold at 30 edits.  Top-15 closest "
-        "pairs plus the global candidate/verified certificate.",
+        "pairs plus the global candidate/verified certificate AND "
+        "the driver-checkable CAP CERTIFICATE (VERDICT r8 item 3): "
+        "pair_budget = sum nb*(nb-1)/2 over used blocks is the EXACT "
+        "pair count the cap admits (n_candidates == pair_budget "
+        "proves the bound is the realized cost, <= 10*n_docs by the "
+        "20-member cap — linear in corpus size, not quadratic), "
+        "n_hot_dropped counts blocks excised by the cap, and "
+        "coverage_share is the doc fraction the verify stage "
+        "actually covers.",
 )
 def q_edit_distance_verify(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
@@ -385,9 +405,23 @@ def q_edit_distance_verify(spark, sf_dir):
         "text",
         F.array_join(F.slice(T.tokens("text"), 1, 5), " ").alias("blk"),
     )
-    ok = docs.groupBy("blk").agg(F.count("*").alias("nb")).filter(
-        (F.col("nb") >= 2) & (F.col("nb") <= 20)
+    blks = docs.groupBy("blk").agg(F.count("*").cast("long").alias("nb"))
+    used = (F.col("nb") >= 2) & (F.col("nb") <= 20)
+    blk_cert = blks.agg(
+        F.sum(F.when(used, 1).otherwise(0)).cast("long").alias("n_blocks_used"),
+        F.sum(F.when(F.col("nb") > 20, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hot_dropped"),
+        F.coalesce(
+            F.sum(F.when(used, F.expr("nb * (nb - 1) DIV 2"))).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("pair_budget"),
+        (
+            F.coalesce(F.sum(F.when(used, F.col("nb"))), F.lit(0)).cast("double")
+            / F.sum("nb").cast("double")
+        ).alias("coverage_share"),
     )
+    ok = blks.filter(used)
     d = docs.join(ok.select("blk"), "blk")
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
@@ -407,11 +441,15 @@ def q_edit_distance_verify(spark, sf_dir):
     )
     return (
         attach_scalar(
-            pairs.withColumn("verified", F.col("lev") <= 30), cert
+            attach_scalar(pairs.withColumn("verified", F.col("lev") <= 30), cert),
+            blk_cert,
         )
         .orderBy("lev", "doc_a", "doc_b")
         .limit(15)
-        .select("doc_a", "doc_b", "lev", "verified", "n_candidates", "n_verified")
+        .select(
+            "doc_a", "doc_b", "lev", "verified", "n_candidates", "n_verified",
+            "n_blocks_used", "n_hot_dropped", "pair_budget", "coverage_share",
+        )
     )
 
 

@@ -117,6 +117,38 @@ def corpus_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return real.unionByName(sent)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _build_confs(spark: SparkSession):
+    """Pin the suffix-build execution confs (save/restore, the
+    q_pysource_pushdown pattern).  The build is a fixed pipeline of
+    small pre-sized shuffles (n rows each, uniformly ranged): AQE's
+    per-stage re-optimization submits extra jobs without ever changing
+    the plan — measured as pure fixed overhead at test SFs — and the
+    session default of 200 shuffle partitions makes every per-level
+    join pay 200-task scheduling for kilobyte partitions.  Shuffle
+    parallelism follows sparkContext.defaultParallelism (= total
+    cluster cores on a real deployment), so the setting scales with
+    the cluster rather than pinning a local constant."""
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        yield
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
 def build_suffix_array(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]], int]:
@@ -130,56 +162,62 @@ def build_suffix_array(
     key = ("sa", sf_dir, spark.sparkContext.applicationId)
     if key in _SA_MEMO:
         return _SA_MEMO[key]
+    with _build_confs(spark):
+        return _build_suffix_array_inner(spark, sf_dir, key)
 
+
+def _build_suffix_array_inner(
+    spark: SparkSession, sf_dir: str, key: tuple
+) -> tuple[DataFrame, list[tuple[int, DataFrame]], int]:
     corpus = corpus_positions(spark, sf_dir).localCheckpoint(eager=True)
-    n = corpus.count()
 
     # level B=1: rank by the token itself.  distributed_grouped_rank
     # gives equal tokens the FIRST row's global number under (tok, g)
     # — the min(row_number)-over-token construction in ONE ranged pass
     # (no hash-window exchange; order + equality are all doubling
     # needs, and the final distinct ranks are the identity 1..n either
-    # way).
+    # way).  Job-overhead discipline (VERDICT r8 item 2): the rank
+    # distinctness test rides the grouped-rank metadata pass
+    # (stats["n_groups"], zero extra jobs — replaces a per-level
+    # countDistinct action), and per-level checkpoints are LAZY — each
+    # materializes inside the NEXT level's range-sample job instead of
+    # paying its own job.  2 jobs/level instead of 5; values bitwise
+    # unchanged (the checkpointed data is identical, only the
+    # materialization timing moves).
+    st: dict = {}
     cur = (
-        distributed_grouped_rank(corpus.select("g", "tok"), ["tok"], ["g"], "r")
+        distributed_grouped_rank(
+            corpus.select("g", "tok"), ["tok"], ["g"], "r", stats=st
+        )
         .select("g", "r")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    n = st["n_rows"]
     levels: list[tuple[int, DataFrame]] = [(1, cur)]
 
     B = 1
-    distinct_confirmed = False
-    while B < _WINDOW:
-        # early exit: once ranks are a permutation the order is final
-        # (bounded scalar fetch, same pattern as the k-core fixpoint)
-        dist = cur.agg(
-            F.countDistinct("r").alias("d"), F.count("*").alias("c")
-        ).first()
-        if dist.d == dist.c:
-            distinct_confirmed = True
-            break
+    # ranks are a permutation once every (key) group is a singleton —
+    # n_groups from the metadata walk == countDistinct(rank)
+    while B < _WINDOW and st["n_groups"] != n:
         shifted = cur.select((F.col("g") - B).alias("g"), F.col("r").alias("r2"))
         paired = cur.join(shifted, "g", "left").withColumn(
             "r2", F.coalesce("r2", F.lit(-1))
         )
+        st = {}
         cur = (
-            distributed_grouped_rank(paired, ["r", "r2"], ["g"], "rn")
+            distributed_grouped_rank(paired, ["r", "r2"], ["g"], "rn", stats=st)
             .select("g", F.col("rn").alias("r"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         B *= 2
         levels.append((B, cur))
 
-    if not distinct_confirmed:
-        dist = cur.agg(
-            F.countDistinct("r").alias("d"), F.count("*").alias("c")
-        ).first()
-        if dist.d != dist.c:
-            raise RuntimeError(
-                f"suffix-array ranks not distinct at prefix length {B} "
-                f"({dist.d} distinct of {dist.c}) — a document exceeds the "
-                f"{_WINDOW - 1}-token data-model bound; raise _WINDOW"
-            )
+    if st["n_groups"] != n:
+        raise RuntimeError(
+            f"suffix-array ranks not distinct at prefix length {B} "
+            f"({st['n_groups']} distinct of {n}) — a document exceeds the "
+            f"{_WINDOW - 1}-token data-model bound; raise _WINDOW"
+        )
 
     sa = corpus.join(cur, "g").localCheckpoint(eager=True)
     _SA_MEMO[key] = (sa, levels, n)
@@ -247,10 +285,15 @@ _CORPUS_SQL = """
                         AND (tok = '' OR regexp_matches(tok, '[\\x00-\\x02]')))
                     AS BIGINT) AS n_bad_tokens
         FROM ranked
+    ),
+    short_docs AS (
+        SELECT CAST(count(*) FILTER (WHERE len(ts) < 8) AS BIGINT)
+                   AS n_short_docs
+        FROM toks
     )
     SELECT r AS sa_rank, doc_id, p, tok AS first_tok,
-           n_suffixes, sa_checksum, n_bad_tokens
-    FROM ranked, cert
+           n_suffixes, sa_checksum, n_bad_tokens, n_short_docs
+    FROM ranked, cert, short_docs
     WHERE NOT is_sentinel
     ORDER BY sa_rank
     LIMIT 20
@@ -262,12 +305,33 @@ _CORPUS_SQL = """
         "permutation (sum of rank x position-derived weight), so any "
         "transposition anywhere in the array changes the result.  "
         "n_bad_tokens == 0 proves the sentinel byte-ordering "
-        "assumptions against the live corpus.  The oracle sorts "
-        "bounded 102-token suffix windows directly — a different "
-        "algorithm entirely.",
+        "assumptions against the live corpus; n_short_docs == 0 "
+        "proves the oracle's 12-document lookahead covers the full "
+        "102-token window (a doc below 8 tokens would truncate it — "
+        "ADVICE r8), so a data-model violation is self-explanatory "
+        "instead of an unexplained checksum mismatch.  The oracle "
+        "sorts bounded 102-token suffix windows directly — a "
+        "different algorithm entirely.",
 )
 def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sa, _levels, _n = build_suffix_array(spark, sf_dir)
+    sa, _levels, n = build_suffix_array(spark, sf_dir)
+    # int64 safety for the checksum: sum r*w <= 1000003 * n(n+1)/2
+    # must stay under 2^63.  Beyond it Spark's non-ANSI long sum wraps
+    # silently while DuckDB errors on the HUGEINT->BIGINT cast — fail
+    # loudly instead (ADVICE r8); at that scale switch the certificate
+    # to a DECIMAL(38,0) accumulator on both engines.
+    if n > 4_000_000:
+        raise OverflowError(
+            f"q_suffix_array: {n} corpus positions exceed the int64 "
+            "sa_checksum bound (~4e6); accumulate the checksum in "
+            "DECIMAL(38,0) on both engines before scaling further"
+        )
+    docs = load_table(spark, sf_dir, "documents")
+    short = docs.select(
+        F.sum((F.size(tok_col("text")) < 8).cast("long"))
+        .cast("long")
+        .alias("n_short_docs")
+    )
     cert = sa.agg(
         F.count("*").cast("long").alias("n_suffixes"),
         F.sum(
@@ -296,7 +360,7 @@ def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tok").alias("first_tok"),
         )
     )
-    return head.crossJoin(F.broadcast(cert))
+    return head.crossJoin(F.broadcast(cert)).crossJoin(F.broadcast(short))
 
 
 def lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,47 +374,50 @@ def lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _SA_MEMO[key]
 
     sa, levels, _n = build_suffix_array(spark, sf_dir)
-    left = sa.select(F.col("r").alias("rk"), F.col("g").alias("ga"))
-    right = sa.select((F.col("r") - 1).alias("rk"), F.col("g").alias("gb"))
-    pairs = (
-        left.join(right, "rk")
-        .select(
+    with _build_confs(spark):
+        left = sa.select(F.col("r").alias("rk"), F.col("g").alias("ga"))
+        right = sa.select((F.col("r") - 1).alias("rk"), F.col("g").alias("gb"))
+        pairs = left.join(right, "rk").select(
             "ga",
             "gb",
             F.col("ga").alias("apos"),
             F.col("gb").alias("bpos"),
             F.lit(0).cast("long").alias("lcp"),
         )
-        .localCheckpoint(eager=True)
-    )
 
-    # sparse-table descent: greedily extend the match block by block.
-    # Levels above the final one are unnecessary (ranks distinct at
-    # the top level => every LCP < top B), so walk from the
-    # second-highest level down; the dyadic sum covers any LCP value
-    # below the top level exactly.
-    for B, frame in sorted(levels, key=lambda t: -t[0])[1:]:
-        ra = frame.select(F.col("g").alias("apos"), F.col("r").alias("ra"))
-        rb = frame.select(F.col("g").alias("bpos"), F.col("r").alias("rb"))
-        matched = (
-            F.col("ra").isNotNull()
-            & F.col("rb").isNotNull()
-            & (F.col("ra") == F.col("rb"))
-        )
-        pairs = (
-            pairs.join(ra, "apos", "left")
-            .join(rb, "bpos", "left")
-            .select(
-                "ga",
-                "gb",
-                F.when(matched, F.col("apos") + B).otherwise(F.col("apos")).alias("apos"),
-                F.when(matched, F.col("bpos") + B).otherwise(F.col("bpos")).alias("bpos"),
-                F.when(matched, F.col("lcp") + B).otherwise(F.col("lcp")).alias("lcp"),
+        # sparse-table descent: greedily extend the match block by
+        # block.  Levels above the final one are unnecessary (ranks
+        # distinct at the top level => every LCP < top B), so walk
+        # from the second-highest level down; the dyadic sum covers
+        # any LCP value below the top level exactly.  The descent is
+        # declared as ONE join tree over the checkpointed level scans
+        # and materialized by a single eager checkpoint at the end
+        # (VERDICT r8 item 2) — one job under the pinned build confs
+        # instead of a job per level; the final checkpoint truncates
+        # lineage for the three consumer queries.
+        for B, frame in sorted(levels, key=lambda t: -t[0])[1:]:
+            ra = frame.select(F.col("g").alias("apos"), F.col("r").alias("ra"))
+            rb = frame.select(F.col("g").alias("bpos"), F.col("r").alias("rb"))
+            matched = (
+                F.col("ra").isNotNull()
+                & F.col("rb").isNotNull()
+                & (F.col("ra") == F.col("rb"))
             )
-            .localCheckpoint(eager=True)
-        )
+            pairs = (
+                pairs.join(ra, "apos", "left")
+                .join(rb, "bpos", "left")
+                .select(
+                    "ga",
+                    "gb",
+                    F.when(matched, F.col("apos") + B).otherwise(F.col("apos")).alias("apos"),
+                    F.when(matched, F.col("bpos") + B).otherwise(F.col("bpos")).alias("bpos"),
+                    F.when(matched, F.col("lcp") + B).otherwise(F.col("lcp")).alias("lcp"),
+                )
+            )
 
-    _SA_MEMO[key] = pairs.select("ga", "gb", "lcp")
+        _SA_MEMO[key] = (
+            pairs.select("ga", "gb", "lcp").localCheckpoint(eager=True)
+        )
     return _SA_MEMO[key]
 
 
