@@ -696,32 +696,14 @@ def q_data_card(spark, sf_dir):
     pred = docs.select(
         "doc_id", T.language_id("text").alias("pred_lang")
     )
-    # dyadic doubling to the 32-token level (q_dup_spectrum discipline:
-    # eager localCheckpoint per level keeps the static plan bounded)
-    cur = (
-        toks.select("doc_id", F.posexplode("ts").alias("p", "tok"))
-        .select(
-            "doc_id", F.col("p").cast("long").alias("p"), F.md5("tok").alias("h")
-        )
-        .localCheckpoint(eager=True)
-    )
-    L = 1
-    while L < 32:
-        a, b = cur.alias("a"), cur.alias("b")
-        cur = (
-            a.join(
-                b,
-                (F.col("a.doc_id") == F.col("b.doc_id"))
-                & (F.col("b.p") == F.col("a.p") + L),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_id"),
-                F.col("a.p").alias("p"),
-                F.md5(F.concat(F.col("a.h"), F.col("b.h"))).alias("h"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        L *= 2
+    # 32-token duplicated blocks via the SHARED memoized doubling
+    # chain (queries/dedup.dyadic_block_hashes — VERDICT r8 item 4:
+    # q_data_card, q_dup_spectrum, and q_longest_dup_run previously
+    # each rebuilt the identical md5 chain; now one build serves all
+    # three, and the chain is the dominant q_data_card pass)
+    from .dedup import dyadic_block_hashes
+
+    cur = dyadic_block_hashes(spark, sf_dir, 32)[32]
     dup32 = (
         cur.withColumn("c", F.count("*").over(Window.partitionBy("h")))
         .filter(F.col("c") >= 2)

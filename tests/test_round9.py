@@ -1,0 +1,179 @@
+"""Targeted property gates for the round-9 changes — the fused
+grouped-rank metadata (stats n_groups must equal countDistinct), the
+key/value validation the indexing operators grew (ADVICE r8: misuse
+must raise loudly instead of corrupting ranks / drifting dtypes), the
+shared dyadic-chain memo purity (VERDICT r8 item 4), the suffix-build
+conf save/restore, and the edit-distance cap certificate's internal
+consistency (VERDICT r8 item 3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def q(name, spark):
+    return REGISTRY[name].fn(spark, SF_SMALL)
+
+
+def test_grouped_rank_stats_match_count_distinct(spark):
+    """The driver-walk group tally (zero extra jobs) must equal the
+    countDistinct action it replaced in the suffix build's
+    rank-distinctness test — on a frame with groups spanning range
+    partition boundaries."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.indexing import (
+        distributed_grouped_rank,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 37).alias("k"),  # 37 groups, all spanning partitions
+        F.col("id").alias("g"),
+    )
+    stats: dict = {}
+    out = distributed_grouped_rank(
+        df, ["k"], ["g"], "r", num_partitions=7, stats=stats
+    )
+    agg = out.agg(
+        F.countDistinct("r").alias("d"), F.count("*").alias("c")
+    ).first()
+    assert stats["n_rows"] == agg.c == 5000
+    assert stats["n_groups"] == agg.d == 37
+    # rank value contract unchanged: min global row number per group
+    expected = out.groupBy("k").agg(F.min("r").alias("m"), F.max("r").alias("x"))
+    assert expected.filter(F.col("m") != F.col("x")).count() == 0
+
+
+def test_grouped_rank_rejects_null_and_float_keys(spark):
+    """ADVICE r8: NaN != NaN would silently split null-key groups and
+    Arrow's int64-with-nulls -> float64 conversion stringifies
+    boundary keys inconsistently — both must raise, not corrupt."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.indexing import (
+        distributed_grouped_rank,
+    )
+
+    nulls = spark.range(0, 100).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 5).alias("k"),
+        F.col("id").alias("g"),
+    )
+    with pytest.raises(Exception, match="null"):
+        distributed_grouped_rank(nulls, ["k"], ["g"], "r").collect()
+
+    floats = spark.range(0, 100).select(
+        (F.col("id") % 5).cast("double").alias("k"), F.col("id").alias("g")
+    )
+    with pytest.raises(Exception, match="dtype|float"):
+        distributed_grouped_rank(floats, ["k"], ["g"], "r").collect()
+
+
+def test_prefix_scan_rejects_bad_value_columns(spark):
+    """ADVICE r8: prefix scans must refuse non-integral or nullable
+    value columns at entry / per batch instead of int(NaN) blowups or
+    silent float drift."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.indexing import (
+        distributed_prefix_max,
+        distributed_prefix_sum,
+    )
+
+    doubles = spark.range(0, 10).select(
+        F.col("id").alias("o"), (F.col("id") * 1.5).alias("v")
+    )
+    with pytest.raises(TypeError, match="integer-typed"):
+        distributed_prefix_sum(doubles, ["o"], ["v"])
+    with pytest.raises(TypeError, match="integer-typed"):
+        distributed_prefix_max(doubles, ["o"], "v")
+
+    nulls = spark.range(0, 100).select(
+        F.col("id").alias("o"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    with pytest.raises(Exception, match="null"):
+        distributed_prefix_sum(nulls, ["o"], ["v"]).collect()
+    with pytest.raises(Exception, match="null"):
+        distributed_prefix_max(nulls, ["o"], "v").collect()
+
+
+def test_prefix_sum_fused_metadata_unchanged(spark):
+    """The fused counts+totals collect must not change values: running
+    sums re-derived via the window answer on a single partition."""
+    from spark_delta_lakehouse_nyctaxi_spark.operators.indexing import (
+        distributed_prefix_sum,
+    )
+    from pyspark.sql import Window
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("o"), ((F.col("id") * 7919) % 101).alias("v")
+    )
+    got = distributed_prefix_sum(df, ["o"], ["v"], num_partitions=7)
+    w = Window.orderBy("o").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cum_v", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_dyadic_memo_is_pure_perf_artifact(spark):
+    """The shared dyadic block-hash chain (q_dup_spectrum /
+    q_longest_dup_run / q_data_card) must never change results, and
+    its key must pin sf_dir AND applicationId (localCheckpointed
+    frames die with their session)."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import dedup as D
+
+    saved = dict(D._DYADIC_MEMO)
+    try:
+        D._DYADIC_MEMO.clear()
+        cold = sorted(map(tuple, q("q_data_card", spark).collect()))
+        assert D._DYADIC_MEMO, "q_data_card should populate the dyadic memo"
+        warm = sorted(map(tuple, q("q_data_card", spark).collect()))
+        assert cold == warm
+        # a different consumer must reuse (not extend past its need)
+        spectrum_cold = sorted(map(tuple, q("q_dup_spectrum", spark).collect()))
+        D._DYADIC_MEMO.clear()
+        spectrum_fresh = sorted(map(tuple, q("q_dup_spectrum", spark).collect()))
+        assert spectrum_cold == spectrum_fresh
+        app_id = spark.sparkContext.applicationId
+        for key in D._DYADIC_MEMO:
+            assert any(
+                isinstance(p, str) and "/testdata/" in p for p in key
+            ), f"dyadic memo key {key!r} does not pin its sf_dir"
+            assert app_id in key, f"memo key {key!r} does not pin the session"
+    finally:
+        D._DYADIC_MEMO.clear()
+        D._DYADIC_MEMO.update(saved)
+
+
+def test_suffix_build_restores_session_confs(spark):
+    """_build_confs must save/restore AQE + shuffle partitions even
+    when the wrapped build raises."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.suffix import _build_confs
+
+    before = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    with _build_confs(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    with pytest.raises(RuntimeError):
+        with _build_confs(spark):
+            raise RuntimeError("boom")
+    after = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    assert before == after
+
+
+def test_edit_distance_cap_certificate_consistent(spark):
+    """VERDICT r8 item 3: the emitted pair_budget must equal the
+    realized candidate count (the cap IS the cost), and the budget is
+    linear-bounded: pair_budget <= 10 * n_docs by the 20-member cap."""
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    rows = q("q_edit_distance_verify", spark).collect()
+    if not rows:  # no qualifying block at this SF — vacuously capped
+        return
+    r = rows[0]
+    assert r.n_candidates == r.pair_budget
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert r.pair_budget <= 10 * n_docs
+    assert 0.0 <= r.coverage_share <= 1.0

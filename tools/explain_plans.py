@@ -215,11 +215,12 @@ def reset_caches(spark) -> None:
     _d._LSH_TRUTH_MEMO.clear()
     _s._RECALL_MEMO.clear()
     _m._PALETTE_MEMO.clear()
-    # _SA_MEMO holds localCheckpointed frames whose blocks the
-    # unpersist-all above just destroyed (checkpoint = truncated
-    # lineage, so the frames are unrecoverable) — serving them would
-    # error, not just warm-skew the measurement
+    # _SA_MEMO / _DYADIC_MEMO hold localCheckpointed frames whose
+    # blocks the unpersist-all above just destroyed (checkpoint =
+    # truncated lineage, so the frames are unrecoverable) — serving
+    # them would error, not just warm-skew the measurement
     _x._SA_MEMO.clear()
+    _d._DYADIC_MEMO.clear()
 
 
 def describe(df) -> dict:

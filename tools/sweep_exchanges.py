@@ -25,9 +25,11 @@ def reset_caches(spark):
     import spark_delta_lakehouse_nyctaxi_spark.queries.multimodal as m
     import spark_delta_lakehouse_nyctaxi_spark.queries.suffix as x
     d._LSH_TRUTH_MEMO.clear(); s._RECALL_MEMO.clear(); m._PALETTE_MEMO.clear()
-    # the SA memo holds localCheckpointed frames the unpersist-all just
-    # destroyed — serving them would error (see tools/explain_plans.py)
+    # the SA/dyadic memos hold localCheckpointed frames the
+    # unpersist-all just destroyed — serving them would error (see
+    # tools/explain_plans.py)
     x._SA_MEMO.clear()
+    d._DYADIC_MEMO.clear()
 
 
 def main():
