@@ -151,6 +151,9 @@ _PRIORITY: list[str] = [
     "q_seasonal_decompose",
     # --- R9-NEW: new round-9 value-oracled queries slot here (the
     # r10 driver window) ---
+    "q_incremental_substr_dedup",
+    "q_unigram_lm_train",
+    "q_unigram_fertility",
     # --- driver-green r8 window (CORRECTNESS_r08 50/50 green) ---
     # round-7 additions (31)
     "q_attention_mask",

@@ -53,6 +53,8 @@ block hashing to the full exact-substring index.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint eval needs it
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.indexing import (
@@ -82,13 +84,19 @@ def _sentinel(doc_id_col) -> F.Column:
     return F.concat(F.lit("\x01"), F.lpad(doc_id_col.cast("string"), 12, "0"))
 
 
-def corpus_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_positions(
+    spark: SparkSession, sf_dir: str, where: str | None = None
+) -> DataFrame:
     """(g, doc_id, p, tok, is_sentinel): the documents table flattened
     to one global token sequence in doc_id order, one unique sentinel
     appended after each document.  g is the global position from a
     distributed prefix sum over per-doc lengths (no single-partition
-    window)."""
+    window).  ``where`` restricts to a doc subset (the incremental-
+    maintenance base index); a doc_id-PREFIX subset keeps g values
+    identical to the full corpus."""
     docs = load_table(spark, sf_dir, "documents")
+    if where is not None:
+        docs = docs.filter(where)
     toks = docs.select("doc_id", tok_col("text").alias("ts"))
     lens = toks.select("doc_id", (F.size("ts") + F.lit(1)).cast("long").alias("l"))
     offs = distributed_prefix_sum(lens, ["doc_id"], ["l"]).select(
@@ -150,7 +158,7 @@ def _build_confs(spark: SparkSession):
 
 
 def build_suffix_array(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, where: str | None = None
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]], int]:
     """Prefix-doubling SA build.  Returns (corpus, levels, n) where
     corpus carries the final rank column ``r`` (a permutation of 1..n
@@ -158,18 +166,19 @@ def build_suffix_array(
     [(B, frame(g, r_B))] for every built prefix length B — the sparse
     table the LCP descent walks.  Raises if ranks are not fully
     distinct at the window cap (would mean a document longer than the
-    data-model bound)."""
-    key = ("sa", sf_dir, spark.sparkContext.applicationId)
+    data-model bound).  ``where`` builds over a doc subset (the
+    incremental-maintenance base index)."""
+    key = ("sa", sf_dir, spark.sparkContext.applicationId, where)
     if key in _SA_MEMO:
         return _SA_MEMO[key]
     with _build_confs(spark):
-        return _build_suffix_array_inner(spark, sf_dir, key)
+        return _build_suffix_array_inner(spark, sf_dir, key, where)
 
 
 def _build_suffix_array_inner(
-    spark: SparkSession, sf_dir: str, key: tuple
+    spark: SparkSession, sf_dir: str, key: tuple, where: str | None
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]], int]:
-    corpus = corpus_positions(spark, sf_dir).localCheckpoint(eager=True)
+    corpus = corpus_positions(spark, sf_dir, where).localCheckpoint(eager=True)
 
     # level B=1: rank by the token itself.  distributed_grouped_rank
     # gives equal tokens the FIRST row's global number under (tok, g)
@@ -363,17 +372,19 @@ def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.crossJoin(F.broadcast(cert)).crossJoin(F.broadcast(short))
 
 
-def lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lcp_pairs(
+    spark: SparkSession, sf_dir: str, where: str | None = None
+) -> DataFrame:
     """(ga, gb, lcp) for every adjacent suffix pair in SA order — the
     LCP array.  Every LCP is EXACT via sparse-table descent over the
     prefix-doubling rank levels (rank_B(a+acc) == rank_B(b+acc) iff
     the B-blocks match — no hash-collision assumption).  Memoized with
     the SA build (_SA_MEMO; pure perf artifact)."""
-    key = ("lcp", sf_dir, spark.sparkContext.applicationId)
+    key = ("lcp", sf_dir, spark.sparkContext.applicationId, where)
     if key in _SA_MEMO:
         return _SA_MEMO[key]
 
-    sa, levels, _n = build_suffix_array(spark, sf_dir)
+    sa, levels, _n = build_suffix_array(spark, sf_dir, where)
     with _build_confs(spark):
         left = sa.select(F.col("r").alias("rk"), F.col("g").alias("ga"))
         right = sa.select((F.col("r") - 1).alias("rk"), F.col("g").alias("gb"))
@@ -514,6 +525,32 @@ def q_lcp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXCISE_MIN = 50
 
 
+def position_dup_lens(
+    spark: SparkSession, sf_dir: str, where: str | None = None
+) -> DataFrame:
+    """(g, doc_id, dl) for every NON-SENTINEL corpus position: dl =
+    the ExactSubstr duplicated-run length at g (max LCP with the two
+    SA-adjacent suffixes; 0 where unique).  The per-position dedup
+    state an incremental maintenance pass updates."""
+    sa, _levels, _n = build_suffix_array(spark, sf_dir, where)
+    pairs = lcp_pairs(spark, sf_dir, where)
+    dl = (
+        pairs.select(F.col("ga").alias("g"), "lcp")
+        .unionByName(pairs.select(F.col("gb").alias("g"), "lcp"))
+        .groupBy("g")
+        .agg(F.max("lcp").alias("dl"))
+    )
+    return (
+        sa.filter(~F.col("is_sentinel"))
+        .join(dl, "g", "left")
+        .select(
+            "g",
+            "doc_id",
+            F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
+        )
+    )
+
+
 @register(
     "q_exact_substr_dedup",
     "WITH "
@@ -577,29 +614,11 @@ _EXCISE_MIN = 50
 def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.indexing import distributed_prefix_max
 
-    sa, _levels, _n = build_suffix_array(spark, sf_dir)
-    pairs = lcp_pairs(spark, sf_dir)
-    dl = (
-        pairs.select(F.col("ga").alias("g"), "lcp")
-        .unionByName(pairs.select(F.col("gb").alias("g"), "lcp"))
-        .groupBy("g")
-        .agg(F.max("lcp").alias("dl"))
-    )
-    m = (
-        sa.filter(~F.col("is_sentinel"))
-        .join(dl, "g", "left")
-        .select(
-            "g",
-            "doc_id",
-            F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
-            F.when(
-                F.coalesce("dl", F.lit(0)) >= _EXCISE_MIN,
-                F.col("g") + F.coalesce("dl", F.lit(0)),
-            )
-            .otherwise(F.lit(-1))
-            .cast("long")
-            .alias("reach"),
-        )
+    m = position_dup_lens(spark, sf_dir).withColumn(
+        "reach",
+        F.when(F.col("dl") >= _EXCISE_MIN, F.col("g") + F.col("dl"))
+        .otherwise(F.lit(-1))
+        .cast("long"),
     )
     pm = distributed_prefix_max(m, ["g"], "reach", "cr").withColumn(
         "covered", F.col("cr") > F.col("g")
@@ -625,6 +644,81 @@ def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("covered_share"),
     )
+
+
+# ---- q_incremental_substr_dedup -------------------------------------------
+# VERDICT r8 item 5: the operation a real 100 TB training-data pipeline
+# runs DAILY — append a new corpus shard and update the ExactSubstr
+# dedup state against the EXISTING suffix-array index without a full
+# rebuild.  The unique per-doc sentinel is what makes this exact:
+#
+# - every suffix's order key is the INTRA-DOC token window terminated
+#   by its own sentinel (comparisons between distinct suffixes are
+#   always decided at or before the first sentinel, which is unique),
+#   so appending documents never reorders existing suffixes — the
+#   merged SA is a pure merge of two sorted lists;
+# - dup_len updates are confined to base positions ADJACENT to an
+#   insertion point: for an old adjacent pair (a, b) split by a new
+#   suffix w, lcp(a, b) = min(lcp(a, w), lcp(w, b)) <= lcp(a, w), so
+#   max-merging the new boundary LCPs over the old per-position state
+#   reproduces the full-rebuild dup_len EXACTLY (pytest-gated).
+#
+# Work beyond the memoized base index: one map-only scan of base
+# window keys (shuffling only per-gap extremes — delta-proportional
+# shuffle), delta-sized ordering/LCP work, and the final linear
+# certificate pass the output itself quantifies over.
+
+
+def window_keys(
+    spark: SparkSession,
+    sf_dir: str,
+    where: str | None = None,
+    g_offset: int = 0,
+) -> DataFrame:
+    """(g, doc_id, p, tok, is_sentinel, key): every suffix's EXACT
+    bounded order key — the chr(2)-joined intra-doc token window from
+    p through the doc's own sentinel.  String order over keys equals
+    true suffix order (sentinel uniqueness; separator sorts below all
+    corpus bytes, certified by n_bad_tokens).  Map-only after the
+    per-doc offset prefix sum; ``g_offset`` shifts positions so a
+    tail shard numbers exactly as in the full corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    if where is not None:
+        docs = docs.filter(where)
+    toks = docs.select("doc_id", tok_col("text").alias("ts"))
+    lens = toks.select("doc_id", (F.size("ts") + F.lit(1)).cast("long").alias("l"))
+    offs = distributed_prefix_sum(lens, ["doc_id"], ["l"]).select(
+        "doc_id",
+        (F.col("cum_l") - F.col("l") + F.lit(g_offset)).alias("off"),
+        (F.col("l") - 1).alias("dlen"),
+    )
+    ext = toks.join(offs, "doc_id").select(
+        "doc_id",
+        "off",
+        "dlen",
+        F.concat("ts", F.array(_sentinel(F.col("doc_id")))).alias("xs"),
+    )
+    return ext.select(
+        "doc_id", "off", "dlen", "xs", F.posexplode("xs").alias("p", "tok")
+    ).select(
+        (F.col("off") + F.col("p")).alias("g"),
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        "tok",
+        (F.col("p") == F.col("dlen")).alias("is_sentinel"),
+        F.array_join(
+            F.slice("xs", F.col("p") + 1, F.lit(102)), "\x02"
+        ).alias("key"),
+    )
+
+
+def _split_cut(spark: SparkSession, sf_dir: str) -> int:
+    """Deterministic base/shard split: the top 1/16 of doc_ids is the
+    incoming shard (a doc_id TAIL, so base corpus positions keep their
+    full-corpus g values)."""
+    docs = load_table(spark, sf_dir, "documents")
+    span = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    return span - span // 16
 
 
 # ---- q_excision_thresholds ------------------------------------------------
@@ -756,4 +850,305 @@ def q_excision_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("covered_share"),
         )
         .orderBy("threshold")
+    )
+
+
+def incremental_dup_lens(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """The incremental-maintenance core: returns (merged_dl, cert, cut)
+    where merged_dl is the per-position (g, doc_id, dl) dedup state of
+    the FULL corpus obtained by updating the memoized BASE index with
+    the shard's boundary LCPs — provably equal to a from-scratch
+    rebuild (tests/test_round9.py gates it bitwise) — and cert is a
+    1-row frame with the incremental bookkeeping (n_affected_base:
+    how many base positions the shard actually touched)."""
+    import numpy as np
+
+    from ..operators.indexing import global_row_number
+
+    sep = "\x02"
+    cut = _split_cut(spark, sf_dir)
+    base_where = f"doc_id < {cut}"
+    delta_where = f"doc_id >= {cut}"
+
+    # the EXISTING index state (memoized across the daily runs)
+    base_dl = position_dup_lens(spark, sf_dir, base_where)
+    docs = load_table(spark, sf_dir, "documents")
+    n_base = int(
+        docs.filter(base_where)
+        .agg(F.sum(F.size(tok_col("text")) + 1))
+        .first()[0]
+    )
+
+    bk = window_keys(spark, sf_dir, base_where)
+    dk = window_keys(spark, sf_dir, delta_where, g_offset=n_base)
+
+    # shard suffixes in SA order (keys are globally unique strings)
+    dkj = global_row_number(dk, ["key"], "j").localCheckpoint(eager=True)
+    delta_keys = sorted(r.key for r in dkj.select("key").collect())
+    dl_arr = np.array(delta_keys, dtype=object)
+
+    # one map-only pass over base keys: c = how many shard keys sort
+    # below this base suffix (numpy searchsorted against the broadcast
+    # sorted shard keys — Python string order == Spark/DuckDB UTF-8
+    # binary order, both are code-point monotone).  The groupBy keeps
+    # only each gap's extreme rows, so the shuffle after the scan is
+    # delta-proportional, never corpus-proportional.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # (StructType.add mutates in place — build a fresh copy)
+    bschema = StructType(
+        list(bk.schema.fields) + [StructField("c", LongType())]
+    )
+
+    def _gap(it):
+        for b in it:
+            if not len(b):
+                continue
+            b = b.copy()
+            b["c"] = np.searchsorted(dl_arr, b["key"].to_numpy(dtype=object))
+            yield b
+
+    gaps = (
+        bk.mapInPandas(_gap, bschema)
+        .groupBy("c")
+        .agg(
+            F.max_by(
+                F.struct("g", "doc_id", "is_sentinel", "key"), "key"
+            ).alias("hi"),
+            F.min_by(
+                F.struct("g", "doc_id", "is_sentinel", "key"), "key"
+            ).alias("lo"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # merged neighbors of shard suffix j: the nearest base suffix in
+    # gap j-1 / gap j, falling back to the neighboring shard suffix
+    # when the gap is empty (consecutive insertions)
+    pred_b = gaps.select((F.col("c") + 1).alias("j"), F.col("hi").alias("pb"))
+    succ_b = gaps.select(F.col("c").alias("j"), F.col("lo").alias("sb"))
+    prev_d = dkj.select(
+        (F.col("j") + 1).alias("j"),
+        F.col("key").alias("prev_dkey"),
+        F.col("g").alias("prev_dg"),
+    )
+    next_d = dkj.select(
+        (F.col("j") - 1).alias("j"),
+        F.col("key").alias("next_dkey"),
+        F.col("g").alias("next_dg"),
+    )
+    nb = (
+        dkj.join(pred_b, "j", "left")
+        .join(succ_b, "j", "left")
+        .join(prev_d, "j", "left")
+        .join(next_d, "j", "left")
+        .select(
+            "g",
+            "doc_id",
+            "is_sentinel",
+            "key",
+            F.coalesce(F.col("pb.key"), F.col("prev_dkey")).alias("prev_key"),
+            F.coalesce(F.col("sb.key"), F.col("next_dkey")).alias("next_key"),
+            F.col("pb").alias("pb"),
+            F.col("sb").alias("sb"),
+        )
+    )
+
+    @F.pandas_udf("long")
+    def _lcp_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ka, kb in zip(a, b):
+            if ka is None or kb is None:
+                out.append(0)
+                continue
+            n = 0
+            for x, y in zip(ka.split(sep), kb.split(sep)):
+                if x != y:
+                    break
+                n += 1
+            out.append(n)
+        return pd.Series(out, dtype="int64")
+
+    nbl = nb.select(
+        "g",
+        "doc_id",
+        "is_sentinel",
+        "pb",
+        "sb",
+        _lcp_udf("key", "prev_key").alias("lcp_prev"),
+        _lcp_udf("key", "next_key").alias("lcp_next"),
+    ).localCheckpoint(eager=True)
+
+    # shard positions' dedup state: max LCP with the two merged
+    # neighbors (exactly the SA-adjacency definition)
+    delta_dl = nbl.filter(~F.col("is_sentinel")).select(
+        "g",
+        "doc_id",
+        F.greatest("lcp_prev", "lcp_next").cast("long").alias("dl"),
+    )
+    # base positions the shard touched: boundary LCP contributions,
+    # max-merged over the old state (old adjacent-pair LCPs are always
+    # <= the new boundary LCP, so no removal is ever needed)
+    base_contrib = (
+        nbl.filter(F.col("pb").isNotNull())
+        .select(
+            F.col("pb.g").alias("g"),
+            F.col("pb.doc_id").alias("doc_id"),
+            F.col("pb.is_sentinel").alias("is_sentinel"),
+            F.col("lcp_prev").cast("long").alias("dl"),
+        )
+        .unionByName(
+            nbl.filter(F.col("sb").isNotNull()).select(
+                F.col("sb.g").alias("g"),
+                F.col("sb.doc_id").alias("doc_id"),
+                F.col("sb.is_sentinel").alias("is_sentinel"),
+                F.col("lcp_next").cast("long").alias("dl"),
+            )
+        )
+    ).localCheckpoint(eager=True)
+
+    cert = base_contrib.agg(
+        F.countDistinct("g").cast("long").alias("n_affected_base")
+    )
+    merged_dl = (
+        base_dl.unionByName(
+            base_contrib.filter(~F.col("is_sentinel")).select("g", "doc_id", "dl")
+        )
+        .unionByName(delta_dl)
+        .groupBy("g", "doc_id")
+        .agg(F.max("dl").cast("long").alias("dl"))
+    )
+    return merged_dl, cert, cut
+
+
+@register(
+    "q_incremental_substr_dedup",
+    "WITH "
+    + _CORPUS_SQL
+    + ","
+    + _LCP_SQL
+    + f""",
+    cutv AS (
+        SELECT (max(doc_id) + 1) - (max(doc_id) + 1) // 16 AS cut
+        FROM documents
+    ),
+    dl AS MATERIALIZED (
+        SELECT g, CAST(MAX(lcp) AS BIGINT) AS dl
+        FROM (
+            SELECT ga AS g, lcp FROM lcps
+            UNION ALL
+            SELECT gb AS g, lcp FROM lcps
+        )
+        GROUP BY g
+    ),
+    m AS MATERIALIZED (
+        SELECT c.g, c.doc_id, COALESCE(d.dl, 0) AS dl,
+               CASE WHEN COALESCE(d.dl, 0) >= {_EXCISE_MIN}
+                    THEN c.g + COALESCE(d.dl, 0) ELSE -1 END AS reach
+        FROM corpus c LEFT JOIN dl d USING (g)
+        WHERE NOT c.is_sentinel
+    ),
+    pm AS (
+        SELECT g, doc_id, dl,
+               MAX(reach) OVER (ORDER BY g
+                   ROWS UNBOUNDED PRECEDING) > g AS covered
+        FROM m
+    ),
+    adj2 AS (
+        SELECT doc_id,
+               lag(doc_id)  OVER (ORDER BY r) AS prev_doc,
+               lead(doc_id) OVER (ORDER BY r) AS next_doc
+        FROM ranked
+    ),
+    aff AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_affected_base
+        FROM adj2, cutv
+        WHERE doc_id < cut
+          AND (prev_doc >= cut OR next_doc >= cut)
+    )
+    SELECT CAST({_EXCISE_MIN} AS BIGINT) AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_positions,
+           CAST(COUNT(*) FILTER (WHERE doc_id < cut) AS BIGINT)
+               AS n_base_positions,
+           CAST(COUNT(*) FILTER (WHERE doc_id >= cut) AS BIGINT)
+               AS n_delta_positions,
+           n_affected_base,
+           CAST(COUNT(*) FILTER (WHERE dl >= {_EXCISE_MIN}) AS BIGINT)
+               AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE covered) AS BIGINT) AS n_covered,
+           CAST(COUNT(DISTINCT doc_id) FILTER (WHERE covered) AS BIGINT)
+               AS n_docs_affected,
+           CAST(MAX(dl) AS BIGINT) AS max_span_len,
+           CAST(COUNT(*) FILTER (WHERE NOT covered) AS BIGINT)
+               AS retained_tokens,
+           CAST(COUNT(*) FILTER (WHERE covered) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS covered_share
+    FROM pm, cutv, aff
+    GROUP BY cut, n_affected_base
+    """,
+    doc="INCREMENTAL ExactSubstr MAINTENANCE (VERDICT r8 item 5) — "
+        "append the doc_id-tail shard (top 1/16 of doc_ids) to the "
+        "EXISTING base suffix-array index and update the dedup state "
+        "WITHOUT a full rebuild.  Unique per-doc sentinels make every "
+        "suffix key intra-doc, so base suffix order is append-"
+        "invariant and dup_len updates are confined to the base "
+        "positions adjacent to insertion points (old pair LCPs are "
+        "always <= the new boundary LCPs — max-merge is exact).  "
+        "Spark: memoized base dl + one map-only base-key scan whose "
+        "shuffle is delta-proportional (per-gap extremes only) + "
+        "delta-sized neighbor/LCP work + the linear certificate "
+        "pass.  The DuckDB oracle rebuilds from scratch over the full "
+        "corpus — value equality IS the incremental==rebuild proof "
+        "(plus a position-level bitwise pytest gate).  Emits the "
+        "q_exact_substr_dedup certificate over the merged corpus plus "
+        "the incremental bookkeeping: base/shard position counts and "
+        "n_affected_base (how many base positions the shard touched "
+        "— the delta-proportionality certificate).",
+)
+def q_incremental_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import distributed_prefix_max
+
+    merged_dl, cert, cut = incremental_dup_lens(spark, sf_dir)
+    m = merged_dl.withColumn(
+        "reach",
+        F.when(F.col("dl") >= _EXCISE_MIN, F.col("g") + F.col("dl"))
+        .otherwise(F.lit(-1))
+        .cast("long"),
+    )
+    pm = distributed_prefix_max(m, ["g"], "reach", "cr").withColumn(
+        "covered", F.col("cr") > F.col("g")
+    )
+    stats = pm.agg(
+        F.lit(_EXCISE_MIN).cast("long").alias("threshold"),
+        F.count("*").cast("long").alias("n_positions"),
+        F.sum(F.when(F.col("doc_id") < cut, 1).otherwise(0))
+        .cast("long")
+        .alias("n_base_positions"),
+        F.sum(F.when(F.col("doc_id") >= cut, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_positions"),
+        F.sum(F.when(F.col("dl") >= _EXCISE_MIN, 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans"),
+        F.sum(F.when(F.col("covered"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+        F.countDistinct(F.when(F.col("covered"), F.col("doc_id")))
+        .cast("long")
+        .alias("n_docs_affected"),
+        F.max("dl").cast("long").alias("max_span_len"),
+        F.sum(F.when(~F.col("covered"), 1).otherwise(0))
+        .cast("long")
+        .alias("retained_tokens"),
+        (
+            F.sum(F.when(F.col("covered"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("covered_share"),
+    )
+    return stats.crossJoin(F.broadcast(cert)).select(
+        "threshold", "n_positions", "n_base_positions", "n_delta_positions",
+        "n_affected_base", "n_spans", "n_covered", "n_docs_affected",
+        "max_span_len", "retained_tokens", "covered_share",
     )

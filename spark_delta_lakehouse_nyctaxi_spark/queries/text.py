@@ -2474,3 +2474,360 @@ def q_shard_manifest(spark, sf_dir):
             (F.count("*") * seq_len).cast("long").alias("shard_tokens"),
         )
     )
+
+
+# ---- unigram-LM (SentencePiece-style) trainer (round 9) ------------------
+# VERDICT r8 item 6: the unigram-LM tokenizer trainer beside BPE
+# (q_bpe_merge_step).  One hard-EM step, fully integer and therefore
+# engine-bitwise: candidate pieces are all 1..4-char substrings of the
+# distinct-word table weighted by word frequency; the vocab keeps every
+# single char (segmentability guarantee, as SentencePiece does) plus
+# the top-64 multi-char pieces; piece costs are EXACT INTEGER-BITS
+# surprisal (len(bin(total DIV count)) - 1, the q_unigram_surprisal
+# trick — the libm-free quantized -log2 p); the E-step Viterbi-segments
+# every distinct word by integer DP (min total bits, ties to the
+# LONGEST piece); the M-step re-estimates piece costs from realized
+# usage.  At 100 TB the word-count agg is the only corpus-sized
+# shuffle; the candidate/vocab/DP stages run over DISTINCT words with
+# the pruned vocab broadcast as model state (the BPE trainer makes the
+# same argument at queries/text.py:q_bpe_merge_step).
+
+_UNI_BIG = 1 << 60  # sentinel for "piece not in vocab" DP terms
+_UNI_MAXW = 8  # max word chars in the data model; the DP unroll bound
+_UNI_MAXP = 4  # max piece length
+_UNI_TOPV = 64  # multi-char vocab budget
+
+
+def _unigram_oracle_prefix() -> str:
+    """The shared DuckDB CTE chain: word counts -> candidates -> pruned
+    vocab with integer-bits costs -> unrolled Viterbi DP (positions
+    1.._UNI_MAXW, pieces 1.._UNI_MAXP, ties to the longest piece) ->
+    unrolled backtrack -> per-use piece stream `segp`.  Mirrors the
+    Spark DP token for token; all integers."""
+    parts = [
+        r"""
+    wds AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    cand AS MATERIALIZED (
+        SELECT substring(w, CAST(i.i AS INT), CAST(j.j AS INT)) AS piece,
+               CAST(SUM(cnt) AS BIGINT) AS seed_cnt
+        FROM wds
+        CROSS JOIN range(1, """ + str(_UNI_MAXP + 1) + r""") j(j)
+        CROSS JOIN LATERAL (
+            SELECT unnest(range(1, length(w) - j.j + 2)) AS i) i
+        WHERE j.j <= length(w)
+        GROUP BY piece
+    ),
+    vocab AS MATERIALIZED (
+        SELECT piece, seed_cnt FROM cand WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, seed_cnt FROM (
+            SELECT piece, seed_cnt FROM cand WHERE length(piece) > 1
+            ORDER BY seed_cnt DESC, piece LIMIT """ + str(_UNI_TOPV) + r""")
+    ),
+    vtot AS (SELECT CAST(SUM(seed_cnt) AS BIGINT) AS t FROM vocab),
+    vb AS MATERIALIZED (
+        SELECT piece, seed_cnt,
+               CAST(length(bin(t // seed_cnt)) - 1 AS BIGINT) AS bits
+        FROM vocab, vtot
+    ),
+    e0 AS (SELECT w, cnt, CAST(length(w) AS BIGINT) AS L,
+                  CAST(0 AS BIGINT) AS c0
+           FROM wds)"""
+    ]
+    for k in range(1, _UNI_MAXW + 1):
+        terms = []
+        for j in range(1, _UNI_MAXP + 1):
+            if k - j < 0:
+                continue
+            terms.append(
+                f"COALESCE(c{k - j} + (SELECT bits FROM vb WHERE vb.piece"
+                f" = substring(w, {k - j + 1}, {j})), {_UNI_BIG}) AS t{k}_{j}"
+            )
+        parts.append(
+            f"    d{k} AS MATERIALIZED (SELECT *, {', '.join(terms)} FROM e{k - 1})"
+        )
+        js = [j for j in range(1, _UNI_MAXP + 1) if k - j >= 0]
+        least = "least(" + ", ".join(f"t{k}_{j}" for j in js) + ")"
+        whens = [
+            f"WHEN t{k}_{j} = c{k} THEN {j}"
+            for j in sorted(js, reverse=True)[:-1]
+        ]
+        case = (
+            ("CASE " + " ".join(whens) + f" ELSE {min(js)} END")
+            if whens
+            else str(min(js))
+        )
+        parts.append(
+            f"    e{k} AS MATERIALIZED (SELECT *, {least} AS c{k},"
+            f" {case} AS j{k} FROM d{k})"
+        )
+    # backtrack: p0 = L; each step resolves j at the current position,
+    # emits the chosen piece, and steps back
+    jcase = (
+        "CASE p{prev} "
+        + " ".join(f"WHEN {k} THEN j{k}" for k in range(1, _UNI_MAXW + 1))
+        + " ELSE 0 END"
+    )
+    parts.append(f"    b0 AS MATERIALIZED (SELECT *, L AS p0 FROM e{_UNI_MAXW})")
+    for t in range(1, _UNI_MAXW + 1):
+        parts.append(
+            f"    bj{t} AS MATERIALIZED (SELECT *, {jcase.format(prev=t - 1)} AS jp{t}"
+            f" FROM b{t - 1})"
+        )
+        parts.append(
+            f"    b{t} AS MATERIALIZED (SELECT *,"
+            f" CASE WHEN p{t - 1} > 0 THEN"
+            f" substring(w, CAST(p{t - 1} - jp{t} + 1 AS INT),"
+            f" CAST(jp{t} AS INT)) END AS piece_{t},"
+            f" CASE WHEN p{t - 1} > 0 THEN p{t - 1} - jp{t}"
+            f" ELSE CAST(0 AS BIGINT) END AS p{t} FROM bj{t})"
+        )
+    emits = " UNION ALL ".join(
+        f"SELECT w, cnt, piece_{t} AS piece FROM b{_UNI_MAXW}"
+        for t in range(1, _UNI_MAXW + 1)
+    )
+    parts.append(
+        f"    segp AS MATERIALIZED (SELECT * FROM ({emits})"
+        " WHERE piece IS NOT NULL)"
+    )
+    return ",\n".join(parts)
+
+
+def _unigram_segments(spark, sf_dir):
+    """(vb, segp): the pruned unigram vocab frame (piece, seed_cnt,
+    bits) and the Viterbi segmentation piece stream (w, cnt, piece —
+    one row per piece USE, word-frequency weighted), both exact
+    integers.  Spark mirror of :func:`_unigram_oracle_prefix`."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    wds = (
+        docs.select(
+            F.explode(
+                F.filter(T.tokens("text"), lambda x: x != F.lit(""))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        wds.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(filter(sequence(1, {_UNI_MAXP}),"
+                    " j -> j <= length(w)),"
+                    " j -> transform(sequence(1, length(w) - j + 1),"
+                    " i -> substring(w, i, j))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("seed_cnt"))
+    )
+    singles = cand.filter(F.length("piece") == 1)
+    multi = (
+        cand.filter(F.length("piece") > 1)
+        .orderBy(F.col("seed_cnt").desc(), "piece")
+        .limit(_UNI_TOPV)
+    )
+    vocab = singles.unionByName(multi).localCheckpoint(eager=True)
+    vtot = int(vocab.agg(F.sum("seed_cnt")).first()[0])
+    vb = vocab.select(
+        "piece",
+        "seed_cnt",
+        (F.length(F.bin(F.expr(f"{vtot} DIV seed_cnt"))) - 1)
+        .cast("long")
+        .alias("bits"),
+    )
+    # the pruned vocab is MODEL state (corpus-independent size):
+    # broadcast into the per-word DP as a plain dict
+    bits = {r.piece: int(r.bits) for r in vb.collect()}
+    big, maxp = _UNI_BIG, _UNI_MAXP
+
+    def _seg(it):
+        for b in it:
+            ws, cs, ps = [], [], []
+            for w, cnt in zip(b["w"], b["cnt"]):
+                L = len(w)
+                dp = [0] + [big] * L
+                ch = [0] * (L + 1)
+                for k in range(1, L + 1):
+                    best, bj = None, 0
+                    for j in range(min(maxp, k), 0, -1):
+                        t = dp[k - j] + bits.get(w[k - j : k], big)
+                        if best is None or t < best:
+                            best, bj = t, j
+                    dp[k], ch[k] = best, bj
+                p = L
+                while p > 0:
+                    j = ch[p]
+                    ws.append(w)
+                    cs.append(int(cnt))
+                    ps.append(w[p - j : p])
+                    p -= j
+            yield pd.DataFrame({"w": ws, "cnt": cs, "piece": ps})
+
+    segp = wds.mapInPandas(_seg, "w string, cnt long, piece string")
+    return vb, segp
+
+
+@register(
+    "q_unigram_lm_train",
+    "WITH "
+    + _unigram_oracle_prefix()
+    + """,
+    use AS MATERIALIZED (
+        SELECT piece, CAST(SUM(cnt) AS BIGINT) AS used_count
+        FROM segp GROUP BY piece
+    ),
+    utot AS (SELECT CAST(SUM(used_count) AS BIGINT) AS tu FROM use),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab FROM vb),
+    wtot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_word_occ FROM wds)
+    SELECT u.piece AS piece,
+           CAST(length(u.piece) AS BIGINT) AS piece_len,
+           v.seed_cnt AS seed_count,
+           v.bits AS seed_bits,
+           u.used_count AS used_count,
+           CAST(length(bin(tu // u.used_count)) - 1 AS BIGINT) AS new_bits,
+           n_vocab,
+           tu AS total_pieces_used,
+           CAST(tu AS DOUBLE) / n_word_occ AS mean_pieces_per_word
+    FROM use u JOIN vb v ON v.piece = u.piece, utot, nv, wtot
+    ORDER BY used_count DESC, piece
+    LIMIT 20
+    """,
+    doc="UNIGRAM-LM TOKENIZER TRAINER (SentencePiece-style, one hard-"
+        "EM step) beside the BPE trainer: candidate pieces = all "
+        "frequency-weighted 1..4-char substrings of the distinct-word "
+        "table; vocab = every single char (segmentability, as "
+        "SentencePiece keeps base pieces) + top-64 multi-char; piece "
+        "cost = EXACT INTEGER-BITS surprisal; E-step = integer "
+        "Viterbi segmentation of every distinct word (min total bits, "
+        "ties to the longest piece — fully deterministic); M-step = "
+        "re-estimated costs from realized usage.  Emits the top-20 "
+        "pieces by usage with seed vs re-estimated costs plus the "
+        "model-level certificate (vocab size, total pieces used, mean "
+        "pieces per word — the unigram fertility).  The oracle "
+        "mirrors the DP with an UNROLLED 8-position CTE chain — all "
+        "integers, one IEEE division.",
+)
+def q_unigram_lm_train(spark, sf_dir):
+    vb, segp = _unigram_segments(spark, sf_dir)
+    segp = segp.localCheckpoint(eager=True)
+    use = segp.groupBy("piece").agg(
+        F.sum("cnt").cast("long").alias("used_count")
+    )
+    tu = int(use.agg(F.sum("used_count")).first()[0])
+    n_vocab = vb.count()
+    docs_wtot = int(
+        segp.select("w", "cnt").distinct().agg(F.sum("cnt")).first()[0]
+    )
+    return (
+        use.join(vb, "piece")
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            F.col("seed_cnt").alias("seed_count"),
+            F.col("bits").alias("seed_bits"),
+            "used_count",
+            (F.length(F.bin(F.expr(f"{tu} DIV used_count"))) - 1)
+            .cast("long")
+            .alias("new_bits"),
+            F.lit(n_vocab).cast("long").alias("n_vocab"),
+            F.lit(tu).cast("long").alias("total_pieces_used"),
+            (F.lit(float(tu)) / F.lit(float(docs_wtot))).alias(
+                "mean_pieces_per_word"
+            ),
+        )
+        .orderBy(F.col("used_count").desc(), "piece")
+        .limit(20)
+    )
+
+
+@register(
+    "q_unigram_fertility",
+    "WITH "
+    + _unigram_oracle_prefix()
+    + r""",
+    wpieces AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces
+        FROM segp GROUP BY w
+    ),
+    stream AS (
+        SELECT lang, unnest(list_filter(string_split_regex(trim(text),
+                                                           '\s+'),
+                            x -> x <> '')) AS w
+        FROM documents
+    ),
+    uni AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+               CAST(SUM(n_pieces) AS BIGINT) AS unigram_pieces
+        FROM stream JOIN wpieces USING (w)
+        GROUP BY lang
+    ),
+    ds AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+')))
+                   AS BIGINT) AS bpe_tokens
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, ws_tokens, bpe_tokens, unigram_pieces,
+           CAST(bpe_tokens AS DOUBLE) / ws_tokens AS fertility_bpe,
+           CAST(unigram_pieces AS DOUBLE) / ws_tokens
+               AS fertility_unigram
+    FROM ds JOIN uni USING (lang)
+    ORDER BY lang
+    """,
+    doc="TOKENIZER FERTILITY COMPARISON (VERDICT r8 item 6): the "
+        "trained unigram-LM segmentation vs the GPT-2-style BPE "
+        "pretokenizer, per language — pieces-per-word for both "
+        "tokenizers side by side (reusing q_tokenizer_fertility's "
+        "BPE machinery), the report that picks a tokenizer family "
+        "before a 100 TB tokenization run.  Corpus word stream joins "
+        "the per-word piece counts from the trained model; exact "
+        "longs, two IEEE divisions per row.",
+)
+def q_unigram_fertility(spark, sf_dir):
+    _vb, segp = _unigram_segments(spark, sf_dir)
+    wpieces = segp.groupBy("w").agg(F.count("*").cast("long").alias("n_pieces"))
+    docs = load_table(spark, sf_dir, "documents")
+    stream = docs.select(
+        "lang",
+        F.explode(F.filter(T.tokens("text"), lambda x: x != F.lit(""))).alias(
+            "w"
+        ),
+    )
+    uni = (
+        stream.join(wpieces, "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("ws_tokens"),
+            F.sum("n_pieces").cast("long").alias("unigram_pieces"),
+        )
+    )
+    ds = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(T.bpe_token_count("text")).cast("long").alias("bpe_tokens"),
+    )
+    return (
+        ds.join(uni, "lang")
+        .select(
+            "lang", "n_docs", "ws_tokens", "bpe_tokens", "unigram_pieces",
+            (F.col("bpe_tokens").cast("double") / F.col("ws_tokens")).alias(
+                "fertility_bpe"
+            ),
+            (
+                F.col("unigram_pieces").cast("double") / F.col("ws_tokens")
+            ).alias("fertility_unigram"),
+        )
+        .orderBy("lang")
+    )

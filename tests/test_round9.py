@@ -177,3 +177,70 @@ def test_edit_distance_cap_certificate_consistent(spark):
     n_docs = load_table(spark, SF_SMALL, "documents").count()
     assert r.pair_budget <= 10 * n_docs
     assert 0.0 <= r.coverage_share <= 1.0
+
+
+def test_incremental_dup_lens_equal_full_rebuild(spark):
+    """The incremental-maintenance theorem, checked position by
+    position: updating the base index with the shard's boundary LCPs
+    must reproduce the from-scratch full-corpus dup_len EXACTLY."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.suffix import (
+        incremental_dup_lens,
+        position_dup_lens,
+    )
+
+    merged, cert, cut = incremental_dup_lens(spark, SF_SMALL)
+    full = position_dup_lens(spark, SF_SMALL)
+    inc = sorted(map(tuple, merged.collect()))
+    reb = sorted(map(tuple, full.collect()))
+    assert inc == reb
+    # the delta-proportionality certificate is a real bound: affected
+    # base positions can never exceed twice the shard suffix count
+    from spark_delta_lakehouse_nyctaxi_spark.queries.suffix import window_keys
+
+    n_delta = window_keys(spark, SF_SMALL, f"doc_id >= {cut}").count()
+    assert cert.first().n_affected_base <= 2 * n_delta
+
+
+def test_window_keys_order_equals_suffix_rank_order(spark):
+    """The intra-doc sentinel-terminated window key is an EXACT suffix
+    order key: sorting by it must reproduce the prefix-doubling SA
+    rank order (the append-invariance argument rests on this)."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.suffix import (
+        build_suffix_array,
+        window_keys,
+    )
+
+    sa, _levels, n = build_suffix_array(spark, SF_SMALL)
+    keys = window_keys(spark, SF_SMALL)
+    joined = sa.select("g", "r").join(keys.select("g", "key"), "g")
+    rows = joined.orderBy("r").collect()
+    assert len(rows) == n
+    ks = [r.key for r in rows]
+    assert ks == sorted(ks)
+    assert len(set(ks)) == n  # keys globally unique — merge is tie-free
+
+
+def test_unigram_segmentation_reconstructs_words(spark):
+    """The Viterbi segmentation must be a true partition of every
+    distinct word (pieces concatenate back to the word, in backtrack
+    order = right to left), and usage totals must tie out: total
+    pieces used == sum over words of cnt * n_pieces(w)."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.text import (
+        _unigram_segments,
+    )
+
+    vb, segp = _unigram_segments(spark, SF_SMALL)
+    rows = segp.collect()
+    by_w: dict = {}
+    cnts: dict = {}
+    for r in rows:
+        by_w.setdefault(r.w, []).append(r.piece)
+        cnts[r.w] = r.cnt
+    vocab = {r.piece for r in vb.collect()}
+    for w, pieces in by_w.items():
+        # backtrack emits right-to-left
+        assert "".join(reversed(pieces)) == w, (w, pieces)
+        assert all(p in vocab for p in pieces)
+    out = q("q_unigram_lm_train", spark).collect()
+    total_used = out[0].total_pieces_used
+    assert total_used == sum(cnts[w] * len(ps) for w, ps in by_w.items())

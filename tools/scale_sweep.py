@@ -115,6 +115,10 @@ EXTRA = [
     "q_vocab_coverage",
     "q_exact_substr_dedup",
     "q_excision_thresholds",
+    # round 9: incremental ExactSubstr maintenance + unigram trainer
+    "q_incremental_substr_dedup",
+    "q_unigram_lm_train",
+    "q_unigram_fertility",
 ]
 
 # Queries that share process-global trained/built artifacts via a
