@@ -154,6 +154,9 @@ _PRIORITY: list[str] = [
     "q_incremental_substr_dedup",
     "q_unigram_lm_train",
     "q_unigram_fertility",
+    "q_distinct_substrings",
+    "q_repeated_phrases",
+    "q_t_closeness",
     # --- driver-green r8 window (CORRECTNESS_r08 50/50 green) ---
     # round-7 additions (31)
     "q_attention_mask",

@@ -836,3 +836,101 @@ def q_vocab_coverage(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+# ---- q_repeated_phrases ---------------------------------------------------
+
+
+@register(
+    "q_repeated_phrases",
+    r"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        FROM documents
+    ),
+    ph AS MATERIALIZED (
+        SELECT doc_id,
+               array_to_string(list_slice(ts, CAST(i.i AS BIGINT),
+                                          CAST(i.i + 7 AS BIGINT)), ' ')
+                   AS phrase
+        FROM toks, unnest(range(1, len(ts) - 6)) i(i)
+    ),
+    rep AS MATERIALIZED (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM ph GROUP BY phrase
+        HAVING COUNT(*) >= 2
+    ),
+    cert AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_repeated_phrases,
+               CAST(COALESCE(SUM(n_occurrences), 0) AS BIGINT)
+                   AS repeated_mass,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ph) AS n_windows
+        FROM rep
+    )
+    SELECT phrase, n_occurrences, n_docs,
+           n_repeated_phrases, repeated_mass, n_windows,
+           CAST(repeated_mass AS DOUBLE) / CAST(n_windows AS DOUBLE)
+               AS repeated_share
+    FROM rep, cert
+    ORDER BY n_occurrences DESC, phrase
+    LIMIT 20
+    """,
+    doc="REPEATED-PHRASE MEMORIZATION AUDIT (Carlini-et-al. style): "
+        "the top-20 8-token phrases occurring more than once in the "
+        "corpus, WITH the actual phrase text — the artifact a "
+        "training-data release reviews for memorization-prone "
+        "boilerplate (the hash tiers q_dup_spectrum/q_data_card count "
+        "duplication but never surface the offending text).  Content "
+        "grouping is hash-free: the 8-token window string is the "
+        "group key (tokens are whitespace-split, so the space join is "
+        "injective).  One corpus-linear explode + one hash aggregate "
+        "keyed on the phrase — the same shuffle class as exact dedup "
+        "at 100 TB; top-k is TakeOrdered.  Exact integers; one IEEE "
+        "division.",
+)
+def q_repeated_phrases(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ph = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size({t}) - 7, 0)),"
+                " i -> array_join(slice({t}, i, 8), ' '))".format(
+                    t="split(trim(text), '\\\\s+')"
+                )
+            )
+        ).alias("phrase"),
+    )
+    rep = (
+        ph.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+    n_windows = ph.count()
+    cert = rep.agg(
+        F.count("*").cast("long").alias("n_repeated_phrases"),
+        F.coalesce(F.sum("n_occurrences"), F.lit(0))
+        .cast("long")
+        .alias("repeated_mass"),
+    ).select(
+        "n_repeated_phrases",
+        "repeated_mass",
+        F.lit(n_windows).cast("long").alias("n_windows"),
+    )
+    return (
+        attach_scalar(rep, cert)
+        .select(
+            "phrase", "n_occurrences", "n_docs",
+            "n_repeated_phrases", "repeated_mass", "n_windows",
+            (
+                F.col("repeated_mass").cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("repeated_share"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "phrase")
+        .limit(20)
+    )

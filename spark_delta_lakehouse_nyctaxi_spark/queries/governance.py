@@ -877,3 +877,128 @@ def q_dp_noise_calibration(spark, sf_dir):
         (g1 - g2).cast("long").alias("noise"),
         (F.col("true_n") + g1 - g2).cast("long").alias("noised_n"),
     )
+
+
+# ---- q_t_closeness --------------------------------------------------------
+
+
+@register(
+    "q_t_closeness",
+    """
+    WITH c AS MATERIALIZED (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+               o_orderpriority AS sensitive
+        FROM customer JOIN orders ON c_custkey = o_custkey
+    ),
+    cats AS MATERIALIZED (SELECT DISTINCT sensitive AS v FROM c),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM cats) AS m
+            FROM c),
+    gcum AS MATERIALIZED (
+        SELECT v, CAST((SELECT COUNT(*) FROM c WHERE c.sensitive <= cats.v)
+                       AS BIGINT) AS cq
+        FROM cats
+    ),
+    ccum AS MATERIALIZED (
+        SELECT c.c_nationkey, c.c_mktsegment, c.bal_band, g.v, g.cq,
+               CAST(COUNT(*) FILTER (WHERE c.sensitive <= g.v) AS BIGINT)
+                   AS cp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM c CROSS JOIN gcum g
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    emd AS (
+        SELECT c_nationkey, c_mktsegment, bal_band,
+               MAX(n_rows) AS n_rows,
+               CAST(SUM(CASE WHEN v < (SELECT MAX(v) FROM cats)
+                             THEN ABS(cp * nn - cq * n_rows) ELSE 0 END)
+                    AS BIGINT) AS emd_num,
+               MAX((m - 1) * n_rows * nn) AS emd_den
+        FROM ccum, tot
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           emd_num, CAST(emd_den AS BIGINT) AS emd_den,
+           CAST(emd_num AS DOUBLE) / CAST(emd_den AS DOUBLE) AS t_closeness
+    FROM emd
+    ORDER BY t_closeness DESC, c_nationkey, c_mktsegment, bal_band
+    LIMIT 10
+    """,
+    doc="T-CLOSENESS audit — the release-gate property l-diversity "
+        "misses: a class can be diverse yet still leak because its "
+        "sensitive-value DISTRIBUTION deviates from the table's "
+        "('skewness attack').  Same quasi-identifier classes as "
+        "q_k_anonymity/q_l_diversity (nation, segment, 2000-wide "
+        "balance band); sensitive = the ORDINAL order priority, so "
+        "closeness is the ordered Earth-Mover's Distance: t = "
+        "sum_i |CumP_i - CumQ_i| / (m-1) over the m category "
+        "boundaries.  Kept EXACT as scaled integers (|cp*N - cq*n| "
+        "with denominator (m-1)*n*N emitted beside it); the final "
+        "ratio is the single IEEE division.  Top-10 worst classes.  "
+        "Scale: the class x category cumulative counts come from one "
+        "conditional aggregate (category list is model-sized and "
+        "rides the plan as literals Spark-side); no data-sized "
+        "window, no inequality join.",
+)
+def q_t_closeness(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+        F.col("o_orderpriority").alias("sensitive"),
+    )
+    # category list + global cumulative counts: bounded model state
+    # (|priorities| = 5), collected once and folded in as literals
+    gl = {
+        r.sensitive: int(r.cnt)
+        for r in c.groupBy("sensitive").agg(F.count("*").alias("cnt")).collect()
+    }
+    cats = sorted(gl)
+    m = len(cats)
+    nn = sum(gl.values())
+    gcum, acc = {}, 0
+    for v in cats:
+        acc += gl[v]
+        gcum[v] = acc
+    cls = c.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            F.sum(F.when(F.col("sensitive") <= v, 1).otherwise(0))
+            .cast("long")
+            .alias(f"cp_{i}")
+            for i, v in enumerate(cats[:-1])
+        ],
+    )
+    emd_num = None
+    for i, v in enumerate(cats[:-1]):
+        term = F.abs(
+            F.col(f"cp_{i}") * F.lit(nn) - F.lit(gcum[v]) * F.col("n_rows")
+        )
+        emd_num = term if emd_num is None else emd_num + term
+    return (
+        cls.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "n_rows",
+            emd_num.cast("long").alias("emd_num"),
+            (F.lit(m - 1) * F.col("n_rows") * F.lit(nn))
+            .cast("long")
+            .alias("emd_den"),
+        )
+        .withColumn(
+            "t_closeness",
+            F.col("emd_num").cast("double") / F.col("emd_den").cast("double"),
+        )
+        .orderBy(
+            F.col("t_closeness").desc(),
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+        )
+        .limit(10)
+    )

@@ -1152,3 +1152,70 @@ def q_incremental_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_affected_base", "n_spans", "n_covered", "n_docs_affected",
         "max_span_len", "retained_tokens", "covered_share",
     )
+
+
+@register(
+    "q_distinct_substrings",
+    "WITH "
+    + _CORPUS_SQL
+    + ","
+    + _LCP_SQL
+    + """,
+    efflen AS (
+        SELECT CAST(SUM(dl.dlen - c.p) AS BIGINT) AS total_substrings,
+               CAST(COUNT(*) AS BIGINT) AS n_positions
+        FROM corpus c
+        JOIN (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dlen FROM toks) dl
+          USING (doc_id)
+        WHERE NOT c.is_sentinel
+    ),
+    lm AS (SELECT CAST(SUM(lcp) AS BIGINT) AS sum_lcp FROM lcps)
+    SELECT n_positions, total_substrings, sum_lcp,
+           total_substrings - sum_lcp AS n_distinct_substrings,
+           CAST(total_substrings - sum_lcp AS DOUBLE)
+               / CAST(total_substrings AS DOUBLE) AS distinct_share
+    FROM efflen, lm
+    """,
+    doc="DISTINCT SUBSTRING COUNT via the classic generalized-suffix-"
+        "array identity: the number of DISTINCT token n-grams (any "
+        "length, never crossing a document boundary) equals the total "
+        "substring occurrences (sum over suffixes of their real-token "
+        "length) minus the sum of adjacent-suffix LCPs — each suffix "
+        "contributes exactly the prefixes its SA-predecessor does not "
+        "already cover.  The corpus-level repetition certificate "
+        "(distinct_share -> 1 means an unrepetitive corpus): one "
+        "aggregate over the memoized corpus + one over the memoized "
+        "LCP array; sentinel-terminated suffixes make the identity "
+        "exact for the multi-document case.  Exact integers; one IEEE "
+        "division.",
+)
+def q_distinct_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sa, _levels, _n = build_suffix_array(spark, sf_dir)
+    pairs = lcp_pairs(spark, sf_dir)
+    dlen = (
+        sa.filter(F.col("is_sentinel"))
+        .select("doc_id", F.col("p").alias("dlen"))
+    )
+    efflen = (
+        sa.filter(~F.col("is_sentinel"))
+        .join(dlen, "doc_id")
+        .agg(
+            F.sum(F.col("dlen") - F.col("p")).cast("long").alias(
+                "total_substrings"
+            ),
+            F.count("*").cast("long").alias("n_positions"),
+        )
+    )
+    lm = pairs.agg(F.sum("lcp").cast("long").alias("sum_lcp"))
+    return efflen.crossJoin(F.broadcast(lm)).select(
+        "n_positions",
+        "total_substrings",
+        "sum_lcp",
+        (F.col("total_substrings") - F.col("sum_lcp")).alias(
+            "n_distinct_substrings"
+        ),
+        (
+            (F.col("total_substrings") - F.col("sum_lcp")).cast("double")
+            / F.col("total_substrings").cast("double")
+        ).alias("distinct_share"),
+    )

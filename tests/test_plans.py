@@ -468,6 +468,8 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_suffix_array",          # 1-row SA-checksum certificate attaches to the 20-row head
     "q_lcp_stats",             # 1-row argmax frame attaches to the 1-row stats row
     "q_incremental_substr_dedup",  # 1-row n_affected_base cert attaches to the 1-row stats
+    "q_distinct_substrings",   # 1-row LCP-mass frame attaches to the 1-row totals
+    "q_repeated_phrases",      # 1-row repetition-mass cert attaches to the top-20
     "q_bm25_rerank",           # 1-row corpus stats attach (the q_bm25_search scorer)
     "q_kneser_ney",            # 1-row bigram-type total attaches to the bigram frame
     "q_edit_distance_verify",  # 1-row candidate/verified cert attaches to the pair frame

@@ -119,6 +119,8 @@ EXTRA = [
     "q_incremental_substr_dedup",
     "q_unigram_lm_train",
     "q_unigram_fertility",
+    "q_distinct_substrings",
+    "q_repeated_phrases",
 ]
 
 # Queries that share process-global trained/built artifacts via a
