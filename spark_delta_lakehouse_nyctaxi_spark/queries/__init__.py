@@ -157,6 +157,7 @@ _PRIORITY: list[str] = [
     "q_distinct_substrings",
     "q_repeated_phrases",
     "q_t_closeness",
+    "q_cross_source_lcs",
     # --- driver-green r8 window (CORRECTNESS_r08 50/50 green) ---
     # round-7 additions (31)
     "q_attention_mask",

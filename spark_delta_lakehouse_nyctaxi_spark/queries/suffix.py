@@ -1219,3 +1219,118 @@ def q_distinct_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_substrings").cast("double")
         ).alias("distinct_share"),
     )
+
+
+@register(
+    "q_cross_source_lcs",
+    "WITH "
+    + _CORPUS_SQL
+    + ","
+    + _LCP_SQL
+    + """,
+    sp AS (SELECT doc_id, source FROM documents),
+    cx AS MATERIALIZED (
+        SELECT l.ga, l.gb, l.lcp,
+               ca.doc_id AS doc_a, ca.p AS p_a, s1.source AS src_a,
+               cb.doc_id AS doc_b, cb.p AS p_b, s2.source AS src_b
+        FROM lcps l
+        JOIN corpus ca ON ca.g = l.ga
+        JOIN sp s1 ON s1.doc_id = ca.doc_id
+        JOIN corpus cb ON cb.g = l.gb
+        JOIN sp s2 ON s2.doc_id = cb.doc_id
+        WHERE s1.source <> s2.source
+    ),
+    cg AS MATERIALIZED (
+        SELECT least(src_a, src_b) AS src_lo,
+               greatest(src_a, src_b) AS src_hi, *
+        FROM cx
+    ),
+    st AS (
+        SELECT src_lo, src_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_cross_pairs,
+               CAST(MAX(lcp) AS BIGINT) AS max_lcp,
+               CAST(COUNT(*) FILTER (WHERE lcp >= 8) AS BIGINT) AS n_ge_8,
+               CAST(COUNT(*) FILTER (WHERE lcp >= 16) AS BIGINT) AS n_ge_16,
+               CAST(COUNT(*) FILTER (WHERE lcp >= 32) AS BIGINT) AS n_ge_32
+        FROM cg GROUP BY 1, 2
+    ),
+    am AS (
+        SELECT src_lo, src_hi,
+               doc_a AS arg_doc_a, p_a AS arg_p_a,
+               doc_b AS arg_doc_b, p_b AS arg_p_b,
+               row_number() OVER (PARTITION BY src_lo, src_hi
+                                  ORDER BY lcp DESC, ga) AS rn
+        FROM cg
+    )
+    SELECT s.src_lo, s.src_hi, s.n_cross_pairs, s.max_lcp,
+           s.n_ge_8, s.n_ge_16, s.n_ge_32,
+           a.arg_doc_a, a.arg_p_a, a.arg_doc_b, a.arg_p_b
+    FROM st s JOIN am a ON a.src_lo = s.src_lo AND a.src_hi = s.src_hi
+    WHERE a.rn = 1
+    ORDER BY s.src_lo, s.src_hi
+    """,
+    doc="CROSS-SOURCE LONGEST COMMON SUBSTRING (contamination run "
+        "audit): for every source pair, the longest verbatim token "
+        "run shared across sources — THE cross-source leakage number "
+        "a data card should publish (q_corpus_overlap counts shingle "
+        "overlap; this gives the exact worst run and where it lives). "
+        "Theorem used: the max LCP between any cross-group suffix "
+        "pair is attained at an ADJACENT cross-group pair in SA order "
+        "(any cross path contains a cross boundary; path-min <= "
+        "boundary LCP), so one pass over the memoized adjacent-LCP "
+        "array suffices — no pairwise stage.  Per pair: adjacency "
+        "count, max run, >=8/16/32 spectrum, and the argmax positions "
+        "(lcp DESC, ga tiebreak).  Exact integers end to end.",
+)
+def q_cross_source_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sa, _levels, _n = build_suffix_array(spark, sf_dir)
+    pairs = lcp_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pos = sa.select("g", "doc_id", "p").join(src, "doc_id")
+    a = pos.select(
+        F.col("g").alias("ga"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("p").alias("p_a"),
+        F.col("source").alias("src_a"),
+    )
+    b = pos.select(
+        F.col("g").alias("gb"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("p").alias("p_b"),
+        F.col("source").alias("src_b"),
+    )
+    cg = (
+        pairs.join(a, "ga")
+        .join(b, "gb")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+            "ga", "lcp", "doc_a", "p_a", "doc_b", "p_b",
+        )
+        .localCheckpoint(eager=True)
+    )
+    st = cg.groupBy("src_lo", "src_hi").agg(
+        F.count("*").cast("long").alias("n_cross_pairs"),
+        F.max("lcp").cast("long").alias("max_lcp"),
+        F.sum(F.when(F.col("lcp") >= 8, 1).otherwise(0)).cast("long").alias("n_ge_8"),
+        F.sum(F.when(F.col("lcp") >= 16, 1).otherwise(0)).cast("long").alias("n_ge_16"),
+        F.sum(F.when(F.col("lcp") >= 32, 1).otherwise(0)).cast("long").alias("n_ge_32"),
+    )
+    w = Window.partitionBy("src_lo", "src_hi").orderBy(
+        F.col("lcp").desc(), F.col("ga")
+    )
+    am = (
+        cg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src_lo", "src_hi",
+            F.col("doc_a").alias("arg_doc_a"),
+            F.col("p_a").alias("arg_p_a"),
+            F.col("doc_b").alias("arg_doc_b"),
+            F.col("p_b").alias("arg_p_b"),
+        )
+    )
+    return st.join(am, ["src_lo", "src_hi"]).orderBy("src_lo", "src_hi")

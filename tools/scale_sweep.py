@@ -121,6 +121,7 @@ EXTRA = [
     "q_unigram_fertility",
     "q_distinct_substrings",
     "q_repeated_phrases",
+    "q_cross_source_lcs",
 ]
 
 # Queries that share process-global trained/built artifacts via a
