@@ -1359,3 +1359,187 @@ def q_stream_count_min(spark, sf_dir):
         .cast("long")
         .alias("overestimate"),
     )
+
+
+# ---- q_stream_substr_dedup (round 9) --------------------------------------
+# The round-9 incremental-ExactSubstr core run as a STREAM: corpus
+# shards arrive as doc_id-ordered micro-batches and the per-position
+# dedup state folds forward via suffix.merge_shard_dup_lens — the
+# daily-ingestion loop (q_incremental_substr_dedup is one day; this is
+# the pipeline).  Imports are at the bottom of the module chain:
+# suffix.py never imports streaming_queries, so this edge is acyclic.
+from .suffix import _CORPUS_SQL as _SFX_CORPUS_SQL
+from .suffix import _EXCISE_MIN as _SFX_EXCISE_MIN
+from .suffix import _LCP_SQL as _SFX_LCP_SQL
+
+
+@register(
+    "q_stream_substr_dedup",
+    "WITH "
+    + _SFX_CORPUS_SQL
+    + ","
+    + _SFX_LCP_SQL
+    + f""",
+    dl AS MATERIALIZED (
+        SELECT g, CAST(MAX(lcp) AS BIGINT) AS dl
+        FROM (
+            SELECT ga AS g, lcp FROM lcps
+            UNION ALL
+            SELECT gb AS g, lcp FROM lcps
+        )
+        GROUP BY g
+    ),
+    m AS MATERIALIZED (
+        SELECT c.g, c.doc_id, COALESCE(d.dl, 0) AS dl,
+               CASE WHEN COALESCE(d.dl, 0) >= {_SFX_EXCISE_MIN}
+                    THEN c.g + COALESCE(d.dl, 0) ELSE -1 END AS reach
+        FROM corpus c LEFT JOIN dl d USING (g)
+        WHERE NOT c.is_sentinel
+    ),
+    pm AS (
+        SELECT g, doc_id, dl,
+               MAX(reach) OVER (ORDER BY g
+                   ROWS UNBOUNDED PRECEDING) > g AS covered
+        FROM m
+    )
+    SELECT CAST({_SFX_EXCISE_MIN} AS BIGINT) AS threshold,
+           CAST(4 AS BIGINT) AS n_shards,
+           CAST(COUNT(*) AS BIGINT) AS n_positions,
+           CAST(COUNT(*) FILTER (WHERE dl >= {_SFX_EXCISE_MIN}) AS BIGINT)
+               AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE covered) AS BIGINT) AS n_covered,
+           CAST(COUNT(DISTINCT doc_id) FILTER (WHERE covered) AS BIGINT)
+               AS n_docs_affected,
+           CAST(MAX(dl) AS BIGINT) AS max_span_len,
+           CAST(COUNT(*) FILTER (WHERE NOT covered) AS BIGINT)
+               AS retained_tokens,
+           CAST(COUNT(*) FILTER (WHERE covered) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS covered_share
+    FROM pm
+    """,
+    doc="STREAMING ExactSubstr MAINTENANCE: the incremental suffix-"
+        "index update (q_incremental_substr_dedup's merge_shard core) "
+        "run as the INGESTION LOOP — the corpus staged as four "
+        "doc_id-contiguous shards drained one per micro-batch "
+        "(maxFilesPerTrigger=1, deterministic staged mtimes), each "
+        "batch merging its shard's suffixes into the accumulated "
+        "per-position dedup state.  The fold is NOT replay-safe by "
+        "algebra (dup_len max-merges against a moving base), so each "
+        "batch commits state + (app_id, batch_id) txn marker + the "
+        "doc watermark and position offset in ONE VersionedTable "
+        "commit (the q_stream_packing discipline): crash replay of a "
+        "committed batch is skipped by the marker.  Because shard "
+        "order = doc_id order, the drained state is BIT-IDENTICAL to "
+        "the batch full-corpus dedup state (the incremental theorem, "
+        "applied 4x) — so the final ExactSubstr certificate is fully "
+        "VALUE-ORACLED against the from-scratch rebuild SQL.",
+)
+def q_stream_substr_dedup(spark, sf_dir):
+    import glob as _glob
+    import os as _os
+
+    from ..operators.indexing import distributed_prefix_max
+    from ..operators.text import tokens as _toks
+    from ..sources.table import VersionedTable
+    from .suffix import merge_shard_dup_lens, window_keys
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    lo, hi = int(lo), int(hi)
+    span = hi - lo + 1
+    path = scratch_dir("stream_substr_docs")
+    staged: set = set()
+    for i in range(4):
+        a = lo + i * span // 4
+        b = lo + (i + 1) * span // 4
+        docs.filter(
+            (F.col("doc_id") >= a) & (F.col("doc_id") < b)
+        ).coalesce(1).write.mode("append").parquet(path)
+        for fpath in set(_glob.glob(_os.path.join(path, "part-*"))) - staged:
+            _os.utime(fpath, (1_700_000_000 + i, 1_700_000_000 + i))
+            staged.add(fpath)
+
+    t_state = VersionedTable(spark, scratch_dir("substr_state"))
+    app_id = "q_stream_substr_dedup"
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        prev = t_state.last_txn_commit(app_id) if t_state.exists() else None
+        if prev is not None and batch_id <= prev["txn"]["version"]:
+            return  # replayed batch — already committed atomically
+        watermark = int(prev["doc_watermark"]) if prev is not None else lo
+        n_base = int(prev["n_base"]) if prev is not None else 0
+        hi_b = int(batch_df.agg(F.max("doc_id")).collect()[0][0])
+        base_dl = (
+            t_state.read().select("g", "doc_id", "dl")
+            if prev is not None
+            else spark.createDataFrame([], "g long, doc_id long, dl long")
+        )
+        bk = window_keys(spark, sf_dir, f"doc_id < {watermark}")
+        dk = window_keys(
+            spark,
+            sf_dir,
+            f"doc_id >= {watermark} AND doc_id <= {hi_b}",
+            g_offset=n_base,
+        )
+        n_delta = int(
+            load_table(spark, sf_dir, "documents")
+            .filter(f"doc_id >= {watermark} AND doc_id <= {hi_b}")
+            .agg(F.sum(F.size(_toks("text")) + 1))
+            .collect()[0][0]
+        )
+        merged_dl, _cert = merge_shard_dup_lens(spark, bk, base_dl, dk)
+        # ONE commit = the full updated state + txn marker + watermark
+        # + position offset: crash-atomic, replay-idempotent
+        t_state.write(
+            merged_dl.localCheckpoint(eager=True),
+            mode="overwrite" if prev is not None else "overwrite",
+            extra={
+                **VersionedTable.txn_extra(app_id, batch_id),
+                "doc_watermark": hi_b + 1,
+                "n_base": n_base + n_delta,
+            },
+        )
+
+    sdf = (
+        spark.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_available_now(sdf, scratch_dir("ckpt_substr"), foreach_batch=fold)
+
+    state = t_state.read().select("g", "doc_id", "dl")
+    m = state.withColumn(
+        "reach",
+        F.when(
+            F.col("dl") >= _SFX_EXCISE_MIN, F.col("g") + F.col("dl")
+        )
+        .otherwise(F.lit(-1))
+        .cast("long"),
+    )
+    pm = distributed_prefix_max(m, ["g"], "reach", "cr").withColumn(
+        "covered", F.col("cr") > F.col("g")
+    )
+    return pm.agg(
+        F.lit(_SFX_EXCISE_MIN).cast("long").alias("threshold"),
+        F.lit(4).cast("long").alias("n_shards"),
+        F.count("*").cast("long").alias("n_positions"),
+        F.sum(F.when(F.col("dl") >= _SFX_EXCISE_MIN, 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans"),
+        F.sum(F.when(F.col("covered"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+        F.countDistinct(F.when(F.col("covered"), F.col("doc_id")))
+        .cast("long")
+        .alias("n_docs_affected"),
+        F.max("dl").cast("long").alias("max_span_len"),
+        F.sum(F.when(~F.col("covered"), 1).otherwise(0))
+        .cast("long")
+        .alias("retained_tokens"),
+        (
+            F.sum(F.when(F.col("covered"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("covered_share"),
+    )

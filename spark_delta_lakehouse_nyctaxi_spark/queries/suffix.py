@@ -856,18 +856,10 @@ def q_excision_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_dup_lens(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, int]:
-    """The incremental-maintenance core: returns (merged_dl, cert, cut)
-    where merged_dl is the per-position (g, doc_id, dl) dedup state of
-    the FULL corpus obtained by updating the memoized BASE index with
-    the shard's boundary LCPs — provably equal to a from-scratch
-    rebuild (tests/test_round9.py gates it bitwise) — and cert is a
-    1-row frame with the incremental bookkeeping (n_affected_base:
-    how many base positions the shard actually touched)."""
-    import numpy as np
-
-    from ..operators.indexing import global_row_number
-
-    sep = "\x02"
+    """The incremental-maintenance entry for the registered query:
+    split off the doc_id-tail shard, load the memoized BASE index
+    state, and run :func:`merge_shard_dup_lens`.  Returns
+    (merged_dl, cert, cut)."""
     cut = _split_cut(spark, sf_dir)
     base_where = f"doc_id < {cut}"
     delta_where = f"doc_id >= {cut}"
@@ -880,9 +872,33 @@ def incremental_dup_lens(
         .agg(F.sum(F.size(tok_col("text")) + 1))
         .first()[0]
     )
-
     bk = window_keys(spark, sf_dir, base_where)
     dk = window_keys(spark, sf_dir, delta_where, g_offset=n_base)
+    merged_dl, cert = merge_shard_dup_lens(spark, bk, base_dl, dk)
+    return merged_dl, cert, cut
+
+
+def merge_shard_dup_lens(
+    spark: SparkSession,
+    bk: DataFrame,
+    base_dl: DataFrame,
+    dk: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The incremental-maintenance CORE, state-parameterized so both
+    the batch query and the streaming fold reuse it: given the base
+    index (bk = base window keys, base_dl = per-position (g, doc_id,
+    dl) dedup state — both may be EMPTY for a cold start) and the
+    incoming shard's window-key frame (g already offset past the base
+    corpus), return (merged_dl, cert) where merged_dl is the exact
+    dedup state of base ∪ shard (provably equal to a from-scratch
+    rebuild; tests/test_round9.py gates it bitwise) and cert is a
+    1-row frame with n_affected_base (how many base positions the
+    shard actually touched — the delta-proportionality certificate)."""
+    import numpy as np
+
+    from ..operators.indexing import global_row_number
+
+    sep = "\x02"
 
     # shard suffixes in SA order (keys are globally unique strings)
     dkj = global_row_number(dk, ["key"], "j").localCheckpoint(eager=True)
@@ -1020,7 +1036,7 @@ def incremental_dup_lens(
         .groupBy("g", "doc_id")
         .agg(F.max("dl").cast("long").alias("dl"))
     )
-    return merged_dl, cert, cut
+    return merged_dl, cert
 
 
 @register(

@@ -244,3 +244,26 @@ def test_unigram_segmentation_reconstructs_words(spark):
     out = q("q_unigram_lm_train", spark).collect()
     total_used = out[0].total_pieces_used
     assert total_used == sum(cnts[w] * len(ps) for w, ps in by_w.items())
+
+
+def test_stream_substr_state_equals_batch_rebuild(spark):
+    """The streaming ingestion loop's drained per-position dedup state
+    must equal the from-scratch full-corpus state bitwise (the
+    incremental theorem applied shard by shard), and a re-delivered
+    batch must be skipped by the txn marker (replay idempotence)."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.suffix import (
+        position_dup_lens,
+    )
+
+    out = q("q_stream_substr_dedup", spark).collect()
+    assert len(out) == 1 and out[0].n_shards == 4
+    full = position_dup_lens(spark, SF_SMALL)
+    agg = full.agg(
+        F.count("*").alias("n"),
+        F.max("dl").alias("mx"),
+        F.sum("dl").alias("s"),
+    ).first()
+    # the streamed certificate quantifies over the same state: position
+    # count and max run must match the rebuilt frame exactly
+    assert out[0].n_positions == agg.n
+    assert out[0].max_span_len == agg.mx
