@@ -159,6 +159,7 @@ _PRIORITY: list[str] = [
     "q_t_closeness",
     "q_cross_source_lcs",
     "q_stream_substr_dedup",
+    "q_source_boilerplate",
     # --- driver-green r8 window (CORRECTNESS_r08 50/50 green) ---
     # round-7 additions (31)
     "q_attention_mask",

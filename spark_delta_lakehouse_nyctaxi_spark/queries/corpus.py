@@ -934,3 +934,127 @@ def q_repeated_phrases(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "phrase")
         .limit(20)
     )
+
+
+# ---- q_source_boilerplate --------------------------------------------------
+
+
+@register(
+    "q_source_boilerplate",
+    r"""
+    WITH t AS MATERIALIZED (
+        SELECT source,
+               string_split_regex(trim(text), '\s+') AS ts,
+               array_to_string(string_split_regex(trim(text), '\s+'),
+                               chr(2)) AS k
+        FROM documents
+    ),
+    mm AS MATERIALIZED (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               arg_min(ts, k) AS ta, arg_max(ts, k) AS tb
+        FROM t GROUP BY source
+    ),
+    cp AS (
+        SELECT source, n_docs, ta,
+               CAST(COALESCE((
+                   SELECT MAX(j.j)
+                   FROM range(1, 103) j(j)
+                   WHERE j.j <= least(len(ta), len(tb))
+                     AND list_slice(ta, 1, CAST(j.j AS BIGINT))
+                         = list_slice(tb, 1, CAST(j.j AS BIGINT))
+               ), 0) AS BIGINT) AS common_prefix_len
+        FROM mm
+    ),
+    pre AS MATERIALIZED (
+        SELECT source, array_to_string(list_slice(ts, 1, 3), ' ') AS pfx
+        FROM t WHERE len(ts) >= 3
+    ),
+    modal AS (
+        SELECT source, pfx AS top_prefix, cnt AS top_prefix_docs
+        FROM (
+            SELECT source, pfx, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY COUNT(*) DESC, pfx) AS rn
+            FROM pre GROUP BY source, pfx
+        ) WHERE rn = 1
+    )
+    SELECT c.source, c.n_docs, c.common_prefix_len,
+           COALESCE(array_to_string(list_slice(c.ta, 1,
+               CAST(c.common_prefix_len AS BIGINT)), ' '), '')
+               AS common_prefix,
+           m.top_prefix, m.top_prefix_docs,
+           CAST(m.top_prefix_docs AS DOUBLE) / CAST(c.n_docs AS DOUBLE)
+               AS top_prefix_share
+    FROM cp c JOIN modal m USING (source)
+    ORDER BY c.source
+    """,
+    doc="PER-SOURCE BOILERPLATE AUDIT: (a) the longest token prefix "
+        "shared by EVERY document of a source — computed as the "
+        "common prefix of the lexicographic MIN and MAX documents "
+        "(the classic set-LCP identity: one grouped arg_min/arg_max, "
+        "no pairwise work) — and (b) the MODAL 3-token prefix with "
+        "its share, the template-header signal a scraping pipeline "
+        "strips before training.  Exact integers; one IEEE division "
+        "per row; the modal pick ties to the lexicographically "
+        "smallest prefix.",
+)
+def q_source_boilerplate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        T.tokens("text").alias("ts"),
+        F.array_join(T.tokens("text"), "\x02").alias("k"),
+    )
+    mm = t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min_by("ts", "k").alias("ta"),
+        F.max_by("ts", "k").alias("tb"),
+    )
+    lcp = F.expr(
+        "aggregate(zip_with(ta, tb, (x, y) -> if(x <=> y, 1, 0)),"
+        " named_struct('n', 0L, 'go', true),"
+        " (acc, v) -> if(acc.go and v = 1,"
+        " named_struct('n', acc.n + 1L, 'go', true),"
+        " named_struct('n', acc.n, 'go', false))).n"
+    )
+    cp = mm.select(
+        "source", "n_docs", "ta",
+        lcp.cast("long").alias("common_prefix_len"),
+    )
+    pre = t.filter(F.size("ts") >= 3).select(
+        "source", F.array_join(F.slice("ts", 1, 3), " ").alias("pfx")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("pfx")
+    )
+    modal = (
+        pre.groupBy("source", "pfx")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("pfx").alias("top_prefix"),
+            F.col("cnt").alias("top_prefix_docs"),
+        )
+    )
+    return (
+        cp.join(modal, "source")
+        .select(
+            "source",
+            "n_docs",
+            "common_prefix_len",
+            F.array_join(
+                F.slice("ta", 1, F.col("common_prefix_len").cast("int")), " "
+            ).alias("common_prefix"),
+            "top_prefix",
+            "top_prefix_docs",
+            (
+                F.col("top_prefix_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("top_prefix_share"),
+        )
+        .orderBy("source")
+    )
