@@ -187,6 +187,15 @@ EXTRA = [
     "q_vocab_coverage",
     "q_exact_substr_dedup",
     "q_excision_thresholds",
+    # round 9
+    "q_incremental_substr_dedup",
+    "q_unigram_lm_train",
+    "q_unigram_fertility",
+    "q_distinct_substrings",
+    "q_repeated_phrases",
+    "q_t_closeness",
+    "q_cross_source_lcs",
+    "q_source_boilerplate",
 ]
 
 SF = "/root/testdata/sf0.01"
