@@ -910,7 +910,17 @@ def q_repeated_phrases(spark, sf_dir):
         )
         .filter(F.col("n_occurrences") >= 2)
     )
-    n_windows = ph.count()
+    # window total from the doc-level token counts — one cheap scan,
+    # not a second pass over the exploded phrase frame
+    n_windows = int(
+        docs.select(
+            F.greatest(
+                F.size(F.split(F.trim("text"), r"\s+")) - 7, F.lit(0)
+            ).alias("w")
+        )
+        .agg(F.sum("w"))
+        .first()[0]
+    )
     cert = rep.agg(
         F.count("*").cast("long").alias("n_repeated_phrases"),
         F.coalesce(F.sum("n_occurrences"), F.lit(0))
