@@ -160,6 +160,7 @@ _PRIORITY: list[str] = [
     "q_cross_source_lcs",
     "q_stream_substr_dedup",
     "q_source_boilerplate",
+    "q_lsh_band_curve",
     # --- driver-green r8 window (CORRECTNESS_r08 50/50 green) ---
     # round-7 additions (31)
     "q_attention_mask",

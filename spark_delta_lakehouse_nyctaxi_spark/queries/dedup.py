@@ -2413,3 +2413,166 @@ def q_clustering_ari(spark, sf_dir):
         "n_docs bigint, sum_c2_cells bigint, sum_c2_exact bigint,"
         " sum_c2_lsh bigint, ari_num bigint, ari_den bigint, ari double",
     )
+
+
+# ---- q_lsh_band_curve (round 9) -------------------------------------------
+# The LSH tuning certificate that completes the recall-audit story the
+# way q_ivf_probe_curve did for IVF: the SAME 32 minhash registers
+# banded four ways — (4 bands × 8 rows) … (32 × 1) — with realized
+# candidate volume, precision, and recall against the exact Jaccard
+# ground truth, the curve that picks (b, r) for a target similarity
+# threshold before a 100 TB dedup run.
+
+_BAND_CONFIGS = [4, 8, 16, 32]
+
+
+def _band_arms_sql(bands: int) -> str:
+    rows = 32 // bands
+    return "\n        UNION ALL ".join(
+        "SELECT id, {b} AS band, {key} AS key FROM sigs".format(
+            b=b,
+            key="||','||".join(
+                f"CAST(h{rows * b + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+
+
+_BAND_CURVE_SQL = (
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sh AS (
+        SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+        FROM sh0
+    ),
+    sigs AS MATERIALIZED (
+        SELECT id,
+               {_MH_MINS}
+        FROM sh GROUP BY id
+    ),
+    sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    truth AS MATERIALIZED (
+        SELECT id_a, id_b
+        FROM (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        ) i
+        JOIN sizes sa ON sa.id = i.id_a
+        JOIN sizes sb ON sb.id = i.id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= 0.1
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+"""
+    + ",\n".join(
+        f"""    bands{B} AS (
+        {_band_arms_sql(B)}
+    ),
+    buckets{B} AS (
+        SELECT id, band, key,
+               COUNT(*) OVER (PARTITION BY band, key) AS bsz
+        FROM bands{B}
+    ),
+    cand{B} AS MATERIALIZED (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM buckets{B} x
+        JOIN buckets{B} y ON x.band = y.band AND x.key = y.key
+                         AND x.id < y.id
+        WHERE x.bsz <= 1000
+    ),
+    st{B} AS (
+        SELECT CAST({B} AS BIGINT) AS bands,
+               CAST({32 // B} AS BIGINT) AS rows_per_band,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{B})
+                   AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM cand{B} c JOIN truth t
+                  ON t.id_a = c.id_a AND t.id_b = c.id_b)
+                   AS n_true_positive
+    )"""
+        for B in _BAND_CONFIGS
+    )
+    + f"""
+    SELECT bands, rows_per_band, n_candidates, n_truth, n_true_positive,
+           CASE WHEN n_candidates > 0
+                THEN CAST(n_true_positive AS DOUBLE)
+                     / CAST(n_candidates AS DOUBLE) END AS precision,
+           CAST(n_true_positive AS DOUBLE) / CAST(n_truth AS DOUBLE)
+               AS recall
+    FROM ({" UNION ALL ".join(f"SELECT * FROM st{B}" for B in _BAND_CONFIGS)}),
+         nt
+    ORDER BY bands
+    """
+)
+
+
+@register(
+    "q_lsh_band_curve",
+    _BAND_CURVE_SQL,
+    doc="LSH BANDING TUNING CURVE: the 32 minhash registers banded "
+        "four ways — (4×8), (8×4), (16×2), (32×1) — each config's "
+        "realized candidate volume, precision, and recall against the "
+        "EXACT Jaccard ≥ 0.1 ground truth (the S-curve made "
+        "empirical: more bands/fewer rows ⇒ recall up, precision "
+        "down).  The artifact that picks (b, r) before a 100 TB dedup "
+        "run, completing the tuning-certificate trio beside "
+        "q_ivf_probe_curve and q_excision_thresholds.  One signature "
+        "build serves all four configs; candidates are bucket-grouped "
+        "with the 1000-member hot-bucket cap (never a pair self-"
+        "join); true positives are an equi-join against the memoized "
+        "exact truth.  Exact integers; two IEEE divisions per row.",
+)
+def q_lsh_band_curve(spark, sf_dir):
+    from ..operators.local_frames import literal_frame
+
+    df = load_table(spark, sf_dir, "documents")
+    key = ("jaccard_truth", sf_dir, 0.1)
+    if key not in _LSH_TRUTH_MEMO:
+        _LSH_TRUTH_MEMO[key] = [
+            (r.id_a, r.id_b)
+            for r in _prefix_jaccard_pairs(df, threshold=0.1)
+            .select("id_a", "id_b")
+            .collect()
+        ]
+    truth_pairs = _LSH_TRUTH_MEMO[key]
+    exact = literal_frame(
+        spark, truth_pairs, "id_a bigint, id_b bigint"
+    )
+    n_truth = len(truth_pairs)
+
+    arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed="md5")
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    sig = D.minhash_signatures_linear(sh, _MH_COEFFS).localCheckpoint(
+        eager=True
+    )
+    rows = []
+    for bands in _BAND_CONFIGS:
+        cand = D.lsh_candidate_pairs_grouped(
+            sig, bands=bands, max_bucket_size=1000, exact_keys=True
+        ).localCheckpoint(eager=True)
+        n_cand = cand.count()
+        n_tp = cand.join(exact, ["id_a", "id_b"]).count()
+        rows.append((bands, 32 // bands, n_cand, n_tp))
+    out = literal_frame(
+        spark,
+        rows,
+        "bands bigint, rows_per_band bigint, n_candidates bigint,"
+        " n_true_positive bigint",
+    )
+    return out.select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        F.lit(n_truth).cast("long").alias("n_truth"),
+        "n_true_positive",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.col("n_true_positive").cast("double")
+            / F.col("n_candidates").cast("double"),
+        ).alias("precision"),
+        (
+            F.col("n_true_positive").cast("double") / F.lit(float(n_truth))
+        ).alias("recall"),
+    ).orderBy("bands")

@@ -122,6 +122,7 @@ EXTRA = [
     "q_distinct_substrings",
     "q_repeated_phrases",
     "q_cross_source_lcs",
+    "q_lsh_band_curve",
 ]
 
 # Queries that share process-global trained/built artifacts via a
