@@ -2547,32 +2547,81 @@ def q_lsh_band_curve(spark, sf_dir):
     sig = D.minhash_signatures_linear(sh, _MH_COEFFS).localCheckpoint(
         eager=True
     )
-    rows = []
+    # all four configs in ONE banding pass: tag every (band_idx, key)
+    # entry with its config, bucket on (config, band, key), expand
+    # in-bucket pairs, distinct per config — 3 actions total instead of
+    # 12+ per-config pipelines (same candidate sets, same values)
+    banded = None
     for bands in _BAND_CONFIGS:
-        cand = D.lsh_candidate_pairs_grouped(
-            sig, bands=bands, max_bucket_size=1000, exact_keys=True
-        ).localCheckpoint(eager=True)
-        n_cand = cand.count()
-        n_tp = cand.join(exact, ["id_a", "id_b"]).count()
-        rows.append((bands, 32 // bands, n_cand, n_tp))
-    out = literal_frame(
-        spark,
-        rows,
-        "bands bigint, rows_per_band bigint, n_candidates bigint,"
-        " n_true_positive bigint",
+        b = sig.select(
+            F.lit(bands).alias("cfg"),
+            "id",
+            F.posexplode(D._band_keys(bands)).alias("band_idx", "band_hash"),
+        )
+        banded = b if banded is None else banded.unionByName(b)
+    buckets = (
+        banded.groupBy("cfg", "band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= 1000))
     )
-    return out.select(
-        "bands",
-        "rows_per_band",
-        "n_candidates",
-        F.lit(n_truth).cast("long").alias("n_truth"),
-        "n_true_positive",
-        F.when(
-            F.col("n_candidates") > 0,
-            F.col("n_true_positive").cast("double")
-            / F.col("n_candidates").cast("double"),
-        ).alias("precision"),
-        (
-            F.col("n_true_positive").cast("double") / F.lit(float(n_truth))
-        ).alias("recall"),
-    ).orderBy("bands")
+    n = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select("cfg", F.explode(pair_arr).alias("p"))
+        .select("cfg", "p.id_a", "p.id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stats = cand.groupBy("cfg").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    tps = (
+        cand.join(F.broadcast(exact), ["id_a", "id_b"])
+        .groupBy("cfg")
+        .agg(F.count("*").cast("long").alias("n_true_positive"))
+    )
+    # seed every config so a zero-candidate config still emits its row
+    # (the oracle's scalar subqueries always produce all four)
+    cfgs = literal_frame(
+        spark, [(b,) for b in _BAND_CONFIGS], "cfg bigint"
+    )
+    stats = cfgs.join(stats, "cfg", "left").withColumn(
+        "n_candidates", F.coalesce("n_candidates", F.lit(0)).cast("long")
+    )
+    return (
+        stats.join(tps, "cfg", "left")
+        .select(
+            F.col("cfg").cast("long").alias("bands"),
+            (F.lit(32) / F.col("cfg")).cast("long").alias("rows_per_band"),
+            "n_candidates",
+            F.lit(n_truth).cast("long").alias("n_truth"),
+            F.coalesce("n_true_positive", F.lit(0))
+            .cast("long")
+            .alias("n_true_positive"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_truth",
+            "n_true_positive",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_true_positive").cast("double")
+                / F.col("n_candidates").cast("double"),
+            ).alias("precision"),
+            (
+                F.col("n_true_positive").cast("double")
+                / F.lit(float(n_truth))
+            ).alias("recall"),
+        )
+        .orderBy("bands")
+    )

@@ -123,6 +123,8 @@ EXTRA = [
     "q_repeated_phrases",
     "q_cross_source_lcs",
     "q_lsh_band_curve",
+    "q_t_closeness",
+    "q_source_boilerplate",
 ]
 
 # Queries that share process-global trained/built artifacts via a
