@@ -161,6 +161,7 @@ _PRIORITY: list[str] = [
     "q_stream_substr_dedup",
     "q_source_boilerplate",
     "q_lsh_band_curve",
+    "q_semdedup_curve",
     # --- driver-green r8 window (CORRECTNESS_r08 50/50 green) ---
     # round-7 additions (31)
     "q_attention_mask",

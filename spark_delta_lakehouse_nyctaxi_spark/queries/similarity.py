@@ -2653,3 +2653,104 @@ def q_ivf_probe_curve(spark, sf_dir):
         )
         .orderBy("n_probe")
     )
+
+
+# ---- q_semdedup_curve (round 9) -------------------------------------------
+
+_SEMDEDUP_TAUS = [0.25, 0.375, 0.5, 0.625, 0.75]  # dyadic: exact in both engines
+
+
+def _semdedup_curve_oracle(n_centroids=16, iters=2) -> str:
+    parts = _ivf_assignment_parts(n_centroids, iters)
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS tau, r{i} AS n_removed FROM sdagg"
+        for i, t in enumerate(_SEMDEDUP_TAUS)
+    )
+    parts.append(f"""
+    cellv AS (
+        SELECT e.vec_id, ax.cid, e.embedding
+        FROM emb e JOIN a{iters} ax USING (vec_id)
+    ),
+    px AS MATERIALIZED (
+        SELECT b.vec_id, MAX({_COS_SQL}) AS mx
+        FROM cellv a JOIN cellv b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        GROUP BY b.vec_id
+    ),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM cellv),
+    sdagg AS (
+        SELECT {", ".join(f"CAST(COUNT(*) FILTER (WHERE mx >= {t}) AS BIGINT) AS r{i}" for i, t in enumerate(_SEMDEDUP_TAUS))}
+        FROM px
+    )
+    SELECT tau, n_vectors, n_removed,
+           n_vectors - n_removed AS n_kept,
+           CAST(n_removed AS DOUBLE) / CAST(n_vectors AS DOUBLE)
+               AS removal_share
+    FROM ({arms}), nv
+    ORDER BY tau""")
+    return "".join(parts)
+
+
+@register(
+    "q_semdedup_curve",
+    _semdedup_curve_oracle(),
+    doc="SemDeDup THRESHOLD-SENSITIVITY CURVE: removal volume at five "
+        "dyadic cosine thresholds (0.25 … 0.75) from ONE within-cell "
+        "pair pass over the exact IVF index — per vector the MAX "
+        "cosine against any smaller-id cell-mate is computed once, "
+        "then every threshold is a conditional count (max of "
+        "identical IEEE doubles is order-independent; dyadic "
+        "thresholds parse exactly in both engines).  The tuning "
+        "artifact that picks the SemDeDup eps before a 100 TB "
+        "embedding-dedup run — completes the threshold-curve family "
+        "beside q_excision_thresholds / q_ivf_probe_curve / "
+        "q_lsh_band_curve.  Pairs stay cell-bounded (the "
+        "q_semantic_dedup shape), never corpus-squared.",
+)
+def q_semdedup_curve(spark, sf_dir):
+    from ..operators.local_frames import literal_frame
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2, exact=True)
+    cells = S.exact_assignments(emb, centroids).select(
+        F.col("id").alias("vec_id"), F.col("cid").cast("int").alias("cid")
+    )
+    v = emb.join(cells, "vec_id").select("vec_id", "cid", "embedding")
+    n_vectors = v.count()
+    a, b = v.alias("a"), v.alias("b")
+    mxs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            S.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("mx"))
+    )
+    counts = mxs.agg(
+        *[
+            F.sum(F.when(F.col("mx") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"r{i}")
+            for i, t in enumerate(_SEMDEDUP_TAUS)
+        ]
+    ).first()
+    rows = [
+        (float(t), n_vectors, int(counts[f"r{i}"]))
+        for i, t in enumerate(_SEMDEDUP_TAUS)
+    ]
+    out = literal_frame(
+        spark, rows, "tau double, n_vectors bigint, n_removed bigint"
+    )
+    return out.select(
+        "tau",
+        "n_vectors",
+        "n_removed",
+        (F.col("n_vectors") - F.col("n_removed")).alias("n_kept"),
+        (
+            F.col("n_removed").cast("double") / F.col("n_vectors").cast("double")
+        ).alias("removal_share"),
+    ).orderBy("tau")

@@ -125,6 +125,7 @@ EXTRA = [
     "q_lsh_band_curve",
     "q_t_closeness",
     "q_source_boilerplate",
+    "q_semdedup_curve",
 ]
 
 # Queries that share process-global trained/built artifacts via a
