@@ -76,27 +76,39 @@ from . import suffix  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 
 
-# Round-9 rotation (VERDICT r8 item 1 — the FINAL rotation).  The
-# driver verifies the FIRST 50 registry entries every round; the window
-# does not advance on its own (CORRECTNESS_r06 vs _r07: identical
-# 50-key sets).  CORRECTNESS_r08 landed 50/50 green on the r8 window,
-# so those 50 move below and the LAST 43 never-driver-checked queries
-# rotate in: the 29 r5-era remainder that sat at slots 51-79 plus the
-# 14 R8-NEW round-8 additions.  All 43 passed the strict local oracle
-# gate (tools/check_oracle.py --plain, exact compare) at sf0.001 +
-# sf0.01 + sf0.1, and the round-8 judge re-ran all 43 independently
-# (43/43 bitwise, VERDICT r8) — residual risk is driver-environment
-# drift only.  The 7 spare slots (44-50) backfill with driver-green
-# rows in registration order per the r8 plan.  After CORRECTNESS_r09
-# lands green, EVERY registry query will have a driver row for the
-# first time.  New round-9 queries are inserted at the R9-NEW marker
-# (slot 51+, i.e. the r10 window).  The 5 fundamentally rows-only
-# queries stay permanently below the cap per VERDICT r3 item 8; each
-# has an oracled deterministic companion.  DO NOT reorder slots 1-50
-# until CORRECTNESS_r09 lands.
+# Round-10 rotation (VERDICT r9 item 1).  The driver verifies the
+# FIRST 50 registry entries every round.  CORRECTNESS_r09 landed 50/50
+# green on the r9 window, so those 50 move below and the 13 queries
+# that have never had a driver row rotate into slots 1-13: the 11
+# round-9 late additions plus the two rows-only queries the r9 judge
+# explicitly named for rotation (q_stream_dedup, q_minhash_mllib —
+# these get intentional rows-only driver rows, like the three r1
+# sketches; each has an oracled deterministic companion already
+# driver-green).  All 13 passed the r9 judge's independent strict gate
+# (12 value-oracle bitwise + 1 rows-only) and the strict local gate at
+# sf0.001 + sf0.01 + sf0.1 — residual risk is driver-environment drift
+# only.  Slots 14-50 backfill with CORRECTNESS_r09-green rows in their
+# r9 window order.  THE REGISTRY IS FROZEN AT ROTATION TIME THIS ROUND
+# (the r9 debt existed only because queries landed after the freeze):
+# every new round-10 query is inserted at the R10-NEW marker (slot
+# 51+, i.e. the r11 window).  DO NOT reorder slots 1-50 until
+# CORRECTNESS_r10 lands.
 _PRIORITY: list[str] = [
-    # --- slots 1-43: ALL remaining never-driver-checked queries ---
-    # r5-era remainder (29; former slots 51-79)
+    # --- slots 1-13: ALL remaining never-driver-checked queries ---
+    "q_incremental_substr_dedup",
+    "q_unigram_lm_train",
+    "q_unigram_fertility",
+    "q_distinct_substrings",
+    "q_repeated_phrases",
+    "q_t_closeness",
+    "q_cross_source_lcs",
+    "q_stream_substr_dedup",
+    "q_source_boilerplate",
+    "q_lsh_band_curve",
+    "q_semdedup_curve",
+    "q_stream_dedup",
+    "q_minhash_mllib",
+    # --- slots 14-50: driver-green backfill (r9 window order) ---
     "q_hll_intersection",
     "q_audio_wht",
     "q_image_whash",
@@ -126,7 +138,6 @@ _PRIORITY: list[str] = [
     "q_time_to_convert",
     "q_graph_assortativity",
     "q_degree_histogram",
-    # round-8 additions (14)
     "q_stream_count_min",
     "q_suffix_array",
     "q_lcp_stats",
@@ -135,13 +146,15 @@ _PRIORITY: list[str] = [
     "q_kneser_ney",
     "q_edit_distance_verify",
     "q_curriculum_stages",
+    # --- R10-NEW: new round-10 value-oracled queries slot here (the
+    # r11 driver window) ---
+    # --- r9 window remainder (CORRECTNESS_r09 50/50 green) ---
     "q_langid_confusion",
     "q_data_card",
     "q_ivf_probe_curve",
     "q_vocab_coverage",
     "q_exact_substr_dedup",
     "q_excision_thresholds",
-    # --- slots 44-50: driver-green backfill (registration order) ---
     "q_interval_join",
     "q_dpp_certified",
     "q_log_checkpoint",
@@ -149,19 +162,6 @@ _PRIORITY: list[str] = [
     "q_pq_recall",
     "q_k_core",
     "q_seasonal_decompose",
-    # --- R9-NEW: new round-9 value-oracled queries slot here (the
-    # r10 driver window) ---
-    "q_incremental_substr_dedup",
-    "q_unigram_lm_train",
-    "q_unigram_fertility",
-    "q_distinct_substrings",
-    "q_repeated_phrases",
-    "q_t_closeness",
-    "q_cross_source_lcs",
-    "q_stream_substr_dedup",
-    "q_source_boilerplate",
-    "q_lsh_band_curve",
-    "q_semdedup_curve",
     # --- driver-green r8 window (CORRECTNESS_r08 50/50 green) ---
     # round-7 additions (31)
     "q_attention_mask",
@@ -260,9 +260,9 @@ _PRIORITY: list[str] = [
     "q_cusum_changepoint",
     "q_lorenz_deciles",
     # rows-only (kept out of the windows per VERDICT r3 item 8; each
-    # is pytest-gated and has an oracled deterministic companion)
-    "q_stream_dedup",
-    "q_minhash_mllib",
+    # is pytest-gated and has an oracled deterministic companion.
+    # q_stream_dedup / q_minhash_mllib moved to slots 12-13 per
+    # VERDICT r9 item 1 — they get intentional rows-only driver rows)
     "q_approx_quantiles",
     "q_approx_distinct",
     "q_freq_items",
