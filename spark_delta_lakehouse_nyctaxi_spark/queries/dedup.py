@@ -57,6 +57,36 @@ def _prefix_jaccard_pairs(df, threshold: float, id_col: str = "doc_id"):
     return D.jaccard_pairs_adaptive(df, id_col, "text", threshold=threshold)
 
 
+def _jaccard_truth_frame(df, sf_dir: str):
+    """Exact Jaccard ≥ 0.1 ground-truth pairs as a DISTRIBUTED frame,
+    memoized per (sf_dir, applicationId) as an eager localCheckpoint so
+    the LSH recall/tuning audits share one build (same policy as the
+    IVF/PQ recall memo).
+
+    The pair count is data-dependent — it grows with true duplicate
+    density — so the set must never be collected to the driver and
+    re-broadcast as a literal frame (VERDICT r9: driver-OOM class at
+    100 TB).  Consumers join against this frame and derive scalar
+    totals with aggregates.  Keyed by applicationId because a
+    localCheckpointed frame dies with its session; the memo is cleared
+    by explain_plans/sweep_exchanges with the other frame-holding
+    memos."""
+    spark = df.sparkSession
+    key = (
+        "jaccard_truth_frame",
+        sf_dir,
+        spark.sparkContext.applicationId,
+        0.1,
+    )
+    if key not in _LSH_TRUTH_MEMO:
+        _LSH_TRUTH_MEMO[key] = (
+            _prefix_jaccard_pairs(df, threshold=0.1)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    return _LSH_TRUTH_MEMO[key]
+
+
 @register(
     "q_ngram_jaccard",
     f"""
@@ -1135,23 +1165,12 @@ def q_split_cluster_safe(spark, sf_dir):
 )
 def q_lsh_recall(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
-    # exact ground truth shared per process (same policy as the IVF/PQ
-    # recall memo, r5 VERDICT item 2): the pair set is a deterministic
-    # pure function of the immutable test parquet; only the collected
-    # (id_a, id_b) scalars are cached, rebuilt as a JVM literal frame.
-    key = ("jaccard_truth", sf_dir, 0.1)
-    if key not in _LSH_TRUTH_MEMO:
-        _LSH_TRUTH_MEMO[key] = [
-            (r.id_a, r.id_b)
-            for r in _prefix_jaccard_pairs(df, threshold=0.1)
-            .select("id_a", "id_b")
-            .collect()
-        ]
-    from ..operators.local_frames import literal_frame
-
-    exact = literal_frame(
-        spark, _LSH_TRUTH_MEMO[key], "id_a bigint, id_b bigint"
-    )
+    # exact ground truth shared per process as a DISTRIBUTED frame —
+    # never collected to the driver (the pair count is data-dependent;
+    # VERDICT r9 flagged the collect+literal_frame form as a 100 TB
+    # driver-OOM): the recall summary needs only COUNT aggregates and
+    # an (id_a, id_b) equi-join against it.
+    exact = _jaccard_truth_frame(df, sf_dir)
     arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed="md5").persist()
     sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
     sig = D.minhash_signatures_linear(sh, _MH_COEFFS)
@@ -2521,26 +2540,19 @@ _BAND_CURVE_SQL = (
         "q_ivf_probe_curve and q_excision_thresholds.  One signature "
         "build serves all four configs; candidates are bucket-grouped "
         "with the 1000-member hot-bucket cap (never a pair self-"
-        "join); true positives are an equi-join against the memoized "
-        "exact truth.  Exact integers; two IEEE divisions per row.",
+        "join); true positives are a DISTRIBUTED (id_a, id_b) "
+        "equi-join against the memoized exact-truth frame and n_truth "
+        "is a 1-row COUNT aggregate attached via attach_scalar — the "
+        "truth pair set (data-dependent size) never touches the "
+        "driver.  Exact integers; two IEEE divisions per row.",
 )
 def q_lsh_band_curve(spark, sf_dir):
     from ..operators.local_frames import literal_frame
+    from .aggregates import attach_scalar
 
     df = load_table(spark, sf_dir, "documents")
-    key = ("jaccard_truth", sf_dir, 0.1)
-    if key not in _LSH_TRUTH_MEMO:
-        _LSH_TRUTH_MEMO[key] = [
-            (r.id_a, r.id_b)
-            for r in _prefix_jaccard_pairs(df, threshold=0.1)
-            .select("id_a", "id_b")
-            .collect()
-        ]
-    truth_pairs = _LSH_TRUTH_MEMO[key]
-    exact = literal_frame(
-        spark, truth_pairs, "id_a bigint, id_b bigint"
-    )
-    n_truth = len(truth_pairs)
+    exact = _jaccard_truth_frame(df, sf_dir)
+    nt = exact.agg(F.count("*").cast("long").alias("n_truth"))
 
     arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed="md5")
     sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
@@ -2583,8 +2595,11 @@ def q_lsh_band_curve(spark, sf_dir):
     stats = cand.groupBy("cfg").agg(
         F.count("*").cast("long").alias("n_candidates")
     )
+    # non-broadcast join by design: the truth side's size is
+    # data-dependent (AQE may still choose broadcast at small SFs —
+    # that is a runtime decision, not a forced driver materialization)
     tps = (
-        cand.join(F.broadcast(exact), ["id_a", "id_b"])
+        cand.join(exact, ["id_a", "id_b"])
         .groupBy("cfg")
         .agg(F.count("*").cast("long").alias("n_true_positive"))
     )
@@ -2597,12 +2612,12 @@ def q_lsh_band_curve(spark, sf_dir):
         "n_candidates", F.coalesce("n_candidates", F.lit(0)).cast("long")
     )
     return (
-        stats.join(tps, "cfg", "left")
+        attach_scalar(stats.join(tps, "cfg", "left"), nt)
         .select(
             F.col("cfg").cast("long").alias("bands"),
             (F.lit(32) / F.col("cfg")).cast("long").alias("rows_per_band"),
             "n_candidates",
-            F.lit(n_truth).cast("long").alias("n_truth"),
+            "n_truth",
             F.coalesce("n_true_positive", F.lit(0))
             .cast("long")
             .alias("n_true_positive"),
@@ -2620,7 +2635,7 @@ def q_lsh_band_curve(spark, sf_dir):
             ).alias("precision"),
             (
                 F.col("n_true_positive").cast("double")
-                / F.lit(float(n_truth))
+                / F.col("n_truth").cast("double")
             ).alias("recall"),
         )
         .orderBy("bands")

@@ -475,6 +475,8 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_edit_distance_verify",  # 1-row candidate/verified cert attaches to the pair frame
     "q_langid_confusion",      # 1-row accuracy totals attach to the <=25-cell matrix
     "q_ivf_probe_curve",       # 1-row truth total attaches to the 16-row curve
+    "q_lsh_band_curve",        # 1-row n_truth total attaches to the 4-row curve
+                               # (the truth PAIR SET itself stays distributed)
 }
 
 

@@ -1,0 +1,79 @@
+"""Round-10 gates.
+
+1. q_lsh_band_curve / q_lsh_recall must never materialize the exact
+   Jaccard truth PAIR SET on the driver (VERDICT r9's only `weak`):
+   the pair count is data-dependent, so a collect + literal_frame
+   re-broadcast is a driver-OOM at 100 TB.  The gate spies on
+   literal_frame during execution and rejects any call whose row count
+   could scale with the data (only the constant 4-config seed frame is
+   allowed), and asserts the memoized truth artifact is a DataFrame,
+   not collected rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+
+from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
+from spark_delta_lakehouse_nyctaxi_spark.queries import dedup as d
+from spark_delta_lakehouse_nyctaxi_spark.operators import local_frames
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_band_curve_truth_path_never_hits_driver(spark, monkeypatch):
+    calls: list[int] = []
+    real = local_frames.literal_frame
+
+    def spy(s, rows, schema):
+        rows = list(rows)
+        calls.append(len(rows))
+        return real(s, rows, schema)
+
+    monkeypatch.setattr(local_frames, "literal_frame", spy)
+    d._LSH_TRUTH_MEMO.clear()
+    try:
+        out = REGISTRY["q_lsh_band_curve"].fn(spark, SF)
+        assert out.count() == len(d._BAND_CONFIGS)
+        # the only driver-side relation allowed on this path is the
+        # constant band-config seed (one row per config)
+        assert calls, "expected the 4-row config seed frame"
+        assert max(calls) <= len(d._BAND_CONFIGS), (
+            f"data-sized literal_frame on the truth path: {calls} — the "
+            "exact-truth pair set must stay distributed"
+        )
+        # the memo holds the distributed frame, not collected scalars
+        truth_vals = [
+            v for k, v in d._LSH_TRUTH_MEMO.items()
+            if k and k[0] == "jaccard_truth_frame"
+        ]
+        assert truth_vals and all(
+            isinstance(v, DataFrame) for v in truth_vals
+        )
+        assert not any(
+            isinstance(v, list) for v in d._LSH_TRUTH_MEMO.values()
+        ), "collected truth rows found in _LSH_TRUTH_MEMO"
+    finally:
+        d._LSH_TRUTH_MEMO.clear()
+
+
+def test_lsh_recall_shares_distributed_truth(spark, monkeypatch):
+    calls: list[int] = []
+    real = local_frames.literal_frame
+
+    def spy(s, rows, schema):
+        rows = list(rows)
+        calls.append(len(rows))
+        return real(s, rows, schema)
+
+    monkeypatch.setattr(local_frames, "literal_frame", spy)
+    d._LSH_TRUTH_MEMO.clear()
+    try:
+        out = REGISTRY["q_lsh_recall"].fn(spark, SF).collect()
+        assert len(out) == 1
+        assert not calls or max(calls) <= len(d._BAND_CONFIGS), (
+            f"data-sized literal_frame in q_lsh_recall: {calls}"
+        )
+    finally:
+        d._LSH_TRUTH_MEMO.clear()
