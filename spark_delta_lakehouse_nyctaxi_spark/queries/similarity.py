@@ -745,13 +745,19 @@ def q_ivf_recall(spark, sf_dir):
     )
 
 
-def _semantic_dedup_oracle(n_centroids=16, iters=2, tau=0.4) -> str:
+def _semantic_dedup_oracle(n_centroids=16, iters=2, tau=0.4,
+                           budget_factor=4) -> str:
     parts = _ivf_assignment_parts(n_centroids, iters)
+    # per-cell pair budget: pairs of a budget_factor×-balanced cell —
+    # exact integers, see q_semantic_dedup's docstring
+    m = f"(({budget_factor} * n_total) // {n_centroids})"
+    budget = f"({m} * ({m} - 1) // 2)"
     parts.append(f"""
     cellv AS (
         SELECT e.vec_id, ax.cid, e.embedding
         FROM emb e JOIN a{iters} ax USING (vec_id)
     ),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM cellv),
     dup AS (
         SELECT DISTINCT b.vec_id
         FROM cellv a JOIN cellv b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -760,9 +766,13 @@ def _semantic_dedup_oracle(n_centroids=16, iters=2, tau=0.4) -> str:
     SELECT CAST(c.cid AS INT) AS cid,
            COUNT(*) AS n_vectors,
            COUNT(d.vec_id) AS n_removed,
-           COUNT(*) - COUNT(d.vec_id) AS n_kept
-    FROM cellv c LEFT JOIN dup d ON d.vec_id = c.vec_id
-    GROUP BY c.cid""")
+           COUNT(*) - COUNT(d.vec_id) AS n_kept,
+           CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_pairs,
+           CAST({budget} AS BIGINT) AS pair_budget,
+           CAST(CASE WHEN COUNT(*) * (COUNT(*) - 1) // 2 <= {budget}
+                THEN 1 ELSE 0 END AS BIGINT) AS within_budget
+    FROM cellv c LEFT JOIN dup d ON d.vec_id = c.vec_id, nv
+    GROUP BY c.cid, n_total""")
     return "".join(parts)
 
 
@@ -781,15 +791,25 @@ def _semantic_dedup_oracle(n_centroids=16, iters=2, tau=0.4) -> str:
         "(n / removed / kept); the full id-level removal list is the "
         "dup CTE, same contract as q_dedup_embedding_canonical's "
         "cluster resolution. Whole composition (index build + "
-        "assignment + dedup) is bitwise value-oracled.",
+        "assignment + dedup) is bitwise value-oracled. "
+        "SIZING CERTIFICATE (VERDICT r9 item 3): n_pairs = "
+        "c*(c-1)/2 is each cell's realized intra-cell pair volume and "
+        "pair_budget the pairs of a 4x-balanced cell — the k ~ sqrt(N) "
+        "discipline (embedding_near_dups docstring) made checkable "
+        "in-query: within_budget flips 0 when the fixed k=16 becomes "
+        "too coarse for the corpus and the index must be re-sized "
+        "before the pair pass is trusted at scale.",
 )
 def q_semantic_dedup(spark, sf_dir):
+    from .aggregates import attach_scalar
+
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = S.ivf_centroids(emb, n_centroids=16, iters=2, exact=True)
     cells = S.exact_assignments(emb, centroids).select(
         F.col("id").alias("vec_id"), F.col("cid").cast("int").alias("cid")
     )
     v = emb.join(cells, "vec_id").select("vec_id", "cid", "embedding")
+    nt = v.agg(F.count("*").cast("long").alias("n_total"))
     a, b = v.alias("a"), v.alias("b")
     dup = (
         a.join(
@@ -802,7 +822,7 @@ def q_semantic_dedup(spark, sf_dir):
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
-    return (
+    per_cell = (
         v.join(dup, "vec_id", "left")
         .groupBy("cid")
         .agg(
@@ -810,6 +830,25 @@ def q_semantic_dedup(spark, sf_dir):
             F.count("is_dup").alias("n_removed"),
             (F.count("*") - F.count("is_dup")).alias("n_kept"),
         )
+    )
+    budget = F.expr(
+        "((4 * n_total) div 16) * ((4 * n_total) div 16 - 1) div 2"
+    ).cast("long")
+    return attach_scalar(per_cell, nt).select(
+        "cid",
+        "n_vectors",
+        "n_removed",
+        "n_kept",
+        F.expr("n_vectors * (n_vectors - 1) div 2")
+        .cast("long")
+        .alias("n_pairs"),
+        budget.alias("pair_budget"),
+        F.when(
+            F.expr("n_vectors * (n_vectors - 1) div 2") <= budget, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("within_budget"),
     )
 
 
@@ -2660,12 +2699,14 @@ def q_ivf_probe_curve(spark, sf_dir):
 _SEMDEDUP_TAUS = [0.25, 0.375, 0.5, 0.625, 0.75]  # dyadic: exact in both engines
 
 
-def _semdedup_curve_oracle(n_centroids=16, iters=2) -> str:
+def _semdedup_curve_oracle(n_centroids=16, iters=2, budget_factor=4) -> str:
     parts = _ivf_assignment_parts(n_centroids, iters)
     arms = " UNION ALL ".join(
         f"SELECT CAST({t} AS DOUBLE) AS tau, r{i} AS n_removed FROM sdagg"
         for i, t in enumerate(_SEMDEDUP_TAUS)
     )
+    m = f"(({budget_factor} * n_vectors) // {n_centroids})"
+    budget = f"CAST({n_centroids} * ({m} * ({m} - 1) // 2) AS BIGINT)"
     parts.append(f"""
     cellv AS (
         SELECT e.vec_id, ax.cid, e.embedding
@@ -2677,6 +2718,11 @@ def _semdedup_curve_oracle(n_centroids=16, iters=2) -> str:
         GROUP BY b.vec_id
     ),
     nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM cellv),
+    cp AS (
+        SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+                   AS sum_cell_pairs
+        FROM (SELECT COUNT(*) AS c FROM cellv GROUP BY cid)
+    ),
     sdagg AS (
         SELECT {", ".join(f"CAST(COUNT(*) FILTER (WHERE mx >= {t}) AS BIGINT) AS r{i}" for i, t in enumerate(_SEMDEDUP_TAUS))}
         FROM px
@@ -2684,8 +2730,12 @@ def _semdedup_curve_oracle(n_centroids=16, iters=2) -> str:
     SELECT tau, n_vectors, n_removed,
            n_vectors - n_removed AS n_kept,
            CAST(n_removed AS DOUBLE) / CAST(n_vectors AS DOUBLE)
-               AS removal_share
-    FROM ({arms}), nv
+               AS removal_share,
+           sum_cell_pairs,
+           {budget} AS pair_budget,
+           CAST(CASE WHEN sum_cell_pairs <= {budget} THEN 1 ELSE 0 END
+                AS BIGINT) AS within_budget
+    FROM ({arms}), nv, cp
     ORDER BY tau""")
     return "".join(parts)
 
@@ -2704,7 +2754,13 @@ def _semdedup_curve_oracle(n_centroids=16, iters=2) -> str:
         "embedding-dedup run — completes the threshold-curve family "
         "beside q_excision_thresholds / q_ivf_probe_curve / "
         "q_lsh_band_curve.  Pairs stay cell-bounded (the "
-        "q_semantic_dedup shape), never corpus-squared.",
+        "q_semantic_dedup shape), never corpus-squared.  SIZING "
+        "CERTIFICATE (VERDICT r9 item 3): sum_cell_pairs = "
+        "sum c*(c-1)/2 is the realized total pair volume of the one "
+        "pass and pair_budget = k x pairs-of-a-4x-balanced-cell its "
+        "budget — within_budget flips 0 when k=16 is too coarse and "
+        "the index must be re-sized (k ~ sqrt(N)) before trusting the "
+        "curve at scale.",
 )
 def q_semdedup_curve(spark, sf_dir):
     from ..operators.local_frames import literal_frame
@@ -2715,7 +2771,20 @@ def q_semdedup_curve(spark, sf_dir):
         F.col("id").alias("vec_id"), F.col("cid").cast("int").alias("cid")
     )
     v = emb.join(cells, "vec_id").select("vec_id", "cid", "embedding")
-    n_vectors = v.count()
+    # bounded scalars (2 ints): corpus size + realized pair volume in
+    # one aggregate over the 16-row cell-size frame
+    nrow = (
+        v.groupBy("cid")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("sp"),
+        )
+        .first()
+    )
+    n_vectors, sum_cell_pairs = int(nrow["n"]), int(nrow["sp"] or 0)
+    m = (4 * n_vectors) // 16
+    pair_budget = 16 * (m * (m - 1) // 2)
     a, b = v.alias("a"), v.alias("b")
     mxs = (
         a.join(
@@ -2739,11 +2808,20 @@ def q_semdedup_curve(spark, sf_dir):
         ]
     ).first()
     rows = [
-        (float(t), n_vectors, int(counts[f"r{i}"]))
+        (
+            float(t),
+            n_vectors,
+            int(counts[f"r{i}"]),
+            sum_cell_pairs,
+            pair_budget,
+        )
         for i, t in enumerate(_SEMDEDUP_TAUS)
     ]
     out = literal_frame(
-        spark, rows, "tau double, n_vectors bigint, n_removed bigint"
+        spark,
+        rows,
+        "tau double, n_vectors bigint, n_removed bigint,"
+        " sum_cell_pairs bigint, pair_budget bigint",
     )
     return out.select(
         "tau",
@@ -2753,4 +2831,10 @@ def q_semdedup_curve(spark, sf_dir):
         (
             F.col("n_removed").cast("double") / F.col("n_vectors").cast("double")
         ).alias("removal_share"),
+        "sum_cell_pairs",
+        "pair_budget",
+        F.when(F.col("sum_cell_pairs") <= F.col("pair_budget"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("within_budget"),
     ).orderBy("tau")

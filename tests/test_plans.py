@@ -477,6 +477,8 @@ _BOUNDED_BNLJ_ALLOWLIST = {
     "q_ivf_probe_curve",       # 1-row truth total attaches to the 16-row curve
     "q_lsh_band_curve",        # 1-row n_truth total attaches to the 4-row curve
                                # (the truth PAIR SET itself stays distributed)
+    "q_semantic_dedup",        # 1-row corpus total attaches to the 16-cell
+                               # frame (pair-budget certificate, r9 item 3)
 }
 
 
