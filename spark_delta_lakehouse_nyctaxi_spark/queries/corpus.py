@@ -891,12 +891,20 @@ def q_vocab_coverage(spark, sf_dir):
 )
 def q_repeated_phrases(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
+    # sub-8-token docs: sequence(1, 0) is the DESCENDING [1, 0] in
+    # Spark, so an unguarded transform would call slice(t, 0, 8) and
+    # throw INVALID_PARAMETER_VALUE.START (ADVICE r9, medium) — the
+    # oracle's range(1, len-6) is simply empty for those docs, so
+    # match it with an explicit empty-array arm (same guard shape as
+    # the greatest(..., 0) already used for n_windows below)
     ph = docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size({t}) - 7, 0)),"
-                " i -> array_join(slice({t}, i, 8), ' '))".format(
+                "CASE WHEN size({t}) >= 8 THEN "
+                "transform(sequence(1, size({t}) - 7),"
+                " i -> array_join(slice({t}, i, 8), ' ')) "
+                "ELSE CAST(array() AS array<string>) END".format(
                     t="split(trim(text), '\\\\s+')"
                 )
             )

@@ -1492,9 +1492,13 @@ def q_stream_substr_dedup(spark, sf_dir):
         merged_dl, _cert = merge_shard_dup_lens(spark, bk, base_dl, dk)
         # ONE commit = the full updated state + txn marker + watermark
         # + position offset: crash-atomic, replay-idempotent
+        # full-state overwrite on EVERY batch (cold start included):
+        # merged_dl is the complete updated dup-len state, not a delta
+        # — appending would double-count base positions on the next
+        # read, so there is deliberately no append arm here
         t_state.write(
             merged_dl.localCheckpoint(eager=True),
-            mode="overwrite" if prev is not None else "overwrite",
+            mode="overwrite",
             extra={
                 **VersionedTable.txn_extra(app_id, batch_id),
                 "doc_watermark": hi_b + 1,

@@ -2617,6 +2617,22 @@ def _unigram_segments(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("cnt"))
         .localCheckpoint(eager=True)
     )
+    # data-model bound, asserted LOUDLY (ADVICE r9): the oracle's
+    # backtrack is unrolled to exactly _UNI_MAXW positions — for a
+    # longer word it never reaches p=0 and keeps emitting
+    # substring(w, p+1, 0) = '' rows (empty string, not NULL), which
+    # survive the segp filter and silently inflate
+    # total_pieces_used / mean_pieces_per_word on the oracle side
+    # while the Spark DP segments the word normally.  Refuse to
+    # produce a silently-divergent comparison.
+    wmax = int(wds.agg(F.max(F.length("w"))).first()[0] or 0)
+    if wmax > _UNI_MAXW:
+        raise ValueError(
+            f"unigram DP data-model bound violated: max word length "
+            f"{wmax} > _UNI_MAXW={_UNI_MAXW}; raise the unroll bound "
+            "(both the Spark DP cap and the oracle's CTE chain derive "
+            "from _UNI_MAXW) before trusting results"
+        )
     cand = (
         wds.select(
             "cnt",

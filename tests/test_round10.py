@@ -58,6 +58,49 @@ def test_lsh_band_curve_truth_path_never_hits_driver(spark, monkeypatch):
         d._LSH_TRUTH_MEMO.clear()
 
 
+def test_repeated_phrases_survives_short_docs(spark, tmp_path):
+    """ADVICE r9 (medium): sub-8-token docs made the unguarded
+    sequence(1, size-7) descend to [1, 0] and slice(t, 0, 8) throw
+    INVALID_PARAMETER_VALUE.START; the oracle's range() is simply
+    empty there.  Guarded now — a corpus with 1/7/8/9-token docs must
+    run, count windows only for the ≥8-token docs, and still find the
+    repeated phrase."""
+    phrase8 = "a b c d e f g h"
+    rows = [
+        (1, "x", "en", "s", 1),             # 1 token → 0 windows
+        (2, "one two three four five six seven", "en", "s", 1),  # 7 → 0
+        (3, phrase8, "en", "s", 1),          # 8 tokens → 1 window
+        (4, phrase8 + " i", "en", "s", 1),   # 9 tokens → 2 windows
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sfshort")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    out = REGISTRY["q_repeated_phrases"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.phrase == phrase8
+    assert r.n_occurrences == 2 and r.n_docs == 2
+    assert r.n_windows == 3  # 0 + 0 + 1 + 2
+
+
+def test_unigram_segments_raises_past_maxw(spark, tmp_path):
+    """ADVICE r9 (low): words longer than _UNI_MAXW silently diverge
+    in the oracle's unrolled backtrack — the Spark side must refuse
+    loudly instead."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import text as t
+
+    rows = [(1, "short butverylongword here", "en", "s", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sflong")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    with pytest.raises(ValueError, match="_UNI_MAXW"):
+        t._unigram_segments(spark, d)
+
+
 def test_lsh_recall_shares_distributed_truth(spark, monkeypatch):
     calls: list[int] = []
     real = local_frames.literal_frame
