@@ -55,10 +55,53 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+# Ambient 1-min loadavg above this on the 32-cpu box means the host is
+# visibly stealing cycles and medians swing 2-3x (measured r1-r9);
+# numbers taken in that state are marked contended in the artifact.
+_CONTENTION_THRESHOLD = 2.0
+# Sidecar written by `python bench.py --record-idle` during an idle
+# window; normal runs embed it as idle_reference so the recorded
+# artifact always carries an uncontended number (VERDICT r9 item 6).
+_IDLE_SIDECAR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_IDLE.json"
+)
+
+
+def _git_head() -> str | None:
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
 def main() -> None:
+    record_idle = "--record-idle" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # ambient load BEFORE the Spark session exists: once warmup starts,
+    # the bench itself IS the load and loadavg_before self-contaminates
+    # (round-9 lesson — in-artifact 4.4 vs true ambient 0.04)
+    ambient = _loadavg()
+    waited = 0
+    # a contended start often decays within a couple of minutes (the
+    # 1-min loadavg halves ~every 60s once the external load stops);
+    # wait bounded-long for an idle window before burning 5 samples
+    # per query into noise
+    while (
+        ambient and ambient[0] > _CONTENTION_THRESHOLD and waited < 180
+    ):
+        time.sleep(15)
+        waited += 15
+        ambient = _loadavg()
+    contended = bool(ambient and ambient[0] > _CONTENTION_THRESHOLD)
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -115,7 +158,42 @@ def main() -> None:
         "sf": sf,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
+        # ambient = measured BEFORE session spin-up (loadavg_before is
+        # read after warmup, when the bench itself is the load)
+        "loadavg_ambient": ambient,
+        "waited_for_idle_sec": waited,
+        "contended": contended,
+        "commit": _git_head(),
     }
+    if record_idle:
+        if contended:
+            print(
+                json.dumps({"error": "refusing to record idle sidecar: "
+                            f"ambient loadavg {ambient} > "
+                            f"{_CONTENTION_THRESHOLD}"}),
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        with open(_IDLE_SIDECAR, "w") as f:
+            json.dump(out, f)
+    elif os.path.exists(_IDLE_SIDECAR):
+        # embed the last idle-window record so the driver's artifact
+        # carries an uncontended primary number even when its own run
+        # lands on a noisy host window
+        try:
+            with open(_IDLE_SIDECAR) as f:
+                ref = json.load(f)
+            out["idle_reference"] = {
+                k: ref.get(k)
+                for k in ("value", "value_min", "queries_min", "sf",
+                          "loadavg_ambient", "commit")
+            }
+            # the recorded commit hash is informative (committing the
+            # sidecar itself moves HEAD by one, so hash equality is
+            # not expected); staleness = wrong scale factor
+            out["idle_reference"]["stale"] = ref.get("sf") != sf
+        except Exception:
+            pass
     print(json.dumps(out))
 
 

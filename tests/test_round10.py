@@ -101,6 +101,38 @@ def test_unigram_segments_raises_past_maxw(spark, tmp_path):
         t._unigram_segments(spark, d)
 
 
+def test_substr_base_index_persists_across_sessions(spark):
+    """VERDICT r9 item 7: the ExactSubstr base index is a durable
+    VersionedTable artifact.  A TABLE-LOADED incremental run (memos
+    cleared, so the state can only come from the artifact) must equal
+    the from-scratch full rebuild position-by-position, and the second
+    call must LOAD rather than rebuild."""
+    import shutil
+
+    from spark_delta_lakehouse_nyctaxi_spark.queries import suffix as sx
+
+    shutil.rmtree(sx._SUBSTR_INDEX_ROOT, ignore_errors=True)
+    try:
+        # cold: builds and persists
+        t, cut = sx.base_index_table(spark, SF)
+        assert t.exists()
+        v0 = t.history()[0]["version"] if t.history() else 0
+        # simulate a NEW session: wipe the in-process memo so the base
+        # state can only come from the persisted table
+        sx._SA_MEMO.clear()
+        merged, cert, cut2 = sx.incremental_dup_lens(spark, SF)
+        assert cut2 == cut
+        inc = sorted(map(tuple, merged.collect()))
+        reb = sorted(map(tuple, sx.position_dup_lens(spark, SF).collect()))
+        assert inc == reb
+        # the loaded path must not have written a new version
+        t2, _ = sx.base_index_table(spark, SF)
+        versions = [h["version"] for h in t2.history()]
+        assert max(versions) == v0, "second call rebuilt instead of loading"
+    finally:
+        shutil.rmtree(sx._SUBSTR_INDEX_ROOT, ignore_errors=True)
+
+
 def test_lsh_recall_shares_distributed_truth(spark, monkeypatch):
     calls: list[int] = []
     real = local_frames.literal_frame
