@@ -149,7 +149,11 @@ MEMO_FAMILY = {
     "q_opq_distortion",
     "q_opq_recall",
     "q_pq_rotation",
-    "q_matryoshka_recall",
+    # q_matryoshka_recall was WRONGLY listed here through r9: it holds
+    # no module-memo artifact (its persists are in-query), so its
+    # cold/warm columns were two independent measurements of identical
+    # work and "warm > cold" was host noise presented as a protocol
+    # violation (VERDICT r9 item 5).  It is a plain non-memo row now.
     "q_suffix_array",
     "q_lcp_stats",
     "q_exact_substr_dedup",
