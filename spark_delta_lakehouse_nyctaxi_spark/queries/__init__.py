@@ -148,6 +148,11 @@ _PRIORITY: list[str] = [
     "q_curriculum_stages",
     # --- R10-NEW: new round-10 value-oracled queries slot here (the
     # r11 driver window) ---
+    "q_packing_curve",
+    "q_zipf_fit",
+    "q_epoch_budget",
+    "q_blocklist_audit",
+    "q_ivf_append",
     # --- r9 window remainder (CORRECTNESS_r09 50/50 green) ---
     "q_langid_confusion",
     "q_data_card",

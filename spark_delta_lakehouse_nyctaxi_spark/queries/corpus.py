@@ -21,7 +21,7 @@ from ..operators import text as T
 from ..operators.indexing import global_row_number
 from ..sources.readers import load_table
 from . import register
-from .aggregates import attach_scalar
+from .aggregates import attach_scalar, dec0_to_double_sql
 from .text import _BM25_SCORE_CTES, _BM25_TERMS, bm25_doc_scores
 
 # ---- q_bm25_rerank ----------------------------------------------------
@@ -159,6 +159,133 @@ def q_bm25_rerank(spark, sf_dir):
             "doc_id", "rank1", "bm25", "cov", "tft", "adj", "minpos",
             "score", "rank2",
         )
+    )
+
+
+# ---- q_zipf_fit (round 10) ---------------------------------------------
+# Rank-frequency law audit beside q_heaps_law: fit freq ∝ rank^(-s) in
+# the INTEGER-BITS domain — rb = bits(rank), fb = bits(freq) via
+# len(bin(x))-1, the libm-free quantized log2 proven cross-engine by
+# q_unigram_surprisal — so the least-squares moments are exact int64
+# sums and only the final slope/intercept divisions are IEEE.  The
+# wide num/den products go through DECIMAL(38,0) (int128 in both
+# engines) and dec0_to_double (the correctly-rounded wide-decimal →
+# double conversion), so a 1e9-type vocabulary cannot overflow the
+# moment products.
+
+
+@register(
+    "q_zipf_fit",
+    """
+    WITH wds AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    r AS (
+        SELECT cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT)
+                   AS rnk
+        FROM wds
+    ),
+    b AS (
+        SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS rb,
+               CAST(length(bin(cnt)) - 1 AS BIGINT) AS fb,
+               cnt
+        FROM r
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(MAX(cnt) AS BIGINT) AS max_freq,
+               CAST(SUM(rb) AS BIGINT) AS srb,
+               CAST(SUM(fb) AS BIGINT) AS sfb,
+               CAST(SUM(rb * rb) AS BIGINT) AS srb2,
+               CAST(SUM(rb * fb) AS BIGINT) AS srbfb
+        FROM b
+    ),
+    d AS (
+        SELECT *,
+               CAST(n_types AS DECIMAL(19,0)) * CAST(srbfb AS DECIMAL(19,0))
+                   - CAST(srb AS DECIMAL(19,0)) * CAST(sfb AS DECIMAL(19,0))
+                   AS num,
+               CAST(n_types AS DECIMAL(19,0)) * CAST(srb2 AS DECIMAL(19,0))
+                   - CAST(srb AS DECIMAL(19,0)) * CAST(srb AS DECIMAL(19,0))
+                   AS den
+        FROM m
+    )
+    SELECT n_types, n_tokens, max_freq,
+           CASE WHEN den <> 0 THEN {num_d} / {den_d} END AS zipf_slope,
+           CASE WHEN den <> 0 THEN
+               (CAST(sfb AS DOUBLE) - ({num_d} / {den_d})
+                   * CAST(srb AS DOUBLE)) / CAST(n_types AS DOUBLE)
+           END AS zipf_intercept_bits
+    FROM d
+    """.format(
+        num_d=dec0_to_double_sql("num"), den_d=dec0_to_double_sql("den")
+    ),
+    doc="ZIPF RANK-FREQUENCY FIT: the vocabulary-law certificate "
+        "beside q_heaps_law — least-squares slope of bits(freq) vs "
+        "bits(rank) over the whole vocabulary (freq ∝ rank^(-s) ⇒ "
+        "slope ≈ -s; a healthy natural-language corpus fits s ≈ 1, a "
+        "template-heavy or synthetic corpus does not).  Integer-bits "
+        "features keep every moment an exact int64 sum; the wide "
+        "num/den cross products ride DECIMAL(38,0) + dec0_to_double "
+        "(correctly rounded in both engines), then two IEEE "
+        "divisions.  At 100 TB: one word-count aggregate (the only "
+        "corpus-sized shuffle) + one vocab-sized range-exchange rank "
+        "+ one aggregate.",
+)
+def q_zipf_fit(spark, sf_dir):
+    from .aggregates import dec0_to_double
+
+    docs = load_table(spark, sf_dir, "documents")
+    wds = (
+        docs.select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("neg_cnt", -F.col("cnt"))
+    )
+    ranked = global_row_number(wds, ["neg_cnt", "w"], "rnk")
+    bits = ranked.select(
+        "cnt",
+        (F.length(F.bin("rnk")) - 1).cast("long").alias("rb"),
+        (F.length(F.bin("cnt")) - 1).cast("long").alias("fb"),
+    )
+    m = bits.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.max("cnt").cast("long").alias("max_freq"),
+        F.sum("rb").cast("long").alias("srb"),
+        F.sum("fb").cast("long").alias("sfb"),
+        F.sum(F.col("rb") * F.col("rb")).cast("long").alias("srb2"),
+        F.sum(F.col("rb") * F.col("fb")).cast("long").alias("srbfb"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    d = m.select(
+        "*",
+        (dec("n_types") * dec("srbfb") - dec("srb") * dec("sfb")).alias(
+            "num"
+        ),
+        (dec("n_types") * dec("srb2") - dec("srb") * dec("srb")).alias(
+            "den"
+        ),
+    )
+    slope = dec0_to_double(F.col("num")) / dec0_to_double(F.col("den"))
+    return d.select(
+        "n_types",
+        "n_tokens",
+        "max_freq",
+        F.when(F.col("den") != 0, slope).alias("zipf_slope"),
+        F.when(
+            F.col("den") != 0,
+            (
+                F.col("sfb").cast("double")
+                - slope * F.col("srb").cast("double")
+            )
+            / F.col("n_types").cast("double"),
+        ).alias("zipf_intercept_bits"),
     )
 
 

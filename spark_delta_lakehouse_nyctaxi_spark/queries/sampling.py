@@ -621,3 +621,95 @@ def q_proportional_allocation(spark, sf_dir):
             + F.when(F.col("rem_rank") <= F.col("extra"), 1).otherwise(0)
         ).cast("long").alias("seats"),
     )
+
+
+# ---- q_epoch_budget (round 10) ----------------------------------------------
+# Data-constrained scaling planning (Muennighoff et al. 2023, "Scaling
+# Data-Constrained Language Models", arXiv:2305.16264): when the token
+# budget exceeds what a source can supply once, the source is REPEATED
+# — and past ~4 epochs repeated data stops helping.  This query is the
+# planning artifact: given a 3×-corpus training budget split evenly
+# across sources, how many epochs each source needs, what it can serve
+# under the 4-epoch cap, and the deficit the mixture designer must
+# reallocate.
+
+_EPOCH_CAP = 4
+_BUDGET_MULT = 3
+
+
+@register(
+    "q_epoch_budget",
+    f"""
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS a,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM c)
+    SELECT source, n_docs, n_tokens,
+           CAST(({_BUDGET_MULT} * a) // k AS BIGINT) AS target_tokens,
+           CAST((({_BUDGET_MULT} * a) // k + n_tokens - 1) // n_tokens
+                AS BIGINT) AS epochs_needed,
+           CAST(least(({_BUDGET_MULT} * a) // k,
+                      {_EPOCH_CAP} * n_tokens) AS BIGINT) AS served_tokens,
+           CAST(({_BUDGET_MULT} * a) // k
+                - least(({_BUDGET_MULT} * a) // k,
+                        {_EPOCH_CAP} * n_tokens) AS BIGINT)
+               AS deficit_tokens,
+           CAST(least(({_BUDGET_MULT} * a) // k,
+                      {_EPOCH_CAP} * n_tokens) AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE) AS repeat_factor
+    FROM c, t
+    ORDER BY source
+    """,
+    doc="DATA-CONSTRAINED EPOCH BUDGET (Muennighoff et al. 2023): "
+        "split a 3x-corpus token budget evenly across sources and "
+        "emit, per source, the epochs needed, the tokens it can serve "
+        "under the 4-epoch repetition cap (past which repeated data "
+        "stops helping), and the unmet deficit the mixture designer "
+        "must reallocate — the planning artifact before a repeated-"
+        "epochs training run.  Exact integers (floor-div budget "
+        "split); one IEEE division per row.  At 100 TB: one map-side-"
+        "combining per-source aggregate; the global totals ride a "
+        "window over the |sources|-row grouped frame (bounded, "
+        "allowlisted), never the corpus.",
+)
+def q_epoch_budget(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy()
+    withTot = c.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("a"),
+        F.count("*").over(w).alias("k"),
+    )
+    target = F.expr(f"({_BUDGET_MULT} * a) div k")
+    served = F.least(target, F.lit(_EPOCH_CAP) * F.col("n_tokens"))
+    return withTot.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        target.cast("long").alias("target_tokens"),
+        F.expr(
+            f"(({_BUDGET_MULT} * a) div k + n_tokens - 1) div n_tokens"
+        )
+        .cast("long")
+        .alias("epochs_needed"),
+        served.cast("long").alias("served_tokens"),
+        (target - served).cast("long").alias("deficit_tokens"),
+        (served.cast("double") / F.col("n_tokens").cast("double")).alias(
+            "repeat_factor"
+        ),
+    ).orderBy("source")

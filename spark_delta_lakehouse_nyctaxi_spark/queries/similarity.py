@@ -209,41 +209,59 @@ def q_ann_lsh(spark, sf_dir):
 # in-cell cosines use the left-fold double accumulation _COS_SQL
 # mirrors. "Approximate" is only recall vs brute force — the OUTPUT is
 # a pure function of the data, so it value-checks bitwise.
-def _ivf_assignment_parts(n_centroids=16, iters=2) -> list[str]:
+def _ivf_assignment_parts(n_centroids=16, iters=2, train_where=None) -> list[str]:
     """CTE chain re-deriving the deterministic k-means index build up
     to the final cell assignment ``a{iters}(vec_id, cid)`` — shared by
-    the IVF search oracles and the cluster-topics oracle."""
+    the IVF search oracles and the cluster-topics oracle.
+
+    ``train_where`` (round 10, for the incremental q_ivf_append):
+    optional SQL predicate restricting the TRAINING set — init order,
+    Lloyd assignments, and centroid means all run over only the rows
+    it selects, while the FINAL assignment ``a{iters}`` still covers
+    every vector (assign-new-to-existing-centroids, no retrain).
+    ``None`` (default) trains on everything and emits byte-identical
+    CTE text to the pre-parameter version, so every existing oracle
+    string is unchanged."""
     dims = """
     d AS (
         SELECT vec_id, u.s.i AS i, CAST(u.s.x AS DOUBLE) AS x
         FROM emb, unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) u(s)
     )"""
+    hw = "" if train_where is None else f" WHERE {train_where}"
     parts = [
         "WITH emb AS (SELECT vec_id, embedding FROM embeddings),",
         dims + ",",
+    ]
+    if train_where is not None:
+        parts.append(f"""
+    dtr AS (SELECT * FROM d WHERE {train_where}),""")
+    parts.append(
         """
     h AS (SELECT vec_id,
                  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
-          FROM emb),
+          FROM emb%(HW)s),
     c0 AS (
         SELECT r.rn - 1 AS cid, d.i, d.x
         FROM (SELECT vec_id, row_number() OVER (ORDER BY hh, vec_id) AS rn
               FROM h QUALIFY rn <= %(K)d) r
         JOIN d ON d.vec_id = r.vec_id
-    ),""" % {"K": n_centroids},
-    ]
+    ),""" % {"K": n_centroids, "HW": hw}
+    )
     for it in range(iters + 1):
         cn = f"c{it}"
+        # training assignments/means run over the training rows; the
+        # FINAL assignment (it == iters) covers every vector
+        ts = "d" if (train_where is None or it == iters) else "dtr"
         parts.append(f"""
     s{it} AS (
-        SELECT d.vec_id, c.cid,
-               CAST(SUM(CAST(d.x * c.x AS DECIMAL(28,7))) AS DOUBLE)
+        SELECT {ts}.vec_id, c.cid,
+               CAST(SUM(CAST({ts}.x * c.x AS DECIMAL(28,7))) AS DOUBLE)
                - MAX(cn.h2) AS s
-        FROM d JOIN {cn} c USING (i)
+        FROM {ts} JOIN {cn} c USING (i)
         JOIN (SELECT cid,
                      CAST(SUM(CAST(x * x AS DECIMAL(28,7))) AS DOUBLE) / 2.0 AS h2
               FROM {cn} GROUP BY cid) cn ON cn.cid = c.cid
-        GROUP BY d.vec_id, c.cid
+        GROUP BY {ts}.vec_id, c.cid
     ),
     a{it} AS (
         SELECT vec_id, cid FROM (
@@ -253,12 +271,13 @@ def _ivf_assignment_parts(n_centroids=16, iters=2) -> list[str]:
         ) WHERE rn = 1
     ),""")
         if it < iters:
+            mts = "d" if train_where is None else "dtr"
             parts.append(f"""
     m{it} AS (
-        SELECT a.cid, d.i,
-               CAST(SUM(CAST(d.x AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*) AS x
-        FROM d JOIN a{it} a USING (vec_id)
-        GROUP BY a.cid, d.i
+        SELECT a.cid, {mts}.i,
+               CAST(SUM(CAST({mts}.x AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*) AS x
+        FROM {mts} JOIN a{it} a USING (vec_id)
+        GROUP BY a.cid, {mts}.i
     ),
     c{it + 1} AS (
         SELECT c.cid, c.i, COALESCE(m.x, c.x) AS x
@@ -2838,3 +2857,153 @@ def q_semdedup_curve(spark, sf_dir):
         .cast("long")
         .alias("within_budget"),
     ).orderBy("tau")
+
+
+# ---- q_ivf_append (round 10) ------------------------------------------------
+# Incremental ANN index maintenance — the embedding-side twin of
+# q_incremental_substr_dedup: new vectors are assigned to the EXISTING
+# base-trained centroids (no retrain), and the query certifies how far
+# the incoming batch drifts from the index's training distribution.
+
+_IVF_APPEND_CUT = (
+    "vec_id < (SELECT (max(vec_id) + 1) - (max(vec_id) + 1) // 8"
+    " FROM embeddings)"
+)
+
+
+def _ivf_append_oracle(n_centroids=16, iters=2) -> str:
+    parts = _ivf_assignment_parts(
+        n_centroids, iters, train_where=_IVF_APPEND_CUT
+    )
+    parts.append(f"""
+    cutv AS (SELECT (max(vec_id) + 1) - (max(vec_id) + 1) // 8 AS cut
+             FROM embeddings),
+    tagged AS (
+        SELECT a.cid,
+               CASE WHEN a.vec_id >= cut THEN 1 ELSE 0 END AS is_delta
+        FROM a{iters} a, cutv
+    ),
+    per0 AS (
+        SELECT cid, CAST(SUM(1 - is_delta) AS BIGINT) AS n_base,
+               CAST(SUM(is_delta) AS BIGINT) AS n_delta
+        FROM tagged GROUP BY cid
+    ),
+    per AS (
+        SELECT CAST(t.c AS BIGINT) AS cid,
+               COALESCE(n_base, 0) AS n_base,
+               COALESCE(n_delta, 0) AS n_delta
+        FROM range(0, {n_centroids}) t(c)
+        LEFT JOIN per0 ON per0.cid = t.c
+    ),
+    tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+                   CAST(SUM(n_delta) AS BIGINT) AS nd
+            FROM per),
+    en AS (
+        SELECT cid, n_base, n_delta,
+               CAST(n_base + n_delta AS BIGINT) AS n_total,
+               CAST(n_base AS DOUBLE) / CAST(nb AS DOUBLE) AS base_share,
+               CAST(n_delta AS DOUBLE) / CAST(nd AS DOUBLE) AS delta_share,
+               abs(CAST(n_base AS DOUBLE) / CAST(nb AS DOUBLE)
+                   - CAST(n_delta AS DOUBLE) / CAST(nd AS DOUBLE))
+                   AS drift_abs,
+               CAST(CASE WHEN n_delta <= (4 * nd) // {n_centroids}
+                    THEN 1 ELSE 0 END AS BIGINT) AS within_delta_budget
+        FROM per, tot
+    ),
+    tvv AS (
+        SELECT CAST(SUM(CAST(drift_abs AS DECIMAL(18,7))) AS DOUBLE) / 2.0
+                   AS tv_drift
+        FROM en
+    )
+    SELECT cid, n_base, n_delta, n_total, base_share, delta_share,
+           drift_abs, within_delta_budget, tv_drift
+    FROM en, tvv
+    ORDER BY cid""")
+    return "".join(parts)
+
+
+@register(
+    "q_ivf_append",
+    _ivf_append_oracle(),
+    doc="INCREMENTAL ANN INDEX MAINTENANCE (the embedding twin of "
+        "q_incremental_substr_dedup): the vec_id-tail batch (top 1/8) "
+        "is assigned to the centroids trained on the BASE corpus only "
+        "— the daily-append operation of a 100 TB vector index, no "
+        "retrain.  Emits per cell: base/delta fill counts, the two "
+        "assignment distributions, drift_abs = |base_share − "
+        "delta_share|, a 4x-balanced delta-fill budget flag (the "
+        "q_semantic_dedup certificate discipline), and tv_drift — the "
+        "total-variation distance between the index's training "
+        "distribution and the incoming batch (quantized scale-7 "
+        "decimal sum, tie-proof |v|<1 class; /2.0 is exact in FP) — "
+        "the re-train trigger a production index monitors.  Training, "
+        "assignment, and every share are bitwise value-oracled via "
+        "the train_where-parameterized IVF chain.  At 100 TB: "
+        "assignment is one broadcast(k×dim)-vs-corpus scan; "
+        "everything after is k-row arithmetic.",
+)
+def q_ivf_append(spark, sf_dir):
+    from .aggregates import attach_scalar
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = int(emb.agg(F.max("vec_id")).first()[0])
+    cut = (mx + 1) - (mx + 1) // 8
+    base = emb.filter(F.col("vec_id") < cut)
+    centroids = S.ivf_centroids(base, n_centroids=16, iters=2, exact=True)
+    cells = S.exact_assignments(emb, centroids).select(
+        F.col("id").alias("vec_id"), F.col("cid").cast("long").alias("cid")
+    )
+    per0 = (
+        cells.withColumn("is_delta", F.col("vec_id") >= cut)
+        .groupBy("cid")
+        .agg(
+            F.sum(F.when(~F.col("is_delta"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(F.when(F.col("is_delta"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_delta"),
+        )
+    )
+    per = (
+        spark.range(16)
+        .select(F.col("id").cast("long").alias("cid"))
+        .join(per0, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+        )
+    )
+    n_total = int(emb.count())
+    nb = int(base.count())
+    nd = n_total - nb
+    base_share = F.col("n_base").cast("double") / F.lit(float(nb))
+    delta_share = F.col("n_delta").cast("double") / F.lit(float(nd))
+    en = per.select(
+        "cid",
+        "n_base",
+        "n_delta",
+        (F.col("n_base") + F.col("n_delta")).cast("long").alias("n_total"),
+        base_share.alias("base_share"),
+        delta_share.alias("delta_share"),
+        F.abs(base_share - delta_share).alias("drift_abs"),
+        F.when(F.col("n_delta") <= (4 * nd) // 16, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("within_delta_budget"),
+    )
+    tvv = en.agg(
+        (
+            F.sum(F.col("drift_abs").cast("decimal(18,7)")).cast("double")
+            / F.lit(2.0)
+        ).alias("tv_drift")
+    )
+    return (
+        attach_scalar(en, tvv)
+        .select(
+            "cid", "n_base", "n_delta", "n_total", "base_share",
+            "delta_share", "drift_abs", "within_delta_budget", "tv_drift",
+        )
+        .orderBy("cid")
+    )

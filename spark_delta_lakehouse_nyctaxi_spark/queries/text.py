@@ -2043,6 +2043,140 @@ def q_packing_stats(spark, sf_dir):
     )
 
 
+# ---- q_packing_curve (round 10) --------------------------------------------
+# The seq_len tuning artifact that completes the packing family: the
+# two packing policies every LLM tokenization job chooses between,
+# priced at 4 context lengths from ONE prefix-sum pass.
+
+_PACK_LENS = [256, 512, 1024, 2048]
+
+
+def _packing_curve_arms() -> str:
+    arms = []
+    for L in _PACK_LENS:
+        arms.append(f"""
+        SELECT CAST({L} AS BIGINT) AS seq_len, t AS total_tokens,
+               CAST((t + {L} - 1) // {L} AS BIGINT) AS chunk_n_seqs,
+               CAST((t + {L} - 1) // {L} * {L} - t AS BIGINT) AS chunk_pad,
+               split_{L} AS chunk_split_docs,
+               CAST(t AS DOUBLE)
+                   / CAST((t + {L} - 1) // {L} * {L} AS DOUBLE)
+                   AS chunk_efficiency,
+               padseq_{L} AS pad_n_seqs,
+               CAST(padseq_{L} * {L} - t AS BIGINT) AS pad_waste,
+               CAST(t AS DOUBLE) / CAST(padseq_{L} * {L} AS DOUBLE)
+                   AS pad_efficiency
+        FROM ag""")
+    return " UNION ALL ".join(arms)
+
+
+@register(
+    "q_packing_curve",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               SUM(CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT))
+                   OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    ),
+    ag AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+    """
+    + ",\n".join(
+        f"""           CAST(SUM(CASE WHEN (cum - n_tokens) // {L}
+                             <> (cum - 1) // {L} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS split_{L},
+               CAST(SUM((n_tokens + {L} - 1) // {L}) AS BIGINT)
+                   AS padseq_{L}"""
+        for L in _PACK_LENS
+    )
+    + """
+        FROM c
+    )
+    SELECT * FROM ("""
+    + _packing_curve_arms()
+    + """)
+    ORDER BY seq_len
+    """,
+    doc="SEQUENCE-LENGTH PACKING CURVE: the context-length tuning "
+        "artifact beside q_ivf_probe_curve / q_lsh_band_curve — both "
+        "packing policies an LLM tokenization job chooses between, "
+        "priced at 256/512/1024/2048 tokens from ONE "
+        "distributed-prefix-sum pass.  Per seq_len: concat-and-chunk "
+        "(GPT-style — zero mid-stream padding but chunk_split_docs "
+        "documents straddle a boundary and leak cross-document "
+        "attention unless masked) vs pad-per-document (no straddling "
+        "but pad_waste dead tokens).  chunk_efficiency/pad_efficiency "
+        "make the trade one number per policy.  Exact integers from "
+        "doc-level token counts (no per-token explode); two IEEE "
+        "divisions per row.  At 100 TB: one range-exchange prefix sum "
+        "+ one aggregate, the q_sequence_packing scale shape.",
+)
+def q_packing_curve(spark, sf_dir):
+    from ..operators.indexing import distributed_prefix_sum
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    cum = distributed_prefix_sum(counts, ["doc_id"], ["n_tokens"])
+    aggs = [F.sum("n_tokens").cast("long").alias("t")]
+    for L in _PACK_LENS:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.expr(f"(cum_n_tokens - n_tokens) div {L}")
+                    != F.expr(f"(cum_n_tokens - 1) div {L}"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"split_{L}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"(n_tokens + {L} - 1) div {L}"))
+            .cast("long")
+            .alias(f"padseq_{L}")
+        )
+    ag = cum.agg(*aggs)
+    # 4 rows from the 1-row aggregate via stack — config-sized, fully
+    # in-frame (no driver round trip)
+    tuples = ", ".join(
+        f"CAST({L} AS BIGINT), t, split_{L}, padseq_{L}"
+        for L in _PACK_LENS
+    )
+    stacked = ag.selectExpr(
+        f"stack({len(_PACK_LENS)}, {tuples})"
+        " AS (seq_len, total_tokens, chunk_split_docs, pad_n_seqs)"
+    )
+    chunk_n_seqs = F.expr("(total_tokens + seq_len - 1) div seq_len")
+    return stacked.select(
+        "seq_len",
+        "total_tokens",
+        chunk_n_seqs.alias("chunk_n_seqs"),
+        (chunk_n_seqs * F.col("seq_len") - F.col("total_tokens")).alias(
+            "chunk_pad"
+        ),
+        "chunk_split_docs",
+        (
+            F.col("total_tokens").cast("double")
+            / (chunk_n_seqs * F.col("seq_len")).cast("double")
+        ).alias("chunk_efficiency"),
+        "pad_n_seqs",
+        (F.col("pad_n_seqs") * F.col("seq_len") - F.col("total_tokens")).alias(
+            "pad_waste"
+        ),
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("pad_n_seqs") * F.col("seq_len")).cast("double")
+        ).alias("pad_efficiency"),
+    ).orderBy("seq_len")
+
+
 @register(
     "q_attention_mask",
     """
@@ -2846,4 +2980,103 @@ def q_unigram_fertility(spark, sf_dir):
             ).alias("fertility_unigram"),
         )
         .orderBy("lang")
+    )
+
+
+# ---- q_blocklist_audit (round 10) -------------------------------------------
+# C4/Gopher-style multi-keyword safety filtering, made a first-class
+# audit: given a keyword blocklist, report per-keyword hit volume and
+# the corpus share a doc-level filter would remove.  The list is
+# derived deterministically from the corpus (top-10 most frequent
+# tokens of length >= 6 — the same derive-from-data stand-in the
+# unigram trainer uses for its vocab) so the whole composition is
+# value-oracled; swapping in an external badwords file changes one
+# frame.
+
+_BLOCK_MIN_LEN = 6
+_BLOCK_TOP_K = 10
+
+
+@register(
+    "q_blocklist_audit",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    agg AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_hit
+        FROM tok WHERE length(w) >= {_BLOCK_MIN_LEN}
+        GROUP BY w
+    ),
+    kw AS MATERIALIZED (
+        SELECT * FROM agg
+        ORDER BY n_occurrences DESC, w LIMIT {_BLOCK_TOP_K}
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    flagged AS (
+        SELECT CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_flagged
+        FROM tok t JOIN kw ON kw.w = t.w
+    )
+    SELECT w AS keyword, n_occurrences, n_docs_hit,
+           CAST(n_docs_hit AS DOUBLE) / CAST(n AS DOUBLE) AS doc_share,
+           n_flagged AS n_docs_flagged_any,
+           CAST(n_flagged AS DOUBLE) / CAST(n AS DOUBLE)
+               AS flagged_share
+    FROM kw, nd, flagged
+    ORDER BY n_occurrences DESC, keyword
+    """,
+    doc="MULTI-KEYWORD BLOCKLIST AUDIT (the C4 badwords-filter shape): "
+        "per-keyword token occurrences and distinct documents hit, "
+        "plus the doc-level removal footprint a filter on the whole "
+        "list would have (n_docs_flagged_any / flagged_share — docs "
+        "hit by ANY keyword, the number a curation run signs off "
+        "before dropping them).  Keyword set = top-10 most frequent "
+        "tokens of length >= 6, derived deterministically so the "
+        "composition is value-oracled end to end.  At 100 TB: one "
+        "word-count aggregate builds the list (corpus-linear), the "
+        "audit join broadcasts the 10-row list against the token "
+        "stream — never a shuffle on the corpus side; exact integers, "
+        "two IEEE divisions.",
+)
+def q_blocklist_audit(spark, sf_dir):
+    from .aggregates import attach_scalar
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+    agg = (
+        tok.filter(F.length("w") >= _BLOCK_MIN_LEN)
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs_hit"),
+        )
+    )
+    kw = (
+        agg.orderBy(F.col("n_occurrences").desc(), "w")
+        .limit(_BLOCK_TOP_K)
+        .localCheckpoint(eager=True)
+    )
+    n_docs = docs.count()
+    flagged = (
+        tok.join(F.broadcast(kw.select("w")), "w")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_flagged"))
+    )
+    return (
+        attach_scalar(kw, flagged)
+        .select(
+            F.col("w").alias("keyword"),
+            "n_occurrences",
+            "n_docs_hit",
+            (
+                F.col("n_docs_hit").cast("double") / F.lit(float(n_docs))
+            ).alias("doc_share"),
+            F.col("n_flagged").alias("n_docs_flagged_any"),
+            (F.col("n_flagged").cast("double") / F.lit(float(n_docs))).alias(
+                "flagged_share"
+            ),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "keyword")
     )

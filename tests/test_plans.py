@@ -420,6 +420,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWLIST = {
     "q_proportional_allocation",  # remainder rank over the |sources|-row frame
     "q_heaps_law",            # cumulative sums over the TEN-row decile frame
     "q_ivf_probe_curve",      # cumulative recall over the 16-row probe frame
+    "q_epoch_budget",         # global totals over the |sources|-row frame
 }
 # (q_bm25_search's rank window sits AFTER .limit(20) — the plan shows no
 # single-partition window exchange at all, so no allowlist entry needed.)
@@ -479,6 +480,10 @@ _BOUNDED_BNLJ_ALLOWLIST = {
                                # (the truth PAIR SET itself stays distributed)
     "q_semantic_dedup",        # 1-row corpus total attaches to the 16-cell
                                # frame (pair-budget certificate, r9 item 3)
+    "q_blocklist_audit",       # 1-row flagged-docs total attaches to the
+                               # 10-row keyword frame
+    "q_ivf_append",            # 1-row tv_drift total attaches to the 16-cell
+                               # frame
 }
 
 

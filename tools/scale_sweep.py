@@ -126,6 +126,12 @@ EXTRA = [
     "q_t_closeness",
     "q_source_boilerplate",
     "q_semdedup_curve",
+    # round 10: packing/vocab/curation/index-maintenance additions
+    "q_packing_curve",
+    "q_zipf_fit",
+    "q_epoch_budget",
+    "q_blocklist_audit",
+    "q_ivf_append",
 ]
 
 # Queries that share process-global trained/built artifacts via a
