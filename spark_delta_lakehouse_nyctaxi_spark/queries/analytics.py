@@ -2270,3 +2270,125 @@ def q_holt_linear(spark, sf_dir):
         trd.alias("trend_cents"),
         (lvl + trd).alias("forecast_next_cents"),
     )
+
+
+# ---- q_conformal_bound (round 10) -------------------------------------------
+# Split-conformal prediction interval (Vovk et al.; the
+# distribution-free coverage guarantee every model-eval pipeline wants
+# beside q_calibration_bins' ECE): calibrate a per-priority mean model
+# on the even-key half of orders, take the ceil(0.9*(n+1))-th smallest
+# absolute residual as the conformal radius q_hat, and audit empirical
+# coverage on the odd-key half.  Exactness: prices become exact cents
+# (round(x*100) longs), the model is an integer FLOOR-DIV mean, so
+# every residual is an exact long and q_hat is an exact order
+# statistic — computed distributed via
+# operators/indexing.distributed_kth_smallest (sketch-bracketed
+# selection, 2 scans, no global sort).  The only doubles are the two
+# final divisions, identical IEEE in both engines.
+
+
+@register(
+    "q_conformal_bound",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cal AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+    tst AS (SELECT * FROM o WHERE o_orderkey % 2 = 1),
+    model AS (
+        SELECT o_orderpriority,
+               CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred
+        FROM cal GROUP BY o_orderpriority
+    ),
+    cs AS (
+        SELECT abs(c.cents - m.pred) AS s
+        FROM cal c JOIN model m USING (o_orderpriority)
+    ),
+    kk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+               CAST(least((9 * (COUNT(*) + 1) + 9) // 10, COUNT(*))
+                    AS BIGINT) AS conformal_k
+        FROM cs
+    ),
+    qv AS (
+        SELECT CAST(s AS BIGINT) AS q_hat_cents
+        FROM (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cs), kk
+        WHERE rn = conformal_k
+    ),
+    cov AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN abs(t.cents - m.pred) <= q_hat_cents
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_test_covered
+        FROM tst t JOIN model m USING (o_orderpriority), qv
+    )
+    SELECT n_cal, conformal_k, q_hat_cents,
+           CAST(q_hat_cents AS DOUBLE) / 100.0 AS q_hat,
+           n_test, n_test_covered,
+           CAST(n_test_covered AS DOUBLE) / CAST(n_test AS DOUBLE)
+               AS coverage
+    FROM kk, qv, cov
+    """,
+    doc="SPLIT-CONFORMAL PREDICTION BOUND (90% target): per-priority "
+        "integer-mean model fit on the even-key calibration half; "
+        "q_hat = the ceil(0.9*(n_cal+1))-th smallest absolute residual "
+        "(the finite-sample distribution-free radius), audited as "
+        "empirical coverage on the held-out odd-key half.  Exact "
+        "cents + floor-div model keep every residual an exact long; "
+        "q_hat is an exact distributed order statistic "
+        "(distributed_kth_smallest: sketch-bracketed selection, no "
+        "global sort, driver sees <= bracket_cap scalars); two IEEE "
+        "divisions at the end.  At 100 TB: two grouped aggregates + "
+        "the 2-scan selection — nothing corpus-squared, nothing "
+        "collected.",
+)
+def q_conformal_bound(spark, sf_dir):
+    from ..operators.indexing import distributed_kth_smallest
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cal = o.filter(F.col("o_orderkey") % 2 == 0)
+    tst = o.filter(F.col("o_orderkey") % 2 == 1)
+    model = cal.groupBy("o_orderpriority").agg(
+        F.expr("sum(cents) div count(*)").cast("long").alias("pred")
+    )
+    cs = (
+        cal.join(F.broadcast(model), "o_orderpriority")
+        .select(F.abs(F.col("cents") - F.col("pred")).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    n_cal = cs.count()
+    k = min((9 * (n_cal + 1) + 9) // 10, n_cal)
+    q_hat_cents = int(
+        distributed_kth_smallest(cs, "s", k, scale=0, total=n_cal)
+    )
+    cov = (
+        tst.join(F.broadcast(model), "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("pred")) <= q_hat_cents, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_test_covered"),
+        )
+    )
+    return cov.select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.lit(k).cast("long").alias("conformal_k"),
+        F.lit(q_hat_cents).cast("long").alias("q_hat_cents"),
+        (F.lit(q_hat_cents).cast("double") / F.lit(100.0)).alias("q_hat"),
+        "n_test",
+        "n_test_covered",
+        (
+            F.col("n_test_covered").cast("double")
+            / F.col("n_test").cast("double")
+        ).alias("coverage"),
+    )

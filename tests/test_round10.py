@@ -133,6 +133,73 @@ def test_substr_base_index_persists_across_sessions(spark):
         shutil.rmtree(sx._SUBSTR_INDEX_ROOT, ignore_errors=True)
 
 
+def test_packing_curve_invariants(spark):
+    """Internal identities of the packing-policy curve: chunk padding
+    only in the final partial sequence, pad-per-doc never beats
+    concat-and-chunk on sequence count, efficiencies consistent."""
+    rows = REGISTRY["q_packing_curve"].fn(spark, SF).collect()
+    assert [r.seq_len for r in rows] == [256, 512, 1024, 2048]
+    for r in rows:
+        assert 0 <= r.chunk_pad < r.seq_len
+        assert r.chunk_n_seqs * r.seq_len == r.total_tokens + r.chunk_pad
+        assert r.pad_n_seqs >= r.chunk_n_seqs
+        assert r.pad_waste >= r.chunk_pad
+        assert 0 < r.pad_efficiency <= r.chunk_efficiency <= 1.0
+        assert 0 <= r.chunk_split_docs
+
+
+def test_epoch_budget_identities(spark):
+    rows = REGISTRY["q_epoch_budget"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.served_tokens + r.deficit_tokens == r.target_tokens
+        assert r.served_tokens <= 4 * r.n_tokens
+        assert r.epochs_needed >= 1
+        # served == target exactly when the cap was not binding
+        assert (r.deficit_tokens > 0) == (r.epochs_needed > 4)
+
+
+def test_zipf_fit_shape(spark):
+    r = REGISTRY["q_zipf_fit"].fn(spark, SF).collect()[0]
+    assert r.n_types > 0 and r.n_tokens >= r.n_types
+    # frequency falls with rank: the bits-domain slope must be negative
+    assert r.zipf_slope is not None and r.zipf_slope < 0
+
+
+def test_ivf_append_certificate(spark):
+    rows = REGISTRY["q_ivf_append"].fn(spark, SF).collect()
+    assert len(rows) == 16
+    tv = rows[0].tv_drift
+    assert all(r.tv_drift == tv for r in rows)
+    assert 0.0 <= tv <= 1.0
+    assert sum(r.n_base for r in rows) > 0
+    assert sum(r.n_delta for r in rows) > 0
+    for r in rows:
+        assert r.n_total == r.n_base + r.n_delta
+
+
+def test_blocklist_audit_flag_bound(spark):
+    rows = REGISTRY["q_blocklist_audit"].fn(spark, SF).collect()
+    assert rows
+    flagged = rows[0].n_docs_flagged_any
+    assert all(r.n_docs_flagged_any == flagged for r in rows)
+    # union bound: docs flagged by ANY keyword is at most the sum and
+    # at least the max of the per-keyword doc hits
+    assert max(r.n_docs_hit for r in rows) <= flagged
+    assert flagged <= sum(r.n_docs_hit for r in rows)
+
+
+def test_conformal_bound_guarantee_shape(spark):
+    r = REGISTRY["q_conformal_bound"].fn(spark, SF).collect()[0]
+    # the conformal index: ceil(0.9 * (n_cal + 1)), capped at n_cal
+    assert r.conformal_k == min((9 * (r.n_cal + 1) + 9) // 10, r.n_cal)
+    assert r.q_hat_cents >= 0
+    # distribution-free validity holds in expectation at 90%; allow
+    # finite-sample slack on the one concrete split
+    assert 0.8 <= r.coverage <= 1.0
+    assert r.n_test_covered <= r.n_test
+
+
 def test_lsh_recall_shares_distributed_truth(spark, monkeypatch):
     calls: list[int] = []
     real = local_frames.literal_frame

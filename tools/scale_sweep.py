@@ -132,6 +132,7 @@ EXTRA = [
     "q_epoch_budget",
     "q_blocklist_audit",
     "q_ivf_append",
+    "q_conformal_bound",
 ]
 
 # Queries that share process-global trained/built artifacts via a
