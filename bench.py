@@ -6,6 +6,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Execution is forced with the noop sink (full computation, no output I/O),
 so timings measure scan + shuffle + compute — the parts that matter at
 100 TB.
+
+Host-contention protocol (VERDICT r9 item 6): the artifact records the
+AMBIENT loadavg (measured before session spin-up — the in-session
+reading is self-contaminated), waits up to 3 minutes for an idle
+window, and marks `contended: true` when the 1-min ambient stays above
+2.0 on this 32-cpu box (measured swing under steal: 2-3x).  `python
+bench.py --record-idle` (refuses under load) writes BENCH_IDLE.json,
+which every subsequent run embeds as `idle_reference` — so a recorded
+artifact always carries an uncontended primary number regardless of
+the host window it happened to land on.
 """
 
 from __future__ import annotations

@@ -3080,3 +3080,223 @@ def q_blocklist_audit(spark, sf_dir):
         )
         .orderBy(F.col("n_occurrences").desc(), "keyword")
     )
+
+
+# ---- q_nb_langid (round 10) --------------------------------------------------
+# A TRAINED quality/ID classifier — the fastText-style step every
+# curation pipeline runs (CCNet, LLaMA data prep) beside the heuristic
+# q_lang_id: Laplace-smoothed Naive Bayes over whitespace tokens,
+# trained on the even-doc_id half against the lang column (binary:
+# majority language vs rest), scored and confusion-audited on the odd
+# half.  Every model parameter is an exact integer: log-likelihood
+# ratios live in the INTEGER-BITS domain (llr(w) = bits((cpos+1)(Sneg+V))
+# − bits((cneg+1)(Spos+V)), the libm-free quantized log2), so training,
+# scoring, and the decision boundary are bitwise engine-identical.
+
+
+@register(
+    "q_nb_label_probe",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    tr AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+    ev AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+    vc AS (
+        SELECT w,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cpos,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cneg
+        FROM tr GROUP BY w
+    ),
+    tt AS (SELECT CAST(SUM(cpos) AS BIGINT) AS spos,
+                  CAST(SUM(cneg) AS BIGINT) AS sneg,
+                  CAST(COUNT(*) AS BIGINT) AS v
+           FROM vc),
+    pr AS (SELECT CAST(COUNT(DISTINCT CASE WHEN lang = 'en' THEN doc_id END)
+                       AS BIGINT) AS npos,
+                  CAST(COUNT(DISTINCT CASE WHEN lang <> 'en' THEN doc_id END)
+                       AS BIGINT) AS nneg
+           FROM tr),
+    llr AS (
+        SELECT w,
+               CAST(length(bin((cpos + 1) * (sneg + v)))
+                    - length(bin((cneg + 1) * (spos + v))) AS BIGINT) AS llr
+        FROM vc, tt
+    ),
+    sc AS (
+        SELECT e.doc_id,
+               MAX(CASE WHEN e.lang = 'en' THEN 1 ELSE 0 END) AS y,
+               SUM(COALESCE(l.llr,
+                   (SELECT CAST(length(bin(sneg + v)) - length(bin(spos + v))
+                        AS BIGINT) FROM tt)))
+               + (SELECT CAST(length(bin(npos)) - length(bin(nneg))
+                      AS BIGINT) FROM pr) AS score
+        FROM ev e LEFT JOIN llr l ON l.w = e.w
+        GROUP BY e.doc_id
+    ),
+    cf AS (
+        SELECT CAST(SUM(CASE WHEN y = 1 AND score > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN y = 0 AND score > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN y = 1 AND score <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN y = 0 AND score <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn
+        FROM sc
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM tr)
+               AS n_train_docs,
+           tp + fp + fn + tn AS n_eval_docs,
+           (SELECT v FROM tt) AS n_vocab,
+           tp, fp, fn, tn,
+           CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+               AS accuracy,
+           CAST(greatest(tp + fn, fp + tn) AS DOUBLE)
+               / CAST(tp + fp + fn + tn AS DOUBLE) AS majority_share,
+           CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+               - CAST(greatest(tp + fn, fp + tn) AS DOUBLE)
+                 / CAST(tp + fp + fn + tn AS DOUBLE) AS signal_margin,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+           END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+           END AS recall
+    FROM cf
+    """,
+    doc="TRAINED NAIVE-BAYES CLASSIFIER AS A LABEL-LEAKAGE PROBE: the "
+        "full fastText-style trained-classifier machinery (CCNet/"
+        "LLaMA-style curation) — Laplace-smoothed NB over whitespace "
+        "tokens, trained on the even-doc_id half against the lang "
+        "column (binary: 'en' vs rest), confusion-audited on the "
+        "held-out odd half — read as a SIGNAL AUDIT: signal_margin = "
+        "accuracy − majority_share.  A margin near zero certifies the "
+        "label carries no content signal (on this corpus lang is an "
+        "independent tag over a shared vocabulary, so the trained "
+        "model MUST collapse to the prior — which the driver row "
+        "proves every round); a clearly positive margin on a label "
+        "that should be content-independent (split id, shard id, "
+        "eval-set membership) is the leakage alarm.  Integer-bits "
+        "log-likelihood ratios make the model, scores, and decision "
+        "boundary exact int64 — bitwise value-oracled end to end "
+        "(ties score<=0 to negative).  At 100 TB: training is one "
+        "token-count aggregate; scoring is an eval-tokens-to-vocab "
+        "equi-join + per-doc sum (the q_unigram_surprisal shuffle "
+        "shape); int64 safe while train tokens + vocab < 2^31 (the "
+        "guard raises with the DECIMAL upgrade path named).",
+)
+def q_nb_label_probe(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(T.tokens("text")).alias("w")
+    )
+    tr = tok.filter(F.col("doc_id") % 2 == 0)
+    ev = tok.filter(F.col("doc_id") % 2 == 1)
+    vc = (
+        tr.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("cpos"),
+            F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+            .cast("long")
+            .alias("cneg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tt = vc.agg(
+        F.sum("cpos").cast("long"),
+        F.sum("cneg").cast("long"),
+        F.count("*").cast("long"),
+    ).first()
+    spos, sneg, v = int(tt[0]), int(tt[1]), int(tt[2])
+    prr = tr.agg(
+        F.countDistinct(
+            F.when(F.col("lang") == "en", F.col("doc_id"))
+        ).cast("long"),
+        F.countDistinct(
+            F.when(F.col("lang") != "en", F.col("doc_id"))
+        ).cast("long"),
+    ).first()
+    npos, nneg = int(prr[0]), int(prr[1])
+    if npos == 0 or nneg == 0:
+        raise ValueError(
+            "q_nb_label_probe: degenerate training labels (one class empty) "
+            f"— npos={npos}, nneg={nneg}; the NB ratios are undefined"
+        )
+    if max(spos, sneg) + v > 2**31:
+        raise ValueError(
+            "q_nb_langid int64 bound: (count+1)*(S+V) products overflow "
+            "past 2^31 train tokens — upgrade the llr products to "
+            "DECIMAL(38,0) (the sa_checksum discipline)"
+        )
+    bits = lambda c: F.length(F.bin(c))  # noqa: E731  (diffs cancel the -1)
+    llr = vc.select(
+        "w",
+        (
+            bits((F.col("cpos") + 1) * F.lit(sneg + v))
+            - bits((F.col("cneg") + 1) * F.lit(spos + v))
+        )
+        .cast("long")
+        .alias("llr"),
+    )
+    unseen = len(bin(sneg + v)) - len(bin(spos + v))
+    prior = len(bin(npos)) - len(bin(nneg))
+    sc = (
+        ev.join(llr, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("y"),
+            (
+                F.sum(F.coalesce("llr", F.lit(unseen))) + F.lit(prior)
+            )
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    cf = sc.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("score") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("score") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("score") <= 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("score") <= 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    n_train = tr.select("doc_id").distinct().count()
+    n = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    acc = (F.col("tp") + F.col("tn")).cast("double") / n.cast("double")
+    maj = (
+        F.greatest(F.col("tp") + F.col("fn"), F.col("fp") + F.col("tn"))
+        .cast("double")
+        / n.cast("double")
+    )
+    return cf.select(
+        F.lit(n_train).cast("long").alias("n_train_docs"),
+        n.cast("long").alias("n_eval_docs"),
+        F.lit(v).cast("long").alias("n_vocab"),
+        "tp", "fp", "fn", "tn",
+        acc.alias("accuracy"),
+        maj.alias("majority_share"),
+        (acc - maj).alias("signal_margin"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+    )

@@ -200,6 +200,16 @@ def test_conformal_bound_guarantee_shape(spark):
     assert r.n_test_covered <= r.n_test
 
 
+def test_nb_label_probe_collapses_to_prior(spark):
+    """On this corpus lang is an independent tag over a shared
+    vocabulary, so the trained NB model MUST NOT beat the majority
+    baseline — the probe's whole point."""
+    r = REGISTRY["q_nb_label_probe"].fn(spark, SF).collect()[0]
+    assert r.tp + r.fp + r.fn + r.tn == r.n_eval_docs
+    assert r.accuracy <= r.majority_share + 1e-12
+    assert abs(r.signal_margin - (r.accuracy - r.majority_share)) < 1e-12
+
+
 def test_lsh_recall_shares_distributed_truth(spark, monkeypatch):
     calls: list[int] = []
     real = local_frames.literal_frame

@@ -196,6 +196,16 @@ EXTRA = [
     "q_t_closeness",
     "q_cross_source_lcs",
     "q_source_boilerplate",
+    # round 10
+    "q_lsh_band_curve",
+    "q_semdedup_curve",
+    "q_packing_curve",
+    "q_zipf_fit",
+    "q_epoch_budget",
+    "q_blocklist_audit",
+    "q_ivf_append",
+    "q_conformal_bound",
+    "q_nb_label_probe",
 ]
 
 SF = "/root/testdata/sf0.01"

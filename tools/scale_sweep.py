@@ -133,6 +133,7 @@ EXTRA = [
     "q_blocklist_audit",
     "q_ivf_append",
     "q_conformal_bound",
+    "q_nb_label_probe",
 ]
 
 # Queries that share process-global trained/built artifacts via a
