@@ -3300,3 +3300,131 @@ def q_nb_label_probe(spark, sf_dir):
             / (F.col("tp") + F.col("fn")).cast("double"),
         ).alias("recall"),
     )
+
+
+# ---- q_wordpiece_step (round 10) ---------------------------------------------
+# Completes the tokenizer-training family: BPE (q_bpe_merge_step,
+# raw-frequency argmax), unigram-LM (q_unigram_lm_train, EM over piece
+# costs), and now WORDPIECE — the same pair stage scored by the
+# likelihood ratio score(ab) = c_ab·N / (c_a·c_b) (Schuster & Nakajima
+# 2012; the BERT vocab builder), which prefers pairs that co-occur
+# MORE than their unit frequencies predict instead of merely frequent
+# ones.  Counts are exact int64; the score is one identical IEEE
+# expression tree over exact ints (ties broken by pair text).
+
+
+@register(
+    "q_wordpiece_step",
+    r"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+    pairs AS (
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+            SELECT unnest(list_transform(range(1, length(w)),
+                          i -> substring(w, CAST(i AS INT), 2))) AS pair,
+                   cnt
+            FROM wc WHERE length(w) >= 2
+        ) GROUP BY pair
+    ),
+    units AS (
+        SELECT ch, CAST(SUM(cnt) AS BIGINT) AS unit_count FROM (
+            SELECT unnest(list_transform(range(1, length(w) + 1),
+                          i -> substring(w, CAST(i AS INT), 1))) AS ch,
+                   cnt
+            FROM wc
+        ) GROUP BY ch
+    ),
+    nu AS (SELECT CAST(SUM(unit_count) AS BIGINT) AS n FROM units)
+    SELECT p.pair, p.pair_count,
+           a.unit_count AS left_count,
+           b.unit_count AS right_count,
+           CAST(p.pair_count AS DOUBLE) * CAST(n AS DOUBLE)
+               / (CAST(a.unit_count AS DOUBLE)
+                  * CAST(b.unit_count AS DOUBLE)) AS score
+    FROM pairs p
+    JOIN units a ON a.ch = substring(p.pair, 1, 1)
+    JOIN units b ON b.ch = substring(p.pair, 2, 1), nu
+    ORDER BY score DESC, p.pair
+    LIMIT 10
+    """,
+    doc="ONE WORDPIECE training iteration (Schuster & Nakajima 2012 — "
+        "the BERT vocab builder) beside q_bpe_merge_step and "
+        "q_unigram_lm_train, completing the three-family tokenizer-"
+        "trainer suite: adjacent-symbol pairs weighted by word "
+        "frequency, scored by the likelihood ratio c_ab*N/(c_a*c_b) "
+        "rather than raw frequency — merges that co-occur more than "
+        "their unit counts predict win.  Exact int64 counts; the "
+        "score is one identical IEEE expression tree (ties to the "
+        "lexicographically smallest pair); top-10 via TakeOrdered.  "
+        "At 100 TB: the word-count agg is the only corpus-sized "
+        "shuffle; pair/unit stages run over DISTINCT words; the unit "
+        "table (alphabet-sized) broadcasts into the scoring join.",
+)
+def q_wordpiece_step(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(T.tokens("text"), lambda x: x != F.lit(""))
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)-1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+    )
+    units = (
+        wc.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)),"
+                    " i -> substring(w, i, 1))"
+                )
+            ).alias("ch"),
+            "cnt",
+        )
+        .groupBy("ch")
+        .agg(F.sum("cnt").cast("long").alias("unit_count"))
+        .localCheckpoint(eager=True)
+    )
+    n = int(units.agg(F.sum("unit_count")).first()[0])
+    a = units.select(
+        F.col("ch").alias("cha"), F.col("unit_count").alias("left_count")
+    )
+    b = units.select(
+        F.col("ch").alias("chb"), F.col("unit_count").alias("right_count")
+    )
+    return (
+        pairs.join(
+            F.broadcast(a), F.substring("pair", 1, 1) == F.col("cha")
+        )
+        .join(F.broadcast(b), F.substring("pair", 2, 1) == F.col("chb"))
+        .select(
+            "pair",
+            "pair_count",
+            "left_count",
+            "right_count",
+            (
+                F.col("pair_count").cast("double") * F.lit(float(n))
+                / (
+                    F.col("left_count").cast("double")
+                    * F.col("right_count").cast("double")
+                )
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "pair")
+        .limit(10)
+    )

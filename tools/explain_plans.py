@@ -206,6 +206,7 @@ EXTRA = [
     "q_ivf_append",
     "q_conformal_bound",
     "q_nb_label_probe",
+    "q_wordpiece_step",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -134,6 +134,7 @@ EXTRA = [
     "q_ivf_append",
     "q_conformal_bound",
     "q_nb_label_probe",
+    "q_wordpiece_step",
 ]
 
 # Queries that share process-global trained/built artifacts via a
