@@ -156,6 +156,7 @@ _PRIORITY: list[str] = [
     "q_conformal_bound",
     "q_nb_label_probe",
     "q_wordpiece_step",
+    "q_bloom_dedup_gate",
     # --- r9 window remainder (CORRECTNESS_r09 50/50 green) ---
     "q_langid_confusion",
     "q_data_card",

@@ -756,3 +756,194 @@ def q_kmv_distinct(spark, sf_dir):
         ).localCheckpoint()
     finally:
         d.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# q_bloom_dedup_gate (round 10): the Bloom fast path for CROSS-SHARD
+# incremental dedup, with its error realized as oracled output.
+# ---------------------------------------------------------------------------
+# At 100 TB the daily shard is NOT equi-joined against the full base
+# corpus to find exact duplicates — the base ships as an m-bit Bloom
+# filter and only flagged docs pay the verify join.  This query runs
+# both paths on the doc_id-tail split (top 1/16, the
+# q_incremental_substr_dedup cut) and certifies the gate: the Bloom
+# guarantee (zero missed duplicates) as an output column that MUST be
+# 0, the realized false-positive rate, and the load-factor bound
+# rho^k it should track (rho = bits_set/m; per-probe FPR ≈ P(all k
+# probe bits set) — the sizing certificate: at real scale m grows
+# with n_base to hold rho, exactly like the hot-bucket caps hold
+# bucket sizes).
+
+_BDG_M = 131072  # 2^17 bits — holds rho ~0.1 at the test corpus sizes
+_BDG_K = 3
+_BDG_COEFFS = linear_hash_coeffs(_BDG_K, seed=20251016)
+
+
+def _bdg_oracle_sql() -> str:
+    def pos_exprs(fp: str) -> list[str]:
+        return [
+            f"((({a} * ({fp} % {_P}) + {b}) % {_P}) % {_BDG_M})"
+            for a, b in _BDG_COEFFS
+        ]
+
+    member_pos = "\n            UNION ALL ".join(
+        f"SELECT {p} AS pos FROM basef" for p in pos_exprs("fp")
+    )
+    probe_hits = " + ".join(
+        f"CASE WHEN {p} IN (SELECT pos FROM bits) THEN 1 ELSE 0 END"
+        for p in pos_exprs("fp")
+    )
+    return f"""
+    WITH cutv AS (
+        SELECT (max(doc_id) + 1) - (max(doc_id) + 1) // 16 AS cut
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+        FROM documents
+    ),
+    basef AS (SELECT DISTINCT fp FROM f, cutv WHERE doc_id < cut),
+    deltaf AS (SELECT DISTINCT fp FROM f, cutv WHERE doc_id >= cut),
+    bits AS MATERIALIZED (
+        SELECT DISTINCT pos FROM (
+            {member_pos}
+        )
+    ),
+    probed AS (
+        SELECT fp,
+               ({probe_hits}) = {_BDG_K} AS claimed,
+               fp IN (SELECT fp FROM basef) AS actual
+        FROM deltaf
+    ),
+    ag AS (
+        SELECT CAST((SELECT COUNT(*) FROM basef) AS BIGINT) AS n_base,
+               CAST(COUNT(*) AS BIGINT) AS n_delta,
+               CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+               CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_dup,
+               CAST(SUM(CASE WHEN claimed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+               CAST(SUM(CASE WHEN claimed AND NOT actual THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos,
+               CAST(SUM(CASE WHEN actual AND NOT claimed THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_missed_dups
+        FROM probed
+    )
+    SELECT n_base, n_delta,
+           CAST({_BDG_M} AS BIGINT) AS m_bits,
+           CAST({_BDG_K} AS BIGINT) AS k_hashes,
+           bits_set,
+           CAST(bits_set AS DOUBLE) / CAST({_BDG_M} AS DOUBLE)
+               AS load_factor,
+           n_true_dup, n_flagged, n_false_pos, n_missed_dups,
+           CASE WHEN n_delta - n_true_dup > 0
+                THEN CAST(n_false_pos AS DOUBLE)
+                     / CAST(n_delta - n_true_dup AS DOUBLE)
+           END AS realized_fpr,
+           (CAST(bits_set AS DOUBLE) / CAST({_BDG_M} AS DOUBLE))
+               * (CAST(bits_set AS DOUBLE) / CAST({_BDG_M} AS DOUBLE))
+               * (CAST(bits_set AS DOUBLE) / CAST({_BDG_M} AS DOUBLE))
+               AS fpr_bound
+    FROM ag
+    """
+
+
+@register(
+    "q_bloom_dedup_gate",
+    _bdg_oracle_sql(),
+    doc="BLOOM FAST PATH FOR CROSS-SHARD INCREMENTAL DEDUP: the base "
+        "corpus's distinct text fingerprints become a 2^17-bit k=3 "
+        "Bloom filter (seeded linear hashes on the md5_id family — "
+        "every bit position an exact integer in both engines); the "
+        "doc_id-tail shard (top 1/16) probes it, and the exact "
+        "fingerprint join runs beside it as truth.  Certifies the "
+        "gate a 100 TB daily-dedup pipeline relies on: n_missed_dups "
+        "MUST be 0 (the Bloom no-false-negative guarantee as an "
+        "oracled output), realized_fpr vs the load-factor bound "
+        "rho^k (rho = bits_set/m; explicit three-way IEEE product), "
+        "and the flagged volume that alone pays the verify join.  "
+        "Sizing at scale: m grows with n_base to hold rho (the "
+        "8 KB-vs-131 KB question is per-EXECUTOR broadcast cost, "
+        "constant per corpus).  Build aggregates to <= m distinct "
+        "set-bit rows; probes join k positions against the BROADCAST "
+        "bit set — never a corpus-vs-corpus shuffle on the fast "
+        "path.",
+)
+def q_bloom_dedup_gate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mx = int(docs.agg(F.max("doc_id")).first()[0])
+    cut = (mx + 1) - (mx + 1) // 16
+    f = docs.select("doc_id", md5_id(F.col("text")).alias("fp"))
+    basef = f.filter(F.col("doc_id") < cut).select("fp").distinct()
+    deltaf = (
+        f.filter(F.col("doc_id") >= cut).select("fp").distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def positions(col):
+        return [
+            ((F.lit(a) * (col % _P) + F.lit(b)) % _P % _BDG_M)
+            for a, b in _BDG_COEFFS
+        ]
+
+    bits = (
+        basef.select(
+            F.explode(F.array(*positions(F.col("fp")))).alias("pos")
+        ).distinct()
+        .localCheckpoint(eager=True)
+    )
+    hits = (
+        deltaf.select(
+            "fp", F.explode(F.array(*positions(F.col("fp")))).alias("pos")
+        )
+        .join(F.broadcast(bits), "pos")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    probed = (
+        deltaf.join(F.broadcast(hits), "fp", "left")
+        .join(
+            F.broadcast(basef.withColumn("__m", F.lit(True))), "fp", "left"
+        )
+        .select(
+            (F.coalesce("n_hits", F.lit(0)) == _BDG_K).alias("claimed"),
+            F.coalesce("__m", F.lit(False)).alias("actual"),
+        )
+    )
+    n_base = basef.count()
+    bits_set = bits.count()
+    rho = F.lit(float(bits_set)).cast("double") / F.lit(float(_BDG_M))
+    ag = probed.agg(
+        F.count("*").cast("long").alias("n_delta"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_dup"),
+        F.sum(F.when(F.col("claimed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("claimed") & ~F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("actual") & ~F.col("claimed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missed_dups"),
+    )
+    return ag.select(
+        F.lit(n_base).cast("long").alias("n_base"),
+        "n_delta",
+        F.lit(_BDG_M).cast("long").alias("m_bits"),
+        F.lit(_BDG_K).cast("long").alias("k_hashes"),
+        F.lit(bits_set).cast("long").alias("bits_set"),
+        rho.alias("load_factor"),
+        "n_true_dup",
+        "n_flagged",
+        "n_false_pos",
+        "n_missed_dups",
+        F.when(
+            F.col("n_delta") - F.col("n_true_dup") > 0,
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_delta") - F.col("n_true_dup")).cast("double"),
+        ).alias("realized_fpr"),
+        (rho * rho * rho).alias("fpr_bound"),
+    )

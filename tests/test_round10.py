@@ -210,6 +210,17 @@ def test_nb_label_probe_collapses_to_prior(spark):
     assert abs(r.signal_margin - (r.accuracy - r.majority_share)) < 1e-12
 
 
+def test_bloom_dedup_gate_guarantee(spark):
+    """The Bloom no-false-negative guarantee as data, and the basic
+    gate identities (flagged ⊇ true duplicates, sane load factor)."""
+    r = REGISTRY["q_bloom_dedup_gate"].fn(spark, SF).collect()[0]
+    assert r.n_missed_dups == 0
+    assert r.n_flagged >= r.n_true_dup
+    assert r.n_flagged == r.n_true_dup + r.n_false_pos
+    assert 0.0 < r.load_factor < 1.0
+    assert abs(r.fpr_bound - r.load_factor**3) < 1e-15
+
+
 def test_lsh_recall_shares_distributed_truth(spark, monkeypatch):
     calls: list[int] = []
     real = local_frames.literal_frame

@@ -207,6 +207,7 @@ EXTRA = [
     "q_conformal_bound",
     "q_nb_label_probe",
     "q_wordpiece_step",
+    "q_bloom_dedup_gate",
 ]
 
 SF = "/root/testdata/sf0.01"

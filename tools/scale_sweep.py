@@ -135,6 +135,7 @@ EXTRA = [
     "q_conformal_bound",
     "q_nb_label_probe",
     "q_wordpiece_step",
+    "q_bloom_dedup_gate",
 ]
 
 # Queries that share process-global trained/built artifacts via a
