@@ -76,25 +76,32 @@ from . import suffix  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 
 
-# Round-10 rotation (VERDICT r9 item 1).  The driver verifies the
-# FIRST 50 registry entries every round.  CORRECTNESS_r09 landed 50/50
-# green on the r9 window, so those 50 move below and the 13 queries
-# that have never had a driver row rotate into slots 1-13: the 11
-# round-9 late additions plus the two rows-only queries the r9 judge
-# explicitly named for rotation (q_stream_dedup, q_minhash_mllib —
-# these get intentional rows-only driver rows, like the three r1
-# sketches; each has an oracled deterministic companion already
-# driver-green).  All 13 passed the r9 judge's independent strict gate
-# (12 value-oracle bitwise + 1 rows-only) and the strict local gate at
-# sf0.001 + sf0.01 + sf0.1 — residual risk is driver-environment drift
-# only.  Slots 14-50 backfill with CORRECTNESS_r09-green rows in their
-# r9 window order.  THE REGISTRY IS FROZEN AT ROTATION TIME THIS ROUND
-# (the r9 debt existed only because queries landed after the freeze):
-# every new round-10 query is inserted at the R10-NEW marker (slot
-# 51+, i.e. the r11 window).  DO NOT reorder slots 1-50 until
-# CORRECTNESS_r10 lands.
+# Round-11 rotation (VERDICT r10 item 1).  The driver verifies the
+# FIRST 50 registry entries every round.  CORRECTNESS_r10 landed 50/50
+# green on the r10 window (48 full hash-match + the 2 intentional
+# rows-only slots), so driver-coverage debt from rounds ≤9 is zero.
+# The only queries without a driver row are the 9 round-10 additions
+# (all 9 passed the r10 judge's independent strict gate at
+# max_float_diff 0.0) — they rotate into slots 1-9.  Slots 10-50
+# backfill with CORRECTNESS_r10-green rows in their r10 window order
+# (former slots 1-41; former slots 42-50 drop below the window but
+# remain r10-green).  THE REGISTRY IS FROZEN AT ROTATION TIME: every
+# new round-11 query is inserted at the R11-NEW marker (slot 51+,
+# i.e. the r12 window).  DO NOT reorder slots 1-50 until
+# CORRECTNESS_r11 lands.
 _PRIORITY: list[str] = [
-    # --- slots 1-13: ALL remaining never-driver-checked queries ---
+    # --- slots 1-9: the 9 round-10 additions (never driver-checked;
+    # all judge-gate green in VERDICT r10) ---
+    "q_packing_curve",
+    "q_zipf_fit",
+    "q_epoch_budget",
+    "q_blocklist_audit",
+    "q_ivf_append",
+    "q_conformal_bound",
+    "q_nb_label_probe",
+    "q_wordpiece_step",
+    "q_bloom_dedup_gate",
+    # --- slots 10-50: driver-green backfill (r10 window order) ---
     "q_incremental_substr_dedup",
     "q_unigram_lm_train",
     "q_unigram_fertility",
@@ -108,7 +115,6 @@ _PRIORITY: list[str] = [
     "q_semdedup_curve",
     "q_stream_dedup",
     "q_minhash_mllib",
-    # --- slots 14-50: driver-green backfill (r9 window order) ---
     "q_hll_intersection",
     "q_audio_wht",
     "q_image_whash",
@@ -137,6 +143,9 @@ _PRIORITY: list[str] = [
     "q_abc_classification",
     "q_time_to_convert",
     "q_graph_assortativity",
+    # --- R11-NEW: new round-11 value-oracled queries slot here (the
+    # r12 driver window) ---
+    # --- r10 window remainder (CORRECTNESS_r10 50/50 green) ---
     "q_degree_histogram",
     "q_stream_count_min",
     "q_suffix_array",
@@ -146,17 +155,6 @@ _PRIORITY: list[str] = [
     "q_kneser_ney",
     "q_edit_distance_verify",
     "q_curriculum_stages",
-    # --- R10-NEW: new round-10 value-oracled queries slot here (the
-    # r11 driver window) ---
-    "q_packing_curve",
-    "q_zipf_fit",
-    "q_epoch_budget",
-    "q_blocklist_audit",
-    "q_ivf_append",
-    "q_conformal_bound",
-    "q_nb_label_probe",
-    "q_wordpiece_step",
-    "q_bloom_dedup_gate",
     # --- r9 window remainder (CORRECTNESS_r09 50/50 green) ---
     "q_langid_confusion",
     "q_data_card",
