@@ -2898,6 +2898,14 @@ def _ivf_append_oracle(n_centroids=16, iters=2) -> str:
     tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
                    CAST(SUM(n_delta) AS BIGINT) AS nd
             FROM per),
+    -- mirror of the Spark-side degenerate-split guard (ADVICE r10):
+    -- refuse loudly instead of diverging on NULL-vs-IEEE division
+    guard AS (
+        SELECT CASE WHEN nb = 0 OR nd = 0
+                    THEN error('q_ivf_append: degenerate base/delta split')
+                    ELSE 1 END AS ok
+        FROM tot
+    ),
     en AS (
         SELECT cid, n_base, n_delta,
                CAST(n_base + n_delta AS BIGINT) AS n_total,
@@ -2917,7 +2925,8 @@ def _ivf_append_oracle(n_centroids=16, iters=2) -> str:
     )
     SELECT cid, n_base, n_delta, n_total, base_share, delta_share,
            drift_abs, within_delta_budget, tv_drift
-    FROM en, tvv
+    FROM en, tvv, guard
+    WHERE guard.ok = 1
     ORDER BY cid""")
     return "".join(parts)
 
@@ -2978,6 +2987,16 @@ def q_ivf_append(spark, sf_dir):
     n_total = int(emb.count())
     nb = int(base.count())
     nd = n_total - nb
+    if nb == 0 or nd == 0:
+        # ADVICE r10: an empty split must refuse loudly, not diverge —
+        # Spark's x / lit(0.0) yields NULL while DuckDB follows IEEE
+        # (NaN/Inf), so base_share/delta_share/tv_drift would silently
+        # disagree with the oracle instead of failing.
+        raise ValueError(
+            f"q_ivf_append: degenerate base/delta split (n_base={nb}, "
+            f"n_delta={nd}) — the 7/8:1/8 vec_id split needs both sides "
+            "non-empty (max vec_id must be >= 7)"
+        )
     base_share = F.col("n_base").cast("double") / F.lit(float(nb))
     delta_share = F.col("n_delta").cast("double") / F.lit(float(nd))
     en = per.select(

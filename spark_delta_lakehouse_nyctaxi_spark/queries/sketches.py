@@ -901,11 +901,14 @@ def q_bloom_dedup_gate(spark, sf_dir):
         .groupBy("fp")
         .agg(F.count("*").alias("n_hits"))
     )
+    # NO broadcast hints here (ADVICE r10): `hits` is delta-shard-sized
+    # and `basef` is base-corpus-sized — forcing broadcast on data-sized
+    # frames is the executor-OOM class at 100 TB.  Only `bits` (bounded
+    # by m = 2^17 rows) carries a hint; AQE picks the strategy for the
+    # equi-joins below (and still broadcasts them at small SFs).
     probed = (
-        deltaf.join(F.broadcast(hits), "fp", "left")
-        .join(
-            F.broadcast(basef.withColumn("__m", F.lit(True))), "fp", "left"
-        )
+        deltaf.join(hits, "fp", "left")
+        .join(basef.withColumn("__m", F.lit(True)), "fp", "left")
         .select(
             (F.coalesce("n_hits", F.lit(0)) == _BDG_K).alias("claimed"),
             F.coalesce("__m", F.lit(False)).alias("actual"),

@@ -874,17 +874,54 @@ def base_index_table(spark: SparkSession, sf_dir: str):
     from ..sources.table import VersionedTable
 
     cut = _split_cut(spark, sf_dir)
+    # Cheap content fingerprint of the BASE corpus (ADVICE r10): the
+    # artifact is keyed by (sf_dir, cut) on disk, but if the documents
+    # parquet at that path is regenerated with different content the
+    # stale index would silently load and the incremental result would
+    # diverge from the from-scratch oracle.  One agg over the base
+    # split (count + max doc_id + an order-invariant xxhash64 sum)
+    # pins the artifact to the bytes it was built from; a mismatch
+    # refuses loudly.
+    fp_row = (
+        load_table(spark, sf_dir, "documents")
+        .filter(f"doc_id < {cut}")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("doc_id").cast("long").alias("mx"),
+            # DECIMAL(38,0) accumulator: a sum of int64 hashes overflows
+            # long under ANSI (the sa_checksum discipline)
+            F.sum(F.xxhash64("doc_id", "text").cast("decimal(38,0)")).alias("h"),
+        )
+        .first()
+    )
+    fingerprint = f"{fp_row.n}:{fp_row.mx}:{fp_row.h}"
     name = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
     t = VersionedTable(
         spark, os.path.join(_SUBSTR_INDEX_ROOT, f"{name}-cut{cut}")
     )
-    if not t.exists():
+    stored = (
+        (t.history(limit=1) or [{}])[0].get("extra", {}).get("base_fingerprint")
+        if t.exists()
+        else None
+    )
+    if not t.exists() or stored is None:
+        # fresh build, or a pre-fingerprint (round-10) artifact — the
+        # legacy case rebuilds once and stamps, since unverifiable
+        # content must never feed an incremental merge
         base_dl = position_dup_lens(spark, sf_dir, f"doc_id < {cut}")
         t.write(
             base_dl,
             mode="overwrite",
             extra={"base_cut": cut, "sf_dir": sf_dir,
-                   "kind": "exact_substr_base_index"},
+                   "kind": "exact_substr_base_index",
+                   "base_fingerprint": fingerprint},
+        )
+    elif stored != fingerprint:
+        raise ValueError(
+            "base_index_table: persisted ExactSubstr base index at "
+            f"{t.path} was built from different documents content "
+            f"(stored fingerprint {stored!r} != current "
+            f"{fingerprint!r}) — delete the artifact dir to rebuild"
         )
     return t, cut
 
@@ -930,24 +967,83 @@ def merge_shard_dup_lens(
     dedup state of base ∪ shard (provably equal to a from-scratch
     rebuild; tests/test_round9.py gates it bitwise) and cert is a
     1-row frame with n_affected_base (how many base positions the
-    shard actually touched — the delta-proportionality certificate)."""
+    shard actually touched — the delta-proportionality certificate).
+
+    Driver memory is BOUNDED: the shard keys are never collected —
+    they live in a rank-bucketed parquet probe artifact that base map
+    tasks read selectively (see the inline block below); the driver
+    holds one split key per 2^28 shard positions
+    (tests/test_round11.py gates the no-data-sized-collect property)."""
     import numpy as np
 
     from ..operators.indexing import global_row_number
+    from .merge import scratch_dir
 
     sep = "\x02"
 
     # shard suffixes in SA order (keys are globally unique strings)
     dkj = global_row_number(dk, ["key"], "j").localCheckpoint(eager=True)
-    delta_keys = sorted(r.key for r in dkj.select("key").collect())
-    dl_arr = np.array(delta_keys, dtype=object)
+
+    # --- bucketed shard-key probe artifact (VERDICT r10 item 2) -------
+    # The previous revision collected EVERY shard key to the driver and
+    # broadcast them as one numpy array — corpus/16-proportional driver
+    # materialization (the registered query's shard is the doc_id-tail
+    # 1/16 of the corpus), a driver OOM at 100 TB.  Replacement: the
+    # shard keys stay distributed.  They are written once, in SA order,
+    # as a parquet side artifact bucketed by rank range (bucket b holds
+    # ranks b*SZ+1 .. (b+1)*SZ), plus a second tiny artifact of
+    # per-bucket minimum keys grouped into super-buckets.  The DRIVER
+    # collects only the per-SUPER-bucket minimum keys —
+    # ceil(nd / (SZ*SUPER)) strings, i.e. one per 2^28 shard positions
+    # (a 1e12-position shard yields ~4k of them) — bounded metadata of
+    # the same class as the prefix-sum offsets, never the data.  Base
+    # map tasks route each key through the two split levels and read
+    # ONLY the ≤SZ-key bucket its gap falls in (pyarrow, worker-side,
+    # LRU-memoized per worker), so per-task memory is bounded by SZ
+    # keys regardless of corpus size.  On a multi-node cluster the
+    # scratch root must be shared storage (HDFS/S3) — the artifact is
+    # written through Spark and read back by executors.
+    _SZ = 1 << 16  # keys per probe bucket (≈30 MB of key text)
+    _SUPER = 1 << 12  # buckets per super-bucket dir / split block
+    nd = dkj.count()
+    probe_root = scratch_dir("substr-probe")
+    l2_dir = os.path.join(probe_root, "keys")
+    l1_dir = os.path.join(probe_root, "splits")
+    if nd:
+        # keys partitioned by SUPER-bucket directory only (≤ nd/2^28
+        # dirs — never a small-files/metadata storm), rank-sorted
+        # within files (global_row_number's range layout), so a bucket
+        # slice is one row-group-pruned rank-range read.
+        dkb = dkj.select(
+            "j", "key", ((F.col("j") - 1) / (_SZ * _SUPER)).cast("long").alias("sb")
+        )
+        dkb.write.partitionBy("sb").mode("overwrite").parquet(l2_dir)
+        bmin = (
+            dkb.groupBy(((F.col("j") - 1) / _SZ).cast("long").alias("b"))
+            .agg(F.min("key").alias("key"))
+            .select("b", "key", (F.col("b") / _SUPER).cast("long").alias("sb"))
+        )
+        bmin.write.partitionBy("sb").mode("overwrite").parquet(l1_dir)
+        super_splits = np.array(
+            [
+                r.key
+                for r in bmin.filter(F.col("b") % _SUPER == 0)
+                .orderBy("b")
+                .select("key")
+                .collect()
+            ],
+            dtype=object,
+        )
+    else:
+        super_splits = np.array([], dtype=object)
 
     # one map-only pass over base keys: c = how many shard keys sort
-    # below this base suffix (numpy searchsorted against the broadcast
-    # sorted shard keys — Python string order == Spark/DuckDB UTF-8
-    # binary order, both are code-point monotone).  The groupBy keeps
-    # only each gap's extreme rows, so the shuffle after the scan is
-    # delta-proportional, never corpus-proportional.
+    # below this base suffix (numpy searchsorted — Python string order
+    # == Spark/DuckDB UTF-8 binary order, both are code-point
+    # monotone; keys are unique across base ∪ shard so no tie side
+    # matters).  The groupBy keeps only each gap's extreme rows, so
+    # the shuffle after the scan is delta-proportional, never
+    # corpus-proportional.
     from pyspark.sql.types import LongType, StructField, StructType
 
     # (StructType.add mutates in place — build a fresh copy)
@@ -956,11 +1052,68 @@ def merge_shard_dup_lens(
     )
 
     def _gap(it):
+        import pyarrow.dataset as _ds
+
+        cache: dict[tuple[str, int], np.ndarray] = {}
+
+        def _cached(k, load):
+            if k not in cache:
+                if len(cache) >= 8:  # per-worker LRU cap (bounded RAM)
+                    cache.pop(next(iter(cache)))
+                cache[k] = load()
+            return cache[k]
+
+        def _bucket_mins(s: int) -> np.ndarray:
+            # per-bucket min keys of super-bucket s (≤ _SUPER strings);
+            # key order == bucket order (ranks are key-ordered)
+            def load():
+                t = _ds.dataset(os.path.join(l1_dir, f"sb={s}")).to_table(
+                    columns=["key"]
+                )
+                return np.sort(np.array(t.column("key").to_pylist(), dtype=object))
+
+            return _cached(("l1", s), load)
+
+        def _bucket_keys(b: int) -> np.ndarray:
+            # bucket b = shard ranks b*_SZ+1 .. (b+1)*_SZ, sliced out of
+            # its super-bucket dir by a rank-range filter (row-group
+            # statistics pruning keeps the read ≤ ~2 row groups)
+            def load():
+                s = b // _SUPER
+                f = (_ds.field("j") > b * _SZ) & (_ds.field("j") <= (b + 1) * _SZ)
+                t = _ds.dataset(os.path.join(l2_dir, f"sb={s}")).to_table(
+                    columns=["key"], filter=f
+                )
+                return np.sort(np.array(t.column("key").to_pylist(), dtype=object))
+
+            return _cached(("l2", b), load)
+
+        def _counts(keys: np.ndarray) -> np.ndarray:
+            c = np.zeros(len(keys), dtype=np.int64)
+            if not nd:
+                return c
+            # level 1: which super-bucket split block, then which bucket
+            sbix = np.searchsorted(super_splits, keys, side="right") - 1
+            for s in np.unique(sbix):
+                if s < 0:
+                    continue  # below the global shard minimum: c = 0
+                m = sbix == s
+                bmins = _bucket_mins(int(s))
+                bl = np.searchsorted(bmins, keys[m], side="right") - 1
+                bg = int(s) * _SUPER + bl  # global bucket ids (bl >= 0)
+                cm = np.empty(int(m.sum()), dtype=np.int64)
+                for b in np.unique(bg):
+                    mb = bg == b
+                    arr = _bucket_keys(int(b))
+                    cm[mb] = b * _SZ + np.searchsorted(arr, keys[m][mb])
+                c[m] = cm
+            return c
+
         for b in it:
             if not len(b):
                 continue
             b = b.copy()
-            b["c"] = np.searchsorted(dl_arr, b["key"].to_numpy(dtype=object))
+            b["c"] = _counts(b["key"].to_numpy(dtype=object))
             yield b
 
     gaps = (

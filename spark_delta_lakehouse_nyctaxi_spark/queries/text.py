@@ -3082,7 +3082,7 @@ def q_blocklist_audit(spark, sf_dir):
     )
 
 
-# ---- q_nb_langid (round 10) --------------------------------------------------
+# ---- q_nb_label_probe (round 10) --------------------------------------------------
 # A TRAINED quality/ID classifier — the fastText-style step every
 # curation pipeline runs (CCNet, LLaMA data prep) beside the heuristic
 # q_lang_id: Laplace-smoothed Naive Bayes over whitespace tokens,
@@ -3231,7 +3231,7 @@ def q_nb_label_probe(spark, sf_dir):
         )
     if max(spos, sneg) + v > 2**31:
         raise ValueError(
-            "q_nb_langid int64 bound: (count+1)*(S+V) products overflow "
+            "q_nb_label_probe int64 bound: (count+1)*(S+V) products overflow "
             "past 2^31 train tokens — upgrade the llr products to "
             "DECIMAL(38,0) (the sa_checksum discipline)"
         )
