@@ -145,6 +145,9 @@ _PRIORITY: list[str] = [
     "q_graph_assortativity",
     # --- R11-NEW: new round-11 value-oracled queries slot here (the
     # r12 driver window) ---
+    "q_wordpiece_learn",
+    "q_bloom_sizing_curve",
+    "q_conformal_groups",
     # --- r10 window remainder (CORRECTNESS_r10 50/50 green) ---
     "q_degree_histogram",
     "q_stream_count_min",

@@ -2392,3 +2392,179 @@ def q_conformal_bound(spark, sf_dir):
             / F.col("n_test").cast("double")
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_conformal_groups (round 11): q_conformal_bound extended from one
+# global guarantee to PER-GROUP (Mondrian / group-conditional
+# conformal) guarantees — each o_orderpriority gets its own q_hat from
+# its own calibration residuals, so coverage holds within every
+# segment, not just marginally.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_conformal_groups",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cal AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+    tst AS (SELECT * FROM o WHERE o_orderkey % 2 = 1),
+    model AS (
+        SELECT o_orderpriority,
+               CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred
+        FROM cal GROUP BY o_orderpriority
+    ),
+    cs AS (
+        SELECT c.o_orderpriority, abs(c.cents - m.pred) AS s
+        FROM cal c JOIN model m USING (o_orderpriority)
+    ),
+    kk AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_cal,
+               CAST(least((9 * (COUNT(*) + 1) + 9) // 10, COUNT(*))
+                    AS BIGINT) AS conformal_k
+        FROM cs GROUP BY o_orderpriority
+    ),
+    qv AS (
+        SELECT r.o_orderpriority, CAST(r.s AS BIGINT) AS q_hat_cents
+        FROM (SELECT o_orderpriority, s,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY s) AS rn
+              FROM cs) r
+        JOIN kk USING (o_orderpriority)
+        WHERE r.rn = kk.conformal_k
+    ),
+    cov AS (
+        SELECT t.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN abs(t.cents - m.pred) <= q.q_hat_cents
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_test_covered
+        FROM tst t
+        JOIN model m USING (o_orderpriority)
+        JOIN qv q USING (o_orderpriority)
+        GROUP BY t.o_orderpriority
+    )
+    SELECT k.o_orderpriority, k.n_cal, k.conformal_k, q.q_hat_cents,
+           CAST(q.q_hat_cents AS DOUBLE) / 100.0 AS q_hat,
+           c.n_test, c.n_test_covered,
+           CAST(c.n_test_covered AS DOUBLE) / CAST(c.n_test AS DOUBLE)
+               AS coverage
+    FROM kk k JOIN qv q USING (o_orderpriority)
+    JOIN cov c USING (o_orderpriority)
+    ORDER BY k.o_orderpriority
+    """,
+    doc="PER-GROUP SPLIT-CONFORMAL BOUNDS (round 11, VERDICT r10 item "
+        "8 — Mondrian conformal, Vovk 2012): q_conformal_bound's 90% "
+        "guarantee made group-conditional — each o_orderpriority "
+        "calibrates its own q_hat = the ceil(0.9*(n_g+1))-th smallest "
+        "absolute residual of ITS calibration rows, audited as "
+        "empirical coverage on its held-out half.  The grouped "
+        "kth-smallest runs as ONE distributed pass for ALL groups: "
+        "global_row_number over (group, residual) — one range "
+        "exchange, no per-group sort, no single-partition window — "
+        "minus each group's offset (|groups| scalars of bounded "
+        "metadata, collected like the prefix-sum offsets), then one "
+        "equality filter picks every group's k-th value "
+        "simultaneously.  Residuals are exact cents (round(x*100) "
+        "longs) under an integer floor-div model, so each q_hat is an "
+        "exact order statistic; the only doubles are the two final "
+        "divisions.  At 100 TB: two grouped aggregates + one range "
+        "exchange, nothing corpus-squared, nothing data-sized on the "
+        "driver.",
+)
+def q_conformal_groups(spark, sf_dir):
+    from ..operators.indexing import global_row_number
+    from ..operators.local_frames import literal_frame
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cal = o.filter(F.col("o_orderkey") % 2 == 0)
+    tst = o.filter(F.col("o_orderkey") % 2 == 1)
+    model = cal.groupBy("o_orderpriority").agg(
+        F.expr("sum(cents) div count(*)").cast("long").alias("pred")
+    )
+    cs = (
+        cal.join(F.broadcast(model), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.abs(F.col("cents") - F.col("pred")).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # |groups| scalars (priority domain — bounded metadata): per-group
+    # sizes give both the conformal k and the group's rank offset in
+    # the (group, s)-sorted global numbering.  Python's str sort ==
+    # Spark's UTF8String binary sort (both code-point monotone), so
+    # offsets accumulate in the exact range-partition order.
+    sizes = {
+        r.o_orderpriority: int(r.c)
+        for r in cs.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    conf_rows, base = [], 0
+    for pr in sorted(sizes):
+        n_g = sizes[pr]
+        k_g = min((9 * (n_g + 1) + 9) // 10, n_g)
+        conf_rows.append((pr, n_g, k_g, base + k_g))
+        base += n_g
+    conf = literal_frame(
+        spark,
+        conf_rows,
+        "o_orderpriority string, n_cal long, conformal_k long, "
+        "target_rn long",
+    )
+    # grouped kth-smallest in ONE pass: global rank over (group, s),
+    # then each group's k-th value is the row whose global rank equals
+    # the group's offset + k.  Ties in s are value-safe: whatever tie
+    # permutation the range layout realizes, the s value at any sorted
+    # position is the same.
+    ranked = global_row_number(cs, ["o_orderpriority", "s"], "grn")
+    qv = (
+        ranked.join(F.broadcast(conf), "o_orderpriority")
+        .filter(F.col("grn") == F.col("target_rn"))
+        .select(
+            "o_orderpriority",
+            "n_cal",
+            "conformal_k",
+            F.col("s").cast("long").alias("q_hat_cents"),
+        )
+    )
+    cov = (
+        tst.join(F.broadcast(model), "o_orderpriority")
+        .join(F.broadcast(qv), "o_orderpriority")
+        .groupBy("o_orderpriority", "n_cal", "conformal_k", "q_hat_cents")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("pred"))
+                    <= F.col("q_hat_cents"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_test_covered"),
+        )
+    )
+    return cov.select(
+        "o_orderpriority",
+        "n_cal",
+        "conformal_k",
+        "q_hat_cents",
+        (F.col("q_hat_cents").cast("double") / F.lit(100.0)).alias("q_hat"),
+        "n_test",
+        "n_test_covered",
+        (
+            F.col("n_test_covered").cast("double")
+            / F.col("n_test").cast("double")
+        ).alias("coverage"),
+    ).orderBy("o_orderpriority")

@@ -62,6 +62,40 @@ def _trained_ivf_centroids(spark, sf_dir: str, n_centroids: int, iters: int,
     )
 
 
+# ---- corpus-sized centroid count (VERDICT r10 item 4) ----------------------
+# The SemDeDup/IVF-append family previously hard-coded k=16; its own
+# pair-budget certificates detect when that is too coarse
+# (within_budget flips 0) but nothing acted on it.  k now follows the
+# k ~ sqrt(N) discipline: the smallest grid power of two with
+# k*k >= N (integer-exact in BOTH engines — no float sqrt/log at grid
+# boundaries), floored at 16.  The grid tops out at 2^15 = 1,073 M
+# vectors; past that the operator refuses loudly rather than training
+# an undersized index.
+
+_AUTO_K_GRID = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
+                16384, 32768]
+
+_AUTO_K_SQL = (
+    "kv AS (SELECT CASE WHEN MIN(p) IS NULL THEN CAST(error("
+    "'auto_k: corpus exceeds the centroid grid') AS BIGINT) "
+    "ELSE CAST(MIN(p) AS BIGINT) END AS k FROM (VALUES "
+    + ", ".join(f"({p})" for p in _AUTO_K_GRID)
+    + ") g(p) WHERE p * p >= (SELECT COUNT(*) FROM embeddings))"
+)
+
+
+def _auto_k(spark, sf_dir: str) -> int:
+    """Spark-side mirror of ``_AUTO_K_SQL`` (one cheap parquet count)."""
+    n = int(load_table(spark, sf_dir, "embeddings").count())
+    for p in _AUTO_K_GRID:
+        if p * p >= n:
+            return p
+    raise ValueError(
+        f"auto_k: corpus of {n} vectors exceeds the centroid grid "
+        f"(max k={_AUTO_K_GRID[-1]}) — extend _AUTO_K_GRID"
+    )
+
+
 def _trained_pq_codebooks(spark, sf_dir: str, ds: int, ksub: int,
                           iters: int) -> list:
     """The codebook matrix q_ann_pq trains, memoized for its audits."""
@@ -209,7 +243,8 @@ def q_ann_lsh(spark, sf_dir):
 # in-cell cosines use the left-fold double accumulation _COS_SQL
 # mirrors. "Approximate" is only recall vs brute force — the OUTPUT is
 # a pure function of the data, so it value-checks bitwise.
-def _ivf_assignment_parts(n_centroids=16, iters=2, train_where=None) -> list[str]:
+def _ivf_assignment_parts(n_centroids=16, iters=2, train_where=None,
+                          auto_k=False) -> list[str]:
     """CTE chain re-deriving the deterministic k-means index build up
     to the final cell assignment ``a{iters}(vec_id, cid)`` — shared by
     the IVF search oracles and the cluster-topics oracle.
@@ -221,7 +256,13 @@ def _ivf_assignment_parts(n_centroids=16, iters=2, train_where=None) -> list[str
     every vector (assign-new-to-existing-centroids, no retrain).
     ``None`` (default) trains on everything and emits byte-identical
     CTE text to the pre-parameter version, so every existing oracle
-    string is unchanged."""
+    string is unchanged.
+
+    ``auto_k`` (round 11, VERDICT r10 item 4): when True the centroid
+    count is not the ``n_centroids`` literal but the corpus-sized
+    ``kv.k`` CTE (``_AUTO_K_SQL`` — smallest grid power of two with
+    k*k >= N); downstream oracle text references ``(SELECT k FROM
+    kv)`` wherever it needs k."""
     dims = """
     d AS (
         SELECT vec_id, u.s.i AS i, CAST(u.s.x AS DOUBLE) AS x
@@ -232,6 +273,8 @@ def _ivf_assignment_parts(n_centroids=16, iters=2, train_where=None) -> list[str
         "WITH emb AS (SELECT vec_id, embedding FROM embeddings),",
         dims + ",",
     ]
+    if auto_k:
+        parts.append("\n    " + _AUTO_K_SQL + ",")
     if train_where is not None:
         parts.append(f"""
     dtr AS (SELECT * FROM d WHERE {train_where}),""")
@@ -243,9 +286,12 @@ def _ivf_assignment_parts(n_centroids=16, iters=2, train_where=None) -> list[str
     c0 AS (
         SELECT r.rn - 1 AS cid, d.i, d.x
         FROM (SELECT vec_id, row_number() OVER (ORDER BY hh, vec_id) AS rn
-              FROM h QUALIFY rn <= %(K)d) r
+              FROM h QUALIFY rn <= %(K)s) r
         JOIN d ON d.vec_id = r.vec_id
-    ),""" % {"K": n_centroids, "HW": hw}
+    ),""" % {
+            "K": "(SELECT k FROM kv)" if auto_k else str(n_centroids),
+            "HW": hw,
+        }
     )
     for it in range(iters + 1):
         cn = f"c{it}"
@@ -764,12 +810,11 @@ def q_ivf_recall(spark, sf_dir):
     )
 
 
-def _semantic_dedup_oracle(n_centroids=16, iters=2, tau=0.4,
-                           budget_factor=4) -> str:
-    parts = _ivf_assignment_parts(n_centroids, iters)
+def _semantic_dedup_oracle(iters=2, tau=0.4, budget_factor=4) -> str:
+    parts = _ivf_assignment_parts(iters=iters, auto_k=True)
     # per-cell pair budget: pairs of a budget_factor×-balanced cell —
     # exact integers, see q_semantic_dedup's docstring
-    m = f"(({budget_factor} * n_total) // {n_centroids})"
+    m = f"(({budget_factor} * n_total) // (SELECT k FROM kv))"
     budget = f"({m} * ({m} - 1) // 2)"
     parts.append(f"""
     cellv AS (
@@ -815,15 +860,19 @@ def _semantic_dedup_oracle(n_centroids=16, iters=2, tau=0.4,
         "c*(c-1)/2 is each cell's realized intra-cell pair volume and "
         "pair_budget the pairs of a 4x-balanced cell — the k ~ sqrt(N) "
         "discipline (embedding_near_dups docstring) made checkable "
-        "in-query: within_budget flips 0 when the fixed k=16 becomes "
-        "too coarse for the corpus and the index must be re-sized "
-        "before the pair pass is trusted at scale.",
+        "in-query: within_budget flips 0 when k becomes too coarse "
+        "for the corpus and the index must be re-sized before the "
+        "pair pass is trusted at scale.  k ITSELF is corpus-sized "
+        "(round 11, VERDICT r10 item 4): the smallest grid power of "
+        "two with k*k >= N, floored at 16 — derived identically, in "
+        "exact integers, on both engines (_auto_k / _AUTO_K_SQL).",
 )
 def q_semantic_dedup(spark, sf_dir):
     from .aggregates import attach_scalar
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2, exact=True)
+    k = _auto_k(spark, sf_dir)
+    centroids = S.ivf_centroids(emb, n_centroids=k, iters=2, exact=True)
     cells = S.exact_assignments(emb, centroids).select(
         F.col("id").alias("vec_id"), F.col("cid").cast("int").alias("cid")
     )
@@ -851,7 +900,7 @@ def q_semantic_dedup(spark, sf_dir):
         )
     )
     budget = F.expr(
-        "((4 * n_total) div 16) * ((4 * n_total) div 16 - 1) div 2"
+        f"((4 * n_total) div {k}) * ((4 * n_total) div {k} - 1) div 2"
     ).cast("long")
     return attach_scalar(per_cell, nt).select(
         "cid",
@@ -2718,14 +2767,15 @@ def q_ivf_probe_curve(spark, sf_dir):
 _SEMDEDUP_TAUS = [0.25, 0.375, 0.5, 0.625, 0.75]  # dyadic: exact in both engines
 
 
-def _semdedup_curve_oracle(n_centroids=16, iters=2, budget_factor=4) -> str:
-    parts = _ivf_assignment_parts(n_centroids, iters)
+def _semdedup_curve_oracle(iters=2, budget_factor=4) -> str:
+    parts = _ivf_assignment_parts(iters=iters, auto_k=True)
     arms = " UNION ALL ".join(
         f"SELECT CAST({t} AS DOUBLE) AS tau, r{i} AS n_removed FROM sdagg"
         for i, t in enumerate(_SEMDEDUP_TAUS)
     )
-    m = f"(({budget_factor} * n_vectors) // {n_centroids})"
-    budget = f"CAST({n_centroids} * ({m} * ({m} - 1) // 2) AS BIGINT)"
+    ks = "(SELECT k FROM kv)"
+    m = f"(({budget_factor} * n_vectors) // {ks})"
+    budget = f"CAST({ks} * ({m} * ({m} - 1) // 2) AS BIGINT)"
     parts.append(f"""
     cellv AS (
         SELECT e.vec_id, ax.cid, e.embedding
@@ -2777,21 +2827,24 @@ def _semdedup_curve_oracle(n_centroids=16, iters=2, budget_factor=4) -> str:
         "CERTIFICATE (VERDICT r9 item 3): sum_cell_pairs = "
         "sum c*(c-1)/2 is the realized total pair volume of the one "
         "pass and pair_budget = k x pairs-of-a-4x-balanced-cell its "
-        "budget — within_budget flips 0 when k=16 is too coarse and "
-        "the index must be re-sized (k ~ sqrt(N)) before trusting the "
-        "curve at scale.",
+        "budget — within_budget flips 0 when k is too coarse and the "
+        "index must be re-sized before trusting the curve at scale.  "
+        "k ITSELF is corpus-sized (round 11, VERDICT r10 item 4): the "
+        "smallest grid power of two with k*k >= N, floored at 16 — "
+        "derived identically on both engines (_auto_k / _AUTO_K_SQL).",
 )
 def q_semdedup_curve(spark, sf_dir):
     from ..operators.local_frames import literal_frame
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = S.ivf_centroids(emb, n_centroids=16, iters=2, exact=True)
+    k = _auto_k(spark, sf_dir)
+    centroids = S.ivf_centroids(emb, n_centroids=k, iters=2, exact=True)
     cells = S.exact_assignments(emb, centroids).select(
         F.col("id").alias("vec_id"), F.col("cid").cast("int").alias("cid")
     )
     v = emb.join(cells, "vec_id").select("vec_id", "cid", "embedding")
     # bounded scalars (2 ints): corpus size + realized pair volume in
-    # one aggregate over the 16-row cell-size frame
+    # one aggregate over the k-row cell-size frame
     nrow = (
         v.groupBy("cid")
         .agg(F.count("*").alias("c"))
@@ -2802,8 +2855,8 @@ def q_semdedup_curve(spark, sf_dir):
         .first()
     )
     n_vectors, sum_cell_pairs = int(nrow["n"]), int(nrow["sp"] or 0)
-    m = (4 * n_vectors) // 16
-    pair_budget = 16 * (m * (m - 1) // 2)
+    m = (4 * n_vectors) // k
+    pair_budget = k * (m * (m - 1) // 2)
     a, b = v.alias("a"), v.alias("b")
     mxs = (
         a.join(
@@ -2871,10 +2924,11 @@ _IVF_APPEND_CUT = (
 )
 
 
-def _ivf_append_oracle(n_centroids=16, iters=2) -> str:
+def _ivf_append_oracle(iters=2) -> str:
     parts = _ivf_assignment_parts(
-        n_centroids, iters, train_where=_IVF_APPEND_CUT
+        iters=iters, train_where=_IVF_APPEND_CUT, auto_k=True
     )
+    ks = "(SELECT k FROM kv)"
     parts.append(f"""
     cutv AS (SELECT (max(vec_id) + 1) - (max(vec_id) + 1) // 8 AS cut
              FROM embeddings),
@@ -2889,10 +2943,12 @@ def _ivf_append_oracle(n_centroids=16, iters=2) -> str:
         FROM tagged GROUP BY cid
     ),
     per AS (
+        -- cell domain from the init CTE (c0 holds exactly cids
+        -- 0..k-1; range() cannot take the kv subquery as a parameter)
         SELECT CAST(t.c AS BIGINT) AS cid,
                COALESCE(n_base, 0) AS n_base,
                COALESCE(n_delta, 0) AS n_delta
-        FROM range(0, {n_centroids}) t(c)
+        FROM (SELECT DISTINCT cid AS c FROM c0) t
         LEFT JOIN per0 ON per0.cid = t.c
     ),
     tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
@@ -2914,7 +2970,7 @@ def _ivf_append_oracle(n_centroids=16, iters=2) -> str:
                abs(CAST(n_base AS DOUBLE) / CAST(nb AS DOUBLE)
                    - CAST(n_delta AS DOUBLE) / CAST(nd AS DOUBLE))
                    AS drift_abs,
-               CAST(CASE WHEN n_delta <= (4 * nd) // {n_centroids}
+               CAST(CASE WHEN n_delta <= (4 * nd) // {ks}
                     THEN 1 ELSE 0 END AS BIGINT) AS within_delta_budget
         FROM per, tot
     ),
@@ -2955,10 +3011,11 @@ def q_ivf_append(spark, sf_dir):
     from .aggregates import attach_scalar
 
     emb = load_table(spark, sf_dir, "embeddings")
+    k = _auto_k(spark, sf_dir)
     mx = int(emb.agg(F.max("vec_id")).first()[0])
     cut = (mx + 1) - (mx + 1) // 8
     base = emb.filter(F.col("vec_id") < cut)
-    centroids = S.ivf_centroids(base, n_centroids=16, iters=2, exact=True)
+    centroids = S.ivf_centroids(base, n_centroids=k, iters=2, exact=True)
     cells = S.exact_assignments(emb, centroids).select(
         F.col("id").alias("vec_id"), F.col("cid").cast("long").alias("cid")
     )
@@ -2975,7 +3032,7 @@ def q_ivf_append(spark, sf_dir):
         )
     )
     per = (
-        spark.range(16)
+        spark.range(k)
         .select(F.col("id").cast("long").alias("cid"))
         .join(per0, "cid", "left")
         .select(
@@ -2997,6 +3054,13 @@ def q_ivf_append(spark, sf_dir):
             f"n_delta={nd}) — the 7/8:1/8 vec_id split needs both sides "
             "non-empty (max vec_id must be >= 7)"
         )
+    if nb < k:
+        # k centroids need k distinct training vectors (the oracle's
+        # cell domain is the init CTE's k rows)
+        raise ValueError(
+            f"q_ivf_append: training split smaller than the centroid "
+            f"count (n_base={nb} < k={k})"
+        )
     base_share = F.col("n_base").cast("double") / F.lit(float(nb))
     delta_share = F.col("n_delta").cast("double") / F.lit(float(nd))
     en = per.select(
@@ -3007,7 +3071,7 @@ def q_ivf_append(spark, sf_dir):
         base_share.alias("base_share"),
         delta_share.alias("delta_share"),
         F.abs(base_share - delta_share).alias("drift_abs"),
-        F.when(F.col("n_delta") <= (4 * nd) // 16, F.lit(1))
+        F.when(F.col("n_delta") <= (4 * nd) // k, F.lit(1))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("within_delta_budget"),

@@ -950,3 +950,243 @@ def q_bloom_dedup_gate(spark, sf_dir):
         ).alias("realized_fpr"),
         (rho * rho * rho).alias("fpr_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bloom_sizing_curve (round 11): the m-sizing artifact behind
+# q_bloom_dedup_gate's claim that "m grows with n_base to hold rho".
+# ---------------------------------------------------------------------------
+# ONE build pass computes the raw 31-bit hash h = (a·fp + b) mod P per
+# (base fingerprint, hash index); every filter size m is then a modulo
+# PROJECTION of that same frame (pos = h mod m), so the four bit sets
+# ride a single distinct-aggregation shuffle — the established
+# tuning-curve family shape (q_lsh_band_curve / q_ivf_probe_curve /
+# q_excision_thresholds: sweep the knob without re-reading the data).
+
+_BSC_MS = [1 << 14, 1 << 15, 1 << 16, 1 << 17]
+
+
+def _bsc_oracle_sql() -> str:
+    hashes = "\n            UNION ALL ".join(
+        f"SELECT ((({a} * (fp % {_P}) + {b}) % {_P})) AS h FROM basef"
+        for a, b in _BDG_COEFFS
+    )
+    arms = []
+    parts = [f"""
+    WITH cutv AS (
+        SELECT (max(doc_id) + 1) - (max(doc_id) + 1) // 16 AS cut
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+        FROM documents
+    ),
+    basef AS MATERIALIZED (
+        SELECT DISTINCT fp FROM f, cutv WHERE doc_id < cut
+    ),
+    deltaf AS MATERIALIZED (
+        SELECT DISTINCT fp FROM f, cutv WHERE doc_id >= cut
+    ),
+    hb AS MATERIALIZED (
+            {hashes}
+    )"""]
+    for m in _BSC_MS:
+        probe_hits = " + ".join(
+            f"CASE WHEN ((({a} * (fp % {_P}) + {b}) % {_P}) % {m})"
+            f" IN (SELECT pos FROM bits{m}) THEN 1 ELSE 0 END"
+            for a, b in _BDG_COEFFS
+        )
+        rho = f"(CAST((SELECT COUNT(*) FROM bits{m}) AS DOUBLE) / CAST({m} AS DOUBLE))"
+        parts.append(f""",
+    bits{m} AS MATERIALIZED (
+        SELECT DISTINCT h % {m} AS pos FROM hb
+    ),
+    probed{m} AS MATERIALIZED (
+        SELECT fp,
+               ({probe_hits}) = {_BDG_K} AS claimed,
+               fp IN (SELECT fp FROM basef) AS actual
+        FROM deltaf
+    ),
+    ag{m} AS (
+        SELECT CAST({m} AS BIGINT) AS m_bits,
+               CAST({_BDG_K} AS BIGINT) AS k_hashes,
+               CAST((SELECT COUNT(*) FROM basef) AS BIGINT) AS n_base,
+               CAST(COUNT(*) AS BIGINT) AS n_delta,
+               CAST((SELECT COUNT(*) FROM bits{m}) AS BIGINT) AS bits_set,
+               {rho} AS load_factor,
+               CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_dup,
+               CAST(SUM(CASE WHEN claimed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+               CAST(SUM(CASE WHEN claimed AND NOT actual THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos,
+               CAST(SUM(CASE WHEN actual AND NOT claimed THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_missed_dups,
+               CASE WHEN COUNT(*) - SUM(CASE WHEN actual THEN 1 ELSE 0 END) > 0
+                    THEN CAST(SUM(CASE WHEN claimed AND NOT actual
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) - SUM(CASE WHEN actual THEN 1 ELSE 0 END)
+                                AS DOUBLE)
+               END AS realized_fpr,
+               {rho} * {rho} * {rho} AS fpr_bound
+        FROM probed{m}
+    )""")
+        arms.append(f"SELECT * FROM ag{m}")
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(arms) \
+        + "\n    ORDER BY m_bits"
+
+
+@register(
+    "q_bloom_sizing_curve",
+    _bsc_oracle_sql(),
+    doc="BLOOM m-SIZING CURVE (round 11, VERDICT r10 item 7): realized "
+        "FPR vs filter size at m = 2^14..2^17 bits from ONE build "
+        "pass — the measured artifact behind q_bloom_dedup_gate's "
+        "sizing claim (m grows with n_base to hold rho).  The raw "
+        "31-bit hash h = (a*fp + b) mod P is computed ONCE per (base "
+        "fingerprint, hash index); each m is a modulo projection of "
+        "that same exploded frame, so all four bit sets resolve in a "
+        "single distinct shuffle (the tuning-curve family shape: "
+        "sweep the knob, never re-read the data).  Probes join the "
+        "(m, pos) bit table — bounded by sum(m) = 245,760 rows by "
+        "construction, hence broadcastable at ANY corpus size — and "
+        "claimed = all k positions hit.  Output per m: load factor "
+        "rho, realized FPR over true non-duplicates, the rho^k bound "
+        "it must track (explicit three-way IEEE product, the "
+        "q_bloom_dedup_gate discipline), and n_missed_dups which MUST "
+        "be 0 at every m (no-false-negative invariant is "
+        "m-independent).  Exact integer bit positions in both "
+        "engines; the only doubles are the final divisions/products.",
+)
+def q_bloom_sizing_curve(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mx = int(docs.agg(F.max("doc_id")).first()[0])
+    cut = (mx + 1) - (mx + 1) // 16
+    f = docs.select("doc_id", md5_id(F.col("text")).alias("fp"))
+    basef = (
+        f.filter(F.col("doc_id") < cut).select("fp").distinct()
+        .localCheckpoint(eager=True)
+    )
+    deltaf = (
+        f.filter(F.col("doc_id") >= cut).select("fp").distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def hashes(col):
+        return [
+            ((F.lit(a) * (col % _P) + F.lit(b)) % _P)
+            for a, b in _BDG_COEFFS
+        ]
+
+    # ONE build pass: raw hashes once, then 4 modulo projections into
+    # a single distinct over (m, pos)
+    hb = basef.select(F.explode(F.array(*hashes(F.col("fp")))).alias("h"))
+    bits = (
+        hb.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("long").alias("m"),
+                            (F.col("h") % m).alias("pos"),
+                        )
+                        for m in _BSC_MS
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.m", "s.pos")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bcounts = {
+        int(r.m): int(r.c)
+        for r in bits.groupBy("m").agg(F.count("*").alias("c")).collect()
+    }
+    hd = deltaf.select(
+        "fp", F.explode(F.array(*hashes(F.col("fp")))).alias("h")
+    )
+    probe = hd.select(
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("m"),
+                        (F.col("h") % m).alias("pos"),
+                    )
+                    for m in _BSC_MS
+                ]
+            )
+        ).alias("s"),
+    ).select("fp", "s.m", "s.pos")
+    # bits is bounded by sum(_BSC_MS) rows by construction — the
+    # broadcast hint is size-certified, not data-sized (ADVICE r10
+    # discipline: hints only on provably bounded frames)
+    hits = (
+        probe.join(F.broadcast(bits), ["m", "pos"])
+        .groupBy("fp", "m")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    probed = (
+        deltaf.select(
+            "fp",
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in _BSC_MS])
+            ).alias("m"),
+        )
+        .join(hits, ["fp", "m"], "left")
+        .join(basef.withColumn("__in_base", F.lit(True)), "fp", "left")
+        .select(
+            "m",
+            (F.coalesce("n_hits", F.lit(0)) == _BDG_K).alias("claimed"),
+            F.coalesce("__in_base", F.lit(False)).alias("actual"),
+        )
+    )
+    n_base = basef.count()
+    ag = probed.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_delta"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_dup"),
+        F.sum(F.when(F.col("claimed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("claimed") & ~F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("actual") & ~F.col("claimed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missed_dups"),
+    )
+    from ..operators.local_frames import literal_frame
+
+    conf = literal_frame(
+        spark,
+        [(m, bcounts.get(m, 0)) for m in _BSC_MS],
+        "m long, bits_set long",
+    )
+    rho = F.col("bits_set").cast("double") / F.col("m").cast("double")
+    return (
+        ag.join(F.broadcast(conf), "m")
+        .select(
+            F.col("m").alias("m_bits"),
+            F.lit(_BDG_K).cast("long").alias("k_hashes"),
+            F.lit(n_base).cast("long").alias("n_base"),
+            "n_delta",
+            "bits_set",
+            rho.alias("load_factor"),
+            "n_true_dup",
+            "n_flagged",
+            "n_false_pos",
+            "n_missed_dups",
+            F.when(
+                F.col("n_delta") - F.col("n_true_dup") > 0,
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_delta") - F.col("n_true_dup")).cast("double"),
+            ).alias("realized_fpr"),
+            (rho * rho * rho).alias("fpr_bound"),
+        )
+        .orderBy("m_bits")
+    )

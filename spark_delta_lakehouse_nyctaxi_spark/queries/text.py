@@ -1443,6 +1443,211 @@ def q_bpe_learn(spark, sf_dir):
     )
 
 
+def _wordpiece_learn_oracle(iters: int = 3) -> str:
+    """Unrolled WordPiece training loop — the q_bpe_learn chr(1)-wrapped
+    state machinery (see :func:`_bpe_learn_oracle` for the wrapper
+    argument) with the argmax scored by the Schuster & Nakajima
+    likelihood ratio score(ab) = c_ab·N / (c_a·c_b) over the CURRENT
+    symbol inventory instead of raw pair frequency.  Counts are exact
+    int64; each score is ONE identical IEEE expression tree
+    ((pc·N)/(ca·cb), association order mirrored in the Spark build),
+    so the per-step argmax (score DESC, a, b) is engine-identical."""
+    d = "chr(1)"
+    dd = f"{d} || {d}"
+    parts = [
+        r"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    wc AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+    w0 AS MATERIALIZED (
+        SELECT array_to_string(list_transform(
+                   range(1, length(w) + 1),
+                   i -> chr(1) || substring(w, CAST(i AS INT), 1) || chr(1)
+               ), '') AS seq, cnt
+        FROM wc
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    s{k} AS MATERIALIZED (
+        SELECT string_split(substring(seq, 2, length(seq) - 2), {dd})
+                   AS syms, cnt
+        FROM w{k - 1}
+    ),
+    pc{k} AS MATERIALIZED (
+        SELECT u.p.a AS a, u.p.b AS b, SUM(cnt) AS pc
+        FROM s{k}, unnest(list_transform(
+                 range(1, len(syms)),
+                 i -> {{'a': syms[CAST(i AS INT)],
+                        'b': syms[CAST(i AS INT) + 1]}})) u(p)
+        WHERE len(syms) >= 2
+        GROUP BY 1, 2
+    ),
+    uc{k} AS MATERIALIZED (
+        SELECT u.sym AS sym, SUM(cnt) AS c
+        FROM s{k}, unnest(syms) u(sym)
+        GROUP BY 1
+    ),
+    nn{k} AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc{k}),
+    m{k} AS MATERIALIZED (
+        SELECT p.a, p.b, p.pc, ca.c AS ca, cb.c AS cb,
+               (SELECT n FROM nn{k}) AS n,
+               CAST(p.pc AS DOUBLE)
+                   * CAST((SELECT n FROM nn{k}) AS DOUBLE)
+                   / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS score
+        FROM pc{k} p
+        JOIN uc{k} ca ON ca.sym = p.a
+        JOIN uc{k} cb ON cb.sym = p.b
+        ORDER BY score DESC, p.a, p.b LIMIT 1
+    ),
+    w{k} AS MATERIALIZED (
+        SELECT replace(seq,
+                   {d} || (SELECT a FROM m{k}) || {dd}
+                        || (SELECT b FROM m{k}) || {d},
+                   {d} || (SELECT a FROM m{k})
+                        || (SELECT b FROM m{k}) || {d}) AS seq,
+               cnt
+        FROM w{k - 1}
+    )""")
+    arms = [
+        f"SELECT {k} AS step, (SELECT a FROM m{k}) AS left_sym, "
+        f"(SELECT b FROM m{k}) AS right_sym, "
+        f"(SELECT a || b FROM m{k}) AS merged, "
+        f"CAST((SELECT pc FROM m{k}) AS BIGINT) AS pair_count, "
+        f"CAST((SELECT ca FROM m{k}) AS BIGINT) AS left_count, "
+        f"CAST((SELECT cb FROM m{k}) AS BIGINT) AS right_count, "
+        f"CAST((SELECT n FROM m{k}) AS BIGINT) AS n_units, "
+        f"(SELECT score FROM m{k}) AS score"
+        for k in range(1, iters + 1)
+    ]
+    arms.append(
+        f"SELECT {iters + 1}, '<corpus>', '<corpus>', '<total_symbols>', "
+        f"CAST((SELECT SUM(cnt * len(string_split("
+        f"substring(seq, 2, length(seq) - 2), {dd}))) FROM w{iters}) "
+        f"AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+        f"CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)"
+    )
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(arms)
+
+
+@register(
+    "q_wordpiece_learn",
+    _wordpiece_learn_oracle(3),
+    doc="FULL WORDPIECE tokenizer TRAINING loop (3 merges) — the "
+        "iterated q_bpe_learn analogue that completes the trainer-"
+        "family symmetry (BPE: q_bpe_merge_step/q_bpe_learn; unigram: "
+        "q_unigram_lm_train; WordPiece: q_wordpiece_step/this): per "
+        "iteration (1) adjacent-symbol pair counts AND current-symbol "
+        "unit counts over the DISTINCT vocabulary weighted by word "
+        "frequency, (2) argmax by the likelihood ratio "
+        "score(ab) = c_ab*N/(c_a*c_b) (Schuster & Nakajima 2012 — "
+        "score DESC, symbols ASC tiebreak; one identical IEEE "
+        "expression tree over exact int64 counts), (3) merge "
+        "application via the chr(1)-wrapped replace() (left-to-right "
+        "non-overlapping scan IS greedy merge order — no UDF).  The "
+        "only driver transfers are the three 1-row argmax frames; the "
+        "corpus is touched once, every iteration runs over the "
+        "vocabulary, unit tables broadcast into the scoring join.  "
+        "Output: the 3 learned merges with their full score "
+        "decomposition + the post-merge corpus symbol total "
+        "(certifying application, not just selection); whole loop "
+        "bitwise vs the unrolled-CTE oracle.",
+)
+def q_wordpiece_learn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    d = "\x01"
+    words = docs.select(
+        F.explode(
+            F.filter(T.tokens("text"), lambda x: x != F.lit(""))
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    st = wc.select(
+        F.expr(
+            "concat_ws('', transform(sequence(1, length(w)), "
+            "i -> concat(chr(1), substring(w, i, 1), chr(1))))"
+        ).alias("seq"),
+        "cnt",
+    ).persist()
+    syms = F.split(
+        F.expr("substring(seq, 2, length(seq) - 2)"), "\x01\x01"
+    )
+    rows = []
+    for step in (1, 2, 3):
+        sy = st.withColumn("syms", syms)
+        pairs = (
+            sy.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS a, "
+                        "element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        units = (
+            sy.select(F.explode("syms").alias("sym"), "cnt")
+            .groupBy("sym")
+            .agg(F.sum("cnt").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        n = int(units.agg(F.sum("c")).first()[0])
+        ca = units.select(F.col("sym").alias("sa"), F.col("c").alias("ca"))
+        cb = units.select(F.col("sym").alias("sb"), F.col("c").alias("cb"))
+        best = (
+            pairs.join(F.broadcast(ca), F.col("a") == F.col("sa"))
+            .join(F.broadcast(cb), F.col("b") == F.col("sb"))
+            .select(
+                "a", "b", "pc", "ca", "cb",
+                (
+                    F.col("pc").cast("double") * F.lit(float(n))
+                    / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        rows.append(
+            (step, best["a"], best["b"], best["a"] + best["b"],
+             int(best["pc"]), int(best["ca"]), int(best["cb"]), n,
+             float(best["score"]))
+        )
+        nxt = st.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(d + best["a"] + d + d + best["b"] + d),
+                F.lit(d + best["a"] + best["b"] + d),
+            ).alias("seq"),
+            "cnt",
+        ).persist()
+        nxt.count()
+        st.unpersist()
+        st = nxt
+    total = st.select(
+        F.sum(F.col("cnt") * F.size(syms)).cast("long").alias("t")
+    ).collect()[0]["t"]
+    st.unpersist()
+    rows.append(
+        (4, "<corpus>", "<corpus>", "<total_symbols>", int(total),
+         None, None, None, None)
+    )
+    return spark.createDataFrame(
+        rows,
+        "step int, left_sym string, right_sym string, merged string, "
+        "pair_count long, left_count long, right_count long, "
+        "n_units long, score double",
+    )
+
+
 @register(
     "q_inverted_index_incremental",
     """
