@@ -106,8 +106,11 @@ def main() -> None:
     # wait bounded-long for an idle window before burning 5 samples
     # per query into noise
     while (
-        ambient and ambient[0] > _CONTENTION_THRESHOLD and waited < 180
+        ambient and ambient[0] > _CONTENTION_THRESHOLD and waited < 420
     ):
+        # cap raised 180 -> 420s (VERDICT r10 item 5: a 60s wait still
+        # ran into a loadavg-4.6 window; 1-min loadavg halves ~every
+        # 60s, so 7 minutes outlasts a 2-3x episode)
         time.sleep(15)
         waited += 15
         ambient = _loadavg()
@@ -140,17 +143,49 @@ def main() -> None:
     # charging every query its full data work (cache cleared between
     # runs). Adds ~1-2 min wall over median-of-3.
     load_before = _loadavg()
+
+    def _timed_run(name: str) -> float:
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.time() - t0
+        spark.catalog.clearCache()
+        return dt
+
+    all_samples: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        all_samples[name] = sorted(_timed_run(name) for _ in range(5))
+
+    # one re-sample pass (VERDICT r10 item 5): a steal episode that
+    # starts AFTER the ambient check passed contaminates a whole
+    # stretch of samples — queries whose min-of-5 sits >40% above the
+    # committed idle reference get 3 more samples once the pass has
+    # moved on (by then the episode has usually decayed).
+    idle_ref_qmin: dict[str, float] = {}
+    if os.path.exists(_IDLE_SIDECAR) and not record_idle:
+        try:
+            with open(_IDLE_SIDECAR) as f:
+                _ref = json.load(f)
+            if _ref.get("sf") == sf:
+                idle_ref_qmin = _ref.get("queries_min") or {}
+        except Exception:
+            pass
+    resampled = [
+        n
+        for n in HEADLINE
+        if idle_ref_qmin.get(n)
+        and all_samples[n][0] > 1.4 * idle_ref_qmin[n]
+    ]
+    for name in resampled:
+        all_samples[name] = sorted(
+            all_samples[name] + [_timed_run(name) for _ in range(3)]
+        )
+
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
-    for name in HEADLINE:
-        samples = []
-        for _ in range(5):
-            t0 = time.time()
-            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-            spark.catalog.clearCache()
-        samples.sort()
-        timings[name] = round(samples[2], 3)
+    for name, samples in all_samples.items():
+        timings[name] = round(samples[len(samples) // 2], 3)
         minima[name] = round(samples[0], 3)
 
     out = {
@@ -173,6 +208,9 @@ def main() -> None:
         "loadavg_ambient": ambient,
         "waited_for_idle_sec": waited,
         "contended": contended,
+        # queries that triggered the >40%-above-idle-reference
+        # re-sample pass (their stats cover 8 samples, not 5)
+        "resampled": resampled,
         "commit": _git_head(),
     }
     if record_idle:
