@@ -1562,14 +1562,28 @@ def q_knn_classifier(spark, sf_dir):
 
 
 # ---- IVF-PQ composition (FAISS's production shape) ------------------
-def _ivf_chain_subsql(select: str, n_centroids=16, iters=2) -> str:
+def _ivf_chain_subsql(select: str, n_centroids=16, iters=2,
+                      train_where=None, materialized=False) -> str:
     """The IVF assignment chain as a self-contained nested-WITH
     subquery ending in ``select`` — composable under another WITH
     without CTE-name collisions (both the IVF and PQ chains define
-    d/h/c0/...)."""
-    chain = "".join(_ivf_assignment_parts(n_centroids, iters)).rstrip()
+    d/h/c0/...).  ``train_where`` passes through to
+    :func:`_ivf_assignment_parts`; because the nested WITH can
+    reference OUTER CTEs, the predicate may embed scalar subqueries
+    over them (the q_stream_ivf_append fold threads its retrain state
+    through exactly this way)."""
+    chain = "".join(
+        _ivf_assignment_parts(n_centroids, iters, train_where=train_where)
+    ).rstrip()
     if chain.endswith(","):
         chain = chain[:-1]
+    if materialized:
+        # force linear evaluation of the inner chain: DuckDB's CTE
+        # sharing does not reach into nested subqueries, and the
+        # prefix-doubling chain re-evaluates exponentially without it
+        # (" AS (" only ever prefixes a CTE body in this generated
+        # text — expression aliases are never parenthesized)
+        chain = chain.replace(" AS (", " AS MATERIALIZED (")
     return f"({chain}\n    {select})"
 
 

@@ -1547,3 +1547,271 @@ def q_stream_substr_dedup(spark, sf_dir):
             / F.count("*").cast("double")
         ).alias("covered_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_ivf_append (round 11): the streaming form of q_ivf_append —
+# an ANN index maintained under a live append stream, with the
+# drift-triggered re-train LOOP actually executed (q_ivf_append emits
+# the tv_drift signal a production index monitors; this query acts on
+# it), under the q_stream_packing single-commit txn discipline.
+# ---------------------------------------------------------------------------
+
+_SIV_K = 16          # pinned at init time: re-sizing k online is a
+#                      different operation (the batch family auto-sizes
+#                      via similarity._auto_k; a live index re-sizes at
+#                      re-train time in production, k*k >= n_seen)
+_SIV_ITERS = 2
+_SIV_TAU = 0.125     # dyadic drift threshold: exact in both engines
+
+
+def _stream_ivf_oracle_sql() -> str:
+    from .similarity import _ivf_chain_subsql
+
+    steps_sql = []
+    arms = [
+        # step 1: the first quarter trains the initial index
+        """SELECT 1 AS step,
+           CAST((SELECT COUNT(*) FROM embeddings, bb WHERE vec_id < b1)
+                AS BIGINT) AS n_batch,
+           CAST((SELECT COUNT(*) FROM embeddings, bb WHERE vec_id < b1)
+                AS BIGINT) AS n_seen,
+           CAST((SELECT COUNT(*) FROM embeddings, bb WHERE vec_id < b1)
+                AS BIGINT) AS trained_on,
+           CAST(NULL AS DOUBLE) AS tv_drift,
+           CAST(0 AS BIGINT) AS growth_trigger,
+           CAST(0 AS BIGINT) AS drift_trigger,
+           CAST(1 AS BIGINT) AS retrained"""
+    ]
+    for i in (2, 3, 4):
+        prev_st = f"st{i - 1}"
+        lo = f"(SELECT t FROM {prev_st})"  # train bound (n_tr window)
+        # the BATCH window is the arrival quarter [b_{i-1}, b_i) — NOT
+        # the train bound: after a skipped retrain t < b_{i-1}
+        blo = f"(SELECT b{i - 1} FROM bb)"
+        hi = f"(SELECT b{i} FROM bb)" if i < 4 else "(SELECT span FROM bb)"
+        cur_b = f"b{i}" if i < 4 else "span"
+        chain = _ivf_chain_subsql(
+            f"SELECT vec_id, cid FROM a{_SIV_ITERS}",
+            _SIV_K,
+            _SIV_ITERS,
+            train_where=f"vec_id < (SELECT t FROM {prev_st})",
+            materialized=True,
+        )
+        steps_sql.append(f""",
+    a{i}x AS MATERIALIZED (SELECT * FROM {chain} q{i}),
+    cnt{i} AS MATERIALIZED (
+        SELECT g.range AS cid,
+               CAST(COUNT(*) FILTER (WHERE a.vec_id < {lo}) AS BIGINT)
+                   AS n_tr,
+               CAST(COUNT(*) FILTER (WHERE a.vec_id >= {blo}
+                                     AND a.vec_id < {hi}) AS BIGINT)
+                   AS n_ba
+        FROM range(0, {_SIV_K}) g
+        LEFT JOIN a{i}x a ON a.cid = g.range
+        GROUP BY g.range
+    ),
+    n{i} AS MATERIALIZED (SELECT CAST(SUM(n_tr) AS BIGINT) AS nt,
+                    CAST(SUM(n_ba) AS BIGINT) AS nb FROM cnt{i}),
+    tv{i} AS MATERIALIZED (
+        SELECT CAST(SUM(CAST(abs(
+                   CAST(n_tr AS DOUBLE) / CAST(nt AS DOUBLE)
+                   - CAST(n_ba AS DOUBLE) / CAST(nb AS DOUBLE))
+               AS DECIMAL(18,7))) AS DOUBLE) / 2.0 AS tv
+        FROM cnt{i}, n{i}
+    ),
+    sn{i} AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n
+              FROM embeddings, bb WHERE vec_id < {hi}),
+    tg{i} AS MATERIALIZED (
+        SELECT CASE WHEN (SELECT n FROM sn{i}) - (SELECT nt FROM n{i})
+                         >= (SELECT nt FROM n{i})
+                    THEN 1 ELSE 0 END AS growth,
+               CASE WHEN (SELECT tv FROM tv{i}) > {_SIV_TAU}
+                    THEN 1 ELSE 0 END AS drift
+    ),
+    st{i} AS MATERIALIZED (
+        SELECT CASE WHEN (SELECT growth FROM tg{i}) = 1
+                         OR (SELECT drift FROM tg{i}) = 1
+                    THEN (SELECT {cur_b} FROM bb)
+                    ELSE (SELECT t FROM {prev_st}) END AS t
+    )""")
+        arms.append(f"""SELECT {i},
+           CAST((SELECT nb FROM n{i}) AS BIGINT),
+           (SELECT n FROM sn{i}),
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id < (SELECT t FROM st{i})) AS BIGINT),
+           (SELECT tv FROM tv{i}),
+           CAST((SELECT growth FROM tg{i}) AS BIGINT),
+           CAST((SELECT drift FROM tg{i}) AS BIGINT),
+           CAST(CASE WHEN (SELECT growth FROM tg{i}) = 1
+                          OR (SELECT drift FROM tg{i}) = 1
+                     THEN 1 ELSE 0 END AS BIGINT)""")
+    return (
+        """
+    WITH bv AS (SELECT max(vec_id) + 1 AS span FROM embeddings),
+    bb AS MATERIALIZED (SELECT span, span // 4 AS b1, (2 * span) // 4 AS b2,
+                  (3 * span) // 4 AS b3 FROM bv),
+    st1 AS MATERIALIZED (SELECT b1 AS t FROM bb)"""
+        + "".join(steps_sql)
+        + "\n    "
+        + "\n    UNION ALL ".join(arms)
+        + "\n    ORDER BY 1"
+    )
+
+
+@register(
+    "q_stream_ivf_append",
+    _stream_ivf_oracle_sql(),
+    doc="STREAMING ANN INDEX MAINTENANCE WITH DRIFT-TRIGGERED RETRAIN "
+        "(round 11; the q_ivf_append monitor turned into the loop that "
+        "acts on it): embeddings arrive as four vec_id-contiguous "
+        "micro-batches (maxFilesPerTrigger=1, availableNow, the "
+        "q_stream_packing mtime-pinned staging); batch 1 trains the "
+        "initial k=16 exact-decimal Lloyd index, every later batch is "
+        "assigned to the CURRENT centroids, and the index re-trains on "
+        "all vectors seen when either trigger fires: GROWTH (appended "
+        "since last train >= training-set size — the FAISS-style "
+        "capacity rule, integer-exact) or DRIFT (tv between the "
+        "batch's and the training set's assignment distributions "
+        "> 0.125 — q_ivf_append's quantized-decimal TV, bitwise).  "
+        "State rides ONE VersionedTable: rows = vectors seen, commit "
+        "extra = centroid matrix + per-cell train counts + step log + "
+        "(app_id, batch_id) txn marker — data, state and idempotence "
+        "guard are ATOMIC (a branchy fold is not replay-safe by "
+        "algebra; the marker is what makes checkpoint replay "
+        "harmless).  The DuckDB oracle replays the whole loop in "
+        "static SQL: each step's chain trains on `vec_id < (SELECT t "
+        "FROM st{i})`, so the data-dependent retrain DECISION threads "
+        "through scalar subqueries without branch enumeration — "
+        "decisions, tv values, and trained_on sizes are all "
+        "value-checked bitwise.  At 100 TB: per batch one "
+        "assignment scan of the batch (broadcast k x dim centroids), "
+        "k-row bounded metadata to the driver, and a re-train only "
+        "when a trigger fires — never a standing corpus-sized cost.",
+)
+def q_stream_ivf_append(spark, sf_dir):
+    import glob as _glob
+    import os as _os
+
+    from ..operators import similarity as S
+    from ..operators.local_frames import literal_frame
+    from ..sources.table import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    span = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    bounds = [0, span // 4, (2 * span) // 4, (3 * span) // 4, span]
+
+    # stage the four vec_id-contiguous shards in arrival order (mtime
+    # pinned — see q_stream_packing for the tiebreak rationale)
+    path = scratch_dir("stream_emb")
+    staged: set = set()
+    for i in range(4):
+        emb.filter(
+            (F.col("vec_id") >= bounds[i]) & (F.col("vec_id") < bounds[i + 1])
+        ).coalesce(1).write.mode("append").parquet(path)
+        for fpath in set(_glob.glob(_os.path.join(path, "part-*"))) - staged:
+            _os.utime(fpath, (1_700_000_000 + i, 1_700_000_000 + i))
+            staged.add(fpath)
+
+    t_out = VersionedTable(spark, scratch_dir("ivf_stream_state"))
+    app_id = "q_stream_ivf_append"
+
+    def _train_and_count(train_df):
+        cents = S.ivf_centroids(
+            train_df, n_centroids=_SIV_K, iters=_SIV_ITERS, exact=True
+        )
+        counts = {
+            int(r.cid): int(r.n)
+            for r in S.exact_assignments(train_df, cents)
+            .groupBy("cid")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        return cents, [counts.get(c, 0) for c in range(_SIV_K)]
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_batch = batch_df.count()
+        prev = t_out.last_txn_commit(app_id) if t_out.exists() else None
+        if prev is not None and batch_id <= prev["txn"]["version"]:
+            return  # replayed batch — already committed atomically
+        if prev is None:
+            cents, tc = _train_and_count(batch_df)
+            steps = [[1, n_batch, n_batch, n_batch, None, 0, 0, 1]]
+            extra = {"centroids": cents, "train_counts": tc,
+                     "n_seen": n_batch, "steps": steps}
+        else:
+            cents = prev["centroids"]
+            tc = prev["train_counts"]
+            steps = prev["steps"]
+            bc = {
+                int(r.cid): int(r.n)
+                for r in S.exact_assignments(batch_df, cents)
+                .groupBy("cid")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            nt, nb = sum(tc), sum(bc.values())
+            # the q_ivf_append TV expression, verbatim, over the k-row
+            # count frame (quantized scale-7 decimal sum — tie-proof
+            # |v|<1 class; /2.0 exact in FP)
+            tvf = literal_frame(
+                spark,
+                [(c, tc[c], bc.get(c, 0)) for c in range(_SIV_K)],
+                "cid long, n_tr long, n_ba long",
+            ).select(
+                F.abs(
+                    F.col("n_tr").cast("double") / F.lit(float(nt))
+                    - F.col("n_ba").cast("double") / F.lit(float(nb))
+                ).alias("drift_abs")
+            )
+            tv = float(
+                tvf.agg(
+                    (
+                        F.sum(F.col("drift_abs").cast("decimal(18,7)"))
+                        .cast("double")
+                        / F.lit(2.0)
+                    ).alias("tv")
+                ).first()[0]
+            )
+            n_seen = int(prev["n_seen"]) + n_batch
+            growth = 1 if n_seen - nt >= nt else 0
+            drift = 1 if tv > _SIV_TAU else 0
+            retrained = 1 if (growth or drift) else 0
+            if retrained:
+                all_seen = t_out.read().select("vec_id", "embedding").unionByName(
+                    batch_df.select("vec_id", "embedding")
+                )
+                cents, tc = _train_and_count(all_seen)
+            trained_on = sum(tc)
+            steps = steps + [
+                [len(steps) + 1, n_batch, n_seen, trained_on, tv,
+                 growth, drift, retrained]
+            ]
+            extra = {"centroids": cents, "train_counts": tc,
+                     "n_seen": n_seen, "steps": steps}
+        # ONE commit = vectors + centroid state + step log + marker:
+        # no crash point can separate data from decision history
+        t_out.write(
+            batch_df.select("vec_id", "embedding"),
+            mode="append",
+            extra={**VersionedTable.txn_extra(app_id, batch_id), **extra},
+        )
+
+    sdf = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_available_now(sdf, scratch_dir("ckpt_sivf"), foreach_batch=fold)
+    final = t_out.last_txn_commit(app_id)
+    assert final is not None and len(final["steps"]) == 4
+    return literal_frame(
+        spark,
+        [tuple(s) for s in final["steps"]],
+        "step int, n_batch long, n_seen long, trained_on long, "
+        "tv_drift double, growth_trigger long, drift_trigger long, "
+        "retrained long",
+    ).orderBy("step")
