@@ -149,6 +149,7 @@ _PRIORITY: list[str] = [
     "q_bloom_sizing_curve",
     "q_conformal_groups",
     "q_stream_ivf_append",
+    "q_perplexity_buckets",
     # --- r10 window remainder (CORRECTNESS_r10 50/50 green) ---
     "q_degree_histogram",
     "q_stream_count_min",

@@ -3633,3 +3633,142 @@ def q_wordpiece_step(spark, sf_dir):
         .orderBy(F.col("score").desc(), "pair")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_perplexity_buckets (round 11): the CCNet head/middle/tail quality
+# split — q_unigram_surprisal's per-doc signal turned into the
+# bucketing decision a curation pipeline acts on.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_perplexity_buckets",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    voc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM voc),
+    ic AS (
+        SELECT w, CAST(length(bin(t // c)) - 1 AS BIGINT) AS bits
+        FROM voc, tot
+    ),
+    ds AS MATERIALIZED (
+        SELECT k.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits
+        FROM tok k JOIN ic USING (w)
+        GROUP BY k.doc_id
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ds),
+    kk AS (
+        SELECT (n + 2) // 3 AS k1, (2 * n + 2) // 3 AS k2, n FROM nd
+    ),
+    rs AS (
+        SELECT mean_bits,
+               row_number() OVER (ORDER BY mean_bits, doc_id) AS rn
+        FROM ds
+    ),
+    th AS (
+        SELECT (SELECT mean_bits FROM rs, kk WHERE rn = k1) AS t1,
+               (SELECT mean_bits FROM rs, kk WHERE rn = k2) AS t2
+    ),
+    lab AS (
+        SELECT CASE WHEN mean_bits <= t1 THEN 'head'
+                    WHEN mean_bits <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               n_tokens, mean_bits
+        FROM ds, th
+    ),
+    tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_tokens FROM ds)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n FROM nd) AS DOUBLE)
+               AS doc_share,
+           CAST(SUM(n_tokens) AS DOUBLE)
+               / CAST((SELECT all_tokens FROM tt) AS DOUBLE) AS token_share,
+           MIN(mean_bits) AS min_mean_bits,
+           MAX(mean_bits) AS max_mean_bits,
+           (SELECT t1 FROM th) AS head_threshold,
+           (SELECT t2 FROM th) AS middle_threshold
+    FROM lab
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="CCNet-STYLE PERPLEXITY BUCKETS (Wenzek et al. 2020): the "
+        "head/middle/tail tertile split a curation pipeline keeps or "
+        "drops — q_unigram_surprisal's exact per-doc signal (mean "
+        "integer-bits unigram surprisal: Σ(len(bin(N//c))−1)/n_tokens, "
+        "one IEEE division per doc) turned into the bucketing "
+        "DECISION.  The two tertile thresholds are exact distributed "
+        "order statistics over (mean_bits, doc_id): ONE "
+        "global_row_number pass (range exchange, no single-partition "
+        "window) and two rank-equality filters — the "
+        "q_conformal_groups selection discipline; docs tied with a "
+        "threshold value bucket deterministically by value.  Output "
+        "per bucket: doc/token volumes and shares (the retention "
+        "decision artifact: CCNet keeps head+middle) plus the "
+        "realized thresholds.  At 100 TB: one vocab aggregate, one "
+        "broadcast scoring join, one range exchange — nothing "
+        "corpus-squared, k-scalar driver metadata only.",
+)
+def q_perplexity_buckets(spark, sf_dir):
+    from ..operators.indexing import global_row_number
+    from .aggregates import attach_scalar
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+    voc = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = voc.agg(F.sum("c").cast("long").alias("t"))
+    ic = attach_scalar(voc, tot).select(
+        "w",
+        (F.length(F.bin(F.expr("t DIV c"))) - 1).cast("long").alias("bits"),
+    )
+    ds = (
+        tok.join(F.broadcast(ic), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (F.sum("bits").cast("double") / F.count("*")).alias("mean_bits"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nd = ds.count()
+    k1, k2 = (nd + 2) // 3, (2 * nd + 2) // 3
+    ranked = global_row_number(ds, ["mean_bits", "doc_id"], "rn")
+    th = {
+        int(r.rn): float(r.mean_bits)
+        for r in ranked.filter(F.col("rn").isin([k1, k2])).collect()
+    }
+    t1, t2 = th[k1], th[k2]
+    all_tokens = int(ds.agg(F.sum("n_tokens")).first()[0])
+    bucket = (
+        F.when(F.col("mean_bits") <= t1, F.lit("head"))
+        .when(F.col("mean_bits") <= t2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ds.select(bucket.alias("bucket"), "n_tokens", "mean_bits")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (F.count("*").cast("double") / F.lit(float(nd))).alias(
+                "doc_share"
+            ),
+            (
+                F.sum("n_tokens").cast("double") / F.lit(float(all_tokens))
+            ).alias("token_share"),
+            F.min("mean_bits").alias("min_mean_bits"),
+            F.max("mean_bits").alias("max_mean_bits"),
+        )
+        .select(
+            "*",
+            F.lit(t1).alias("head_threshold"),
+            F.lit(t2).alias("middle_threshold"),
+        )
+        .orderBy("bucket")
+    )

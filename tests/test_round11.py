@@ -84,3 +84,132 @@ def test_stream_substr_no_data_sized_collect(spark, monkeypatch):
     assert not big, (
         f"data-sized collect(s) on the streaming ExactSubstr path: {big}"
     )
+
+
+def test_auto_k_grid_integer_exact():
+    """k = smallest grid power of two with k*k >= N, floored at 16 —
+    boundary cases are integer-exact (no float sqrt/log)."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries.similarity import (
+        _AUTO_K_GRID,
+    )
+
+    # the SQL mirror and the Python mirror share the same grid walk;
+    # check the pure predicate on boundary values
+    def grid_k(n):
+        for p in _AUTO_K_GRID:
+            if p * p >= n:
+                return p
+        raise AssertionError
+
+    assert grid_k(1) == 16
+    assert grid_k(256) == 16      # 16^2 == 256: inclusive bound
+    assert grid_k(257) == 32
+    assert grid_k(500) == 32
+    assert grid_k(1024) == 32
+    assert grid_k(1025) == 64
+    assert grid_k(2000) == 64
+
+
+def test_wordpiece_learn_merge_application(spark):
+    """Each merge can only SHRINK the corpus symbol total, by at most
+    its selection-time pair count (greedy non-overlapping replace may
+    merge fewer occurrences than were counted, never more), and every
+    reported score must equal the likelihood ratio recomputed from its
+    own count columns."""
+    rows = {r.step: r for r in q("q_wordpiece_learn", spark).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    total_after = rows[4].pair_count
+    merged_bound = sum(rows[s].pair_count for s in (1, 2, 3))
+    # initial symbol total == n_units at step 1 (units are counted
+    # over the pre-merge state of that step)
+    initial = rows[1].n_units
+    assert initial - merged_bound <= total_after <= initial
+    for s in (1, 2, 3):
+        r = rows[s]
+        expect = (
+            float(r.pair_count)
+            * float(r.n_units)
+            / (float(r.left_count) * float(r.right_count))
+        )
+        assert r.score == expect
+        assert r.merged == r.left_sym + r.right_sym
+
+
+def test_bloom_sizing_curve_monotonicity(spark):
+    """Powers-of-two m nest: pos mod m factors through pos mod 2m, so
+    bits_set is nondecreasing and the load factor nonincreasing in m;
+    the no-false-negative invariant holds at EVERY m; the truth
+    columns are m-independent."""
+    rows = sorted(
+        q("q_bloom_sizing_curve", spark).collect(), key=lambda r: r.m_bits
+    )
+    assert [r.m_bits for r in rows] == [1 << 14, 1 << 15, 1 << 16, 1 << 17]
+    assert all(r.n_missed_dups == 0 for r in rows)
+    assert len({(r.n_base, r.n_delta, r.n_true_dup) for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.bits_set <= b.bits_set
+        assert a.load_factor >= b.load_factor
+        # flagged volume can only shrink as the filter widens: claimed
+        # requires ALL k positions set, and set positions at 2m project
+        # onto set positions at m
+        assert a.n_flagged >= b.n_flagged
+
+
+def test_conformal_groups_accounting(spark):
+    """Per-group split accounting: calibration/test halves tile the
+    orders table, each group's k is the ceil-0.9 order-statistic index
+    bounded by its calibration size, and coverage is a proper share."""
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    rows = q("q_conformal_groups", spark).collect()
+    n_orders = load_table(spark, SF_SMALL, "orders").count()
+    assert sum(r.n_cal + r.n_test for r in rows) == n_orders
+    for r in rows:
+        assert r.conformal_k == min((9 * (r.n_cal + 1) + 9) // 10, r.n_cal)
+        assert 0.0 <= r.coverage <= 1.0
+        assert r.q_hat_cents >= 0
+
+
+def test_stream_ivf_append_fold_invariants(spark):
+    """The streamed retrain log is internally consistent: n_seen
+    accumulates the batches, trained_on tracks n_seen exactly when a
+    trigger fired (and stays put otherwise), and the retrained flag is
+    the OR of its two trigger columns."""
+    rows = sorted(
+        q("q_stream_ivf_append", spark).collect(), key=lambda r: r.step
+    )
+    assert [r.step for r in rows] == [1, 2, 3, 4]
+    seen = 0
+    trained = 0
+    for r in rows:
+        seen += r.n_batch
+        assert r.n_seen == seen
+        if r.step == 1:
+            trained = r.n_seen
+            assert r.retrained == 1
+        else:
+            assert r.retrained == (1 if (r.growth_trigger or r.drift_trigger) else 0)
+            if r.retrained:
+                trained = r.n_seen
+            assert r.trained_on == trained
+            assert r.tv_drift is not None and 0.0 <= r.tv_drift <= 1.0
+
+
+def test_perplexity_buckets_tile_the_corpus(spark):
+    """The three buckets partition the corpus exactly (docs and
+    tokens), thresholds are ordered, and value-bucketing respects
+    them: every head doc <= t1 < every non-head doc's bound, etc."""
+    from spark_delta_lakehouse_nyctaxi_spark.sources.readers import load_table
+
+    rows = {r.bucket: r for r in q("q_perplexity_buckets", spark).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    assert abs(sum(r.doc_share for r in rows.values()) - 1.0) < 1e-12
+    t1 = rows["head"].head_threshold
+    t2 = rows["head"].middle_threshold
+    assert t1 <= t2
+    assert rows["head"].max_mean_bits <= t1
+    assert rows["middle"].min_mean_bits > t1
+    assert rows["middle"].max_mean_bits <= t2
+    assert rows["tail"].min_mean_bits > t2

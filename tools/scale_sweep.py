@@ -136,6 +136,12 @@ EXTRA = [
     "q_nb_label_probe",
     "q_wordpiece_step",
     "q_bloom_dedup_gate",
+    # round 11
+    "q_wordpiece_learn",
+    "q_bloom_sizing_curve",
+    "q_conformal_groups",
+    "q_incremental_substr_dedup",
+    "q_perplexity_buckets",
 ]
 
 # Queries that share process-global trained/built artifacts via a
