@@ -167,8 +167,12 @@ def test_zipf_fit_shape(spark):
 
 
 def test_ivf_append_certificate(spark):
+    from spark_delta_lakehouse_nyctaxi_spark.queries.similarity import _auto_k
+
     rows = REGISTRY["q_ivf_append"].fn(spark, SF).collect()
-    assert len(rows) == 16
+    # round 11: k is corpus-sized (smallest grid power of two with
+    # k*k >= N), no longer the fixed 16
+    assert len(rows) == _auto_k(spark, SF)
     tv = rows[0].tv_drift
     assert all(r.tv_drift == tv for r in rows)
     assert 0.0 <= tv <= 1.0
