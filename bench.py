@@ -214,11 +214,23 @@ def main() -> None:
         "commit": _git_head(),
     }
     if record_idle:
-        if contended:
+        # The sidecar is the cross-round comparator — it must be a
+        # genuinely quiet-host number.  The 1-min ambient alone is not
+        # enough: a box that JUST came off heavy load reads 1-min ~0
+        # while the 5-min average still shows the episode, and a
+        # record taken there ran ~25% slow across every query
+        # (measured at the round-11 close).  Require the 5-min
+        # average quiet too.
+        recently_loaded = bool(
+            ambient and len(ambient) > 1
+            and ambient[1] > _CONTENTION_THRESHOLD
+        )
+        if contended or recently_loaded:
             print(
                 json.dumps({"error": "refusing to record idle sidecar: "
-                            f"ambient loadavg {ambient} > "
-                            f"{_CONTENTION_THRESHOLD}"}),
+                            f"ambient loadavg {ambient} not quiet "
+                            f"(1-min and 5-min must be <= "
+                            f"{_CONTENTION_THRESHOLD})"}),
                 file=sys.stderr,
             )
             sys.exit(1)
