@@ -861,6 +861,15 @@ def q_excision_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it — this artifact is SUPPOSED to outlive sessions).
 _SUBSTR_INDEX_ROOT = "/root/repo/.tmp/substr_index"
 
+# Probe-artifact bucket geometry (see merge_shard_dup_lens).  Module
+# level so tests can SHRINK them: at the test SFs the whole shard fits
+# in one bucket, which would leave the multi-bucket / multi-super-
+# bucket routing paths unexercised — tests/test_round11.py patches
+# these down to force dozens of buckets over real data and gates the
+# result bitwise against the full rebuild.
+_PROBE_SZ = 1 << 16  # keys per probe bucket (~30 MB of key text)
+_PROBE_SUPER = 1 << 12  # buckets per super-bucket dir / split block
+
 
 def base_index_table(spark: SparkSession, sf_dir: str):
     """The PERSISTED ExactSubstr base-index artifact (VERDICT r9 item
@@ -1003,8 +1012,7 @@ def merge_shard_dup_lens(
     # keys regardless of corpus size.  On a multi-node cluster the
     # scratch root must be shared storage (HDFS/S3) — the artifact is
     # written through Spark and read back by executors.
-    _SZ = 1 << 16  # keys per probe bucket (≈30 MB of key text)
-    _SUPER = 1 << 12  # buckets per super-bucket dir / split block
+    _SZ, _SUPER = _PROBE_SZ, _PROBE_SUPER
     nd = dkj.count()
     probe_root = scratch_dir("substr-probe")
     l2_dir = os.path.join(probe_root, "keys")

@@ -213,3 +213,33 @@ def test_perplexity_buckets_tile_the_corpus(spark):
     assert rows["middle"].min_mean_bits > t1
     assert rows["middle"].max_mean_bits <= t2
     assert rows["tail"].min_mean_bits > t2
+
+
+def test_probe_artifact_multibucket_routing(spark, monkeypatch):
+    """At the test SFs the whole shard fits in ONE probe bucket, so
+    the two-level routing (super-bucket split walk, per-bucket
+    rank-filtered reads, worker LRU eviction) would never execute
+    locally.  Shrink the bucket geometry until the sf0.001 shard spans
+    dozens of buckets across several super-bucket dirs and gate the
+    merged state bitwise against the from-scratch rebuild — the same
+    theorem, now through every routing path."""
+    from spark_delta_lakehouse_nyctaxi_spark.queries import suffix as sfx
+
+    monkeypatch.setattr(sfx, "_PROBE_SZ", 64)
+    monkeypatch.setattr(sfx, "_PROBE_SUPER", 4)
+    bk = sfx.window_keys(spark, SF_SMALL, None)  # base = whole corpus
+    cut = sfx._split_cut(spark, SF_SMALL)
+    base_dl = sfx.position_dup_lens(spark, SF_SMALL, f"doc_id < {cut}")
+    bk_base = sfx.window_keys(spark, SF_SMALL, f"doc_id < {cut}")
+    n_base = bk_base.count()
+    dk = sfx.window_keys(
+        spark, SF_SMALL, f"doc_id >= {cut}", g_offset=n_base
+    )
+    n_delta = dk.count()
+    # the geometry must actually fan out for the gate to mean anything
+    assert n_delta > 64 * 4 * 2, "shrink further: <3 super-buckets"
+    merged, cert = sfx.merge_shard_dup_lens(spark, bk_base, base_dl, dk)
+    full = sfx.position_dup_lens(spark, SF_SMALL)
+    inc = sorted(map(tuple, merged.collect()))
+    reb = sorted(map(tuple, full.collect()))
+    assert inc == reb
