@@ -150,6 +150,7 @@ _PRIORITY: list[str] = [
     "q_conformal_groups",
     "q_stream_ivf_append",
     "q_perplexity_buckets",
+    "q_minhash_perm_curve",
     # --- r10 window remainder (CORRECTNESS_r10 50/50 green) ---
     "q_degree_histogram",
     "q_stream_count_min",

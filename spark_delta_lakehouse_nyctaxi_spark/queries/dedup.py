@@ -2640,3 +2640,144 @@ def q_lsh_band_curve(spark, sf_dir):
         )
         .orderBy("bands")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_perm_curve (round 11): estimator error vs permutation count
+# — the third axis of the MinHash tuning family (q_lsh_band_curve
+# sweeps the banding of 32 registers, q_bloom_sizing_curve sweeps the
+# filter width; this sweeps the SIGNATURE width itself).
+# ---------------------------------------------------------------------------
+
+_MPC_RS = [8, 16, 24, 32]
+
+
+def _mh_perm_curve_sql() -> str:
+    arms = []
+    parts = [f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sh AS (
+        SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+        FROM sh0
+    ),
+    sigs AS MATERIALIZED (
+        SELECT id,
+               {_MH_MINS}
+        FROM sh GROUP BY id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS MATERIALIZED (
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= 0.1
+    ),
+    pj AS MATERIALIZED (
+        SELECT p.jaccard,
+               {", ".join(
+                   f"CAST({' + '.join(f'CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END' for i in range(r))} AS BIGINT) AS m{r}"
+                   for r in _MPC_RS
+               )}
+        FROM pairs p
+        JOIN sigs a ON a.id = p.id_a
+        JOIN sigs b ON b.id = p.id_b
+    ),
+    ag AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               {", ".join(
+                   f"CAST(SUM(CAST(abs(CAST(m{r} AS DOUBLE) / CAST({r} AS DOUBLE) - jaccard) AS DECIMAL(18,7))) AS DOUBLE) AS sae{r}, "
+                   f"CAST(SUM(CAST(CAST(m{r} AS DOUBLE) / CAST({r} AS DOUBLE) - jaccard AS DECIMAL(18,7))) AS DOUBLE) AS sd{r}, "
+                   f"MAX(abs(CAST(m{r} AS DOUBLE) / CAST({r} AS DOUBLE) - jaccard)) AS mx{r}"
+                   for r in _MPC_RS
+               )}
+        FROM pj
+    )"""]
+    for r in _MPC_RS:
+        arms.append(f"""SELECT CAST({r} AS BIGINT) AS n_perms, n_pairs,
+           CASE WHEN n_pairs > 0
+                THEN sae{r} / CAST(n_pairs AS DOUBLE) END AS mae,
+           CASE WHEN n_pairs > 0
+                THEN sd{r} / CAST(n_pairs AS DOUBLE) END AS bias,
+           mx{r} AS max_abs_err
+    FROM ag""")
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(arms) \
+        + "\n    ORDER BY n_perms"
+
+
+@register(
+    "q_minhash_perm_curve",
+    _mh_perm_curve_sql(),
+    doc="MINHASH PERMUTATION-COUNT CURVE: Jaccard-estimator error vs "
+        "signature width at r = 8/16/24/32 permutations from ONE "
+        "signature build — register-prefix estimates (the first r of "
+        "the 32 linear-permutation mins; E[matches/r] = J exactly, "
+        "Broder 1997) evaluated against the exact >= 0.1 Jaccard "
+        "ground-truth pairs.  Completes the MinHash tuning family's "
+        "third axis: q_lsh_band_curve fixes 32 registers and sweeps "
+        "banding, q_bloom_sizing_curve sweeps the filter width, this "
+        "sweeps how many permutations the sketch must PAY for a "
+        "target estimator error (the r-vs-accuracy trade a 100 TB "
+        "dedup run prices before building signatures).  Per width: "
+        "MAE and signed bias (quantized scale-7 decimal sums of "
+        "|v|<1 atoms — est and truth are identical IEEE doubles in "
+        "both engines, so every diff is bitwise) and the max "
+        "absolute error (order-free max of identical doubles).  At "
+        "100 TB: one signature aggregate, one pair join against the "
+        "truth frame, one aggregate — widths are projections of the "
+        "SAME match array, never a rebuild.",
+)
+def q_minhash_perm_curve(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    pairs = _prefix_jaccard_pairs(df, threshold=0.1)
+    arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed="md5")
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    sig = D.minhash_signatures_linear(sh, _MH_COEFFS).select("id", "signature")
+    j = (
+        pairs.join(
+            sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sb")),
+            "id_b",
+        )
+        # one match array; every width is a prefix-slice projection
+        .withColumn("marr", F.expr("zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0))"))
+    )
+    aggs = [F.count("*").cast("long").alias("n_pairs")]
+    for r in _MPC_RS:
+        est = (
+            F.expr(
+                f"aggregate(slice(marr, 1, {r}), 0, (acc, v) -> acc + v)"
+            ).cast("double")
+            / F.lit(float(r))
+        )
+        diff = est - F.col("jaccard")
+        aggs += [
+            F.sum(F.abs(diff).cast("decimal(18,7)"))
+            .cast("double")
+            .alias(f"sae{r}"),
+            F.sum(diff.cast("decimal(18,7)")).cast("double").alias(f"sd{r}"),
+            F.max(F.abs(diff)).alias(f"mx{r}"),
+        ]
+    ag = j.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({r} AS BIGINT), n_pairs, "
+        f"CASE WHEN n_pairs > 0 THEN sae{r} / CAST(n_pairs AS DOUBLE) END, "
+        f"CASE WHEN n_pairs > 0 THEN sd{r} / CAST(n_pairs AS DOUBLE) END, "
+        f"mx{r}"
+        for r in _MPC_RS
+    )
+    return ag.selectExpr(
+        f"stack({len(_MPC_RS)}, {stack_args}) AS "
+        "(n_perms, n_pairs, mae, bias, max_abs_err)"
+    ).orderBy("n_perms")

@@ -243,3 +243,20 @@ def test_probe_artifact_multibucket_routing(spark, monkeypatch):
     inc = sorted(map(tuple, merged.collect()))
     reb = sorted(map(tuple, full.collect()))
     assert inc == reb
+
+
+def test_minhash_perm_curve_shape(spark):
+    """One build, four widths: the evaluation pair set is identical
+    at every r, errors are proper magnitudes (0 <= mae <= max_abs_err
+    <= 1, |bias| <= mae), and the curve covers exactly the published
+    widths."""
+    rows = sorted(
+        q("q_minhash_perm_curve", spark).collect(), key=lambda r: r.n_perms
+    )
+    assert [r.n_perms for r in rows] == [8, 16, 24, 32]
+    assert len({r.n_pairs for r in rows}) == 1
+    for r in rows:
+        if r.n_pairs == 0:
+            continue
+        assert 0.0 <= r.mae <= r.max_abs_err <= 1.0
+        assert abs(r.bias) <= r.mae + 1e-12

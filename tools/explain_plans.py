@@ -214,6 +214,7 @@ EXTRA = [
     "q_conformal_groups",
     "q_incremental_substr_dedup",
     "q_perplexity_buckets",
+    "q_minhash_perm_curve",
 ]
 
 SF = "/root/testdata/sf0.01"

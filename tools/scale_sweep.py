@@ -142,6 +142,7 @@ EXTRA = [
     "q_conformal_groups",
     "q_incremental_substr_dedup",
     "q_perplexity_buckets",
+    "q_minhash_perm_curve",
 ]
 
 # Queries that share process-global trained/built artifacts via a
