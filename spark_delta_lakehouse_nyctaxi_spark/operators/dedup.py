@@ -716,7 +716,19 @@ def duplicate_clusters(
     long-chain graphs swap in large-star/small-star (Kiveris et al.),
     which squares distances per round; same contract.
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Materialize the DIRECTED pair list once before mirroring it: the
+    # union's two branches are separate plan subtrees, so without this
+    # the entire upstream pair pipeline (shingle join + Jaccard
+    # verification — the most expensive stages of every caller) would
+    # execute TWICE, once per direction (measured ~2× the pair-stage
+    # cost on q_training_pipeline at sf0.1; guide §2.4 "remove
+    # shuffles outright" / §5 caching-for-reuse). localCheckpoint
+    # rather than persist: it also truncates the lineage so the
+    # per-iteration loop below replans against a leaf, and blocks free
+    # when the frame is GC'd (repo-wide policy).
+    fwd = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()

@@ -80,10 +80,24 @@ def brute_force_topk(
                 "ivf_topk/lsh_topk for large query sets, or pass "
                 "max_query_rows=None to force."
             )
+    # Norms factored out of the pair loop: cosine(q, c) evaluates
+    # dot(q,c) / (norm(q)·norm(c)); computing each row's norm ONCE
+    # before the cross join divides the per-pair array work by ~3
+    # (norm(q) and norm(c) are |queries|+|corpus| evaluations instead
+    # of 2·|pairs| — guide §1.2 "don't compute things you throw
+    # away"). The division is the same try_divide over the same
+    # doubles multiplied in the same order, so results are
+    # bit-identical to the unfactored form (oracle-verified).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -91,7 +105,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            F.try_divide(
+                dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm") * F.col("c_norm"),
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))

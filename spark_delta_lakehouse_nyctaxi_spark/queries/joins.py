@@ -166,7 +166,18 @@ def q_join_range(spark, sf_dir):
     cond = (l.l_orderkey == o.o_orderkey) & (
         l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
     )
-    return o.join(l, cond, "inner").groupBy("o_orderkey").agg(F.count("*").alias("n_late_lines"))
+    # MERGE hint: the static estimator broadcasts the 150k-row orders
+    # side (file-bytes × column-ratio estimate) — a driver-built hash
+    # relation that grows with the fact table's key space and measured
+    # ~0.25s slower than SMJ at sf0.1. SMJ on the equi-key (range
+    # predicate evaluated inside the join) is the plan that holds at
+    # 100 TB; AQE can still downgrade to broadcast from runtime sizes.
+    return (
+        o.hint("merge")
+        .join(l, cond, "inner")
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_late_lines"))
+    )
 
 
 @register(

@@ -195,9 +195,18 @@ def q_tpch_q5(spark, sf_dir):
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # MERGE hint on the orderkey join: the static estimator sizes
+    # lineitem by file-bytes × column ratio (~3 MB here) and BROADCASTS
+    # THE FACT TABLE as the build side — backwards at any scale (the
+    # 8 GB / 512M-row broadcast cap, guide §3.1), and measured ~0.4s
+    # slower than SMJ at sf0.1 (building a 600k-row hash relation on
+    # the driver). SMJ on the orderkey is the scale-correct strategy;
+    # AQE still demotes it to a broadcast join at runtime when the
+    # customer⋈orders side proves small, using REAL sizes instead of
+    # the estimate.
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(l.hint("merge"), o.o_orderkey == l.l_orderkey)
         .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)

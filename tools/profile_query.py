@@ -43,6 +43,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVDIR,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -74,9 +76,17 @@ def main() -> None:
         if app_id in p:
             path = p
     assert path, f"no event log for {app_id}"
+    if os.path.isdir(path):
+        # rolling event log (eventlog_v2 dir): concatenate its parts
+        parts = sorted(
+            p for p in glob.glob(os.path.join(path, "*")) if "appstatus" not in p
+        )
+        lines = [ln for p in parts for ln in open(p)]
+    else:
+        lines = list(open(path))
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    for line in open(path):
+    for line in lines:
         try:
             ev = json.loads(line)
         except Exception:
