@@ -75,11 +75,24 @@ def doc_shingle_arrays(
     matching the exploded form where they simply produce no rows.
     """
     nparts = parallelism or df.sparkSession.sparkContext.defaultParallelism
-    # Linear-time shingling: zip the token array with its k-1 shifted
-    # copies (each shift is one O(n) slice), instead of slicing per
-    # position (O(n²) per document — measured 3× slower at sf0.1).
-    with_toks = df.repartition(nparts, id_col).select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("t")
+    # Empty/whitespace/NULL docs are dropped with a CHEAP pre-shuffle
+    # predicate equivalent to the old post-hoc `size(sh_arr) > 0`:
+    # trim(text) <> '' ⟺ the token array is non-empty ⟺ every shingle
+    # window keeps its non-empty leading token ⟺ sh_arr is non-empty
+    # (and NULL text fails both forms).  The post-hoc form was a
+    # scale-killer in disguise: Catalyst pushed it below the
+    # repartition exchange by SUBSTITUTING the entire shingle+md5
+    # expression tree into the filter, so the whole shingle pipeline
+    # executed twice — once at scan parallelism (one task per input
+    # file) just to decide the filter, then again above the exchange
+    # (measured 0.97s of a 3.0s q_minhash_lsh run in the single-task
+    # pre-exchange Filter at sf0.1; guide §1.2 "don't compute things
+    # you throw away" / §7.2 duplicated subtrees).  Bonus: empty docs
+    # now drop BEFORE the shuffle (guide §2.3).
+    with_toks = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .repartition(nparts, id_col)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
     )
     n = F.size("t")
     shifted = [F.col("t").alias("w0")] + [
@@ -94,7 +107,10 @@ def doc_shingle_arrays(
         arr = F.transform(arr, lambda s: md5_id(s))
     elif hashed:
         arr = F.transform(arr, lambda s: F.xxhash64(s))
-    return with_toks.select("id", arr.alias("sh_arr")).filter(F.size("sh_arr") > 0)
+    # No post-hoc size(sh_arr) filter: the pre-shuffle trim predicate
+    # above already guarantees sh_arr is non-empty (re-adding one here
+    # would be re-pushed below the exchange as the full expression).
+    return with_toks.select("id", arr.alias("sh_arr"))
 
 
 def shingles(
@@ -429,18 +445,41 @@ def jaccard_pairs_adaptive(
     it — hot boilerplate shingles, the 100 TB regime — the prefix
     filter's rarest-first pruning takes over. Parity across both
     branches is pytest-gated.
+
+    The per-doc shingle-array frame is materialized ONCE
+    (localCheckpoint, eager) before anything branches: the pair stage
+    fans it out 3-4 ways (both sides of the self-join or the
+    prefix-filter, the size frame, and the budget statistic), and
+    without a materialization barrier each consumer stage re-executed
+    the full tokenize+shingle+hash pipeline concurrently — measured
+    18.4s of the 25s task time in q_curation_pipeline_v2's pair stage
+    at sf0.1, vs 1.0s for the identical join over materialized
+    shingles (guide §1.2 "don't compute things you throw away", §5
+    caching-for-reuse).  localCheckpoint(eager) rather than persist():
+    consumers read materialized blocks, nothing leaks into a
+    long-lived session (blocks free when the frame is GC'd — round-2
+    ADVICE), and the budget count() below doubles as the barrier the
+    old code paid a separate upstream execution for.  At 100 TB this
+    is a checkpoint to cluster storage — the same intermediate the
+    prefix branch always materialized.
     """
-    sh = shingles(df, id_col, text_col, k=k, hashed=True)
+    arrs = doc_shingle_arrays(df, id_col, text_col, k=k, hashed=True).localCheckpoint(
+        eager=True
+    )
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    # (id, n_sh) as a projection of the materialized arrays — replaces
+    # the groupBy("id") size shuffle jaccard_pairs would otherwise run
+    # (guide §2.4 "remove shuffles outright").
+    sizes = arrs.select("id", F.size("sh_arr").alias("n_sh"))
     # Cheap short-circuit: co-shingle candidates can never exceed
     # N·(N−1)/2, so a small corpus is provably under budget without the
-    # frequency pass.  The count is parquet-metadata-free only for raw
-    # table scans; for computed inputs (e.g. the flagship's deduped
-    # frame) it runs the upstream plan once — still the cheapest
-    # statistic that bounds the join, and strictly cheaper than the
-    # per-shingle frequency aggregate it avoids.
-    n = df.count()
+    # frequency pass.  N counts the checkpointed per-doc rows — a
+    # metadata-only job over materialized blocks (empty-shingle docs
+    # are excluded, which only lowers the bound; both branches produce
+    # identical output so the choice stays purely physical).
+    n = arrs.count()
     if n * (n - 1) / 2 <= pair_budget:
-        return jaccard_pairs(sh, threshold=threshold)
+        return jaccard_pairs(sh, threshold=threshold, sizes=sizes)
     est = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("c"))
@@ -448,17 +487,8 @@ def jaccard_pairs_adaptive(
         .first()["est"]
     )
     if est is not None and est <= pair_budget:
-        return jaccard_pairs(sh, threshold=threshold)
-    # localCheckpoint(eager) instead of persist(): three consumers read
-    # the materialized blocks, and nothing leaks into a long-lived
-    # session (a bare persist here had no unpersist point — the caller
-    # owns the returned lazy frame; round-2 ADVICE).  Blocks free when
-    # the DataFrame is GC'd.
-    arrs = doc_shingle_arrays(df, id_col, text_col, k=k, hashed=True).localCheckpoint(
-        eager=True
-    )
-    sh_arr = arrs.select("id", F.explode("sh_arr").alias("shingle"))
-    cand = prefix_filter_candidates(sh_arr, threshold)
+        return jaccard_pairs(sh, threshold=threshold, sizes=sizes)
+    cand = prefix_filter_candidates(sh, threshold)
     return jaccard_pairs_from_arrays(arrs, cand, threshold=threshold)
 
 
