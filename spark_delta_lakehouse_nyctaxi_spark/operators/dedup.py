@@ -423,6 +423,81 @@ def prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def jaccard_pairs_grouped(arrs: DataFrame, threshold: float = 0.0) -> DataFrame:
+    """Exact co-shingle Jaccard WITHOUT the self-join: group (id, set
+    size) members per shingle bucket, expand each bucket's sorted
+    member list to its in-bucket pairs with array expressions, then
+    count per pair — the count IS ``n_common`` (a pair appears in
+    exactly one bucket per shared shingle), and the sizes ride along in
+    the bucket structs so no size join-back is needed.
+
+    Output-identical to ``jaccard_pairs(sh, threshold=t)`` (pytest
+    parity gate): same pair set (co-occurring ids with id_a < id_b from
+    the sorted expansion), same integer n_common / set sizes, and the
+    jaccard expression is the same double division.
+
+    vs. the self-join form (guide §2.4 / §3.1): the old plan broadcast
+    ONE FULL SIDE of the exploded shingle frame (the static estimator
+    sizes a localCheckpoint at ~2 MB and picks BroadcastHashJoin —
+    measured ~0.7 s/task of broadcast-build/deserialize stall at sf0.1,
+    and a corpus-sized broadcast at 100 TB if the estimate ever stays
+    under the threshold) plus two more broadcasts for the per-doc size
+    frame. This form is two hash aggregates — shingle buckets, then
+    pair counts — with NO join machinery anywhere. Pair expansion is
+    O(bucket²) either way; callers (jaccard_pairs_adaptive) only take
+    this path when Σ df·(df−1)/2 is under the pair budget, so bucket
+    fan-out is bounded by construction (hot corpora go through the
+    AllPairs prefix filter instead)."""
+    sh = arrs.select(
+        "id", F.size("sh_arr").alias("n_sh"), F.explode("sh_arr").alias("shingle")
+    )
+    # Explicit shingle repartition at defaultParallelism BEFORE the
+    # bucket aggregate: the stage above this exchange is compute-DENSE
+    # but byte-LIGHT (the O(Σ df·(df−1)/2) in-bucket pair expansion runs
+    # fused with the aggregate), so AQE's size-based coalescing would
+    # shrink it to 1-4 tasks and serialize the expansion (measured 0.84s
+    # wall on 4 tasks vs ~0.2s at full width, sf0.1 — the guide §2.5
+    # "compute doesn't follow bytes" caveat). REPARTITION_BY_NUM pins
+    # the width; the groupBy reuses the same exchange, so shuffle count
+    # and bytes are unchanged.
+    nparts = arrs.sparkSession.sparkContext.defaultParallelism
+    buckets = (
+        sh.repartition(nparts, "shingle")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    n = F.size("ms")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice("ms", i + 2, n - i - 1),
+                lambda y: F.struct(
+                    x.getField("id").alias("id_a"),
+                    y.getField("id").alias("id_b"),
+                    x.getField("n_sh").alias("n_a"),
+                    y.getField("n_sh").alias("n_b"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy("p.id_a", "p.id_b", "p.n_a", "p.n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).alias("jaccard"),
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
 def jaccard_pairs_adaptive(
     df: DataFrame,
     id_col: str,
@@ -466,11 +541,6 @@ def jaccard_pairs_adaptive(
     arrs = doc_shingle_arrays(df, id_col, text_col, k=k, hashed=True).localCheckpoint(
         eager=True
     )
-    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
-    # (id, n_sh) as a projection of the materialized arrays — replaces
-    # the groupBy("id") size shuffle jaccard_pairs would otherwise run
-    # (guide §2.4 "remove shuffles outright").
-    sizes = arrs.select("id", F.size("sh_arr").alias("n_sh"))
     # Cheap short-circuit: co-shingle candidates can never exceed
     # N·(N−1)/2, so a small corpus is provably under budget without the
     # frequency pass.  N counts the checkpointed per-doc rows — a
@@ -479,7 +549,8 @@ def jaccard_pairs_adaptive(
     # identical output so the choice stays purely physical).
     n = arrs.count()
     if n * (n - 1) / 2 <= pair_budget:
-        return jaccard_pairs(sh, threshold=threshold, sizes=sizes)
+        return jaccard_pairs_grouped(arrs, threshold=threshold)
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
     est = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("c"))
@@ -487,7 +558,7 @@ def jaccard_pairs_adaptive(
         .first()["est"]
     )
     if est is not None and est <= pair_budget:
-        return jaccard_pairs(sh, threshold=threshold, sizes=sizes)
+        return jaccard_pairs_grouped(arrs, threshold=threshold)
     cand = prefix_filter_candidates(sh, threshold)
     return jaccard_pairs_from_arrays(arrs, cand, threshold=threshold)
 
@@ -800,7 +871,25 @@ def duplicate_clusters(
         schema = StructType(
             [StructField("id", id_type), StructField("cluster_id", id_type)]
         )
-        return pairs.sparkSession.createDataFrame(out, schema)
+        # Hand the local map to the JVM as ARROW batches (a pandas
+        # frame under spark.sql.execution.arrow.pyspark.enabled), not a
+        # pickled-Python RDD: createDataFrame(list) parallelizes into
+        # defaultParallelism pickled slices, so the consumer's
+        # BroadcastExchange over "Scan ExistingRDD" forked ~32 Python
+        # workers to unpickle a few thousand rows — measured as a
+        # 0.3-1.2 s stall of EVERY task in the join stage downstream
+        # (guide §4.1 "every Python path pays"; the Arrow form is the
+        # §6 arrow-for-driver-transfers rule applied in reverse).
+        # Falls back to the pickle path automatically if pandas/Arrow
+        # can't represent the id type (never the case for the long /
+        # string ids callers use).
+        try:
+            import pandas as pd
+
+            local = pd.DataFrame(out, columns=["id", "cluster_id"])
+        except Exception:
+            local = out
+        return pairs.sparkSession.createDataFrame(local, schema)
     # Both directions are present, so src alone covers every node.
     labels = (
         edges.select(F.col("src").alias("id"))

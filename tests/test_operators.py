@@ -522,6 +522,26 @@ def test_prefix_filter_candidates_exact_parity(spark):
     assert n_cand < n_all
 
 
+def test_jaccard_pairs_grouped_exact_parity(spark):
+    """The no-join bucket-grouped pair form must reproduce the
+    self-join form's pairs EXACTLY (it replaces it on the under-budget
+    branch of jaccard_pairs_adaptive)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    arrs = D.doc_shingle_arrays(docs, "doc_id", "text", 3, hashed=True).persist()
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    for t in (0.0, 0.1, 0.3):
+        joined = {
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in D.jaccard_pairs(sh, threshold=t).collect()
+        }
+        grouped = {
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in D.jaccard_pairs_grouped(arrs, threshold=t).collect()
+        }
+        assert grouped == joined and (t > 0.0 or grouped)
+    arrs.unpersist()
+
+
 def test_jaccard_adaptive_both_branches_identical(spark):
     """The cost-based pair join must give identical pairs whichever
     physical branch the budget selects."""

@@ -109,7 +109,8 @@ def main() -> None:
             sid = si["Stage ID"]
             acc = {a.get("Name"): a.get("Value") for a in si.get("Accumulables", [])}
             stages[sid] = {
-                "name": si.get("Name", ""),
+                # the event-log key is "Stage Name" (not "Name")
+                "name": si.get("Stage Name", si.get("Name", "")),
                 "tasks": si.get("Number of Tasks"),
                 "ms": (si.get("Completion Time", 0) - si.get("Submission Time", 0))
                 if si.get("Submission Time")
