@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import Column
 
-from ..sources.readers import load_table
+from ..sources.readers import load_table, load_table_widened
 from . import register
 
 
@@ -127,6 +127,11 @@ def attach_scalar(df, scalar_df):
         "(A1; etl/gold_job.py:40-97) transposed to the orders table.",
 )
 def q_agg_daily(spark, sf_dir):
+    # NOT widened: measured A/B at sf0.1 — the per-row work here (one
+    # to_date + two decimal casts over 150k rows) is too light to pay
+    # for the input-skew repartition (0.32 s plain vs 0.67 s widened);
+    # q_agg_2key below, with 6 decimal sums over 600k rows, is the
+    # shape that crosses the threshold.
     df = load_table(spark, sf_dir, "orders")
     return (
         df.groupBy(F.to_date("o_orderdate").alias("order_date"))
@@ -157,7 +162,10 @@ def q_agg_daily(spark, sf_dir):
         "product (identical in both engines) cast to decimal before summing.",
 )
 def q_agg_2key(spark, sf_dir):
-    df = load_table(spark, sf_dir, "lineitem")
+    # widened: 6 decimal-cast sums per row are the dominant cost and
+    # ran single-threaded on the 1-row-group layout (measured 0.68 s of
+    # a 1.0 s run in one task); exact sums are partitioning-invariant.
+    df = load_table_widened(spark, sf_dir, "lineitem", "l_orderkey")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         df.groupBy("l_returnflag", "l_linestatus")

@@ -45,6 +45,18 @@ def read_csv(spark: SparkSession, path: str, header: bool = True, infer_schema: 
     )
 
 
+# Per-session memo of ANALYZED table plans, keyed by (applicationId,
+# absolute path).  spark.read.parquet() re-runs file listing + footer
+# schema resolution on every call (~0.1 s of single-threaded driver
+# work; a 5-table star join pays it five times per query build — guide
+# §6 "file listing is cached per session" applied at the reader).  The
+# memo holds only the LAZY DataFrame handle: no rows are cached — every
+# execution still scans the parquet files — so bench/oracle runs keep
+# computing from the inputs.  Static inputs per the driver contract;
+# writers in this repo never mutate these star-table paths.
+_TABLE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a star-schema table.
 
@@ -54,6 +66,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     works under any externally provided SparkSession.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        if name == "events":
+            # execution-time conf the cached events plan still needs
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return memo
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -69,8 +88,55 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
+        _TABLE_MEMO[key] = df
         return df
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    _TABLE_MEMO[key] = df
+    return df
+
+
+def scan_width(sf_dir: str, name: str) -> int:
+    """Effective maximum scan parallelism of a star table: a parquet
+    scan task cannot split below ROW-GROUP granularity, so per file the
+    task ceiling is its row-group count (regardless of
+    maxPartitionBytes).  Cheap footer metadata read, memoized."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = os.path.abspath(path)
+    w = _SCAN_WIDTH_MEMO.get(key)
+    if w is None:
+        files = (
+            glob.glob(os.path.join(path, "*.parquet"))
+            or glob.glob(os.path.join(path, "part-*"))
+            or [path]
+        )
+        w = sum(pq.ParquetFile(f).num_row_groups for f in files)
+        _SCAN_WIDTH_MEMO[key] = w
+    return w
+
+
+_SCAN_WIDTH_MEMO: dict[str, int] = {}
+
+
+def load_table_widened(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """Input-skew guard for compute-dense per-row work (guide §2.5):
+    when the parquet LAYOUT caps scan parallelism below the session's
+    cores (the testdata is one file with one row group, so every scan
+    stage runs as exactly 1 task), hash-repartition on a
+    high-cardinality column right after the read.  On a properly
+    laid-out table (≥ cores row groups — any production 100 TB layout)
+    the condition is false and this is exactly ``load_table`` — the
+    exchange exists only where the input itself serializes the scan."""
+    df = load_table(spark, sf_dir, name)
+    cpus = spark.sparkContext.defaultParallelism
+    if scan_width(sf_dir, name) < cpus:
+        return df.repartition(cpus, key)
+    return df
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
