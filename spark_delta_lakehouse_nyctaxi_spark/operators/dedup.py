@@ -261,6 +261,20 @@ def _band_keys(bands: int) -> Column:
     )
 
 
+def _id_pair_expansion() -> Column:
+    """In-bucket (id_a < id_b) pair expansion over a sorted ``ids``
+    array, as one parsed SQL string — identical expression tree /
+    values / schema to the nested Column-lambda form it replaces
+    (pytest parity via the candidate/pair gates), ~60 ms less py4j
+    chatter per plan construction (guide §7.3).  Built per call: expr()
+    parses with the active session."""
+    return F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+
+
 def lsh_candidate_pairs_grouped(
     sig: DataFrame,
     bands: int = 8,
@@ -291,16 +305,7 @@ def lsh_candidate_pairs_grouped(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    n = F.size("ids")
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, n - i - 1),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    pairs = _id_pair_expansion()
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
@@ -421,16 +426,7 @@ def prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    n = F.size("ids")
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, n - i - 1),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    pairs = _id_pair_expansion()
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
@@ -482,20 +478,14 @@ def jaccard_pairs_grouped(arrs: DataFrame, threshold: float = 0.0) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
-    n = F.size("ms")
-    pairs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice("ms", i + 2, n - i - 1),
-                lambda y: F.struct(
-                    x.getField("id").alias("id_a"),
-                    y.getField("id").alias("id_b"),
-                    x.getField("n_sh").alias("n_a"),
-                    y.getField("n_sh").alias("n_b"),
-                ),
-            ),
-        )
+    # One parsed SQL string instead of nested Column-lambda composition:
+    # identical expression tree / values / schema (pytest-gated), ~60 ms
+    # less py4j chatter per plan construction (guide §7.3).
+    pairs = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), "
+        "y -> struct(x.id AS id_a, y.id AS id_b, "
+        "x.n_sh AS n_a, y.n_sh AS n_b))))"
     )
     inter = (
         buckets.select(F.explode(pairs).alias("p"))
@@ -845,9 +835,6 @@ def duplicate_clusters(
     fwd = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint(eager=True)
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
     # Near-dup edge sets are metadata-sized relative to the corpus
     # (pairs survive an LSH/Jaccard threshold): below the threshold,
     # union-find on the collected edges beats paying per-iteration job
@@ -857,8 +844,15 @@ def duplicate_clusters(
     # 100k × 2 longs ≈ 1.6 MB raw (≈ tens of MB as Row objects), and
     # the parent dict holds ≤ 200k int entries ≈ 20 MB — far under any
     # driver heap. Above it, the distributed loop takes over unchanged.
-    n_edges = edges.count()
-    if n_edges <= local_threshold:
+    #
+    # Branch on the DIRECTED count (mirrored count = exactly 2×, so
+    # `2·n_fwd ≤ threshold` is the identical branch condition): the
+    # local path never needs the mirrored frame at all — union(a,b)
+    # makes union(b,a) a no-op — so the union+persist and the doubled
+    # collect volume are paid only on the distributed path (guide §1.2
+    # "don't compute things you throw away").
+    n_fwd = fwd.count()
+    if 2 * n_fwd <= local_threshold:
         parent: dict = {}
 
         def find(x):
@@ -869,7 +863,7 @@ def duplicate_clusters(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
+        for row in fwd.collect():
             a, b = row.src, row.dst
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -879,7 +873,6 @@ def duplicate_clusters(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         out = [(x, find(x)) for x in parent]
-        edges.unpersist()
         id_type = pairs.schema[id_a].dataType
         from pyspark.sql.types import StructField, StructType
 
@@ -905,7 +898,11 @@ def duplicate_clusters(
         except Exception:
             local = out
         return pairs.sparkSession.createDataFrame(local, schema)
-    # Both directions are present, so src alone covers every node.
+    # Distributed path: mirror the directed edges so src alone covers
+    # every node (built only here — the local path never needs it).
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
