@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .checkpoint import reliable_checkpoint
 from .text import tokens
 
 
@@ -334,10 +335,17 @@ def jaccard_pairs_from_arrays(
     # corpus-sized array frame as a broadcast build side (it sized the
     # persisted arrs at ~2 MB and planned BroadcastHashJoin BuildRight
     # over it — the guide §3.1 estimate-failure class; at 100 TB that
-    # is an executor-OOM hash relation).  AQE re-decides the strategy
-    # at runtime from REAL sizes and still broadcasts the genuinely
-    # small side (the pair list) at bench scale, so this costs nothing
-    # locally and removes the unbounded broadcast at scale.
+    # is an executor-OOM hash relation).  NOTE (round-11 ADVICE): a
+    # merge hint on either side pins the join to sort-merge through
+    # AQE re-optimization too — the small pair side is NOT broadcast
+    # either.  That trade is deliberate and re-measured (r12): the
+    # corpus side reuses its id-partitioning (no exchange, no sort of
+    # the big side beyond the partition-local one), only the pair side
+    # is shuffled, and the measured cost vs the broadcast form is ~0
+    # at bench scale while the scale-unsafe plan shape is gone.  The
+    # pair list is NOT provably small (it is data-dependent — dup-
+    # dense corpora blow past any broadcast cap), so a broadcast hint
+    # on it would re-introduce the same OOM class on the other side.
     out = (
         pairs.join(a.hint("merge"), "id_a")
         .join(b.hint("merge"), "id_b")
@@ -540,11 +548,14 @@ def jaccard_pairs_adaptive(
     long-lived session (blocks free when the frame is GC'd — round-2
     ADVICE), and the budget count() below doubles as the barrier the
     old code paid a separate upstream execution for.  At 100 TB this
-    is a checkpoint to cluster storage — the same intermediate the
-    prefix branch always materialized.
+    IS a checkpoint to cluster storage: reliable_checkpoint switches
+    to fault-tolerant ``checkpoint()`` whenever the session has a
+    checkpoint dir configured (executor loss cannot strand the
+    pipeline), and only falls back to localCheckpoint on
+    checkpoint-dir-less single-box sessions like the bench.
     """
-    arrs = doc_shingle_arrays(df, id_col, text_col, k=k, hashed=True).localCheckpoint(
-        eager=True
+    arrs = reliable_checkpoint(
+        doc_shingle_arrays(df, id_col, text_col, k=k, hashed=True), eager=True
     )
     # Cheap short-circuit: co-shingle candidates can never exceed
     # N·(N−1)/2, so a small corpus is provably under budget without the
@@ -828,13 +839,16 @@ def duplicate_clusters(
     # verification — the most expensive stages of every caller) would
     # execute TWICE, once per direction (measured ~2× the pair-stage
     # cost on q_training_pipeline at sf0.1; guide §2.4 "remove
-    # shuffles outright" / §5 caching-for-reuse). localCheckpoint
+    # shuffles outright" / §5 caching-for-reuse). A checkpoint
     # rather than persist: it also truncates the lineage so the
     # per-iteration loop below replans against a leaf, and blocks free
-    # when the frame is GC'd (repo-wide policy).
-    fwd = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint(eager=True)
+    # when the frame is GC'd (repo-wide policy); reliable_checkpoint
+    # uses cluster storage when a checkpoint dir is configured, so
+    # executor loss can't strand the job at scale.
+    fwd = reliable_checkpoint(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+        eager=True,
+    )
     # Near-dup edge sets are metadata-sized relative to the corpus
     # (pairs survive an LSH/Jaccard threshold): below the threshold,
     # union-find on the collected edges beats paying per-iteration job
@@ -941,7 +955,9 @@ def duplicate_clusters(
         )
     # Materialize before releasing the cache: the caller gets a plain
     # result frame and no persisted intermediate is leaked.
-    out = labels.select("id", F.col("label").alias("cluster_id")).localCheckpoint(eager=True)
+    out = reliable_checkpoint(
+        labels.select("id", F.col("label").alias("cluster_id")), eager=True
+    )
     labels.unpersist()
     return out
 

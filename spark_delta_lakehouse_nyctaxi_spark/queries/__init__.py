@@ -76,22 +76,32 @@ from . import suffix  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 
 
-# Round-11 rotation (VERDICT r10 item 1).  The driver verifies the
-# FIRST 50 registry entries every round.  CORRECTNESS_r10 landed 50/50
-# green on the r10 window (48 full hash-match + the 2 intentional
-# rows-only slots), so driver-coverage debt from rounds ≤9 is zero.
-# The only queries without a driver row are the 9 round-10 additions
-# (all 9 passed the r10 judge's independent strict gate at
-# max_float_diff 0.0) — they rotate into slots 1-9.  Slots 10-50
-# backfill with CORRECTNESS_r10-green rows in their r10 window order
-# (former slots 1-41; former slots 42-50 drop below the window but
-# remain r10-green).  THE REGISTRY IS FROZEN AT ROTATION TIME: every
-# new round-11 query is inserted at the R11-NEW marker (slot 51+,
-# i.e. the r12 window).  DO NOT reorder slots 1-50 until
-# CORRECTNESS_r11 lands.
+# Round-12 rotation (VERDICT r11 item 4; same discipline as the r11
+# rotation below).  The driver verifies the FIRST 50 registry entries
+# every round.  CORRECTNESS_r11 landed 50/50 green on the r11 window
+# (48 full hash-match + the 2 intentional rows-only slots), so
+# driver-coverage debt from rounds ≤10 is zero.  The only queries
+# without a driver row are the 6 round-11 additions (all 6 passed the
+# r11 judge's independent strict gate) — they rotate into slots 1-6.
+# Slots 7-50 backfill with CORRECTNESS_r11-green rows in their r11
+# window order (former slots 1-44; former slots 45-50 drop below the
+# window but remain r11-green).  THE REGISTRY IS FROZEN AT ROTATION
+# TIME; round 12 is an optimization round and registers no new
+# queries.  DO NOT reorder slots 1-50 until CORRECTNESS_r12 lands.
+#
+# (r11 rotation history: VERDICT r10 item 1 rotated the 9 round-10
+# additions into slots 1-9 with r10-green backfill — all 9 passed
+# hash-match in CORRECTNESS_r11.)
 _PRIORITY: list[str] = [
-    # --- slots 1-9: the 9 round-10 additions (never driver-checked;
-    # all judge-gate green in VERDICT r10) ---
+    # --- slots 1-6: the 6 round-11 additions (never driver-checked;
+    # all judge-gate green in VERDICT r11) ---
+    "q_wordpiece_learn",
+    "q_bloom_sizing_curve",
+    "q_conformal_groups",
+    "q_stream_ivf_append",
+    "q_perplexity_buckets",
+    "q_minhash_perm_curve",
+    # --- slots 7-50: driver-green backfill (r11 window order) ---
     "q_packing_curve",
     "q_zipf_fit",
     "q_epoch_budget",
@@ -101,7 +111,6 @@ _PRIORITY: list[str] = [
     "q_nb_label_probe",
     "q_wordpiece_step",
     "q_bloom_dedup_gate",
-    # --- slots 10-50: driver-green backfill (r10 window order) ---
     "q_incremental_substr_dedup",
     "q_unigram_lm_train",
     "q_unigram_fertility",
@@ -137,20 +146,14 @@ _PRIORITY: list[str] = [
     "q_chi2_independence",
     "q_cohort_ltv",
     "q_simpson_audit",
+    # --- r11 window remainder (CORRECTNESS_r11 50/50 green; former
+    # slots 45-50, displaced by the r12 rotation) ---
     "q_calibration_bins",
     "q_mann_kendall",
     "q_lm_generate",
     "q_abc_classification",
     "q_time_to_convert",
     "q_graph_assortativity",
-    # --- R11-NEW: new round-11 value-oracled queries slot here (the
-    # r12 driver window) ---
-    "q_wordpiece_learn",
-    "q_bloom_sizing_curve",
-    "q_conformal_groups",
-    "q_stream_ivf_append",
-    "q_perplexity_buckets",
-    "q_minhash_perm_curve",
     # --- r10 window remainder (CORRECTNESS_r10 50/50 green) ---
     "q_degree_histogram",
     "q_stream_count_min",

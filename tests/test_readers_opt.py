@@ -61,7 +61,15 @@ def test_scan_width_matches_layout(spark):
     """The testdata layout is one file / one row group per table — the
     ceiling the widening guard keys on."""
     assert scan_width(SF_SMALL, "lineitem") >= 1
-    assert scan_width(SF_SMALL, "lineitem") < spark.sparkContext.defaultParallelism
+    if spark.sparkContext.defaultParallelism > 1:
+        # on a single-core runner scan_width >= 1 == defaultParallelism
+        # even though the layout is correct — the contract below only
+        # exists when the session has parallelism to widen into
+        # (round-11 ADVICE: don't encode the machine in the test)
+        assert (
+            scan_width(SF_SMALL, "lineitem")
+            < spark.sparkContext.defaultParallelism
+        )
 
 
 def test_widened_values_identical(spark):
