@@ -189,24 +189,25 @@ _MINHASH_LSH_SQL = f"""
         "vs DuckDB (upgraded from rows-only in round 3).",
 )
 def q_minhash_lsh(spark, sf_dir):
-    # Hybrid array pipeline (fastest of the three forms measured at
-    # sf0.1 — see operators/dedup.py docstrings):
+    # Hybrid array pipeline (fastest of the forms measured at sf0.1 —
+    # see operators/dedup.py docstrings):
     # - per-doc shingle ARRAYS are the one materialized frame; the
     #   exact-Jaccard confirm pass intersects them in place (no
     #   per-shingle join, no size joins);
-    # - signatures go through explode + the 32-min hash AGGREGATE
-    #   rather than array_min(transform(...)) projections — higher-
-    #   order functions sit outside whole-stage codegen, the aggregate
-    #   is ~10% faster, and the explode adds no shuffle (the frame is
-    #   id-partitioned);
+    # - signatures come from the vectorized Arrow/numpy kernel over
+    #   the array frame (r12; VERDICT r11 item 2) — bit-identical to
+    #   the explode + 32-min-aggregate form it replaces and ~5% faster
+    #   end-to-end (the aggregate evaluated 32×3 arithmetic ops per
+    #   shingle row-at-a-time; numpy sweeps whole columnar batches),
+    #   with one fewer operator pair (no explode, no groupBy — the
+    #   kernel is a per-doc projection, zero shuffles either way);
     # - candidates come from one bucket aggregate, not a self-join.
     # Total shuffles: id repartition, bucket groupBy, pair distinct,
     # two pair-side join exchanges — vs. eight for the exploded form.
     # (At 100 TB the persist would be a checkpoint to cluster storage.)
     df = load_table(spark, sf_dir, "documents")
     arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed="md5").persist()
-    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
-    sig = D.minhash_signatures_linear(sh, _MH_COEFFS)
+    sig = D.minhash_signatures_linear_arrow(arrs, _MH_COEFFS)
     # Hot-bucket guard ON by default: a degenerate bucket of ~1000+
     # near-identical boilerplate docs would emit O(bucket²) pairs; the
     # cap drops only such buckets. Parity-tested as a no-op on the
@@ -1172,8 +1173,7 @@ def q_lsh_recall(spark, sf_dir):
     # an (id_a, id_b) equi-join against it.
     exact = _jaccard_truth_frame(df, sf_dir)
     arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed="md5").persist()
-    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
-    sig = D.minhash_signatures_linear(sh, _MH_COEFFS)
+    sig = D.minhash_signatures_linear_arrow(arrs, _MH_COEFFS)
     cand = D.lsh_candidate_pairs_grouped(
         sig, bands=8, max_bucket_size=1000, exact_keys=True
     )
@@ -2388,8 +2388,7 @@ def q_clustering_ari(spark, sf_dir):
     )
     arrs = D.doc_shingle_arrays(docs, "doc_id", "text", k=3, hashed="md5").persist()
     try:
-        sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
-        sig = D.minhash_signatures_linear(sh, _MH_COEFFS)
+        sig = D.minhash_signatures_linear_arrow(arrs, _MH_COEFFS)
         cand = D.lsh_candidate_pairs_grouped(
             sig, bands=8, max_bucket_size=1000, exact_keys=True
         )
@@ -2555,8 +2554,7 @@ def q_lsh_band_curve(spark, sf_dir):
     nt = exact.agg(F.count("*").cast("long").alias("n_truth"))
 
     arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed="md5")
-    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
-    sig = D.minhash_signatures_linear(sh, _MH_COEFFS).localCheckpoint(
+    sig = D.minhash_signatures_linear_arrow(arrs, _MH_COEFFS).localCheckpoint(
         eager=True
     )
     # all four configs in ONE banding pass: tag every (band_idx, key)
@@ -2739,8 +2737,9 @@ def q_minhash_perm_curve(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     pairs = _prefix_jaccard_pairs(df, threshold=0.1)
     arrs = D.doc_shingle_arrays(df, "doc_id", "text", k=3, hashed="md5")
-    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
-    sig = D.minhash_signatures_linear(sh, _MH_COEFFS).select("id", "signature")
+    sig = D.minhash_signatures_linear_arrow(arrs, _MH_COEFFS).select(
+        "id", "signature"
+    )
     j = (
         pairs.join(
             sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sa")),

@@ -122,6 +122,55 @@ def test_table_memo_eviction_never_changes_results(spark):
         R._TABLE_MEMO.pop(k)
 
 
+def test_minhash_arrow_kernel_bit_identical(spark):
+    """The Arrow/numpy signature kernel is bit-identical to the JVM
+    explode + 32-min aggregate it replaces (same ids, same signature
+    arrays, same n_sh), on real corpus shingles at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from spark_delta_lakehouse_nyctaxi_spark.queries.dedup import _MH_COEFFS
+
+    docs = R.load_table(spark, SF_SMALL, "documents")
+    arrs = D.doc_shingle_arrays(docs, "doc_id", "text", k=3, hashed="md5").persist()
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    jvm = {
+        r["id"]: (list(r["signature"]), r["n_sh"])
+        for r in D.minhash_signatures_linear(sh, _MH_COEFFS).collect()
+    }
+    arrow = {
+        r["id"]: (list(r["signature"]), r["n_sh"])
+        for r in D.minhash_signatures_linear_arrow(arrs, _MH_COEFFS).collect()
+    }
+    arrs.unpersist()
+    assert jvm == arrow
+    assert len(jvm) > 0
+
+
+def test_minhash_arrow_kernel_negative_ids_java_mod(spark):
+    """np.fmod matches Java/Spark % for NEGATIVE shingle ids too (the
+    xxhash64-hashed path can produce them): both forms agree on a
+    synthetic frame with negative 64-bit ids."""
+    from pyspark.sql import functions as F
+
+    coeffs = D.linear_hash_coeffs(8)
+    rows = [
+        (1, [-(2**62) + 7, -12345, 3]),
+        (2, [-1, -2, 2**60]),
+        (3, [5]),
+    ]
+    arrs = spark.createDataFrame(rows, "id long, sh_arr array<bigint>")
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
+    jvm = {
+        r["id"]: (list(r["signature"]), r["n_sh"])
+        for r in D.minhash_signatures_linear(sh, coeffs).collect()
+    }
+    arrow = {
+        r["id"]: (list(r["signature"]), r["n_sh"])
+        for r in D.minhash_signatures_linear_arrow(arrs, coeffs).collect()
+    }
+    assert jvm == arrow
+
+
 def test_table_memo_freshness_token(spark, tmp_path):
     """Rewriting a table path invalidates the memo entry (mtime key):
     the reader sees the new file listing instead of a stale snapshot."""

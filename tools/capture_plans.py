@@ -16,7 +16,7 @@ sys.path.insert(0, "/root/repo")
 from spark_delta_lakehouse_nyctaxi_spark.queries import REGISTRY
 from spark_delta_lakehouse_nyctaxi_spark.session import get_spark
 
-OUT = "/root/repo/plans/r11"
+OUT = os.environ.get("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r12")
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 

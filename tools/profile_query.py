@@ -120,6 +120,7 @@ def main() -> None:
                 "input": acc.get("internal.metrics.input.bytesRead"),
                 "exec_run_ms": acc.get("internal.metrics.executorRunTime"),
                 "exec_cpu_ns": acc.get("internal.metrics.executorCpuTime"),
+                "gc_ms": acc.get("internal.metrics.jvmGCTime"),
             }
 
     for jid in sorted(jobs):
@@ -135,9 +136,10 @@ def main() -> None:
             ms = s["ms"] or 0
             cpu = (s["exec_cpu_ns"] or 0) / 1e9
             run = (s["exec_run_ms"] or 0) / 1e3
+            gc = (s["gc_ms"] or 0) / 1e3
             print(
                 f"  stage {sid:4d} {ms/1000.0:7.3f}s wall  tasks={s['tasks']:<4d}"
-                f" run={run:7.2f}s cpu={cpu:7.2f}s"
+                f" run={run:7.2f}s cpu={cpu:7.2f}s gc={gc:5.2f}s"
                 f" in={(s['input'] or 0)>>20}MB sw={(s['shuffle_write'] or 0)>>10}KB"
                 f"  {s['name'][:70]}"
             )
