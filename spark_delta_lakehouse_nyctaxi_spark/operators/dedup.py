@@ -415,14 +415,18 @@ def jaccard_pairs_from_arrays(
     # is an executor-OOM hash relation).  NOTE (round-11 ADVICE): a
     # merge hint on either side pins the join to sort-merge through
     # AQE re-optimization too — the small pair side is NOT broadcast
-    # either.  That trade is deliberate and re-measured (r12): the
-    # corpus side reuses its id-partitioning (no exchange, no sort of
-    # the big side beyond the partition-local one), only the pair side
-    # is shuffled, and the measured cost vs the broadcast form is ~0
-    # at bench scale while the scale-unsafe plan shape is gone.  The
-    # pair list is NOT provably small (it is data-dependent — dup-
-    # dense corpora blow past any broadcast cap), so a broadcast hint
-    # on it would re-introduce the same OOM class on the other side.
+    # either.  That trade is deliberate and re-measured (r12,
+    # interleaved A/B on the full LSH pipeline at sf0.1): the
+    # broadcast-pairs form measures ~0.1-0.16 s faster (min 1.05 vs
+    # 1.21, med 1.23 vs 1.35) — that is the known, bounded local price
+    # of removing the scale-unsafe shape.  The corpus side reuses its
+    # id-partitioning (no exchange), only the pair side is shuffled.
+    # The pair list is NOT provably small (it is data-dependent —
+    # dup-dense corpora blow past any broadcast cap, and the 8 GB
+    # broadcast hard cap would fail the job outright), so a broadcast
+    # hint on it would re-introduce the same OOM class on the other
+    # side; a count-guarded broadcast costs an extra action + barrier
+    # that eats the saving.
     out = (
         pairs.join(a.hint("merge"), "id_a")
         .join(b.hint("merge"), "id_b")
@@ -989,54 +993,89 @@ def duplicate_clusters(
         except Exception:
             local = out
         return pairs.sparkSession.createDataFrame(local, schema)
-    # Distributed path: mirror the directed edges so src alone covers
-    # every node (built only here — the local path never needs it).
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .persist()
+    # Distributed path (the 100 TB regime): LARGE-STAR / SMALL-STAR
+    # contraction (Kiveris et al. 2014, "Connected Components in
+    # MapReduce and Beyond") instead of plain min-label propagation.
+    # Min-label needs diameter-many rounds (an adversarial id chain =
+    # thousands of shuffles); each large+small round roughly SQUARES
+    # the contracted distance, so convergence is O(log diameter)
+    # rounds — verified by the synthetic long-chain gate
+    # (tests/test_round12.py: a 512-hop path converges in
+    # <= ceil(log2 d) + 1 rounds, parity with union-find).
+    #
+    # Per round, with edges kept CANONICAL as (u, v), u > v:
+    # - large-star: over the mirrored neighbor list of each node n,
+    #   link every strictly-larger neighbor to m(n) = min(N(n) ∪ {n});
+    # - small-star: over the canonical list keyed by the larger
+    #   endpoint u, link u and all its smaller neighbors to their
+    #   minimum.
+    # Both passes are a groupBy(min) + same-key join-back (the join
+    # reuses the aggregate's partitioning — no extra exchange) and an
+    # edge rewrite; NOTHING is ever collected.  The fixed point is a
+    # star forest centered at each component's minimum id (paper
+    # Thm 1), so labels read directly off the final edge list.
+    # Convergence = the canonical edge set is UNCHANGED by a full
+    # round, checked exactly with a count + exceptAll probe (no
+    # checksum false-convergence risk); each round's set is
+    # materialized via reliable_checkpoint, so lineage stays flat and
+    # executor loss is survivable when a checkpoint dir is set.
+    e = reliable_checkpoint(
+        fwd.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        eager=True,
     )
-    changed = -1
+    n_edges = e.count()
+    converged = False
     for _ in range(max_iter):
-        nbr = edges.join(
-            labels.select(F.col("id").alias("src"), "label"), "src"
-        ).select(F.col("dst").alias("id"), "label")
-        new_labels = (
-            labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
-        ).persist()
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("label").alias("old_label")), "id"
-            )
-            .filter("label <> old_label")
-            .count()
+        # large-star over mirrored neighborhoods
+        nbrs = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over canonical (larger-endpoint-keyed) lists
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(mins2, "u")
+        small = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_e = reliable_checkpoint(small, eager=True)
+        new_n = new_e.count()
+        if new_n == n_edges and new_e.exceptAll(e).isEmpty():
+            e = new_e
+            converged = True
             break
-    edges.unpersist()
-    if changed != 0:
-        # Unconverged labels are WRONG (some nodes still carry a
-        # non-minimal label) — surface it instead of returning silently.
-        labels.unpersist()
+        e, n_edges = new_e, new_n
+    if not converged:
         raise RuntimeError(
-            f"duplicate_clusters: label propagation did not converge in "
-            f"{max_iter} iterations ({changed} labels still changing) — "
-            f"the pair graph has a path longer than max_iter; raise "
-            f"max_iter or use a star-contraction variant"
+            f"duplicate_clusters: star contraction did not converge in "
+            f"{max_iter} rounds — raise max_iter (each round squares "
+            f"contracted distances, so this needs ~log2(diameter) rounds)"
         )
-    # Materialize before releasing the cache: the caller gets a plain
-    # result frame and no persisted intermediate is leaked.
-    out = reliable_checkpoint(
-        labels.select("id", F.col("label").alias("cluster_id")), eager=True
+    # Star forest: every edge is (member, component-min); centers are
+    # exactly the dst side.  Labels = members' edges + (center, center).
+    centers = e.select(F.col("v").alias("id")).distinct()
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")).union(
+        centers.select("id", F.col("id").alias("cluster_id"))
     )
-    labels.unpersist()
-    return out
+    return reliable_checkpoint(labels, eager=True)
 
 
 def resolve_duplicates(
